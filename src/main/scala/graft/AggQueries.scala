@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.5, A1-A9). Grouping keys come from the
+  * reference schema (`account_type` `/root/reference/README.md:99`, time
+  * buckets from the DateTime columns `README.md:172-173`).
+  *
+  * All aggregates here are hash aggregates with map-side partial
+  * aggregation (Spark default) — one shuffle of the (small) group-key
+  * space, never of raw rows.
+  */
+object AggQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // A1: classic multi-aggregate by key (TPC-H Q1 shape).
+    "q_agg_basic" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum("l_quantity").as("sum_qty"),
+             round(avg("l_quantity"), 4).as("avg_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+               .as("sum_price"),
+             min("l_extendedprice").as("min_price"),
+             max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A2: global (no-group) aggregate.
+    "q_agg_global" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(sum("value"), 4).as("sum_value"),
+             min("ts").as("min_ts"),
+             max("ts").as("max_ts"))),
+
+    // A3: exact COUNT DISTINCT by key.
+    "q_agg_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")),
+
+    // A4: approximate distinct (HLL++) — no DuckDB oracle (approx).
+    "q_agg_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"))
+        .orderBy("l_returnflag")),
+
+    // A5: ROLLUP.
+    "q_agg_rollup" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    // A5: CUBE.
+    "q_agg_cube" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // A6: filtered/conditional aggregates.
+    "q_agg_conditional" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(round(sum(when(col("event_type") === "purchase", col("value"))), 4)
+               .as("purchase_total"),
+             count(when(col("event_type") === "error", lit(1))).as("n_errors"))
+        .orderBy("user_id")),
+
+    // A7: time-bucket aggregate (ClickHouse toStartOfDay idiom).
+    "q_agg_by_day" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")),
+
+    // A8: arg-max (value at max version — U1's aggregate form).
+    "q_agg_max_by" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_type"),
+             max(col("ts")).as("last_ts"))
+        .orderBy("user_id")),
+
+    // A9: order-stabilized collect.
+    "q_agg_collect" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
+               .as("types"))
+        .orderBy("user_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events""".stripMargin,
+
+    "q_agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_conditional" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+        |    AS purchase_total,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_by_day" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY day ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q_agg_max_by" ->
+      """SELECT user_id, arg_max(event_type, ts) AS last_type,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, timestamp conversion, sorts, limits and set
+  * ops (SURVEY.md §2.1, §2.2, §2.7). The only scalar transform the
+  * reference itself performs is the epoch-micros → second-truncated
+  * DateTime conversion in its materialized view
+  * (`/root/reference/README.md:226-227`) — `q_ts_convert` replicates it.
+  */
+object CoreQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // S6: columnar scan with projection — column pruning must reach parquet.
+    "q_scan" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // P1: projection + rename (the MV SELECT-list pattern, README.md:222-230).
+    "q_project" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("order_id"),
+                col("o_orderpriority").as("priority"),
+                col("o_totalprice").as("total"))
+        .orderBy("order_id")),
+
+    // P2/F1: epoch micros → truncated-to-second timestamp (CH parity).
+    "q_ts_convert" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                unix_micros(col("ts")).as("ts_micros"),
+                Functions.microsToTimestampSecond(unix_micros(col("ts"))).as("ts_sec"))
+        .orderBy("event_id")),
+
+    // P5: conjunctive predicates.
+    "q_filter" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // P5: IN-list + equality.
+    "q_filter_in" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+                col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // P5: NULL-aware predicates (nullif/isNull/between).
+    "q_filter_null" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("ret_n", nullif(col("l_returnflag"), lit("N")))
+        .filter(col("ret_n").isNull || col("l_quantity").between(1, 3))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "ret_n")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ret_n")),
+
+    // O1: multi-key total sort (the final table's ORDER-BY clustering,
+    // README.md:177) — range-partitioned sort, no single-task bottleneck.
+    "q_sort" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+        .orderBy(col("l_returnflag"), col("l_shipdate").desc_nulls_last,
+                 col("l_orderkey"), col("l_linenumber"))),
+
+    // O2: top-N (planner: TakeOrderedAndProject — per-partition heaps, no
+    // global sort).
+    "q_topn" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .limit(100)),
+
+    // O3: top-k per group.
+    "q_topk_per_group" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        Tables(s, dir, "orders"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc_nulls_last, col("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc_nulls_last,
+                 col("o_orderkey"))),
+
+    // O4: UNION ALL (multi-source MV fan-in, README.md:277-278).
+    "q_union" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      e.filter(col("event_type") === "click")
+        .unionByName(e.filter(col("event_type") === "error"))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    }),
+
+    // O5: DISTINCT.
+    "q_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // O6: INTERSECT.
+    "q_intersect" -> ((s, dir) => {
+      val building = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val withOrders = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOrders).orderBy("c_custkey")
+    }),
+
+    // O6: EXCEPT.
+    "q_except" -> ((s, dir) => {
+      val all = Tables(s, dir, "customer").select(col("c_custkey"))
+      val withOrders = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(withOrders).orderBy("c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST""".stripMargin,
+
+    "q_project" ->
+      """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+        |       o_totalprice AS total
+        |FROM orders ORDER BY order_id NULLS FIRST""".stripMargin,
+
+    "q_ts_convert" ->
+      """SELECT event_id, epoch_us(ts) AS ts_micros,
+        |       make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS ts_sec
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST""".stripMargin,
+
+    "q_filter_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_filter_null" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       nullif(l_returnflag, 'N') AS ret_n
+        |FROM lineitem
+        |WHERE nullif(l_returnflag, 'N') IS NULL
+        |   OR l_quantity BETWEEN 1 AND 3
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         l_quantity NULLS FIRST, ret_n NULLS FIRST""".stripMargin,
+
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_returnflag NULLS FIRST, l_shipdate DESC NULLS LAST,
+        |         l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey NULLS FIRST, o_totalprice DESC NULLS LAST,
+        |         o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_union" ->
+      """SELECT event_id, event_type, user_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, user_id FROM events WHERE event_type = 'error'
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin
+  )
+}

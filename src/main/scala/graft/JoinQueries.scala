@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.4, J1-J8). Multi-table analytics is the
+  * destination-engine surface the reference pipeline exists to serve
+  * (`/root/reference/README.md:3`, FAQ on adding tables `README.md:277-278`).
+  *
+  * Scale notes: dimension joins (region/nation/supplier) are broadcast —
+  * no shuffle of the fact side; the non-equi range join keeps the small
+  * relation on the broadcast side of the nested loop; the as-of join is the
+  * union+window formulation (single shuffle, no fan-out — see
+  * [[Relational.asofJoin]]).
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // J1: inner equi-join + aggregate (money via DECIMAL for determinism).
+    "q_join_inner" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+               .as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // J2: explicit broadcast of dimension tables (no shuffle of fact side).
+    "q_join_broadcast" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name")),
+
+    // J3: left outer + count of matches (0 for no-order customers).
+    "q_join_left" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    // J3: full outer over partially-overlapping subsets.
+    "q_join_full" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_acctbal")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_acctbal"), col("o_custkey"),
+                col("n_big_orders"))
+        .orderBy(coalesce(col("c_custkey"), col("o_custkey")).asc_nulls_first,
+                 col("c_custkey").asc_nulls_first)
+    }),
+
+    // J4: left semi (EXISTS).
+    "q_join_semi" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J4: left anti (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J5: non-equi range join (small side broadcast → nested loop stays
+    // bounded by the dimension cardinality).
+    "q_join_range" -> ((s, dir) =>
+      Tables(s, dir, "supplier").as("s")
+        .join(Tables(s, dir, "customer").as("c"),
+              col("c.c_acctbal").between(col("s.s_acctbal") - 100,
+                                         col("s.s_acctbal") + 100))
+        .groupBy("s.s_suppkey")
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("s_suppkey")),
+
+    // J6: as-of join — for each purchase, the latest prior click by the
+    // same user (union + window; see Relational.asofJoin for scale notes).
+    "q_join_asof" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+                          Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // J7: cross join (bounded inputs only).
+    "q_join_cross" -> ((s, dir) =>
+      Tables(s, dir, "region")
+        .crossJoin(Tables(s, dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // J8: self-join — signup→purchase pairs per user.
+    "q_join_self" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("s_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+      signups.join(purchases,
+                   col("su") === col("pu") && col("p_ts") > col("s_ts"))
+        .groupBy(col("su").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name NULLS FIRST""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT c_custkey, c_acctbal, o_custkey, n_big_orders FROM
+        |  (SELECT c_custkey, c_acctbal FROM customer
+        |   WHERE c_mktsegment = 'BUILDING') c
+        |FULL JOIN
+        |  (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        |   WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY coalesce(c_custkey, o_custkey) ASC NULLS FIRST,
+        |         c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT s_suppkey, count(*) AS n_close
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_join_self" ->
+      """SELECT s.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id AND p.ts > s.ts
+        |GROUP BY s.user_id ORDER BY s.user_id NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks that need more than a one-line Spark call
+  * (SURVEY.md §2.4-2.7). Everything else in those sections maps directly to
+  * a built-in and is exercised from the query pack.
+  */
+object Relational {
+
+  /** As-of join (SURVEY.md J6): for each left row, attach the payload of the
+    * latest right row with the same `key` and `rightTs <= leftTs`.
+    *
+    * Implemented as union + sort + last(ignoreNulls) over a per-key window —
+    * a single shuffle on the key, NO nested-loop / range join. This is the
+    * 100 TB-safe formulation: cost is one hash exchange + per-key sort,
+    * independent of the time-overlap fan-out that makes range joins explode.
+    *
+    * Right rows sort before left rows at equal timestamps (`<=` semantics).
+    * Left rows with no prior right match are dropped (inner as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payload = rightPayload.map(c => s"__r_$c")
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lPadded = payload.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
+    val r0 = right.select((key +: rightTs +: rightPayload).map(col): _*)
+    val r = rightPayload.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      .withColumn("__t", col(rightTs)).drop(rightTs)
+      .withColumn("__side", lit(0))
+    // Align schemas: right side lacks left's columns.
+    val lCols = lPadded.columns.toSeq
+    val rAligned = lCols.foldLeft(r)((d, c) =>
+      if (r.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      .select(lCols.map(col): _*)
+    val unioned = lPadded.unionByName(rAligned)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val matched = filled.filter(col("__side") === 1)
+      .drop("__t", "__side")
+    // inner as-of: require a match on the first payload column
+    val inner = payload.headOption.map(c => matched.filter(col(c).isNotNull))
+      .getOrElse(matched)
+    payload.zip(rightPayload).foldLeft(inner) { case (d, (tmp, orig)) =>
+      d.withColumnRenamed(tmp, s"asof_$orig")
+    }
+  }
+
+  /** Top-k rows per group (SURVEY.md O3) — rank window + filter; partial
+    * TakeOrdered happens per partition before the shuffle thanks to
+    * window-in-SortExec, no global sort.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

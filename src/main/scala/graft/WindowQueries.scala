@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.6, W1-W7). The reference's
+  * latest-version collapse IS a ranking window over its sorting key
+  * (`/root/reference/README.md:177`); the rest is the analytics surface.
+  *
+  * All windows partition by `user_id` — state per window is bounded by one
+  * entity's history, and the shuffle is a single hash exchange on the key
+  * (skew handled by AQE at scale).
+  */
+object WindowQueries extends QueryPack {
+
+  private def byUserTs = Window.partitionBy("user_id").orderBy("ts")
+
+  val queries: Map[String, Q] = Map(
+    // W1: ranking.
+    "q_win_rownum" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                row_number().over(byUserTs).as("rn"),
+                rank().over(Window.partitionBy("user_id")
+                  .orderBy("event_type")).as("rnk"))
+        .orderBy("event_id")),
+
+    // W2: lag/lead deltas.
+    "q_win_lag" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(col("value") - lag("value", 1).over(byUserTs), 4)
+                  .as("delta"),
+                lead("event_type", 1).over(byUserTs).as("next_type"))
+        .orderBy("event_id")),
+
+    // W3: running sum (row frame).
+    "q_win_running_sum" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(sum("value").over(
+                  byUserTs.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)), 4).as("run_sum"))
+        .orderBy("event_id")),
+
+    // W4: sliding row frame (moving average).
+    "q_win_moving_avg" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(avg("value").over(byUserTs.rowsBetween(-3, 0)), 4)
+                  .as("mov_avg"))
+        .orderBy("event_id")),
+
+    // W5: range frame over epoch seconds (trailing 1 day).
+    "q_win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(sum("value").over(w), 4).as("day_sum"))
+        .orderBy("event_id")
+    }),
+
+    // W6: ntile / percent_rank over a total order.
+    "q_win_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                ntile(4).over(w).as("quartile"),
+                round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("c_custkey")
+    }),
+
+    // W7: first/last value over the full partition frame.
+    "q_win_first_last" -> ((s, dir) => {
+      val full = byUserTs.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                first("event_type").over(full).as("first_type"),
+                last("event_type").over(full).as("last_type"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_win_rownum" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_lag" ->
+      """SELECT event_id,
+        |  round(value - lag(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts), 4) AS delta,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts)
+        |    AS next_type
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_running_sum" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_moving_avg" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY (epoch_us(ts) // 1000000)
+        |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) AS day_sum
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6)
+        |    AS pct_rank
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT event_id,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_type,
+        |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_type
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin
+  )
+}
