@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8, F1-F11): date parts, strings,
+  * regex, conditionals, math, arrays (incl. higher-order functions), maps,
+  * JSON, hashing. All built-ins — fully codegen'd, no UDFs (the reference
+  * has no UDF facility either; its only scalar transform is the timestamp
+  * scaling covered by q_ts_convert).
+  *
+  * Computed integer outputs are cast to long to match DuckDB's BIGINT
+  * results (year/size/etc return INT in Spark, BIGINT in DuckDB).
+  */
+object FunctionQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // F3: date parts / truncation.
+    "q_date_parts" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                year(col("ts")).cast("long").as("y"),
+                month(col("ts")).cast("long").as("mo"),
+                dayofmonth(col("ts")).cast("long").as("d"),
+                hour(col("ts")).cast("long").as("h"),
+                minute(col("ts")).cast("long").as("mi"),
+                quarter(col("ts")).cast("long").as("q"),
+                dayofweek(col("ts")).cast("long").as("dow"))
+        .orderBy("event_id")),
+
+    // F4: string functions.
+    "q_string_funcs" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                upper(col("c_name")).as("u"),
+                lower(col("c_mktsegment")).as("l"),
+                substring(col("c_name"), 10, 4).as("sub"),
+                length(col("c_name")).cast("long").as("len"),
+                concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cc"),
+                regexp_replace(col("c_name"), lit("Customer#"), lit("C"))
+                  .as("rep"),
+                lpad(col("c_custkey").cast("string"), 8, "0").as("pad"))
+        .orderBy("c_custkey")),
+
+    // F5: pattern matching (LIKE / regex extract / regex replace).
+    "q_regex" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                regexp_extract(col("c_name"), "([0-9]+)$", 1).as("digits"),
+                regexp_replace(col("c_mktsegment"), "[AEIOU]", "_")
+                  .as("devowel"),
+                col("c_name").like("%0").as("like0"),
+                col("c_name").rlike("00$").as("rx00"))
+        .orderBy("c_custkey")),
+
+    // F6: conditionals (CASE WHEN / coalesce / nullif).
+    "q_case_when" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                when(col("c_acctbal") >= 7500, "platinum")
+                  .when(col("c_acctbal") >= 5000, "gold")
+                  .when(col("c_acctbal") >= 2500, "silver")
+                  .otherwise("bronze").as("tier"),
+                coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+                         lit("OTHER")).as("seg2"))
+        .orderBy("c_custkey")),
+
+    // F7: math functions.
+    "q_math_funcs" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                round(col("l_extendedprice"), 1).as("r1"),
+                floor(col("l_discount") * 100).as("fl"),
+                ceil(col("l_discount") * 100).as("ce"),
+                abs(col("l_quantity") - 25).as("ab"),
+                round(sqrt(col("l_quantity")), 4).as("sq"),
+                round(pow(col("l_discount"), 2), 6).as("pw"),
+                (col("l_orderkey") % 7).as("md"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "r1")),
+
+    // F8: array basics on the embeddings table.
+    "q_array_funcs" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+                size(col("embedding")).cast("long").as("dim"),
+                element_at(col("embedding"), 1).cast("double").as("e0"),
+                array_max(col("embedding")).cast("double").as("emax"),
+                array_min(col("embedding")).cast("double").as("emin"))
+        .orderBy("vec_id")),
+
+    // F8: higher-order functions (transform / aggregate / filter).
+    "q_array_hof" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+                round(aggregate(transform(col("embedding"),
+                                          x => x.cast("double") * 2),
+                                lit(0.0), (acc, x) => acc + x), 6).as("s2"),
+                size(filter(col("embedding"), x => x > 0)).cast("long")
+                  .as("npos"))
+        .orderBy("vec_id")),
+
+    // F9: map construction and element access.
+    "q_map_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("m", map(lit("type"), col("event_type"),
+                             lit("props"), col("props")))
+        .select(col("event_id"),
+                element_at(col("m"), "type").as("m_type"),
+                size(col("m")).cast("long").as("m_n"))
+        .orderBy("event_id")),
+
+    // F10: JSON extraction from the events.props string column.
+    "q_json_extract" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // F11: cryptographic hashes (dedup keys / fingerprints).
+    "q_hash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                md5(col("text")).as("h_md5"),
+                sha2(col("text"), 256).as("h_sha"))
+        .orderBy("doc_id")),
+
+    // F11: xxhash64 — Spark-native 64-bit hash, no DuckDB equivalent
+    // (rows-only check).
+    "q_hash_xx" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), xxhash64(col("text")).as("h_xx"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_date_parts" ->
+      """SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+        |  hour(ts) AS h, minute(ts) AS mi, quarter(ts) AS q,
+        |  dayofweek(ts) + 1 AS dow
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS l,
+        |  substring(c_name, 10, 4) AS sub,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  c_name || '-' || c_mktsegment AS cc,
+        |  regexp_replace(c_name, 'Customer#', 'C') AS rep,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devowel,
+        |  c_name LIKE '%0' AS like0,
+        |  regexp_matches(c_name, '00$') AS rx00
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+        |       WHEN c_acctbal >= 5000 THEN 'gold'
+        |       WHEN c_acctbal >= 2500 THEN 'silver'
+        |       ELSE 'bronze' END AS tier,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(l_extendedprice, 1) AS r1,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS fl,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        |  abs(l_quantity - 25) AS ab,
+        |  round(sqrt(l_quantity), 4) AS sq,
+        |  round(pow(l_discount, 2), 6) AS pw,
+        |  l_orderkey % 7 AS md
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |         l_quantity NULLS FIRST, r1 NULLS FIRST""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CAST(list_max(embedding) AS DOUBLE) AS emax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS emin
+        |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  round(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * 2), 'sum'), 6) AS s2,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos
+        |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id, event_type AS m_type, CAST(2 AS BIGINT) AS m_n
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+  )
+}

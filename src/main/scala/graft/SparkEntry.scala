@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    CoreQueries, CdcQueries, JoinQueries, AggQueries, WindowQueries)
+    CoreQueries, CdcQueries, JoinQueries, AggQueries, WindowQueries,
+    FunctionQueries, StreamingQueries, LlmQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Structured-streaming layer (SURVEY.md §2.9, T1-T8).
+  *
+  * The reference's continuous path — ClickHouse Kafka-engine table
+  * (`/root/reference/README.md:197-202`) → materialized-view transform
+  * (`README.md:212-231`) → append into the ReplacingMergeTree final table
+  * (`README.md:212`) — is exactly Spark's micro-batch loop: the MV firing
+  * per consumed block ≡ `foreachBatch` firing per micro-batch. Watermarks
+  * and checkpointing make explicit what the reference leaves implicit
+  * (at-least-once, no lateness handling).
+  *
+  * These are DataFrame→DataFrame transforms usable on both batch and
+  * streaming frames (tested for batch/stream parity in StreamingSpec); the
+  * sink builders wire the streaming-only parts (watermark, output mode,
+  * checkpoint).
+  */
+object Streaming {
+
+  /** T1: the reference MV's transform, generalized — project + rename +
+    * epoch-micros conversion (`README.md:222-230`): takes a CDC after-image
+    * frame with epoch-micro columns and produces the final-table shape.
+    */
+  def mvTransform(df: DataFrame, microsCols: Seq[String]): DataFrame =
+    microsCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, Functions.microsToTimestampSecond(col(c))))
+
+  /** T1/T2: continuous ingest — append each micro-batch to a parquet dir
+    * (the MV's `TO shop.users` insert) with exactly-once progress via
+    * checkpointing (stronger than the reference's at-least-once consumer
+    * group, `README.md:200`).
+    */
+  def appendSink(df: DataFrame, outDir: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+
+  /** T3: tumbling-window aggregate (the `toStartOf*` bucketing idiom over
+    * kafka_time, `README.md:228`).
+    */
+  def tumblingCounts(df: DataFrame, ts: Column, width: String): DataFrame =
+    df.groupBy(window(ts, width).getField("start").as("w_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T4: sliding-window aggregate. */
+  def slidingCounts(df: DataFrame, ts: Column, width: String,
+                    slide: String): DataFrame =
+    df.groupBy(window(ts, width, slide).getField("start").as("w_start"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T5: session windows (30-min-gap sessionization). */
+  def sessionStats(df: DataFrame, ts: Column, gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+              col("n"), col("sum_value"))
+
+  /** T6: watermarked tumbling counts — late rows beyond `lateness` are
+    * dropped (the explicit version of what the reference's at-least-once
+    * Kafka pipeline silently tolerates).
+    */
+  def watermarkedTumblingCounts(df: DataFrame, tsCol: String, width: String,
+                                lateness: String): DataFrame =
+    tumblingCounts(df.withWatermark(tsCol, lateness), col(tsCol), width)
+
+  /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online
+    * analog (state bounded by the watermark).
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, lateness: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** T8: stateful per-key processing — running (count, sum) per user via
+    * mapGroupsWithState; state is one small tuple per key, timeout-free
+    * here (bounded key space), watermark-bounded in production.
+    */
+  def runningUserTotals(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (uid, n, s)
+      }
+      .toDF("user_id", "n", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+}

@@ -20,9 +20,9 @@ object WindowQueries extends QueryPack {
     "q_win_rownum" -> ((s, dir) =>
       Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-                row_number().over(byUserTs).as("rn"),
+                row_number().over(byUserTs).cast("long").as("rn"),
                 rank().over(Window.partitionBy("user_id")
-                  .orderBy("event_type")).as("rnk"))
+                  .orderBy("event_type")).cast("long").as("rnk"))
         .orderBy("event_id")),
 
     // W2: lag/lead deltas.
@@ -67,7 +67,7 @@ object WindowQueries extends QueryPack {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       Tables(s, dir, "customer")
         .select(col("c_custkey"),
-                ntile(4).over(w).as("quartile"),
+                ntile(4).over(w).cast("long").as("quartile"),
                 round(percent_rank().over(w), 6).as("pct_rank"))
         .orderBy("c_custkey")
     }),

@@ -45,6 +45,13 @@ def main(sfdir, outdir):
                       f"got={list(got.columns)}")
                 n_fail += 1
                 continue
+            dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                      for c in exp.columns
+                      if str(exp[c].dtype) != str(got[c].dtype)]
+            if dt_bad:
+                print(f"FAIL {name}: dtype mismatch {dt_bad}")
+                n_fail += 1
+                continue
             if len(exp) != len(got):
                 print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
                 n_fail += 1
