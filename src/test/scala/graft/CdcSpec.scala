@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** U1-U4 semantics against the reference's own demo scenario: the 3-row
+  * seed (`/root/reference/README.md:108-112`) replayed as a CDC event
+  * sequence — inserts, an update, and a duplicate delivery of that update
+  * (at-least-once Kafka redelivery). Expected final state = what ClickHouse
+  * `SELECT ... FINAL` would return from the ReplacingMergeTree table.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, username, account_type, updated_at_micros, kafka_offset)
+  private def demo = Seq(
+    (1L, "user1", "Bronze", 1000000L, 0L),
+    (2L, "user2", "Silver", 1000000L, 1L),
+    (3L, "user3", "Gold", 1000000L, 2L),
+    (2L, "user2", "Gold", 2000000L, 3L), // update: user2 upgraded
+    (2L, "user2", "Gold", 2000000L, 4L)  // duplicate delivery of the update
+  ).toDF("user_id", "username", "account_type", "updated_at", "kafka_offset")
+
+  test("latest collapses to one row per key, highest version wins") {
+    val out = Cdc.latest(demo, Seq("user_id"),
+                         Seq(col("updated_at"), col("kafka_offset")))
+      .orderBy("user_id")
+      .select("user_id", "account_type", "updated_at")
+      .as[(Long, String, Long)].collect()
+    assert(out === Array((1L, "Bronze", 1000000L), (2L, "Gold", 2000000L),
+                         (3L, "Gold", 1000000L)))
+  }
+
+  test("latest is idempotent") {
+    val once = Cdc.latest(demo, Seq("user_id"), Seq(col("updated_at"), col("kafka_offset")))
+    val twice = Cdc.latest(once, Seq("user_id"), Seq(col("updated_at"), col("kafka_offset")))
+    assert(once.orderBy("user_id").collect() ===
+           twice.orderBy("user_id").collect())
+  }
+
+  test("dedupVersions keeps the full ORDER-BY-key history, one row per " +
+       "(key, version), last arrival wins on exact duplicates") {
+    val out = Cdc.dedupVersions(demo, Seq("user_id"), Seq("updated_at"),
+                                col("kafka_offset"))
+      .orderBy("user_id", "updated_at")
+      .select("user_id", "updated_at", "kafka_offset")
+      .as[(Long, Long, Long)].collect()
+    // user2 retains BOTH versions (updated_at differs → both in the key),
+    // but the duplicated delivery collapses to the later offset 4.
+    assert(out === Array((1L, 1000000L, 0L), (2L, 1000000L, 1L),
+                         (2L, 2000000L, 4L), (3L, 1000000L, 2L)))
+  }
+
+  test("historyStats counts versions per entity") {
+    val out = Cdc.historyStats(demo, "user_id", col("updated_at"))
+      .orderBy("user_id")
+      .select("user_id", "n_versions")
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("delete tombstones: null after-image filtered by latest-state view") {
+    // Debezium ExtractNewRecordState surfaces deletes as op='d' with null
+    // payload (SURVEY.md §7.5); latest state must drop deleted entities.
+    val withDelete = demo.withColumn("op", lit("u"))
+      .unionByName(Seq((2L, null: String, null: String, 3000000L, 5L))
+        .toDF("user_id", "username", "account_type", "updated_at",
+              "kafka_offset")
+        .withColumn("op", lit("d")))
+    val alive = Cdc.latest(withDelete, Seq("user_id"),
+                           Seq(col("updated_at"), col("kafka_offset")))
+      .filter(col("op") =!= "d")
+    assert(alive.select("user_id").as[Long].collect().sorted === Array(1L, 3L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("microsToTimestampSecond truncates sub-second micros (CH parity)") {
+    // toDateTime(x / 1000000) floors: 1_999_999 µs → 1 s (README.md:226-227)
+    val out = Seq(999999L, 1000000L, 1999999L, 2000000L).toDF("us")
+      .select(Functions.microsToTimestampSecond(col("us")).cast("long"))
+      .as[Long].collect()
+    assert(out === Array(0L, 1L, 1L, 2L))
+  }
+
+  test("cosine is 1 for identical vectors, -1 for opposite, 0 for orthogonal") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    ).toDF("a", "b")
+    val out = df.select(round(Functions.cosine(col("a"), col("b")), 9))
+      .as[Double].collect()
+    assert(out === Array(1.0, -1.0, 0.0))
+  }
+
+  test("cosine is symmetric and bounded on random float vectors") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 25).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Array.fill(n)(rnd.nextFloat() * 20 - 10),
+       Array.fill(n)(rnd.nextFloat() * 20 - 10))
+    }
+    val out = cases.toDF("x", "y")
+      .select(Functions.cosine(col("x"), col("y")).as("ab"),
+              Functions.cosine(col("y"), col("x")).as("ba"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (ab, ba) =>
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+
+  test("dotProduct matches hand computation") {
+    val out = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+      .select(Functions.dotProduct(col("a"), col("b"))).as[Double].head()
+    assert(out === 11.0)
+  }
+
+  test("contentHash is stable and distinguishes distinct strings") {
+    val out = Seq("a", "a", "b").toDF("s")
+      .select(Functions.contentHash(col("s"))).as[Long].collect()
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+}

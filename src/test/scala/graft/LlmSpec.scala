@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sf("documents"), "documents")
+  private def embs = Tables(spark, sf("embeddings"), "embeddings")
+
+  test("shingles: distinct k-grams, empty for short docs") {
+    val out = Seq("a b c d", "a b", "a b a b c").toDF("text")
+      .select(LlmOps.shingles(LlmOps.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq("a b a", "b a b", "a b c")) // distinct
+  }
+
+  test("minhash LSH recall: finds every exact-Jaccard pair >= 0.5") {
+    val exact = LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = LlmOps.minhashNearDupPairs(docs, "doc_id", "text", 3, 32, 16, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // LSH is a superset-of-candidates + same exact verify → must contain
+    // every pair whose signature agrees on ≥1 band; at j≥0.5, b=16/r=2
+    // gives miss probability (1-j²)^16 ≤ 1% — the planted pairs (j≈0.99)
+    // are found with certainty.
+    assert(exact.subsetOf(lsh),
+           s"missed pairs: ${exact.diff(lsh)}")
+  }
+
+  test("simhash: identical docs collide, near-dups are close") {
+    val df = Seq(
+      (1L, "spark join hash row batch scan filter merge order vector"),
+      (2L, "spark join hash row batch scan filter merge order vector"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val pairs = LlmOps.simhashNearDupPairs(df, "doc_id", "text", 0)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("hyperplane LSH ANN: query lands in its own bucket; results are a " +
+       "subset of the brute-force ranking") {
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val ann = LlmOps.annLshTopK(embs, q, 4, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(ann.map(_._1).contains(0L)) // the query vector itself
+    assert(ann.map(_._2).max === 1.0)
+    val brute = LlmOps.cosineTopK(embs, q, 500)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.map(_._1).toSet.subsetOf(brute))
+  }
+
+  test("langId votes by marker tokens with deterministic ties") {
+    val out = Seq("the cat of the hat", "der hund und die katze",
+                  "el perro y la casa que")
+      .toDF("text")
+      .select(LlmOps.langId(LlmOps.tokens(col("text"))))
+      .as[String].collect()
+    assert(out === Array("en", "de", "es"))
+  }
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    val df = Seq((10L, "x y z"), (20L, "x y z"), (30L, "other")).toDF("doc_id", "text")
+    val out = df.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .select("keep", "n").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 2L), (30L, 1L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 100L, "p1"), // user 1 purchase at t=100
+    (1L, 50L, "p0"),  // user 1 purchase at t=50
+    (2L, 10L, "p2"),  // user 2 purchase before any click
+    (3L, 30L, "p3")   // user 3 purchase, click exactly at 30
+  ).toDF("user_id", "t", "pid")
+
+  private def right = Seq(
+    (1L, 40L, "c1"), (1L, 90L, "c2"), (1L, 120L, "c3"),
+    (2L, 20L, "c4"),
+    (3L, 30L, "c5")
+  ).toDF("user_id", "t", "cid")
+
+  test("asofJoin picks the latest right row with rightTs <= leftTs") {
+    val out = Relational.asofJoin(left, right, "user_id", "t", "t", Seq("cid"))
+      .select("pid", "asof_cid").as[(String, String)].collect().toMap
+    assert(out("p1") === "c2") // 90 <= 100, not 120
+    assert(out("p0") === "c1") // 40 <= 50
+    assert(out("p3") === "c5") // tie: <= includes equal timestamps
+  }
+
+  test("asofJoin drops left rows with no prior right match (inner)") {
+    val out = Relational.asofJoin(left, right, "user_id", "t", "t", Seq("cid"))
+    assert(!out.select("pid").as[String].collect().contains("p2"))
+    assert(out.count() === 3)
+  }
+
+  test("topKPerGroup returns k rows per group in order") {
+    val df = Seq((1, 10), (1, 30), (1, 20), (2, 5)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "v").as[(Int, Int)].collect()
+    assert(out === Array((1, 20), (1, 30), (2, 5)))
+  }
+
+  test("latest-version collapse matches max_by aggregate form (A8 = U1)") {
+    val e = Tables(spark, sf("events"), "events")
+    val viaWindow = Cdc.latest(e, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"))
+    val viaMaxBy = e.groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("event_type"))
+    assert(viaWindow.exceptAll(viaMaxBy).count() === 0)
+    assert(viaMaxBy.exceptAll(viaWindow).count() === 0)
+  }
+}

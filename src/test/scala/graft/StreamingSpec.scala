@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** T1-T8 streaming behavior via MemoryStream: batch/stream parity (the
+  * reference's MV-vs-table equivalence), watermarked dedup, stateful
+  * processing, and the append sink (SURVEY.md §5.4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventRows = Seq(
+    (1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+    (1L, ts("2024-01-01 00:04:00"), "click", 2.0),
+    (1L, ts("2024-01-01 00:12:00"), "view", 3.0),
+    (2L, ts("2024-01-01 00:03:00"), "click", 4.0),
+    (2L, ts("2024-01-01 00:03:00"), "click", 4.0) // duplicate delivery
+  )
+
+  private def toDf(rows: Seq[(Long, Timestamp, String, Double)]) =
+    rows.toDF("user_id", "ts", "event_type", "value")
+
+  test("T1/T2: appendSink writes each micro-batch to parquet exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streaming.appendSink(
+      toDfStream(stream), out, ckpt).start()
+    stream.addData(eventRows.take(3))
+    q.processAllAvailable()
+    stream.addData(eventRows.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() === 5)
+  }
+
+  private def toDfStream(ms: MemoryStream[(Long, Timestamp, String, Double)]) =
+    ms.toDF().toDF("user_id", "ts", "event_type", "value")
+
+  test("T3: tumbling counts — stream result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(eventRows)
+    val agg = Streaming.watermarkedTumblingCounts(
+      toDfStream(stream), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling")
+      .orderBy("w_start", "event_type").collect()
+    val batch = Streaming.tumblingCounts(toDf(eventRows), col("ts"),
+                                         "10 minutes")
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed === batch)
+  }
+
+  test("T7: streaming dedup drops the duplicate delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(eventRows)
+    val dedup = Streaming.streamingDedup(toDfStream(stream), "ts", "1 hour",
+                                         Seq("user_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() === 4)
+  }
+
+  test("T8: mapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val totals = Streaming.runningUserTotals(toDfStream(stream))
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    stream.addData(eventRows.take(2)) // user1: 2 events
+    q.processAllAvailable()
+    stream.addData(eventRows.drop(2)) // user1 +1, user2 +2
+    q.processAllAvailable()
+    q.stop()
+    // the final update per user carries the accumulated state
+    val byUser = spark.table("totals").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    assert(byUser(1L) === ((1L, 3L, 6.0)))
+    assert(byUser(2L) === ((2L, 2L, 8.0)))
+  }
+
+  test("T5: session windows split on 30-minute gaps") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1.0),
+      (1L, ts("2024-01-01 00:10:00"), "a", 1.0),
+      (1L, ts("2024-01-01 01:00:00"), "a", 1.0) // 50-min gap → new session
+    )
+    val out = Streaming.sessionStats(toDf(rows), col("ts"), "30 minutes")
+      .orderBy("s_start").select("s_start", "n")
+      .as[(Timestamp, Long)].collect()
+    assert(out === Array((ts("2024-01-01 00:00:00"), 2L),
+                         (ts("2024-01-01 01:00:00"), 1L)))
+  }
+
+  test("mvTransform applies the reference MV's micros conversion") {
+    val out = Streaming.mvTransform(
+      Seq((1L, 1999999L)).toDF("id", "updated_at"), Seq("updated_at"))
+      .select(col("updated_at").cast("long")).as[Long].head()
+    assert(out === 1L) // truncated, not rounded (README.md:226-227)
+  }
+}
