@@ -1,0 +1,85 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-visible exercises of the source/multimodal plumbing (SURVEY.md
+  * §2.1 S4/S5, §2.10 L7). Not DuckDB-expressible (Avro codec, stub media
+  * codec) → rows-only checks; the semantics are asserted in
+  * SourcesSpec/MultimodalSpec.
+  */
+object SourceQueries extends QueryPack {
+
+  private val avroSchemaJson =
+    """{"type":"record","name":"users","fields":[
+      |{"name":"user_id","type":"long"},
+      |{"name":"username","type":["null","string"],"default":null},
+      |{"name":"account_type","type":["null","string"],"default":null},
+      |{"name":"updated_at","type":"long"}]}""".stripMargin
+
+  private val usersSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("username", StringType),
+    StructField("account_type", StringType),
+    StructField("updated_at", TimestampType)))
+
+  /** The reference demo rows (`/root/reference/README.md:108-112`) framed
+    * as Confluent wire-format Avro messages.
+    */
+  private def framedDemo: Seq[Array[Byte]] = {
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    Seq((1L, "user1", "Bronze"), (2L, "user2", "Silver"), (3L, "user3", "Gold"))
+      .map { case (id, name, acct) =>
+        val rec = new GenericData.Record(schema)
+        rec.put("user_id", id)
+        rec.put("username", name)
+        rec.put("account_type", acct)
+        rec.put("updated_at", 1700000000000000L + id)
+        val out = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        writer.write(rec, enc)
+        enc.flush()
+        Array[Byte](0, 0, 0, 0, 7) ++ out.toByteArray // schema id 7
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S4: Confluent-framed Avro → rows (header strip + schema id + decode).
+    "q_avro_decode" -> ((s, dir) => {
+      import s.implicits._
+      val framed = framedDemo.toDF("value")
+      val decoded = Sources.decodeAvro(
+        framed, Sources.confluentPayload(col("value")), avroSchemaJson,
+        usersSchema)
+      decoded
+        .withColumn("schema_id", lit(7))
+        .orderBy("user_id")
+    }),
+
+    // L7: multimodal feature extraction over binary payloads synthesized
+    // from the documents table (payload = utf8 bytes of the text).
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+                col("text").cast("binary").as("payload"),
+                struct(lit(null).cast("int").as("width"),
+                       lit(null).cast("int").as("height"),
+                       col("n_chars").as("duration_ms"),
+                       lit("text/plain").as("mime")).as("meta"))
+      Multimodal.extractFeatures(media, 8)
+        .select(col("media_id"), size(col("features")).cast("long").as("dim"),
+                round(element_at(col("features"), 1).cast("double"), 6)
+                  .as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,149 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink layer (SURVEY.md §2.1, S1-S8) — the Spark re-expression of
+  * the reference pipeline's edges:
+  *
+  *  - S1  JDBC snapshot ≙ Debezium `"snapshot.mode": "initial"`
+  *    (`/root/reference/README.md:137`), parallelized by partition column
+  *    (the reference runs `"tasks.max": "1"`, `README.md:144` — we
+  *    partition instead, the 100 TB requirement).
+  *  - S3  Kafka stream ≙ the ClickHouse `ENGINE = Kafka` table
+  *    (`README.md:197-202`).
+  *  - S4  Confluent wire format (magic 0x0 + 4-byte schema id + Avro body;
+  *    `README.md:201-202`, jar `kafka-avro-serializer-7.6.1.jar`): header
+  *    strip/id extraction as Column expressions; Avro body decode via the
+  *    core Avro library (flat records — the shape Debezium's
+  *    ExtractNewRecordState emits).
+  *  - S5  CDC envelope unwrap ≙ ExtractNewRecordState SMT
+  *    (`README.md:142-143`), deletes surfaced as op='d' tombstones.
+  *  - S7/S8  columnar append + JDBC sink (`README.md:212`, `config.xml:30`).
+  */
+object Sources {
+
+  /** S1: parallel JDBC snapshot of one table (Debezium initial snapshot,
+    * scoped like `table.include.list`, `README.md:136-137`).
+    */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   partitionColumn: String, lowerBound: Long, upperBound: Long,
+                   numPartitions: Int,
+                   props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
+  }
+
+  /** S8: JDBC sink (ClickHouse HTTP/MySQL endpoints in the reference,
+    * `config.xml:11,30` — any JDBC URL here).
+    */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+               props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table).mode("append")
+    props.foldLeft(w)((b, kv) => b.option(kv._1, kv._2)).save()
+  }
+
+  /** S3: Kafka micro-batch source configured like the reference's consumer
+    * (topic `shop.public.users`, group `clickhouse`, earliest-onward,
+    * `README.md:197-202`). Requires the spark-sql-kafka connector on the
+    * cluster classpath.
+    */
+  def kafkaStream(spark: SparkSession, brokers: String, topic: String,
+                  groupId: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("kafka.group.id", groupId)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** S4: Confluent wire format — payload after the 5-byte header
+    * (magic byte 0x0 + big-endian int32 schema id).
+    */
+  def confluentPayload(value: Column): Column =
+    substring(value, 6, Int.MaxValue)
+
+  /** S4: the big-endian schema id from bytes 2-5 of the framed message. */
+  def confluentSchemaId(value: Column): Column =
+    conv(hex(substring(value, 2, 4)), 16, 10).cast("int")
+
+  /** S4: decode flat Avro records (the post-SMT after-image shape) to rows
+    * of `schema` using the core Avro runtime — executor-side, one reader
+    * per partition, no driver involvement. Fields are matched by name;
+    * supported Avro types: long/int/string/double/float/boolean/bytes and
+    * timestamp-micros logical longs (mapped per `schema`'s field type).
+    */
+  def decodeAvro(df: DataFrame, payload: Column, avroSchemaJson: String,
+                 schema: StructType): DataFrame = {
+    val bytesDf = df.select(payload.cast("binary").as("__payload"))
+    bytesDf.mapPartitions { rows =>
+      val avroSchema = new Schema.Parser().parse(avroSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](avroSchema)
+      val decoderFactory = DecoderFactory.get()
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        val dec = decoderFactory.binaryDecoder(
+          new ByteArrayInputStream(bytes), null)
+        val rec = reader.read(null, dec)
+        Row.fromSeq(schema.fields.map { f =>
+          val v = rec.get(f.name)
+          (v, f.dataType) match {
+            case (null, _) => null
+            case (x: org.apache.avro.util.Utf8, StringType) => x.toString
+            case (x: java.lang.Long, TimestampType) =>
+              // epoch micros (Debezium wire format, README.md:194) →
+              // micro-precision Timestamp
+              val t = new java.sql.Timestamp(x / 1000)
+              t.setNanos(((x % 1000000) * 1000).toInt)
+              t
+            case (x, _) => x
+          }
+        }.toSeq)
+      }
+    }(RowEncoder.encoderFor(schema)).toDF()
+  }
+
+  /** S5: unwrap a Debezium-style envelope struct column
+    * `{before, after, op, ts_ms}` to after-image rows; deletes (null
+    * after) become tombstones carrying the before-image key so the CDC
+    * latest-state view can drop the entity (SURVEY.md §7.5).
+    */
+  def unwrapCdc(df: DataFrame, envelope: String = "envelope"): DataFrame = {
+    val e = col(envelope)
+    df.withColumn("op", e.getField("op"))
+      .withColumn("__img",
+        when(e.getField("op") === "d", e.getField("before"))
+          .otherwise(e.getField("after")))
+      .select(col("__img.*"), col("op"))
+  }
+
+  /** P3: surface Kafka virtual columns as real columns (`_timestamp AS
+    * kafka_time`, `_offset AS kafka_offset`, `README.md:228-229,173-174`).
+    */
+  def withKafkaMeta(df: DataFrame): DataFrame =
+    df.withColumn("kafka_time", col("timestamp"))
+      .withColumn("kafka_offset", col("offset"))
+
+  /** S7: columnar append sink (the MV's `TO shop.users` insert,
+    * `README.md:212`), clustered like the reference's ORDER BY for
+    * min/max-stat row-group skipping (`README.md:177`).
+    */
+  def appendColumnar(df: DataFrame, path: String,
+                     sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("append").parquet(path)
+}

@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, CdcQueries, JoinQueries, AggQueries, WindowQueries,
-    FunctionQueries, StreamingQueries, LlmQueries)
+    FunctionQueries, StreamingQueries, LlmQueries, SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,107 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S4/S5 unit tests with hand-framed Confluent messages (SURVEY.md §7.5):
+  * magic byte 0x0 + big-endian schema id + Avro body, encoded with the
+  * same core Avro runtime the decoder uses.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val avroSchemaJson =
+    """{"type":"record","name":"users","fields":[
+      |{"name":"user_id","type":"long"},
+      |{"name":"username","type":["null","string"],"default":null},
+      |{"name":"account_type","type":["null","string"],"default":null},
+      |{"name":"updated_at","type":"long"}]}""".stripMargin
+
+  private val sparkSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("username", StringType),
+    StructField("account_type", StringType),
+    StructField("updated_at", TimestampType)))
+
+  private def avroBytes(id: Long, name: String, acct: String,
+                        micros: Long): Array[Byte] = {
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("user_id", id)
+    rec.put("username", name)
+    rec.put("account_type", acct)
+    rec.put("updated_at", micros)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def frame(schemaId: Int, body: Array[Byte]): Array[Byte] =
+    Array[Byte](0,
+      (schemaId >> 24).toByte, (schemaId >> 16).toByte,
+      (schemaId >> 8).toByte, schemaId.toByte) ++ body
+
+  test("confluent header: schema id extracted, payload stripped") {
+    val body = avroBytes(1L, "user1", "Bronze", 1700000000000000L)
+    val df = Seq(frame(42, body), frame(65537, body)).toDF("value")
+    val out = df.select(
+      Sources.confluentSchemaId(col("value")).as("sid"),
+      Sources.confluentPayload(col("value")).as("payload"))
+    assert(out.select("sid").as[Int].collect() === Array(42, 65537))
+    assert(out.select("payload").as[Array[Byte]].head() === body)
+  }
+
+  test("decodeAvro round-trips the reference users schema incl. " +
+       "micros timestamps") {
+    val demo = Seq(
+      (1L, "user1", "Bronze", 1700000000123456L),
+      (2L, "user2", "Silver", 1700000001000000L))
+    val df = demo.map { case (i, n, a, t) => frame(7, avroBytes(i, n, a, t)) }
+      .toDF("value")
+    val decoded = Sources.decodeAvro(
+      df, Sources.confluentPayload(col("value")), avroSchemaJson, sparkSchema)
+    assert(decoded.schema === sparkSchema)
+    val rows = decoded.orderBy("user_id")
+      .select(col("user_id"), col("username"), col("account_type"),
+              unix_micros(col("updated_at")))
+      .as[(Long, String, String, Long)].collect()
+    assert(rows === demo.toArray)
+  }
+
+  test("unwrapCdc surfaces after-images and delete tombstones") {
+    val img = StructType(Seq(StructField("user_id", LongType),
+                             StructField("account_type", StringType)))
+    val env = StructType(Seq(
+      StructField("before", img), StructField("after", img),
+      StructField("op", StringType), StructField("ts_ms", LongType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(1L, "Bronze"), "c", 1L),
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(1L, "Bronze"),
+        org.apache.spark.sql.Row(1L, "Gold"), "u", 2L),
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(1L, "Gold"), null, "d", 3L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_))),
+      StructType(Seq(StructField("envelope", env))))
+    val out = Sources.unwrapCdc(df).orderBy("op")
+      .select("user_id", "account_type", "op")
+      .as[(Long, String, String)].collect()
+    assert(out === Array((1L, "Bronze", "c"), (1L, "Gold", "d"),
+                         (1L, "Gold", "u")))
+    // the tombstone carries the before-image key so latest-state can drop it
+  }
+
+  test("withKafkaMeta projects stream metadata as real columns (P3)") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
+      .toDF("timestamp", "offset", "value")
+    val out = Sources.withKafkaMeta(df)
+    assert(out.columns.toSet.contains("kafka_time"))
+    assert(out.select("kafka_offset").as[Long].head() === 17L)
+  }
+}
