@@ -29,19 +29,18 @@ object Functions {
     */
   def contentHash(c: Column): Column = xxhash64(c)
 
-  /** Dot product of two equal-length numeric array columns, computed as a
-    * deterministic left-to-right double fold (no UDF; whole-stage codegen
-    * via higher-order functions).
+  /** Dot product of two equal-length numeric array columns — the native
+    * codegen'd [[DotProduct]] expression (deterministic left-to-right
+    * double accumulation; see its scaladoc for why not a HOF fold).
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
+                                   ColumnBridge.expression(b)))
+  }
 
-  /** L2 norm of a numeric array column (double fold, deterministic). */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity between two array columns (SURVEY.md L3) — pure
     * built-in higher-order functions, fully codegen'd.

