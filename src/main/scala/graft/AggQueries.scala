@@ -97,7 +97,33 @@ object AggQueries extends QueryPack {
         .groupBy("user_id")
         .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
                .as("types"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // §2.11: typed Aggregator top-k heap — the no-global-sort LIMIT path.
+    "q_topk_udaf" -> ((s, dir) => {
+      val topk = udaf(new Udafs.TopKByScore(3))
+      Tables(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(topk(col("c_custkey"), col("c_acctbal")).as("top"))
+        .select(col("c_mktsegment"), explode(col("top")).as("t"))
+        .select(col("c_mktsegment"), col("t._1").as("c_custkey"),
+                col("t._2").as("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc_nulls_last,
+                 col("c_custkey"))
+    }),
+
+    // §2.11: typed Aggregator vector centroid (IVF building block),
+    // exploded to (label, dim, value) rows for the oracle.
+    "q_centroid" -> ((s, dir) => {
+      val cent = udaf(new Udafs.VectorCentroid(64))
+      Tables(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(cent(col("embedding")).as("c"))
+        .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+        .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
+                round(col("v"), 4).as("v"))
+        .orderBy("label", "dim")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +180,24 @@ object AggQueries extends QueryPack {
     "q_agg_collect" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_type) AS types
-        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_topk_udaf" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment NULLS FIRST, c_acctbal DESC NULLS LAST,
+        |         c_custkey NULLS FIRST""".stripMargin,
+
+    "q_centroid" ->
+      """SELECT label, i AS dim, round(avg(CAST(v AS DOUBLE)), 4) AS v
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             unnest(range(1, 65)) AS i
+        |      FROM embeddings) t
+        |GROUP BY label, i
+        |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY.md §2.11): the two custom aggregates the
+  * design calls for, both built on the public `Aggregator` API (standard,
+  * codegen-integrated — not raw `TypedImperativeAggregate`).
+  *
+  *  - [[TopKByScore]]: bounded per-partition top-k heap — the scale-out
+  *    form of "ORDER BY score LIMIT k" that never materializes a global
+  *    sort (each partition keeps ≤ k rows, merge is k+k → k). This is the
+  *    100 TB path for similarity search (L4): score 10¹¹ rows, shuffle
+  *    only #partitions × k candidates.
+  *  - [[VectorCentroid]]: per-group mean of float vectors (dim-wise sum +
+  *    count) — the building block for IVF-style ANN partitioning.
+  */
+object Udafs {
+
+  /** Top-k (score desc, id asc tie-break) as a typed aggregate.
+    * Input (id, score); output the sorted top-k list.
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)],
+                         Seq[(Long, Double)]] {
+    private val ord: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)](t => (-t._2, t._1))
+
+    override def zero: Seq[(Long, Double)] = Nil
+    override def reduce(b: Seq[(Long, Double)],
+                        a: (Long, Double)): Seq[(Long, Double)] =
+      (a +: b).sorted(ord).take(k)
+    override def merge(b1: Seq[(Long, Double)],
+                       b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder()
+  }
+
+  /** Dim-wise mean of float vectors. Input the vector; buffer (sums,
+    * count); output the centroid as doubles.
+    */
+  class VectorCentroid(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long),
+                        v: Seq[Float]): (Array[Double], Long) = {
+      val (s, n) = b
+      var i = 0
+      while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+      (s, n + 1)
+    }
+    override def merge(b1: (Array[Double], Long),
+                       b2: (Array[Double], Long)): (Array[Double], Long) = {
+      val (s1, n1) = b1
+      val (s2, n2) = b2
+      var i = 0
+      while (i < dim) { s1(i) += s2(i); i += 1 }
+      (s1, n1 + n2)
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] = {
+      val (s, n) = b
+      if (n == 0) Seq.fill(dim)(0.0) else s.map(_ / n).toSeq
+    }
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExpressionEncoder[Array[Double]](),
+                     Encoders.scalaLong)
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+}
