@@ -99,6 +99,46 @@ object AggQueries extends QueryPack {
                .as("types"))
         .orderBy("user_id")),
 
+    // Statistical aggregates (stddev/variance/correlation/covariance).
+    "q_agg_stats" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+             round(var_samp(col("l_quantity")), 4).as("var_qty"),
+             round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qd"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+               .as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    // Exact interpolated percentiles (ClickHouse quantile() surface).
+    "q_agg_percentile" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+             round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+             round(median(col("l_extendedprice")), 4).as("med_price"))
+        .orderBy("l_returnflag")),
+
+    // GROUPING flags over ROLLUP (which aggregation level is each row).
+    "q_agg_grouping" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+             grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first,
+                 col("g_status"), col("g_prio"))),
+
+    // PIVOT: per-user value totals by event type (fixed category list).
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+               Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+        .orderBy("user_id")),
+
     // §2.11: typed Aggregator top-k heap — the no-global-sort LIMIT path.
     "q_topk_udaf" -> ((s, dir) => {
       val topk = udaf(new Udafs.TopKByScore(3))
@@ -180,6 +220,41 @@ object AggQueries extends QueryPack {
     "q_agg_collect" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_discount), 4) AS corr_qd,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST,
+        |         g_status NULLS FIRST, g_prio NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_topk_udaf" ->

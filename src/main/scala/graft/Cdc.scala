@@ -57,4 +57,17 @@ object Cdc {
       count(lit(1)).as("n_versions"),
       min(version).as("first_version"),
       max(version).as("last_version"))
+
+  /** Compaction job: materialize the latest-state view so readers skip the
+    * per-query version collapse — the explicit form of ReplacingMergeTree's
+    * background merges (`/root/reference/README.md:176`, which are async
+    * and best-effort; this is deterministic). Output is clustered on the
+    * entity keys (sortWithinPartitions → parquet min/max row-group
+    * skipping), mirroring the reference's ORDER-BY clustering.
+    */
+  def compact(df: DataFrame, keys: Seq[String], version: Seq[Column],
+              path: String): Unit =
+    latest(df, keys, version)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

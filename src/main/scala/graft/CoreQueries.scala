@@ -113,7 +113,41 @@ object CoreQueries extends QueryPack {
       val withOrders = Tables(s, dir, "orders")
         .select(col("o_custkey").as("c_custkey"))
       all.except(withOrders).orderBy("c_custkey")
-    })
+    }),
+
+    // O4: UNION with distinct semantics.
+    "q_union_distinct" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .union(e.filter(col("event_type") === "error").select(col("user_id")))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // O6: multiset EXCEPT ALL / INTERSECT ALL.
+    "q_except_all" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+        .exceptAll(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderpriority")))
+        .orderBy("o_orderpriority")
+    }),
+    "q_intersect_all" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+        .intersectAll(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderpriority")))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Deterministic hash-based sampling (same md5 on both engines — the
+    // reproducible-sample idiom for pipeline debugging at scale).
+    "q_sample_hash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +230,29 @@ object CoreQueries extends QueryPack {
       """SELECT c_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders
-        |ORDER BY c_custkey NULLS FIRST""".stripMargin
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }

@@ -128,7 +128,28 @@ object FunctionQueries extends QueryPack {
     "q_hash_xx" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), xxhash64(col("text")).as("h_xx"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // F3: date arithmetic (interval add, calendar-month clamp, day diff,
+    // month end).
+    "q_date_arith" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                (col("ts") + expr("INTERVAL 3 DAYS")).as("plus3d"),
+                (col("ts") + expr("INTERVAL 1 MONTH")).as("plus1mo"),
+                datediff(lit("2024-02-01").cast("date"), col("ts"))
+                  .cast("long").as("days_to_feb"),
+                last_day(col("ts")).as("month_end"))
+        .orderBy("event_id")),
+
+    // UDTF surface: posexplode (generator with ordinality).
+    "q_posexplode" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +223,21 @@ object FunctionQueries extends QueryPack {
 
     "q_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
-        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT event_id,
+        |  ts + INTERVAL 3 DAY AS plus3d,
+        |  ts + INTERVAL 1 MONTH AS plus1mo,
+        |  CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+        |       AS BIGINT) AS days_to_feb,
+        |  last_day(CAST(ts AS DATE)) AS month_end
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
   )
 }

@@ -194,6 +194,28 @@ object LlmOps {
     cosineTopK(inBucket, query, k)
   }
 
+  /** IVF-style ANN: coarse-quantize with per-partition centroids
+    * ([[Udafs.VectorCentroid]] — here the embedding `label` plays the
+    * cluster-assignment role a k-means pass would at 100 TB), probe only
+    * the centroid nearest the query, exact-search inside that partition.
+    * Scan cost drops to 1/#partitions of the data; centroids + query are
+    * broadcast, so the only full pass is the (prunable) partition scan.
+    */
+  def annIvfTopK(embeddings: DataFrame, query: DataFrame, dim: Int,
+                 k: Int): DataFrame = {
+    val cent = udaf(new Udafs.VectorCentroid(dim))
+    val centroids = embeddings.groupBy("label")
+      .agg(cent(col("embedding")).as("c"))
+    val qDouble = transform(col("q_emb"), x => x.cast("double"))
+    val bestPartition = centroids.crossJoin(broadcast(query))
+      .withColumn("csim", Functions.cosine(col("c"), qDouble))
+      .orderBy(col("csim").desc_nulls_last, col("label"))
+      .limit(1)
+      .select("label")
+    cosineTopK(
+      embeddings.join(broadcast(bestPartition), "label"), query, k)
+  }
+
   /** Language ID by stopword voting: per-language marker-token counts,
     * argmax wins (deterministic tie-break by language order). A real
     * deployment swaps the marker lists; the operator shape — N conditional

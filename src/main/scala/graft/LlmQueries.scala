@@ -71,6 +71,11 @@ object LlmQueries extends QueryPack {
       LlmOps.annLshTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 4, 10)
         .orderBy("vec_id")),
 
+    // L4c: IVF-style ANN via centroid probe (rows-only; see LlmSpec).
+    "q_simsearch_ivf" -> ((s, dir) =>
+      LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
+        .orderBy("vec_id")),
+
     // L5: per-document token/char counts.
     "q_text_tokens" -> ((s, dir) =>
       Tables(s, dir, "documents")

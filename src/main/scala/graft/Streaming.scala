@@ -45,18 +45,22 @@ object Streaming {
       }
 
   /** T3: tumbling-window aggregate (the `toStartOf*` bucketing idiom over
-    * kafka_time, `README.md:228`).
+    * kafka_time, `README.md:228`). Groups by the `window()` struct itself —
+    * extracting `.start` inside the groupBy breaks event-time/watermark
+    * tracking on streaming frames.
     */
   def tumblingCounts(df: DataFrame, ts: Column, width: String): DataFrame =
-    df.groupBy(window(ts, width).getField("start").as("w_start"),
-               col("event_type"))
+    df.groupBy(window(ts, width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(col("w").getField("start").as("w_start"), col("event_type"),
+              col("n"))
 
   /** T4: sliding-window aggregate. */
   def slidingCounts(df: DataFrame, ts: Column, width: String,
                     slide: String): DataFrame =
-    df.groupBy(window(ts, width, slide).getField("start").as("w_start"))
+    df.groupBy(window(ts, width, slide).as("w"))
       .agg(count(lit(1)).as("n"))
+      .select(col("w").getField("start").as("w_start"), col("n"))
 
   /** T5: session windows (30-min-gap sessionization). */
   def sessionStats(df: DataFrame, ts: Column, gap: String): DataFrame =

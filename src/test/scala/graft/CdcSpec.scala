@@ -58,6 +58,15 @@ class CdcSpec extends SparkSpec {
     assert(out === Array((1L, 1L), (2L, 3L), (3L, 1L)))
   }
 
+  test("compact materializes the latest-state view clustered by key") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Cdc.compact(demo, Seq("user_id"),
+                Seq(col("updated_at"), col("kafka_offset")), out)
+    val back = spark.read.parquet(out).orderBy("user_id")
+      .select("user_id", "account_type").as[(Long, String)].collect()
+    assert(back === Array((1L, "Bronze"), (2L, "Gold"), (3L, "Gold")))
+  }
+
   test("delete tombstones: null after-image filtered by latest-state view") {
     // Debezium ExtractNewRecordState surfaces deletes as op='d' with null
     // payload (SURVEY.md §7.5); latest state must drop deleted entities.

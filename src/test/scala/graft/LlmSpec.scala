@@ -54,6 +54,22 @@ class LlmSpec extends SparkSpec {
     assert(ann.map(_._1).toSet.subsetOf(brute))
   }
 
+  test("IVF ANN searches exactly one probed cell, exactly") {
+    val q = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val ivf = LlmOps.annIvfTopK(embs, q, 64, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(ivf.length === 10)
+    // all results come from a single partition (the probed cell) ...
+    val labels = embs.filter(col("vec_id").isin(ivf.map(_._1): _*))
+      .select("label").as[Int].collect().toSet
+    assert(labels.size === 1)
+    // ... and within that cell the ranking is exact (= brute force there)
+    val cellTop = LlmOps.cosineTopK(
+      embs.filter(col("label") === labels.head), q, 10)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.map(_._1).sorted === cellTop.sorted)
+  }
+
   test("langId votes by marker tokens with deterministic ties") {
     val out = Seq("the cat of the hat", "der hund und die katze",
                   "el perro y la casa que")

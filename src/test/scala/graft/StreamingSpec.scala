@@ -93,6 +93,30 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L) === ((2L, 2L, 8.0)))
   }
 
+  test("T6: watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val agg = Streaming.watermarkedTumblingCounts(
+      toDfStream(stream), "ts", "10 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1: one event in the 00:00 window + one far ahead that advances
+    // the watermark to 02:50, finalizing the 00:00 window
+    stream.addData(Seq((1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+                       (1L, ts("2024-01-01 03:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: a late arrival for the already-finalized 00:00 window
+    stream.addData(Seq((1L, ts("2024-01-01 00:02:00"), "click", 9.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((1L, ts("2024-01-01 05:00:00"), "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late")
+      .select(col("w_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts("2024-01-01 00:00:00") === 1L) // late event was dropped
+  }
+
   test("T5: session windows split on 30-minute gaps") {
     val rows = Seq(
       (1L, ts("2024-01-01 00:00:00"), "a", 1.0),
