@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: run every query once at the smallest scale factor so the
+    // timed loop measures steady-state execution (whole-stage codegen
+    // compilation + JIT dominate first runs: e.g. the typed-aggregator
+    // query is 5.5 s cold vs 0.6 s warm).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+                                    "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

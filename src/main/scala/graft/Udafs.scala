@@ -30,7 +30,11 @@ object Udafs {
     override def zero: Seq[(Long, Double)] = Nil
     override def reduce(b: Seq[(Long, Double)],
                         a: (Long, Double)): Seq[(Long, Double)] =
-      (a +: b).sorted(ord).take(k)
+      // fast path: buffer full and the new row is no better than the
+      // current worst — O(1) discard, no allocation (the common case once
+      // the heap is warm; the full re-sort only runs on an actual insert)
+      if (b.length >= k && ord.gteq(a, b.last)) b
+      else (a +: b).sorted(ord).take(k)
     override def merge(b1: Seq[(Long, Double)],
                        b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
       (b1 ++ b2).sorted(ord).take(k)
