@@ -147,7 +147,25 @@ object CoreQueries extends QueryPack {
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
           .isin("0", "1"))
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Global row numbering without the single-task window (range partition
+    // + per-partition offsets — see Relational.globalRowNumber).
+    "q_global_rownum" -> ((s, dir) =>
+      Relational.globalRowNumber(
+        Tables(s, dir, "events"), Seq(col("ts"), col("event_id")))
+        .select("event_id", "rn")
+        .orderBy("event_id")),
+
+    // Salted skew join (result must equal the plain equi-join).
+    "q_salted_join" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Relational.saltedJoin(o, c, "o_custkey", 4)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +271,16 @@ object CoreQueries extends QueryPack {
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
-        |ORDER BY doc_id NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_global_rownum" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin
   )
 }

@@ -64,4 +64,49 @@ object Relational {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Global row_number WITHOUT the single-task window: an un-partitioned
+    * `Window.orderBy` funnels every row through one task — fine at test
+    * scale, fatal at 100 TB. This version range-partitions the sort, counts
+    * rows per partition (one tiny job), and assigns rank = partition offset
+    * + local index. Every stage is parallel; the only driver-side data is
+    * one count per partition.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      rankCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, rows) =>
+      Iterator.single((i, rows.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withRank = rdd.mapPartitionsWithIndex { (i, rows) =>
+      var r = bc.value(i)
+      rows.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+    }
+    spark.createDataFrame(withRank,
+      sorted.schema.add(rankCol, org.apache.spark.sql.types.LongType,
+                        nullable = false))
+  }
+
+  /** Salted equi-join for skewed keys: replicate the (smaller) right side
+    * `saltFactor` times and scatter the left side's hot keys across the
+    * replicas, so no single reducer owns a hot key's entire partition.
+    * AQE's skew-join split covers sort-merge joins at runtime; explicit
+    * salting is the plan-level tool when the skew is known up front (e.g.
+    * a null-heavy or power-law foreign key at 100 TB).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -44,6 +44,39 @@ object Streaming {
         batch.write.mode("append").parquet(outDir)
       }
 
+  /** T1+U1: the reference's full loop — continuous ingest with
+    * upsert-on-batch (`foreachBatch` merge): each micro-batch is unioned
+    * with the current compacted state and re-compacted to the latest
+    * version per key. This is the deterministic, synchronous analog of
+    * Kafka-engine → MV → ReplacingMergeTree background merges
+    * (`/root/reference/README.md:197-231`, `:176`). State lives in the
+    * compacted parquet dir, not in executor memory — restart-safe together
+    * with the checkpoint.
+    */
+  def upsertSink(df: DataFrame, stateDir: String, checkpoint: String,
+                 keys: Seq[String], version: Seq[String])
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(stateDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], batch.schema) }
+        val merged = current.unionByName(batch)
+        // write via temp dir: the source of the read is the overwrite target
+        val tmp = stateDir + "__tmp"
+        Cdc.compact(merged, keys, version.map(col), tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                  new org.apache.hadoop.fs.Path(stateDir))
+        ()
+      }
+
   /** T3: tumbling-window aggregate (the `toStartOf*` bucketing idiom over
     * kafka_time, `README.md:228`). Groups by the `window()` struct itself —
     * extracting `.start` inside the groupBy breaks event-time/watermark

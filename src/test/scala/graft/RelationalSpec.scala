@@ -39,6 +39,30 @@ class RelationalSpec extends SparkSpec {
     assert(out === Array((1, 20), (1, 30), (2, 5)))
   }
 
+  test("globalRowNumber matches the single-task window formulation") {
+    val e = Tables(spark, sf("events"), "events")
+    val viaWindow = e.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select("event_id", "rn")
+    val viaScalable = Relational.globalRowNumber(
+      e, Seq(col("ts"), col("event_id")))
+      .select("event_id", "rn")
+    assert(viaWindow.exceptAll(viaScalable).count() === 0)
+    assert(viaScalable.exceptAll(viaWindow).count() === 0)
+  }
+
+  test("saltedJoin equals the plain equi-join") {
+    val o = Tables(spark, sf("orders"), "orders")
+      .select("o_orderkey", "o_custkey")
+    val c = Tables(spark, sf("customer"), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = o.join(c, "o_custkey").orderBy("o_orderkey").collect()
+    val salted = Relational.saltedJoin(o, c, "o_custkey", 4)
+      .orderBy("o_orderkey").collect()
+    assert(salted === plain)
+  }
+
   test("latest-version collapse matches max_by aggregate form (A8 = U1)") {
     val e = Tables(spark, sf("events"), "events")
     val viaWindow = Cdc.latest(e, Seq("user_id"), Seq(col("ts"), col("event_id")))

@@ -93,6 +93,24 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L) === ((2L, 2L, 8.0)))
   }
 
+  test("T1+U1: upsertSink maintains latest state per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-upsert").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streaming.upsertSink(toDfStream(stream), state, ckpt,
+                                 Seq("user_id"), Seq("ts")).start()
+    stream.addData(Seq((1L, ts("2024-01-01 00:01:00"), "bronze", 1.0),
+                       (2L, ts("2024-01-01 00:02:00"), "silver", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((1L, ts("2024-01-01 00:05:00"), "gold", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(state).orderBy("user_id")
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    assert(out === Array((1L, "gold"), (2L, "silver")))
+  }
+
   test("T6: watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
