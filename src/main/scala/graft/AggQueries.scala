@@ -119,6 +119,27 @@ object AggQueries extends QueryPack {
              round(median(col("l_extendedprice")), 4).as("med_price"))
         .orderBy("l_returnflag")),
 
+    // Approximate percentiles (t-digest-style sketch — ClickHouse
+    // quantileTDigest analog); approx → rows-only check.
+    "q_agg_approx_percentile" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"),
+                               array(lit(0.5), lit(0.95)), lit(1000))
+               .as("approx_p"))
+        .orderBy("l_returnflag")),
+
+    // Data profiling (the summary() idiom, oracle-checkable form).
+    "q_profile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .agg(count(lit(1)).as("n"),
+             count(when(col("o_totalprice").isNull, lit(1))).as("n_null_price"),
+             countDistinct(col("o_orderstatus")).as("n_status"),
+             min(col("o_orderdate")).as("min_date"),
+             max(col("o_orderdate")).as("max_date"),
+             round(sum(col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double") / count(lit(1)), 4).as("avg_price"))),
+
     // GROUPING flags over ROLLUP (which aggregation level is each row).
     "q_agg_grouping" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -237,6 +258,15 @@ object AggQueries extends QueryPack {
         |  round(median(l_extendedprice), 4) AS med_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null_price,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*), 4) AS avg_price
+        |FROM orders""".stripMargin,
 
     "q_agg_grouping" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -88,6 +88,17 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_close"))
         .orderBy("s_suppkey")),
 
+    // J5b: the same range join through bucket quantization (hash join on
+    // bucket + residual filter — the formulation that survives 100 TB).
+    "q_join_range_bucketed" -> ((s, dir) =>
+      Relational.bucketedBetweenJoin(
+        Tables(s, dir, "customer"), col("c_acctbal"),
+        Tables(s, dir, "supplier"),
+        col("s_acctbal") - 100, col("s_acctbal") + 100, 100L)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("s_suppkey")),
+
     // J6: as-of join — for each purchase, the latest prior click by the
     // same user (union + window; see Relational.asofJoin for scale notes).
     "q_join_asof" -> ((s, dir) => {
@@ -163,6 +174,12 @@ object JoinQueries extends QueryPack {
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q_join_range" ->
+      """SELECT s_suppkey, count(*) AS n_close
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q_join_range_bucketed" ->
       """SELECT s_suppkey, count(*) AS n_close
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100

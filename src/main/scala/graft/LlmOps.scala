@@ -194,6 +194,40 @@ object LlmOps {
     cosineTopK(inBucket, query, k)
   }
 
+  /** Resolve near-dup pairs into duplicate clusters: iterative min-label
+    * propagation (the GraphFrames-style connected-components loop — a
+    * driver-side loop of ~diameter iterations, each a distributed
+    * join+aggregate; lineage cut per iteration with localCheckpoint).
+    * Returns (node, component) with component = min doc id in the cluster
+    * — the canonical survivor a dedup pass keeps.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(edges("a").as("nbr_node"))
+        .agg(min("label").as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("nbr_node"), "left")
+        .select(col("node"), col("label"),
+                least(col("label"), coalesce(col("nmin"), col("label")))
+                  .as("next_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("next_label") < col("label")).count()
+      labels = updated.select(col("node"), col("next_label").as("label"))
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** IVF-style ANN: coarse-quantize with per-partition centroids
     * ([[Udafs.VectorCentroid]] — here the embedding `label` plays the
     * cluster-assignment role a k-means pass would at 100 TB), probe only

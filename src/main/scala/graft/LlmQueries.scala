@@ -52,6 +52,32 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    // L2e: near-dup pairs resolved into duplicate clusters (canonical
+    // survivor = min doc id per connected component).
+    "q_dedup_components" -> ((s, dir) =>
+      LlmOps.connectedComponents(
+        LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
+                                 "text", "lang", 3, 0.2))
+        .orderBy("node")),
+
+    // L6b: TF-IDF over a deterministic doc slice.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("doc_id"),
+                           explode(LlmOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df_, "token").crossJoin(broadcast(n))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("token"),
+                round(col("tf") *
+                      log(col("n_docs").cast("double") / col("df")), 4)
+                  .as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
     // L3: cosine similarity of every vector vs a broadcast query vector.
     "q_cosine_sim" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -170,6 +196,47 @@ object LlmQueries extends QueryPack {
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |  WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
+        |SELECT x AS node, min(y) AS component FROM reach GROUP BY x
+        |ORDER BY node NULLS FIRST""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
+        |          GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf.token,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        |WHERE doc_id < 10
+        |ORDER BY doc_id NULLS FIRST, tf.token NULLS FIRST""".stripMargin,
 
     "q_dedup_embed" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b,

@@ -93,6 +93,26 @@ object Relational {
                         nullable = false))
   }
 
+  /** The scale path for interval/range joins: quantize the range into
+    * buckets so the nested-loop join becomes a hash equi-join on the
+    * bucket id (right intervals explode into every covered bucket, left
+    * values land in one) + an exact residual filter. Turns the O(n·m)
+    * BroadcastNestedLoopJoin into a shuffle join that scales to 100 TB —
+    * the broadcast variant dies as soon as neither side fits in memory.
+    */
+  def bucketedBetweenJoin(left: DataFrame, leftVal: Column,
+                          right: DataFrame, lo: Column, hi: Column,
+                          width: Long): DataFrame = {
+    val l = left.withColumn("__bucket",
+                            floor(leftVal / width).cast("long"))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floor(lo / width).cast("long"),
+                       floor(hi / width).cast("long"))))
+    l.join(r, "__bucket")
+      .filter(leftVal.between(lo, hi))
+      .drop("__bucket")
+  }
+
   /** Salted equi-join for skewed keys: replicate the (smaller) right side
     * `saltFactor` times and scatter the left side's hot keys across the
     * replicas, so no single reducer owns a hot key's entire partition.

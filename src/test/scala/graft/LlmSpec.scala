@@ -70,6 +70,14 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).sorted === cellTop.sorted)
   }
 
+  test("connectedComponents propagates the min id across chains") {
+    // chain 1-2-3 plus isolated pair 8-9; transitivity needs >1 hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val out = LlmOps.connectedComponents(pairs)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L)))
+  }
+
   test("langId votes by marker tokens with deterministic ties") {
     val out = Seq("the cat of the hat", "der hund und die katze",
                   "el perro y la casa que")
