@@ -105,8 +105,9 @@ object AggQueries extends QueryPack {
         .groupBy("l_returnflag")
         .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
              round(var_samp(col("l_quantity")), 4).as("var_qty"),
-             round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qd"),
-             round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+             (round(corr(col("l_quantity"), col("l_discount")), 4) + lit(0.0))
+               .as("corr_qd"),
+             (round(covar_samp(col("l_quantity"), col("l_discount")), 4) + lit(0.0))
                .as("cov_qd"))
         .orderBy("l_returnflag")),
 
@@ -182,7 +183,7 @@ object AggQueries extends QueryPack {
         .agg(cent(col("embedding")).as("c"))
         .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
         .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
-                round(col("v"), 4).as("v"))
+                (round(col("v"), 4) + lit(0.0)).as("v"))
         .orderBy("label", "dim")
     })
   )
@@ -246,8 +247,8 @@ object AggQueries extends QueryPack {
     "q_agg_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_discount), 4) AS corr_qd,
-        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |  round(corr(l_quantity, l_discount), 4) + 0 AS corr_qd,
+        |  round(covar_samp(l_quantity, l_discount), 4) + 0 AS cov_qd
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
@@ -298,7 +299,7 @@ object AggQueries extends QueryPack {
         |         c_custkey NULLS FIRST""".stripMargin,
 
     "q_centroid" ->
-      """SELECT label, i AS dim, round(avg(CAST(v AS DOUBLE)), 4) AS v
+      """SELECT label, i AS dim, round(avg(CAST(v AS DOUBLE)), 4) + 0 AS v
         |FROM (SELECT label, unnest(embedding) AS v,
         |             unnest(range(1, 65)) AS i
         |      FROM embeddings) t

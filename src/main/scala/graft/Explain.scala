@@ -1,16 +1,72 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit helper. Two modes:
+  *
+  *  - `runMain graft.Explain <query> <sfDir>` — print one query's physical
+  *    plan (truncated).
+  *  - `runMain graft.Explain audit <sfDir>` — sweep every SparkEntry query
+  *    and flag 100 TB red flags: cartesian products, unexpected
+  *    nested-loop joins, single-partition exchanges, oversized plans.
+  */
 object Explain {
+
+  // Queries where a nested-loop/cartesian operator is the intended plan
+  // (bounded dims or an explicitly broadcast side).
+  private val nestedLoopExpected = Set(
+    "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
+    "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf")
+  // Operators where a SinglePartition exchange is semantically required
+  // AND cheap: global aggregates move one pre-aggregated row per upstream
+  // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
+  // ranking windows are documented single-task (scalable variant:
+  // q_global_rownum).
+  private val globalOrderExpected = Set(
+    "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
+    "q_agg_global", "q_profile", "q_text_tfidf")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(args(0))(spark, args(1))
-    val plan = df.queryExecution.executedPlan.toString
-    println("PLANSIZE chars=" + plan.length + " lines=" + plan.linesIterator.size)
-    println(plan.linesIterator.take(80).map(_.take(200)).mkString("\n"))
+    args(0) match {
+      case "audit" =>
+        val dir = args(1)
+        var flagged = 0
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            val flags = Seq(
+              "CartesianProduct" -> plan.contains("CartesianProduct"),
+              "BroadcastNestedLoopJoin" ->
+                (plan.contains("BroadcastNestedLoopJoin") &&
+                 !nestedLoopExpected(name)),
+              "SinglePartition-exchange" ->
+                (plan.contains("Exchange SinglePartition") &&
+                 !globalOrderExpected(name)),
+              "plan>200KB" -> (plan.length > 200000)
+            ).collect { case (f, true) => f }
+            if (flags.nonEmpty) {
+              flagged += 1
+              println(s"[audit] $name: ${flags.mkString(", ")}")
+            }
+          } catch {
+            case e: Throwable =>
+              flagged += 1
+              println(s"[audit] $name: PLAN ERROR ${e.getMessage.take(120)}")
+          }
+        }
+        println(s"[audit] done, $flagged flagged of " +
+          s"${SparkEntry.queries.size}")
+      case q =>
+        val plan = SparkEntry.queries(q)(spark, args(1))
+          .queryExecution.executedPlan.toString
+        println("PLANSIZE chars=" + plan.length)
+        println(plan.linesIterator.take(80).map(_.take(220)).mkString("\n"))
+    }
     spark.stop()
   }
 }

@@ -91,9 +91,10 @@ object FunctionQueries extends QueryPack {
     "q_array_hof" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-                round(aggregate(transform(col("embedding"),
-                                          x => x.cast("double") * 2),
-                                lit(0.0), (acc, x) => acc + x), 6).as("s2"),
+                (round(aggregate(transform(col("embedding"),
+                                           x => x.cast("double") * 2),
+                                 lit(0.0), (acc, x) => acc + x), 6) + lit(0.0))
+                  .as("s2"),
                 size(filter(col("embedding"), x => x > 0)).cast("long")
                   .as("npos"))
         .orderBy("vec_id")),
@@ -208,7 +209,7 @@ object FunctionQueries extends QueryPack {
     "q_array_hof" ->
       """SELECT vec_id,
         |  round(list_aggregate(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * 2), 'sum'), 6) AS s2,
+        |    x -> CAST(x AS DOUBLE) * 2), 'sum'), 6) + 0 AS s2,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos
         |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin,
 

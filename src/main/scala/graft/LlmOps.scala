@@ -202,9 +202,13 @@ object LlmOps {
     * — the canonical survivor a dedup pass keeps.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize once — every iteration joins against the edge set, and
+    // without the checkpoint each pass would recompute the (expensive)
+    // upstream pair-mining lineage
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

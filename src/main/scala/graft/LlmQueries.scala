@@ -83,8 +83,8 @@ object LlmQueries extends QueryPack {
       Tables(s, dir, "embeddings")
         .crossJoin(broadcast(queryVec(s, dir)))
         .select(col("vec_id"),
-                round(Functions.cosine(col("embedding"), col("q_emb")), 4)
-                  .as("sim"))
+                (round(Functions.cosine(col("embedding"), col("q_emb")), 4)
+                   + lit(0.0)).as("sim"))
         .orderBy("vec_id")),
 
     // L4: brute-force cosine top-k (the exact ANN baseline).
@@ -247,7 +247,7 @@ object LlmQueries extends QueryPack {
 
     "q_cosine_sim" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) AS sim
+         |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) + 0 AS sim
          |FROM embeddings e CROSS JOIN q
          |ORDER BY e.vec_id NULLS FIRST""".stripMargin,
 

@@ -140,10 +140,17 @@ object Sources {
 
   /** S7: columnar append sink (the MV's `TO shop.users` insert,
     * `README.md:212`), clustered like the reference's ORDER BY for
-    * min/max-stat row-group skipping (`README.md:177`).
+    * min/max-stat row-group skipping (`README.md:177`). `partitionCols`
+    * become hive-style directory partitions — at 100 TB the partition
+    * column (day, tenant, language, ...) is what lets a query touch 1/nth
+    * of the files (static + dynamic partition pruning).
     */
   def appendColumnar(df: DataFrame, path: String,
-                     sortCols: Seq[String]): Unit =
-    df.sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("append").parquet(path)
+                     sortCols: Seq[String],
+                     partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
 }

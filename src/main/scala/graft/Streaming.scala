@@ -118,6 +118,23 @@ object Streaming {
     df.withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within [leftTs - lower, leftTs + upper]. Both sides need
+    * watermarks so Spark can expire join state — the bounded-state form of
+    * the reference pipeline's implicit "recent data joins recent data"
+    * assumption. Works identically on batch frames (tested for parity).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTsCol: String, rightTsCol: String,
+                   lower: String, upper: String): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lower") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $upper"))
+  }
+
   /** T8: stateful per-key processing — running (count, sum) per user via
     * mapGroupsWithState; state is one small tuple per key, timeout-free
     * here (bounded key space), watermark-bounded in production.

@@ -97,6 +97,18 @@ class SourcesSpec extends SparkSpec {
     // the tombstone carries the before-image key so latest-state can drop it
   }
 
+  test("appendColumnar partitioned write enables partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    Sources.appendColumnar(docs, out, Seq("doc_id"), Seq("lang"))
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+           s"expected partition filter in plan:\n$scan")
+    assert(pruned.count() ===
+           docs.filter(col("lang") === "en").count())
+  }
+
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
       .toDF("timestamp", "offset", "value")

@@ -148,6 +148,39 @@ class StreamingSpec extends SparkSpec {
                          (ts("2024-01-01 01:00:00"), 1L)))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq((1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+                     (1L, ts("2024-01-01 01:00:00"), "click", 0.0))
+    val buys = Seq((1L, ts("2024-01-01 00:05:00"), "purchase", 5.0),
+                   (1L, ts("2024-01-01 02:30:00"), "purchase", 7.0))
+    val ls = MemoryStream[(Long, Timestamp, String, Double)]
+    val rs = MemoryStream[(Long, Timestamp, String, Double)]
+    ls.addData(buys)
+    rs.addData(clicks)
+    val lDf = toDfStream(ls).withWatermark("ts", "1 hour")
+    val rDf = toDfStream(rs).withColumnRenamed("ts", "r_ts")
+      .withColumnRenamed("event_type", "r_type")
+      .withColumnRenamed("value", "r_value")
+      .withWatermark("r_ts", "1 hour")
+    val joined = Streaming.intervalJoin(lDf, rDf, "user_id", "ts", "r_ts",
+                                        "10 MINUTES", "0 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin")
+      .select(col("value"), col("r_ts").cast("string"))
+      .as[(Double, String)].collect().toSet
+    // only the 00:05 purchase has a click within its trailing 10 minutes
+    assert(streamed === Set((5.0, "2024-01-01 00:00:00")))
+    // batch parity
+    val batch = Streaming.intervalJoin(
+      toDf(buys), toDf(clicks).withColumnRenamed("ts", "r_ts"),
+      "user_id", "ts", "r_ts", "10 MINUTES", "0 SECONDS")
+    assert(batch.count() === 1)
+  }
+
   test("mvTransform applies the reference MV's micros conversion") {
     val out = Streaming.mvTransform(
       Seq((1L, 1999999L)).toDF("id", "updated_at"), Seq("updated_at"))
