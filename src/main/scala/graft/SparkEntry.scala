@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, CdcQueries, JoinQueries, AggQueries, WindowQueries,
-    FunctionQueries, StreamingQueries, LlmQueries, SourceQueries)
+    FunctionQueries, StreamingQueries, LlmQueries, SourceQueries,
+    TpchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

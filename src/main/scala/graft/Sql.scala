@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point — the reference's interactive read path is plain SQL
+  * over the final tables (`SELECT * FROM shop.users`,
+  * `/root/reference/README.md:240`, served on ClickHouse's HTTP/MySQL
+  * endpoints). Registering the store as temp views gives users the same
+  * experience on Spark: any ANSI SQL over the table names.
+  */
+object Sql {
+
+  /** Register every harness table as a temp view for `spark.sql`. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { name =>
+      Tables(spark, dir, name).createOrReplaceTempView(name)
+    }
+
+  /** Run SQL against the registered store. */
+  def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(sql)
+  }
+}

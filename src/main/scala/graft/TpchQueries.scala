@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Composite analytics in the TPC-H shapes — the end-to-end proof that the
+  * operator inventory composes into the multi-join reporting queries the
+  * reference deployment exists to serve (destination-engine surface [D],
+  * SURVEY.md §2.4-2.7). Run both through the DataFrame API (q1, q3) and
+  * the SQL entry point (q5 via [[Sql.query]]).
+  *
+  * Determinism: revenue terms are `extprice * (1 - disc)` computed in
+  * double (bit-identical across engines) then cast to DECIMAL(18,4) —
+  * the true value has ≤4 decimals, so the cast recovers it exactly and
+  * the sum is order-independent.
+  */
+object TpchQueries extends QueryPack {
+
+  private val revenue =
+    (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+
+  val queries: Map[String, Q] = Map(
+    // Q1 shape: pricing summary with filter + multi-aggregate.
+    "q_tpch_q1" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+               .as("sum_base_price"),
+             sum(revenue).cast("double").as("sum_disc_price"),
+             round(avg("l_discount"), 6).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3 shape: 3-way join, grouped revenue, top-10.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-06-30").cast("timestamp")
+      Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(Tables(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5 shape: 6-way star join through the SQL entry point.
+    "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin
+  )
+}
