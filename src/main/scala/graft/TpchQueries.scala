@@ -49,6 +49,30 @@ object TpchQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Scalar subquery (decorrelated by Catalyst to a join — SURVEY.md §4).
+    "q_subquery_scalar" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin)),
+
+    // IN subquery.
+    "q_subquery_in" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin)),
+
+    // Correlated EXISTS with an extra correlated predicate.
+    "q_subquery_corr" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 10)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -94,6 +118,27 @@ object TpchQueries extends QueryPack {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST
         |LIMIT 10""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_subquery_corr" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 10)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
