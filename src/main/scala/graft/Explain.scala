@@ -24,7 +24,8 @@ object Explain {
   // q_global_rownum).
   private val globalOrderExpected = Set(
     "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
-    "q_agg_global", "q_profile", "q_text_tfidf")
+    "q_agg_global", "q_profile", "q_text_tfidf",
+    "q_subquery_scalar") // scalar subquery = one-row global aggregate
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
