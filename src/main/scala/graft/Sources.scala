@@ -47,6 +47,22 @@ object Sources {
     props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
   }
 
+  /** S2 (batch side): incremental JDBC read — rows with cursor column
+    * beyond the last seen value (the polling alternative to log-based CDC
+    * when WAL access isn't available; Debezium's snapshot-then-stream
+    * becomes snapshot-then-poll). The predicate pushes down into the
+    * remote query, so each poll ships only the delta.
+    */
+  def jdbcIncremental(spark: SparkSession, url: String, table: String,
+                      cursorColumn: String, lastSeen: Long,
+                      props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+              s"(SELECT * FROM $table WHERE $cursorColumn > $lastSeen) t")
+    props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
+  }
+
   /** S8: JDBC sink (ClickHouse HTTP/MySQL endpoints in the reference,
     * `config.xml:11,30` — any JDBC URL here).
     */

@@ -72,6 +72,18 @@ object WindowQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // W6b: distribution functions + nth value.
+    "q_win_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val full = w.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(cume_dist().over(w), 6).as("cd"),
+                nth_value(col("event_type"), 2).over(full).as("second_type"))
+        .orderBy("event_id")
+    }),
+
     // W7: first/last value over the full partition frame.
     "q_win_first_last" -> ((s, dir) => {
       val full = byUserTs.rowsBetween(Window.unboundedPreceding,
@@ -124,6 +136,15 @@ object WindowQueries extends QueryPack {
         |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6)
         |    AS pct_rank
         |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT event_id,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts), 6)
+        |    AS cd,
+        |  nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_type
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_win_first_last" ->
       """SELECT event_id,

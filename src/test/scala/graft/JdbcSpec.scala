@@ -45,6 +45,12 @@ class JdbcSpec extends SparkSpec {
     assert(df.filter(col("account_type") === "Gold").count() === 2)
   }
 
+  test("S2: incremental poll ships only rows past the cursor") {
+    val delta = Sources.jdbcIncremental(spark, url, "users",
+                                        "updated_at", 1000000L)
+    assert(delta.select("user_id").as[Long].collect() === Array(4L))
+  }
+
   test("S8: snapshot -> transform -> JDBC sink round-trips") {
     val snapshot = Sources.jdbcSnapshot(spark, url, "users",
       "user_id", 0L, 10L, 2)
