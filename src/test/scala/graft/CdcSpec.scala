@@ -58,6 +58,23 @@ class CdcSpec extends SparkSpec {
     assert(out === Array((1L, 1L), (2L, 3L), (3L, 1L)))
   }
 
+  test("latest handles null keys and empty input") {
+    val withNull = demo.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "ghost", "None", 1L, 9L))
+        .toDF("user_id", "username", "account_type", "updated_at",
+              "kafka_offset"))
+    // null key forms its own group (SQL window semantics) — no crash,
+    // one row for the null entity
+    val out = Cdc.latest(withNull, Seq("user_id"),
+                         Seq(col("updated_at"), col("kafka_offset")))
+    assert(out.count() === 4)
+    assert(out.filter(col("user_id").isNull).count() === 1)
+    // empty input → empty output
+    val empty = Cdc.latest(demo.limit(0), Seq("user_id"),
+                           Seq(col("updated_at")))
+    assert(empty.count() === 0)
+  }
+
   test("compact materializes the latest-state view clustered by key") {
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
     Cdc.compact(demo, Seq("user_id"),

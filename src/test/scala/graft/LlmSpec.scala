@@ -70,6 +70,21 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).sorted === cellTop.sorted)
   }
 
+  test("near-dup operators tolerate empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LlmOps.ngramJaccardPairs(
+      empty.withColumn("lang", lit("en")), "doc_id", "text", "lang", 3, 0.5)
+      .count() === 0)
+    assert(LlmOps.minhashNearDupPairs(empty, "doc_id", "text", 3, 32, 16, 0.5)
+      .count() === 0)
+    // one-token docs (shorter than the shingle width) produce no shingles
+    val short = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(LlmOps.minhashNearDupPairs(short, "doc_id", "text", 3, 32, 16, 0.5)
+      .count() === 0)
+    assert(LlmOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0)
+  }
+
   test("connectedComponents propagates the min id across chains") {
     // chain 1-2-3 plus isolated pair 8-9; transitivity needs >1 hop
     val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
