@@ -151,6 +151,32 @@ object LlmQueries extends QueryPack {
                 LlmOps.langId(LlmOps.tokens(col("text"))).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // L5: BPE-ish regex tokenization (letter runs / digit runs / single
+    // punctuation — the pre-tokenizer shape real BPE vocabularies use).
+    "q_text_bpe_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(regexp_extract_all(lower(col("text")),
+                                        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+                  .cast("long").as("n_bpe_tokens"),
+                array_join(slice(regexp_extract_all(lower(col("text")),
+                  lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)), 1, 5), "|")
+                  .as("head_tokens"))
+        .orderBy("doc_id")),
+
+    // L1: rolling polynomial hash over the token stream, mod a large prime
+    // (order-sensitive fingerprint; ANSI-safe — every intermediate stays
+    // under 2^63; no SQL-expressible fold in DuckDB → rows-only).
+    "q_fingerprint_rolling" -> ((s, dir) => {
+      val p = lit(1000000007L)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                aggregate(LlmOps.tokens(col("text")), lit(5381L),
+                          (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), p), p))
+                  .as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+
     // L1/F11: document fingerprints — whole-text and 8-token-prefix md5
     // over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, dir) => {
@@ -289,6 +315,14 @@ object LlmQueries extends QueryPack {
         |  round(len(list_filter(string_split(text, ' '),
         |    t -> list_contains(['the', 'a', 'data', 'row', 'query'], t)))
         |    * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |  array_to_string(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')[1:5], '|') AS head_tokens
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_fingerprint" ->
