@@ -143,6 +143,19 @@ object FunctionQueries extends QueryPack {
                 last_day(col("ts")).as("month_end"))
         .orderBy("event_id")),
 
+    // F10b: VARIANT semi-structured type (Spark 4) — parse once into the
+    // binary variant encoding, extract typed fields without re-parsing
+    // (the ClickHouse JSON-type analog; at 100 TB this is the difference
+    // between one parse at ingest and a parse per query). Values must
+    // match q_json_extract's string-path output → oracle reuses that
+    // formulation.
+    "q_variant" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+                try_variant_get(col("v"), "$.k", "long").as("k"))
+        .orderBy("event_id")),
+
     // UDTF surface: posexplode (generator with ordinality).
     "q_posexplode" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -233,6 +246,11 @@ object FunctionQueries extends QueryPack {
         |  CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
         |       AS BIGINT) AS days_to_feb,
         |  last_day(CAST(ts AS DATE)) AS month_end
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_posexplode" ->
