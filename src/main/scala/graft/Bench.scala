@@ -20,6 +20,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => }
       }
+      // let the ContextCleaner drop warm-up broadcasts/shuffles so the
+      // timed loop doesn't absorb their GC
+      System.gc()
+      Thread.sleep(500)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
