@@ -48,9 +48,13 @@ object LlmOps {
                           shingleK: Int, numHashes: Int, bands: Int,
                           minJaccard: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // materialized once: the shingle relation feeds the signature agg, the
+    // per-doc counts, and both sides of the verification join — without the
+    // checkpoint each consumer would re-tokenize and re-explode the corpus
     val sh = docs.select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+      .localCheckpoint()
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val sigAggs = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
@@ -93,6 +97,7 @@ object LlmOps {
     val sh = docs
       .select(col(idCol).as("doc"), col(partCol).as("part"),
               explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+      .localCheckpoint() // reused by counts + both sides of the pair join
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc").as("a"), col("part"), col("s"))
       .join(sh.select(col("doc").as("b"), col("part"), col("s")),
