@@ -1,6 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline query set on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * Methodology: every headline query is first run once on the TARGET scale
+  * factor (steady state — whole-stage codegen compilation + JIT dominate
+  * cold runs, e.g. 5.5 s cold vs 0.6 s warm for the typed-aggregator
+  * query), then timed on a second run with a GC settle in between so one
+  * query's garbage doesn't bill the next. The JSON stays under ~2 KB
+  * (3-decimal times, headline subset) so the driver's output-tail parser
+  * always sees the complete line — round 1's all-103-query dump overflowed
+  * the tail buffer and failed to parse.
+  */
 object Bench {
+
+  /** Headline queries: every heavy operator family at sf0.1 plus one
+    * representative per light family (SURVEY.md §2). Order = print order.
+    */
+  val headline: Seq[String] = Seq(
+    // scans / filters / sorts
+    "q_scan", "q_filter", "q_project", "q_sort", "q_topn",
+    // joins
+    "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_join_anti", "q_join_asof", "q_join_range_bucketed", "q_salted_join",
+    // aggregations / windows
+    "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
+    "q_agg_rollup", "q_agg_by_day", "q_agg_percentile",
+    "q_win_rownum", "q_win_running_sum", "q_win_range_frame",
+    "q_global_rownum", "q_topk_per_group",
+    // CDC
+    "q_upsert_latest", "q_dedup_key",
+    // TPC-H composites
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
+    // LLM-pipeline: dedup / similarity / text
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
+    "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
+    "q_text_tokens", "q_text_tfidf", "q_lang_id",
+    // streaming batch-equivalents + semi-structured + sampling
+    "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
+    "q_sample_hash", "q_hash")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,30 +51,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run every query once at the smallest scale factor so the
-    // timed loop measures steady-state execution (whole-stage codegen
-    // compilation + JIT dominate first runs: e.g. the typed-aggregator
-    // query is 5.5 s cold vs 0.6 s warm).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-                                    "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
-      }
-      // let the ContextCleaner drop warm-up broadcasts/shuffles so the
-      // timed loop doesn't absorb their GC
-      System.gc()
-      Thread.sleep(500)
+    val qs = headline.filter(SparkEntry.queries.contains)
+      .map(n => n -> SparkEntry.queries(n))
+    // Warm-up pass at the target SF (codegen + JIT + file-listing caches).
+    qs.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Drop warm-up broadcasts/shuffles so the timed loop doesn't absorb
+    // their GC.
+    System.gc(); Thread.sleep(300)
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val perQ = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).sum}%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$perQ,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
