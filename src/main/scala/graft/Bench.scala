@@ -32,12 +32,13 @@ object Bench {
     // CDC
     "q_upsert_latest", "q_dedup_key",
     // TPC-H composites
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q18",
     // LLM-pipeline: dedup / similarity / text
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
-    "q_text_tokens", "q_text_tfidf", "q_lang_id",
+    "q_text_tokens", "q_text_tfidf", "q_lang_id", "q_text_repetition",
+    "q_knn_join", "q_curation",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_hash")

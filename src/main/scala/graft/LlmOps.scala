@@ -26,6 +26,15 @@ object LlmOps {
            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
+  /** All k-token n-grams in order, duplicates kept — repetition analysis
+    * needs the multiset ([[shingles]] dedups for Jaccard).
+    */
+  def ngramsAll(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+         transform(sequence(lit(0), size(toks) - k),
+                   i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
     * shingle Jaccard — fully relational formulation:
     *

@@ -187,6 +187,112 @@ object LlmQueries extends QueryPack {
                 md5(concat_ws(" ",
                   slice(split(norm, " "), 1, 8))).as("fp_prefix"))
         .orderBy("doc_id")
+    }),
+
+    // L5: Gopher-style repetition signals — fraction of the text occupied
+    // by its most frequent 2-gram, and fraction of 3-gram occurrences that
+    // are repeats. Fully relational (explode + two hash-aggregates), no
+    // per-row HOF folds: both signals cost one exchange by (doc, gram).
+    "q_text_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bi = docs
+        .select(col("doc_id"),
+                explode(LlmOps.ngramsAll(LlmOps.tokens(col("text")), 2))
+                  .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot2"))
+      val tri = docs
+        .select(col("doc_id"),
+                explode(LlmOps.ngramsAll(LlmOps.tokens(col("text")), 3))
+                  .as("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("d3"), count(lit(1)).as("tot3"))
+      bi.join(tri, "doc_id")
+        .select(col("doc_id"),
+                round(col("mx").cast("double") / col("tot2"), 4)
+                  .as("top2gram_frac"),
+                round(lit(1.0) - col("d3").cast("double") / col("tot3"), 4)
+                  .as("dup3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // L5: Gopher-style quality gate — token-count bounds, mean token
+    // length bounds, minimum stopword evidence; `keep` is the conjunction
+    // (the boolean a curation pipeline filters on).
+    "q_text_gopher" -> ((s, dir) => {
+      val toks = LlmOps.tokens(col("text"))
+      val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(toks).cast("long").as("n_tok"),
+                round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+                        .cast("double") / size(toks), 4).as("mean_tok_len"),
+                size(filter(toks, t => array_contains(stop, t)))
+                  .cast("long").as("n_stop"))
+        .withColumn("keep",
+          col("n_tok").between(30, 80) &&
+            col("mean_tok_len").between(3.0, 6.0) && col("n_stop") >= 1)
+        .orderBy("doc_id")
+    }),
+
+    // L5: pattern scrub (the PII-redaction shape: regex-remove a term
+    // class, renormalize whitespace, fingerprint the cleaned text).
+    "q_text_scrub" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(col("text"), "\\b(the|a|data|row|query)\\b", " "),
+        " +", " "))
+      Tables(s, dir, "documents")
+        .withColumn("clean", cleaned)
+        .select(col("doc_id"),
+                md5(col("clean")).as("fp_clean"),
+                (size(LlmOps.tokens(col("text"))).cast("long") -
+                  when(col("clean") === "", 0L)
+                    .otherwise(size(LlmOps.tokens(col("clean")))
+                                 .cast("long"))).as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // L4: batch KNN join — top-3 neighbors for EVERY query vector in one
+    // pass, via the bounded-heap UDAF ([[Udafs.TopKByScore]]): score all
+    // (query, vector) pairs, hash-aggregate by query. No global sort, no
+    // per-query window over the full corpus — the 100 TB form of a KNN
+    // join (shuffle volume = #queries × k, not #queries × #vectors).
+    "q_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val topk = udaf(new Udafs.TopKByScore(3))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim_raw",
+                    Functions.cosine(col("embedding"), col("q_emb")))
+        .groupBy("q_id")
+        .agg(topk(col("vec_id"), col("sim_raw")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t._1").as("vec_id"),
+                round(col("t._2"), 4).as("sim"))
+        .orderBy(col("q_id"), col("sim").desc_nulls_last, col("vec_id"))
+    }),
+
+    // L1+L5: end-to-end curation composite — quality filter (length +
+    // stopword evidence) → exact dedup (min doc id per content hash) →
+    // deterministic 50 % hash sample. The one-query form of the
+    // filter→dedup→sample pass a training-data pipeline runs per shard.
+    "q_curation" -> ((s, dir) => {
+      val toks = LlmOps.tokens(col("text"))
+      val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_stop", size(filter(toks,
+          t => array_contains(stop, t))))
+        .filter(col("n_tok") >= 30 && col("n_stop") >= 1)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("n_tok").as("n_tok"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin((0 to 7).map(_.toString): _*))
+        .select("doc_id", "h", "n_tok")
+        .orderBy("doc_id")
     })
   )
 
@@ -331,6 +437,117 @@ object LlmQueries extends QueryPack {
         |  md5(array_to_string(string_split(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[1:8],
         |    ' ')) AS fp_prefix
-        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+        |b2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot2 FROM bc
+        |       GROUP BY doc_id),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |  FROM toks WHERE len(tk) >= 3),
+        |t3 AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS tot3
+        |       FROM tri GROUP BY doc_id)
+        |SELECT b2.doc_id,
+        |  round(mx * 1.0 / tot2, 4) AS top2gram_frac,
+        |  round(1.0 - d3 * 1.0 / tot3, 4) AS dup3gram_frac
+        |FROM b2 JOIN t3 ON b2.doc_id = t3.doc_id
+        |ORDER BY b2.doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_gopher" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  round(list_aggregate(list_transform(string_split(text, ' '),
+        |    t -> CAST(length(t) AS BIGINT)), 'sum') * 1.0
+        |    / len(string_split(text, ' ')), 4) AS mean_tok_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the', 'a', 'data', 'row', 'query'], t)))
+        |    AS BIGINT) AS n_stop,
+        |  (len(string_split(text, ' ')) BETWEEN 30 AND 80)
+        |    AND (round(list_aggregate(list_transform(string_split(text, ' '),
+        |      t -> CAST(length(t) AS BIGINT)), 'sum') * 1.0
+        |      / len(string_split(text, ' ')), 4) BETWEEN 3.0 AND 6.0)
+        |    AND len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'data', 'row', 'query'], t)))
+        |      >= 1 AS keep
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '\b(the|a|data|row|query)\b', ' ', 'g'), ' +', ' ', 'g'))
+        |      AS clean
+        |  FROM documents)
+        |SELECT doc_id, md5(clean) AS fp_clean,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    - CASE WHEN clean = '' THEN 0
+        |           ELSE CAST(len(string_split(clean, ' ')) AS BIGINT) END
+        |    AS n_removed
+        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, e.vec_id,
+         |    ${cosSql("e.embedding", "q.q_emb")} AS sim_raw
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, sim_raw, row_number() OVER (
+         |    PARTITION BY q_id
+         |    ORDER BY sim_raw DESC NULLS LAST, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(sim_raw, 4) AS sim
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY q_id NULLS FIRST, sim DESC NULLS LAST,
+         |         vec_id NULLS FIRST""".stripMargin,
+
+    "q_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'data', 'row', 'query'], t)))
+        |      AS n_stop
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id,
+        |         min(n_tok) AS n_tok
+        |  FROM scored WHERE n_tok >= 30 AND n_stop >= 1
+        |  GROUP BY md5(text))
+        |SELECT doc_id, h, n_tok FROM dedup
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) AS s_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['der', 'die', 'das', 'und', 'zu'], t))) AS s_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el', 'la', 'de', 'y', 'que'], t))) AS s_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le', 'la', 'de', 'et', 'que'], t))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['的', '是', '了', '在', '和'], t))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+        |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |       WHEN s_de > s_en THEN 'de'
+        |       ELSE 'en' END AS pred_lang
+        |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }

@@ -73,6 +73,36 @@ object TpchQueries extends QueryPack {
         |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 10)
         |ORDER BY c_custkey NULLS FIRST""".stripMargin)),
 
+    // Q6 shape: scan-heavy filtered scalar aggregate (the forecast-revenue
+    // query — pure pushdown + map-side sum, no shuffle beyond the final
+    // single-row combine).
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+                   .cast("decimal(18,4)")).cast("double").as("revenue"))),
+
+    // Q18 shape: large-volume customers — aggregate lineitem first (the
+    // small side AFTER reduction), then join orders + customer. The
+    // group-before-join order is the 100 TB plan: the having-filtered
+    // aggregate shrinks 6 B rows to the few large orders before any join.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+    }),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -139,6 +169,26 @@ object TpchQueries extends QueryPack {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 10)
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC NULLS LAST,
+        |         o_orderkey NULLS FIRST""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,

@@ -109,4 +109,66 @@ class LlmSpec extends SparkSpec {
       .select("keep", "n").as[(Long, Long)].collect().toSet
     assert(out === Set((10L, 2L), (30L, 1L)))
   }
+
+  test("ngramsAll keeps duplicates in order; empty for short docs") {
+    val out = Seq("a b a b", "a").toDF("text")
+      .select(LlmOps.ngramsAll(LlmOps.tokens(col("text")), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b a", "a b")) // multiset, not distinct
+    assert(out(1) === Seq.empty)
+  }
+
+  test("repetition signals: periodic text scores high, varied text low") {
+    val df = Seq((0L, "x y x y x y x y"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        explode(LlmOps.ngramsAll(LlmOps.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+      .select(col("doc_id"), (col("mx") / col("tot")).as("frac"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(out(0)._2 === 4.0 / 7.0) // "x y" appears 4 of 7 bigrams
+    assert(out(1)._2 === 1.0 / 7.0) // all bigrams distinct
+  }
+
+  test("knn join via bounded-heap UDAF matches the window formulation") {
+    val q = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val udafTop = SparkEntry.queries("q_knn_join")(spark, sf("embeddings"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val windowTop = {
+      import org.apache.spark.sql.expressions.Window
+      embs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim_raw",
+                    Functions.cosine(col("embedding"), col("q_emb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("sim_raw").desc_nulls_last, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    assert(udafTop === windowTop)
+  }
+
+  test("curation output is a deduped subset of the quality-filtered corpus") {
+    val out = SparkEntry.queries("q_curation")(spark, sf("documents"))
+    val rows = out.select("doc_id", "n_tok").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 30))
+    // one row per content hash
+    val hashes = out.select("h").as[String].collect()
+    assert(hashes.distinct.length === hashes.length)
+  }
+
+  test("scrub removes exactly the marker tokens and renormalizes") {
+    val df = Seq((0L, "the data x the y"), (1L, "x y z")).toDF("doc_id", "text")
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "\\b(the|a|data|row|query)\\b", " "),
+      " +", " "))
+    val out = df.select(col("doc_id"), cleaned.as("c"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 === "x y")
+    assert(out(1)._2 === "x y z")
+  }
 }
