@@ -16,7 +16,8 @@ object Explain {
   // (bounded dims or an explicitly broadcast side).
   private val nestedLoopExpected = Set(
     "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
-    "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf")
+    "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf",
+    "q_knn_join") // scores vs an explicitly broadcast bounded query set
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -25,7 +26,8 @@ object Explain {
   private val globalOrderExpected = Set(
     "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
     "q_agg_global", "q_profile", "q_text_tfidf",
-    "q_subquery_scalar") // scalar subquery = one-row global aggregate
+    "q_subquery_scalar", // scalar subquery = one-row global aggregate
+    "q_tpch_q6")         // global scalar agg: one partial row per partition
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -64,11 +64,14 @@ object LlmOps {
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
       .localCheckpoint()
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val sigAggs = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
     }
-    val sig = sh.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+    // per-doc shingle count rides along in the signature aggregation —
+    // one hash-aggregate pass over the shingle relation, not two
+    val sig = sh.groupBy("doc")
+      .agg(count(lit(1)).as("n_sh"), sigAggs: _*)
+    val counts = sig.select(col("doc"), col("n_sh"))
     val bandStructs = (0 until bands).map { i =>
       struct(lit(i).as("band"),
              xxhash64((0 until rowsPerBand)

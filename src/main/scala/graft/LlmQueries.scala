@@ -40,13 +40,19 @@ object LlmQueries extends QueryPack {
                                  "text", 10)
         .orderBy("a", "b")),
 
-    // L2d: embedding-cosine near-dup pairs.
+    // L2d: embedding-cosine near-dup pairs. Norms are projected BEFORE the
+    // quadratic pair join (n values instead of n² — cuts 2/3 of the
+    // per-pair flops); the division keeps the exact cosine() arithmetic,
+    // so results stay bit-identical to the oracle.
     "q_dedup_embed" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+                       Functions.l2Norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+                       Functions.l2Norm(col("embedding")).as("nb"))
       a.join(b, col("a") < col("b"))
-        .withColumn("sim_raw", Functions.cosine(col("ea"), col("eb")))
+        .withColumn("sim_raw", Functions.dotProduct(col("ea"), col("eb"))
+                                 / (col("na") * col("nb")))
         .filter(col("sim_raw") >= 0.5)
         .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
         .orderBy("a", "b")
