@@ -281,6 +281,35 @@ object LlmQueries extends QueryPack {
         .orderBy(col("q_id"), col("sim").desc_nulls_last, col("vec_id"))
     }),
 
+    // L2: character-level edit distance on a bounded doc slice (the
+    // fuzzy-match primitive; O(len²) per pair, so real pipelines run it
+    // only on candidate pairs from a cheaper blocking stage — here the
+    // slice bound plays that role).
+    "q_text_edit_distance" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
+      d.select(col("doc_id").as("a"), col("p").as("pa"))
+        .join(d.select(col("doc_id").as("b"), col("p").as("pb")),
+              col("a") < col("b"))
+        .select(col("a"), col("b"),
+                levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
+
+    // L1: stratified deterministic sampling — per-language keep rates via
+    // an md5 hex threshold (en 50 %, de/es 25 %, rest 12.5 %). The
+    // hash-threshold form reproduces exactly on any cluster and any
+    // partitioning, unlike RNG sampling.
+    "q_sample_stratified" -> ((s, dir) => {
+      val thresh = when(col("lang") === "en", lit("8"))
+        .when(col("lang").isin("de", "es"), lit("4"))
+        .otherwise(lit("2"))
+      Tables(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < thresh)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // L1+L5: end-to-end curation composite — quality filter (length +
     // stopword evidence) → exact dedup (min doc id per content hash) →
     // deterministic 50 % hash sample. The one-query form of the
@@ -532,6 +561,22 @@ object LlmQueries extends QueryPack {
         |SELECT doc_id, h, n_tok FROM dedup
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 60) AS p FROM documents
+        |  WHERE doc_id < 30)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(levenshtein(x.p, y.p) AS BIGINT) AS dist
+        |FROM d x JOIN d y ON x.doc_id < y.doc_id
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE WHEN lang = 'en' THEN '8'
+        |       WHEN lang IN ('de', 'es') THEN '4' ELSE '2' END
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_lang_id" ->

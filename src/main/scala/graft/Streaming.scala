@@ -157,4 +157,29 @@ object Streaming {
       .toDF("user_id", "n", "sum_value")
       .withColumn("sum_value", round(col("sum_value"), 4))
   }
+
+  /** T8b: `flatMapGroupsWithState` — the 0..n-outputs-per-group stateful
+    * API. Emits one alert row each time a user's cumulative value crosses
+    * another multiple of `step` (so a batch can produce zero alerts, or
+    * several if the total jumps multiple levels). State is one double per
+    * key; bounded key space here, watermark/timeout-bounded in production.
+    */
+  def thresholdAlerts(df: DataFrame, step: Double): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var total = state.getOption.getOrElse(0.0)
+          val startLevel = math.floor(total / step).toLong
+          rows.foreach(total += _._2)
+          state.update(total)
+          val endLevel = math.floor(total / step).toLong
+          ((startLevel + 1) to endLevel)
+            .map(k => (uid, k, total)).iterator
+      }
+      .toDF("user_id", "level", "total")
+  }
 }

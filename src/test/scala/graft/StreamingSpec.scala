@@ -93,6 +93,21 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L) === ((2L, 2L, 8.0)))
   }
 
+  test("T8b: flatMapGroupsWithState emits one alert per crossed threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val alerts = Streaming.thresholdAlerts(toDfStream(stream), 5.0)
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    stream.addData(eventRows.take(2)) // user1 total 3.0 → no alert
+    q.processAllAvailable()
+    stream.addData(eventRows.drop(2)) // user1 → 6.0 (level 1); user2 → 8.0
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("alerts").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 6.0), (2L, 1L, 8.0)))
+  }
+
   test("T1+U1: upsertSink maintains latest state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val state = Files.createTempDirectory("graft-upsert").toString + "/state"
