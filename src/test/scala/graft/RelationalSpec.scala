@@ -73,4 +73,50 @@ class RelationalSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaMaxBy).count() === 0)
     assert(viaMaxBy.exceptAll(viaWindow).count() === 0)
   }
+
+  test("filter + narrow projection reach the parquet scan " +
+       "(PushedFilters + pruned ReadSchema)") {
+    val plan = Tables(spark, sf("lineitem"), "lineitem")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+                         "GreaterThan(l_quantity,45.0)]"), plan.take(2000))
+    // the scan reads the 2 projected columns + nothing else
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.take(2000))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(spark, sf("orders"), "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.option("path", s"$wh/orders_b")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables(spark, sf("customer"), "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.option("path", s"$wh/customer_b")
+        .bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+              col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      // and the join still returns the right number of rows
+      assert(joined.count() ===
+        Tables(spark, sf("orders"), "orders")
+          .join(Tables(spark, sf("customer"), "customer"),
+                col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
 }
