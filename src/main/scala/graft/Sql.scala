@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  /** Register every harness table as a temp view for `spark.sql`. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
+  /** Register every harness table as a temp view for `spark.sql`, plus
+    * graft's native SQL functions (dot_product / cosine_sim). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    GraftExtensions.register(spark)
     Tables.all.foreach { name =>
       Tables(spark, dir, name).createOrReplaceTempView(name)
     }
+  }
 
   /** Run SQL against the registered store. */
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {

@@ -53,4 +53,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) === out(1))
     assert(out(0) !== out(2))
   }
+
+  test("SQL registry exposes dot_product / cosine_sim with native codegen") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D))")
+      .as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // SQL form and DataFrame form are the same expression tree
+    val viaDf = Seq((Array(1f, 2f, 3f), Array(9f, 8f, 7f))).toDF("a", "b")
+      .select(Functions.cosine(col("a"), col("b"))).as[Double].head()
+    val viaSql = {
+      Seq((Array(1f, 2f, 3f), Array(9f, 8f, 7f))).toDF("a", "b")
+        .createOrReplaceTempView("vecs")
+      spark.sql("SELECT cosine_sim(a, b) FROM vecs").as[Double].head()
+    }
+    assert(viaDf === viaSql)
+  }
 }
