@@ -29,8 +29,8 @@ object Bench {
     "q_agg_rollup", "q_agg_by_day", "q_agg_percentile",
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame",
     "q_global_rownum", "q_topk_per_group",
-    // CDC
-    "q_upsert_latest", "q_dedup_key",
+    // CDC + event analytics
+    "q_upsert_latest", "q_dedup_key", "q_scd2", "q_funnel", "q_retention",
     // TPC-H composites
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q18",
     // LLM-pipeline: dedup / similarity / text

@@ -29,7 +29,76 @@ object CdcQueries extends QueryPack {
     // U4: append-history stats (type-2 view of the change log).
     "q_history_count" -> ((s, dir) =>
       Cdc.historyStats(Tables(s, dir, "events"), "user_id", col("ts"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // U4b: SCD Type-2 validity intervals — every change event becomes a
+    // row valid from its timestamp until the entity's next change (open
+    // interval for the current state). One window pass, partitioned by
+    // entity: no skew beyond per-entity history length.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts").as("valid_from"),
+                lead(col("ts"), 1).over(w).as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // D: funnel analysis (ClickHouse windowFunnel analog) — furthest step
+    // of view → click → purchase reached within 24 h of the first view.
+    // Three hash-aggregates chained by equi-joins on the entity key; each
+    // stage shrinks to ≤1 row per user before the next join.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select("user_id", "event_type", "ts")
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+                col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1b"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+                col("ts") <= col("t1b") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      e.select("user_id").distinct()
+        .join(s1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"),
+              "left")
+        .join(s2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"),
+              "left")
+        .join(s3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"),
+              "left")
+        .select(col("user_id"),
+                (coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0))
+                  + coalesce(col("l3"), lit(0))).cast("long")
+                  .as("funnel_level"))
+        .orderBy("user_id")
+    }),
+
+    // D: cohort retention (ClickHouse retention analog) — users grouped by
+    // signup day; how many were active exactly 1 and 7 days later.
+    // Distinct (user, day) activity first (bounds the join), then two
+    // conditional aggregates.
+    "q_retention" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(date_trunc("day", min("ts")).as("d0"))
+      val activity = e.select(col("user_id"),
+                              date_trunc("day", col("ts")).as("d")).distinct()
+      cohort.join(activity, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(max(when(col("d") === col("d0") + expr("INTERVAL 1 DAY"), 1)
+                   .otherwise(0)).as("r1"),
+             max(when(col("d") === col("d0") + expr("INTERVAL 7 DAYS"), 1)
+                   .otherwise(0)).as("r7"))
+        .groupBy("d0")
+        .agg(count(lit(1)).as("n_users"),
+             sum("r1").cast("long").as("retained_d1"),
+             sum("r7").cast("long").as("retained_d7"))
+        .orderBy("d0")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -51,6 +120,62 @@ object CdcQueries extends QueryPack {
     "q_history_count" ->
       """SELECT user_id, count(*) AS n_versions, min(ts) AS first_version,
         |       max(ts) AS last_version
-        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS valid_to
+        |FROM events
+        |ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
+        |         event_id NULLS FIRST""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1b
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1b + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+        |       AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id NULLS FIRST""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+        |    AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |per_user AS (
+        |  SELECT c.user_id, c.d0,
+        |    max(CASE WHEN a.d = c.d0 + INTERVAL 1 DAY THEN 1 ELSE 0 END)
+        |      AS r1,
+        |    max(CASE WHEN a.d = c.d0 + INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |      AS r7
+        |  FROM cohort c JOIN activity a ON c.user_id = a.user_id
+        |  GROUP BY c.user_id, c.d0)
+        |SELECT d0, count(*) AS n_users,
+        |  CAST(sum(r1) AS BIGINT) AS retained_d1,
+        |  CAST(sum(r7) AS BIGINT) AS retained_d7
+        |FROM per_user GROUP BY d0 ORDER BY d0 NULLS FIRST""".stripMargin
   )
 }
