@@ -103,6 +103,21 @@ object TpchQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
     }),
 
+    // Q14 shape: promo-revenue ratio — fact⋈dimension with a conditional
+    // aggregate; part is broadcast, lineitem never shuffles.
+    "q_tpch_q14" -> ((s, dir) => {
+      val zero = lit(0).cast("decimal(18,4)")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(Tables(s, dir, "part")),
+              col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+               sum(when(col("p_type") === "PROMO", revenue).otherwise(zero))
+                 .cast("double") /
+               sum(revenue).cast("double"), 6).as("promo_revenue"))
+    }),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -189,6 +204,17 @@ object TpchQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC NULLS LAST,
         |         o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
