@@ -235,8 +235,11 @@ object LlmOps {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with least(node, min neighbor) — the same aggregation that
+    // derives the node set performs the first propagation step for free
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
