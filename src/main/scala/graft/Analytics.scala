@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Destination-engine event analytics (SURVEY.md §2 [D]): the funnel /
+  * retention / SCD-2 shapes ClickHouse deployments run over CDC event
+  * history, as reusable DataFrame transforms.
+  *
+  * All three are shuffle-minimal: funnel chains per-entity aggregates
+  * (each stage ≤1 row per entity before the next join), retention joins a
+  * distinct (entity, day) activity set, SCD-2 is one entity-partitioned
+  * window pass.
+  */
+object Analytics {
+
+  /** Ordered-step funnel (ClickHouse windowFunnel analog): for each
+    * entity, how many of `steps` completed in order, all within `window`
+    * of the first step's first occurrence. Step k counts only if it
+    * happens strictly after step k-1's qualifying time.
+    * Returns (userCol, funnel_level).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String], window: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"))
+    val s1 = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("ts").as("t_prev"), min("ts").as("t0"))
+    val stages = steps.tail.scanLeft(s1) { (prev, step) =>
+      e.filter(col("et") === step).join(prev, "u")
+        .filter(col("ts") > col("t_prev") &&
+                col("ts") <= col("t0") + expr(s"INTERVAL $window"))
+        .groupBy("u").agg(min("ts").as("t_prev"), min("t0").as("t0"))
+    }
+    val base = e.select(col("u")).distinct()
+    stages.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      acc.join(st.select(col("u"), lit(1).as(s"l_$i")), Seq("u"), "left")
+    }
+      .select(col("u").as(userCol),
+              stages.indices.map(i => coalesce(col(s"l_$i"), lit(0)))
+                .reduce(_ + _).cast("long").as("funnel_level"))
+  }
+
+  /** Cohort retention (ClickHouse retention analog): entities grouped by
+    * the day of their first `cohortType` event; for each offset n in
+    * `days`, how many were active exactly n days later. Returns
+    * (d0, n_users, retained_d<n>...).
+    */
+  def retention(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, cohortType: String,
+                days: Seq[Int]): DataFrame = {
+    require(days.nonEmpty, "retention needs at least one day offset")
+    val cohort = events.filter(col(typeCol) === cohortType)
+      .groupBy(userCol).agg(date_trunc("day", min(tsCol)).as("d0"))
+    val activity = events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("d"))
+      .distinct()
+    val flags = days.map { n =>
+      max(when(col("d") === col("d0") + expr(s"INTERVAL $n DAYS"), 1)
+            .otherwise(0)).as(s"r_$n")
+    }
+    val sums: Seq[Column] = days.map { n =>
+      sum(s"r_$n").cast("long").as(s"retained_d$n")
+    }
+    cohort.join(activity, userCol)
+      .groupBy(col(userCol), col("d0"))
+      .agg(flags.head, flags.tail: _*)
+      .groupBy("d0")
+      .agg(count(lit(1)).as("n_users"), sums: _*)
+  }
+
+  /** SCD Type-2 validity intervals: every change row becomes valid from
+    * its timestamp until the entity's next change (null = current state).
+    * `tieCols` break ordering ties deterministically.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           tieCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol) +: tieCols: _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
+}

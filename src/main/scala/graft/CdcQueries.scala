@@ -31,74 +31,29 @@ object CdcQueries extends QueryPack {
       Cdc.historyStats(Tables(s, dir, "events"), "user_id", col("ts"))
         .orderBy("user_id")),
 
-    // U4b: SCD Type-2 validity intervals — every change event becomes a
-    // row valid from its timestamp until the entity's next change (open
-    // interval for the current state). One window pass, partitioned by
-    // entity: no skew beyond per-entity history length.
-    "q_scd2" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-      Tables(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-                col("ts").as("valid_from"),
-                lead(col("ts"), 1).over(w).as("valid_to"))
-        .orderBy("user_id", "valid_from", "event_id")
-    }),
+    // U4b: SCD Type-2 validity intervals ([[Analytics.scd2]] — one
+    // entity-partitioned window pass).
+    "q_scd2" -> ((s, dir) =>
+      Analytics.scd2(Tables(s, dir, "events"), "user_id", "ts",
+                     Seq(col("event_id")))
+        .select("user_id", "event_id", "event_type", "valid_from",
+                "valid_to")
+        .orderBy("user_id", "valid_from", "event_id")),
 
-    // D: funnel analysis (ClickHouse windowFunnel analog) — furthest step
-    // of view → click → purchase reached within 24 h of the first view.
-    // Three hash-aggregates chained by equi-joins on the entity key; each
-    // stage shrinks to ≤1 row per user before the next join.
-    "q_funnel" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .select("user_id", "event_type", "ts")
-      val s1 = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
-        .filter(col("ts") > col("t1") &&
-                col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1b"))
-      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
-        .filter(col("ts") > col("t2") &&
-                col("ts") <= col("t1b") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      e.select("user_id").distinct()
-        .join(s1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"),
-              "left")
-        .join(s2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"),
-              "left")
-        .join(s3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"),
-              "left")
-        .select(col("user_id"),
-                (coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0))
-                  + coalesce(col("l3"), lit(0))).cast("long")
-                  .as("funnel_level"))
-        .orderBy("user_id")
-    }),
+    // D: funnel analysis ([[Analytics.funnel]] — ClickHouse windowFunnel
+    // analog): furthest step of view → click → purchase within 24 h of
+    // the first view.
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(Tables(s, dir, "events"), "user_id", "event_type",
+                       "ts", Seq("view", "click", "purchase"), "24 HOURS")
+        .orderBy("user_id")),
 
-    // D: cohort retention (ClickHouse retention analog) — users grouped by
-    // signup day; how many were active exactly 1 and 7 days later.
-    // Distinct (user, day) activity first (bounds the join), then two
-    // conditional aggregates.
-    "q_retention" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-      val cohort = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(date_trunc("day", min("ts")).as("d0"))
-      val activity = e.select(col("user_id"),
-                              date_trunc("day", col("ts")).as("d")).distinct()
-      cohort.join(activity, "user_id")
-        .groupBy("user_id", "d0")
-        .agg(max(when(col("d") === col("d0") + expr("INTERVAL 1 DAY"), 1)
-                   .otherwise(0)).as("r1"),
-             max(when(col("d") === col("d0") + expr("INTERVAL 7 DAYS"), 1)
-                   .otherwise(0)).as("r7"))
-        .groupBy("d0")
-        .agg(count(lit(1)).as("n_users"),
-             sum("r1").cast("long").as("retained_d1"),
-             sum("r7").cast("long").as("retained_d7"))
-        .orderBy("d0")
-    })
+    // D: cohort retention ([[Analytics.retention]]) — users by signup day;
+    // active exactly 1 and 7 days later.
+    "q_retention" -> ((s, dir) =>
+      Analytics.retention(Tables(s, dir, "events"), "user_id", "event_type",
+                          "ts", "signup", Seq(1, 7))
+        .orderBy("d0"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Fixture-level semantics of the event-analytics operators (the oracle
+  * gate checks them against DuckDB on real data; these pin the intended
+  * behavior on hand-built journeys).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: ordered steps, strict ordering, bounded window") {
+    val events = Seq(
+      // user 1: full journey inside 24 h → level 3
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // user 2: click BEFORE the first view → level 1
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      // user 3: purchase outside the 24 h window → level 2
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 00:30:00")),
+      (3L, "purchase", ts("2024-01-02 12:00:00")),
+      // user 4: never views → level 0
+      (4L, "purchase", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(events, "user_id", "event_type", "ts",
+                               Seq("view", "click", "purchase"), "24 HOURS")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 3L), (2L, 1L), (3L, 2L), (4L, 0L)))
+  }
+
+  test("retention counts activity at exact day offsets per cohort") {
+    val events = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-02 09:00:00")),  // day 1 ✓
+      (1L, "click", ts("2024-01-08 23:00:00")),  // day 7 ✓
+      (2L, "signup", ts("2024-01-01 11:00:00")),
+      (2L, "click", ts("2024-01-03 09:00:00")),  // day 2 — counts for neither
+      (3L, "signup", ts("2024-01-05 00:00:00")), // different cohort, no return
+      (4L, "click", ts("2024-01-01 00:00:00"))   // never signs up: no cohort
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.retention(events, "user_id", "event_type", "ts",
+                                  "signup", Seq(1, 7))
+      .orderBy("d0")
+      .select(col("d0").cast("string"), col("n_users"),
+              col("retained_d1"), col("retained_d7"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("2024-01-01 00:00:00", 2L, 1L, 1L),
+      ("2024-01-05 00:00:00", 1L, 0L, 0L)))
+  }
+
+  test("scd2 intervals abut and the current state is open-ended") {
+    val events = Seq(
+      (1L, 10L, "a", ts("2024-01-01 00:00:00")),
+      (1L, 11L, "b", ts("2024-01-02 00:00:00")),
+      (1L, 12L, "c", ts("2024-01-03 00:00:00")),
+      (2L, 20L, "x", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Analytics.scd2(events, "user_id", "ts", Seq(col("event_id")))
+      .select("user_id", "event_type", "valid_from", "valid_to")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect()
+    assert(out(0) === ((1L, "a", ts("2024-01-01 00:00:00"),
+                        Some(ts("2024-01-02 00:00:00")))))
+    assert(out(1) === ((1L, "b", ts("2024-01-02 00:00:00"),
+                        Some(ts("2024-01-03 00:00:00")))))
+    assert(out(2)._4 === None) // current state of user 1
+    assert(out(3)._4 === None) // single-version user 2
+  }
+}
