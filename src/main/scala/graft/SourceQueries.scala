@@ -66,20 +66,53 @@ object SourceQueries extends QueryPack {
     // L7: multimodal feature extraction over binary payloads synthesized
     // from the documents table (payload = utf8 bytes of the text).
     "q_multimodal_features" -> ((s, dir) => {
-      val media = Tables(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-                col("text").cast("binary").as("payload"),
-                struct(lit(null).cast("int").as("width"),
-                       lit(null).cast("int").as("height"),
-                       col("n_chars").as("duration_ms"),
-                       lit("text/plain").as("mime")).as("meta"))
-      Multimodal.extractFeatures(media, 8)
+      Multimodal.extractFeatures(syntheticMedia(s, dir), 8)
         .select(col("media_id"), size(col("features")).cast("long").as("dim"),
                 round(element_at(col("features"), 1).cast("double"), 6)
                   .as("f0"))
         .orderBy("media_id")
-    })
+    }),
+
+    // L7: metadata-only scan — the pruned-read path that never touches the
+    // heavy payload column (oracled: the meta struct is synthesized
+    // deterministically from documents).
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadataOnly(syntheticMedia(s, dir))
+        .orderBy("media_id")),
+
+    // L7: deterministic payload byte-sampling (the frame-sample shape) —
+    // oracled byte-for-byte because the synthesized payloads are ASCII.
+    "q_multimodal_sample" -> ((s, dir) =>
+      Multimodal.samplePayload(syntheticMedia(s, dir), 4)
+        .select(col("media_id"), col("sample_idx").cast("long"),
+                col("byte"))
+        .orderBy("media_id", "sample_idx"))
   )
 
-  val oracles: Map[String, String] = Map.empty
+  private def syntheticMedia(s: org.apache.spark.sql.SparkSession,
+                             dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+              col("text").cast("binary").as("payload"),
+              struct(lit(null).cast("int").as("width"),
+                     lit(null).cast("int").as("height"),
+                     col("n_chars").as("duration_ms"),
+                     lit("text/plain").as("mime")).as("meta"))
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |  n_chars AS duration_ms, 'text/plain' AS mime
+        |FROM documents ORDER BY media_id NULLS FIRST""".stripMargin,
+
+    "q_multimodal_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+        |  ord(substring(text,
+        |    CAST((i * 2654435761) % length(text) AS INTEGER) + 1, 1))
+        |    AS byte
+        |FROM (SELECT doc_id, text, unnest(range(0, 4)) AS i
+        |      FROM documents) t
+        |ORDER BY media_id NULLS FIRST, sample_idx NULLS FIRST""".stripMargin
+  )
 }
