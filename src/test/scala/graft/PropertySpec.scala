@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks of the hand-written merge/graph logic — the
+  * pieces whose bugs the oracle gate would only catch on inputs the
+  * harness data happens to produce.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val entries: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(-100.0, 100.0)))
+
+  test("TopKByScore: any partition split merges to the global top-k") {
+    val agg = new Udafs.TopKByScore(5)
+    check(forAll(entries, Gen.choose(0, 10)) { (xs, splitSeed) =>
+      val expected = xs
+        .sortBy(t => (-t._2, t._1)).take(5)
+      // arbitrary split into partitions, reduce each, merge pairwise
+      val parts = xs.grouped(math.max(1, splitSeed + 1)).toList
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == expected
+    })
+  }
+
+  test("TopKByScore: reduce order never changes the result") {
+    val agg = new Udafs.TopKByScore(3)
+    check(forAll(entries) { xs =>
+      val a = xs.foldLeft(agg.zero)(agg.reduce)
+      val b = xs.reverse.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(a) == agg.finish(b)
+    })
+  }
+
+  private val edgeList: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+
+  /** Reference union-find for the distributed components loop. */
+  private def bruteComponents(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElse(a, a); parent.getOrElse(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents equals union-find on random graphs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // scalacheck's shrinker would re-run Spark jobs per shrink step; a
+    // fixed sample of generated graphs keeps the test fast and still
+    // property-driven
+    val samples = Gen.listOfN(12, edgeList).sample.get
+    samples.foreach { edges =>
+      val expected = bruteComponents(edges)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else LlmOps.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+}
