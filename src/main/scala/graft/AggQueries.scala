@@ -155,6 +155,17 @@ object AggQueries extends QueryPack {
                  col("o_orderpriority").asc_nulls_first,
                  col("g_status"), col("g_prio"))),
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube lattices) through the
+    // SQL surface: status-only and priority-only slices in one pass.
+    "q_agg_grouping_sets" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin)),
+
     // PIVOT: per-user value totals by event type (fixed category list).
     "q_pivot" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -271,6 +282,15 @@ object AggQueries extends QueryPack {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |        / count(*), 4) AS avg_price
         |FROM orders""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_agg_grouping" ->
       """SELECT o_orderstatus, o_orderpriority,

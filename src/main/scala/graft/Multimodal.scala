@@ -77,6 +77,20 @@ object Multimodal {
   def metadataOnly(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("kind"), col("meta.*"))
 
+  /** Resize stand-in: payload → payload transform that also rewrites the
+    * typed meta dims — the thumbnail/downsample shape. The stub truncates
+    * the byte stream to the target "pixel" budget; a real codec swaps in
+    * the same (payload, w, h) → payload contract.
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("payload",
+        when(col("payload").isNotNull,
+             substring(col("payload"), 1, w * h)).otherwise(col("payload")))
+      .withColumn("meta",
+        struct(lit(w).as("width"), lit(h).as("height"),
+               col("meta.duration_ms").as("duration_ms"),
+               col("meta.mime").as("mime")))
+
   /** Frame-sample stand-in: deterministic sample of `n` byte offsets per
     * payload (what frame sampling does to video, shape-wise): returns
     * (media_id, sample_idx, byte).

@@ -40,4 +40,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out.groupBy("media_id").count()
       .select("count").as[Long].collect().forall(_ === 4L))
   }
+
+  test("resizeStub bounds the payload and rewrites the meta dims") {
+    val out = Multimodal.resizeStub(media, 4, 2)
+    val rows = out.select(col("media_id"),
+        when(col("payload").isNotNull, length(col("payload")))
+          .otherwise(lit(-1)).as("len"),
+        col("meta.width"), col("meta.height"))
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Int)].collect()
+    rows.foreach { case (_, len, w, h) =>
+      assert(len === -1 || len <= 8) // truncated to w*h, nulls untouched
+      assert(w === 4 && h === 2)
+    }
+    assert(rows.exists(_._2 === -1)) // the null payload stays null
+  }
 }
