@@ -53,7 +53,31 @@ object CdcQueries extends QueryPack {
     "q_retention" -> ((s, dir) =>
       Analytics.retention(Tables(s, dir, "events"), "user_id", "event_type",
                           "ts", "signup", Seq(1, 7))
-        .orderBy("d0"))
+        .orderBy("d0")),
+
+    // D: time-series gap fill (ClickHouse ORDER BY ... WITH FILL analog):
+    // one row per (entity, day) over each entity's active range, carrying
+    // the latest value as of end-of-day. Day grid = sequence+explode;
+    // fill = the single-shuffle as-of join ([[Relational.asofJoin]]) over
+    // version-deduped events (unique ts per entity → deterministic pick).
+    "q_ts_fill" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val dedup = Cdc.dedupVersions(e, Seq("user_id"), Seq("ts"),
+                                    col("event_id"))
+        .select("user_id", "ts", "value")
+      val days = e.groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("d_min"),
+             date_trunc("day", max("ts")).as("d_max"))
+        .select(col("user_id"),
+                explode(sequence(col("d_min"), col("d_max"),
+                                 expr("INTERVAL 1 DAY"))).as("d"))
+        .withColumn("eod", col("d") + expr("INTERVAL 1 DAY")
+                             - expr("INTERVAL 1 MICROSECOND"))
+      Relational.asofJoin(days, dedup, "user_id", "eod", "ts", Seq("value"))
+        .select(col("user_id"), col("d"),
+                col("asof_value").as("fill_value"))
+        .orderBy("user_id", "d")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +100,29 @@ object CdcQueries extends QueryPack {
       """SELECT user_id, count(*) AS n_versions, min(ts) AS first_version,
         |       max(ts) AS last_version
         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_ts_fill" ->
+      """WITH dedup AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value, row_number() OVER (
+        |      PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC NULLS LAST) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |bounds AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS dmin,
+        |    CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS dmax
+        |  FROM events GROUP BY user_id),
+        |days AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d
+        |  FROM bounds)
+        |SELECT days.user_id, d,
+        |  (SELECT e.value FROM dedup e
+        |   WHERE e.user_id = days.user_id AND e.ts < d + INTERVAL 1 DAY
+        |   ORDER BY e.ts DESC LIMIT 1) AS fill_value
+        |FROM days
+        |ORDER BY user_id NULLS FIRST, d NULLS FIRST""".stripMargin,
 
     "q_scd2" ->
       """SELECT user_id, event_id, event_type, ts AS valid_from,
