@@ -175,6 +175,19 @@ object AggQueries extends QueryPack {
         .agg(round(sum("value"), 4))
         .orderBy("user_id")),
 
+    // UNPIVOT/melt — wide per-type totals back to (user, metric, value)
+    // rows; the inverse of q_pivot, dropping the null cells.
+    "q_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(round(sum("value"), 4))
+        .unpivot(Array(col("user_id")),
+                 Array(col("click"), col("purchase")),
+                 "metric", "value")
+        .filter(col("value").isNotNull)
+        .orderBy("user_id", "metric")),
+
     // §2.11: typed Aggregator top-k heap — the no-global-sort LIMIT path.
     "q_topk_udaf" -> ((s, dir) => {
       val topk = udaf(new Udafs.TopKByScore(3))
@@ -282,6 +295,21 @@ object AggQueries extends QueryPack {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |        / count(*), 4) AS avg_price
         |FROM orders""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'click' THEN value END), 4)
+        |      AS click,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+        |      AS purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, value FROM (
+        |  SELECT user_id, 'click' AS metric, click AS value FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'purchase' AS metric, purchase AS value FROM wide)
+        |WHERE value IS NOT NULL
+        |ORDER BY user_id NULLS FIRST, metric NULLS FIRST""".stripMargin,
 
     "q_agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
