@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression,
-  ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
+  Divide, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply,
+  NamedLambdaVariable, Sqrt, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** SQL-surface registration for graft's native expressions (SURVEY.md
   * §7.6): makes `dot_product(a, b)` and `cosine_sim(a, b)` callable from
@@ -18,8 +22,45 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression,
   *    point resolves the functions regardless of session origin).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}
+
+/** Optimizer rule: rewrite the interpreted higher-order-function dot
+  * product — `aggregate(zip_with(a, b, (x, y) => x * y), 0.0,
+  * (acc, v) => acc + v)` — into the codegen'd [[DotProduct]]. The HOF
+  * fold evaluates its lambdas interpreted (~20× slower on the all-pairs
+  * scans); both spellings accumulate left-to-right in double, so the
+  * rewrite is bit-exact. Conservative: fires only on the canonical
+  * double-array shape (float arrays insert casts and keep the fold).
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(body: NamedLambdaVariable,
+                        Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(
+              Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+              Seq(xa: NamedLambdaVariable, ya: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(
+              Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(acca: NamedLambdaVariable, va: NamedLambdaVariable), _),
+            finish)
+          if x.exprId == xa.exprId && y.exprId == ya.exprId &&
+             acc.exprId == acca.exprId && v.exprId == va.exprId &&
+             isIdentity(finish) =>
+        DotProduct(a, b)
+    }
 }
 
 object GraftExtensions {
@@ -41,8 +82,12 @@ object GraftExtensions {
      cosineExpr _))
 
   /** Idempotent registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+  }
 }

@@ -74,4 +74,20 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(viaDf === viaSql)
   }
+
+  test("optimizer rule rewrites the HOF dot-product fold to native form") {
+    GraftExtensions.register(spark)
+    // parquet-backed input so constant folding can't collapse the plan
+    val e = Tables(spark, sf("embeddings"), "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val df = e.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+                lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(df.queryExecution.executedPlan.toString.contains("dot_product"),
+           df.queryExecution.executedPlan.toString.take(800))
+    // and the rewritten plan computes the same values as the native form
+    val viaNative = e.select(Functions.dotProduct(col("v"), col("v")).as("d"))
+    assert(df.as[Double].collect().toSeq ===
+           viaNative.as[Double].collect().toSeq)
+  }
 }
