@@ -46,6 +46,19 @@ object JoinQueries extends QueryPack {
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")),
 
+    // J2b: right outer — every order kept even when its customer is
+    // filtered out of the left side.
+    "q_join_right" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+        .join(Tables(s, dir, "orders")
+                .select("o_orderkey", "o_custkey"),
+              col("c_custkey") === col("o_custkey"), "right")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("c_mktsegment"))
+        .orderBy("o_orderkey")),
+
     // J3: full outer over partially-overlapping subsets.
     "q_join_full" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -151,6 +164,14 @@ object JoinQueries extends QueryPack {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |RIGHT JOIN (SELECT o_orderkey, o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
 
     "q_join_full" ->
       """SELECT c_custkey, c_acctbal, o_custkey, n_big_orders FROM
