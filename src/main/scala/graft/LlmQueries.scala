@@ -281,6 +281,22 @@ object LlmQueries extends QueryPack {
         .orderBy(col("q_id"), col("sim").desc_nulls_last, col("vec_id"))
     }),
 
+    // L5: unigram log-probability scoring — the perplexity-filter shape:
+    // corpus token frequencies (tiny, broadcast) joined back to each
+    // occurrence, averaged per doc. At 100 TB the frequency table is the
+    // only shuffle; docs never leave their partitions.
+    "q_text_logprob" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(LlmOps.tokens(col("text"))).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
+        .withColumn("lp", log(col("c").cast("double") / col("n_total")))
+        .groupBy("doc_id")
+        .agg(round(avg("lp"), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // L2: character-level edit distance on a bounded doc slice (the
     // fuzzy-match primitive; O(len²) per pair, so real pipelines run it
     // only on candidate pairs from a cheaper blocking stage — here the
@@ -562,6 +578,16 @@ object LlmQueries extends QueryPack {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id, round(avg(ln(c * 1.0 / n_total)), 4) AS avg_logprob
+        |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_text_edit_distance" ->
       """WITH d AS (
