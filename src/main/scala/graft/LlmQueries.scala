@@ -172,13 +172,16 @@ object LlmQueries extends QueryPack {
 
     // L1: rolling polynomial hash over the token stream, mod a large prime
     // (order-sensitive fingerprint; ANSI-safe — every intermediate stays
-    // under 2^63; no SQL-expressible fold in DuckDB → rows-only).
+    // under 2^63). Token hash = 32-bit md5 prefix, which DuckDB can
+    // replicate (hex cast + list_reduce) → full oracle.
     "q_fingerprint_rolling" -> ((s, dir) => {
       val p = lit(1000000007L)
+      def h(t: org.apache.spark.sql.Column) =
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long")
       Tables(s, dir, "documents")
         .select(col("doc_id"),
                 aggregate(LlmOps.tokens(col("text")), lit(5381L),
-                          (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), p), p))
+                          (acc, t) => pmod(acc * 31 + h(t), p))
                   .as("fp_roll"))
         .orderBy("doc_id")
     }),
@@ -578,6 +581,16 @@ object LlmQueries extends QueryPack {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(5381 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(concat('0x', substring(md5(t), 1, 8))
+        |               AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_text_logprob" ->
       """WITH tok AS (
