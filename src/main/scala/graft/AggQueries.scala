@@ -175,6 +175,16 @@ object AggQueries extends QueryPack {
         .agg(round(sum("value"), 4))
         .orderBy("user_id")),
 
+    // Value histogram (ClickHouse histogram analog, fixed-width buckets):
+    // floor-division bucketing is a map-side expression, so the whole
+    // histogram costs one hash-aggregate on a tiny key space.
+    "q_agg_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long")
+                   .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // UNPIVOT/melt — wide per-type totals back to (user, metric, value)
     // rows; the inverse of q_pivot, dropping the null cells.
     "q_unpivot" -> ((s, dir) =>
@@ -295,6 +305,12 @@ object AggQueries extends QueryPack {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |        / count(*), 4) AS avg_price
         |FROM orders""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY bucket
+        |ORDER BY bucket NULLS FIRST""".stripMargin,
 
     "q_unpivot" ->
       """WITH wide AS (

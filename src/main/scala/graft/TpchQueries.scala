@@ -103,6 +103,22 @@ object TpchQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
     }),
 
+    // Q4 shape: order-priority counts for orders with late first shipment
+    // (> 30 days after order date). Aggregate lineitem to min shipdate per
+    // order FIRST (map-side shrink), then one equi-join — the EXISTS
+    // decorrelation done by hand.
+    "q_tpch_q4" -> ((s, dir) => {
+      val firstShip = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+      Tables(s, dir, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("first_ship") > col("o_orderdate")
+                  + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Q14 shape: promo-revenue ratio — fact⋈dimension with a conditional
     // aggregate; part is broadcast, lineitem never shuffles.
     "q_tpch_q14" -> ((s, dir) => {
@@ -204,6 +220,16 @@ object TpchQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC NULLS LAST,
         |         o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_tpch_q4" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_late
+        |FROM orders JOIN fs ON o_orderkey = l_orderkey
+        |WHERE first_ship > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_tpch_q14" ->
       """SELECT round(100.0 *
