@@ -109,6 +109,27 @@ class SourcesSpec extends SparkSpec {
            docs.filter(col("lang") === "en").count())
   }
 
+  test("dynamic partition pruning fires on partitioned fact x filtered dim") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim must be a scan with a real Filter node (a constant-folded local
+    // relation loses the selective-predicate signal DPP looks for)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq(("click", 1), ("view", 2), ("error", 3))
+      .toDF("event_type", "w").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("w") === 1), "event_type")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+           s"expected runtime partition pruning in plan:\n${plan.take(2500)}")
+    // and the pruned join returns exactly the click rows
+    assert(joined.count() ===
+           Tables(spark, "/root/testdata/sf0.001", "events")
+             .filter(col("event_type") === "click").count())
+  }
+
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
       .toDF("timestamp", "offset", "value")
