@@ -108,6 +108,23 @@ object LlmQueries extends QueryPack {
       LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
         .orderBy("vec_id")),
 
+    // L4d: k-means assignment step — nearest of k deterministic seed
+    // vectors per embedding. One broadcast of the seeds + one
+    // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,
+    // no per-entity window): the shape that scales to 10⁹ vectors.
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      e.crossJoin(broadcast(seeds))
+        .withColumn("sim", Functions.cosine(col("embedding"), col("c_emb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("c_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).cast("long").as("cluster"),
+                round(col("m.sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    }),
+
     // L5: per-document token/char counts.
     "q_text_tokens" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -546,6 +563,24 @@ object LlmQueries extends QueryPack {
         |           ELSE CAST(len(string_split(clean, ' ')) AS BIGINT) END
         |    AS n_removed
         |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_cluster_assign" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, s.c_id,
+         |    ${cosSql("e.embedding", "s.c_emb")} AS sim
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT vec_id, c_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY sim DESC NULLS LAST, c_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id, CAST(c_id AS BIGINT) AS cluster,
+         |  round(sim, 4) AS sim
+         |FROM ranked WHERE rn = 1
+         |ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     "q_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
