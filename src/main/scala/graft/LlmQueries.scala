@@ -346,6 +346,31 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Capstone: the full training-shard prep pass in ONE plan — quality
+    // gate (length + stopword evidence) → exact-Jaccard near-dup mining →
+    // connected-components cluster resolution (keep the min-id survivor)
+    // → deterministic 50 % hash sample. Every stage is the scale-shaped
+    // variant used by its standalone query.
+    "q_pipeline_shard" -> ((s, dir) => {
+      val toks = LlmOps.tokens(col("text"))
+      val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_stop", size(filter(toks,
+          t => array_contains(stop, t))))
+        .filter(col("n_tok") >= 20 && col("n_stop") >= 1)
+      val pairs = LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+                                           3, 0.2)
+      val dropped = LlmOps.connectedComponents(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+                  < lit("8"))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // L1+L5: end-to-end curation composite — quality filter (length +
     // stopword evidence) → exact dedup (min doc id per content hash) →
     // deterministic 50 % hash sample. The one-query form of the
@@ -598,6 +623,45 @@ object LlmQueries extends QueryPack {
          |FROM ranked WHERE rn <= 3
          |ORDER BY q_id NULLS FIRST, sim DESC NULLS LAST,
          |         vec_id NULLS FIRST""".stripMargin,
+
+    "q_pipeline_shard" ->
+      """WITH RECURSIVE docs_f AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |    AND len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'data', 'row', 'query'], t)))
+        |      >= 1),
+        |toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |         FROM docs_f),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |  WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+        |comp AS (SELECT x AS node, min(y) AS component FROM reach
+        |         GROUP BY x),
+        |dropped AS (SELECT node FROM comp WHERE node <> component)
+        |SELECT doc_id, lang, n_tok FROM docs_f
+        |WHERE doc_id NOT IN (SELECT node FROM dropped)
+        |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_curation" ->
       """WITH scored AS (
