@@ -18,7 +18,9 @@ object Explain {
     "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
     "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf",
     "q_knn_join",           // scores vs explicitly broadcast query set
-    "q_text_edit_distance") // theta self-join on a blocked bounded slice
+    "q_text_edit_distance", // theta self-join on a blocked bounded slice
+    "q_cluster_assign",     // cross vs explicitly broadcast seed set
+    "q_text_logprob")       // cross vs broadcast one-row total
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -28,7 +30,8 @@ object Explain {
     "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
     "q_agg_global", "q_profile", "q_text_tfidf",
     "q_subquery_scalar", // scalar subquery = one-row global aggregate
-    "q_tpch_q6", "q_tpch_q14") // global scalar aggs: one partial row each
+    "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
+    "q_text_logprob")          // broadcast scalar corpus-total aggregate
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
