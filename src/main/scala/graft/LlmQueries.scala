@@ -346,6 +346,21 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1: token-budget shard packing — docs in stable order, cumulative
+    // token count, shard id = exclusive-prefix // budget. The prefix sum
+    // is the two-pass range-partitioned form ([[Relational
+    // .globalPrefixSum]]), not a single-task window.
+    "q_pack_shards" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+      Relational.globalPrefixSum(docs, Seq(col("doc_id")), "n_tok",
+                                 "cum_tok")
+        .withColumn("shard",
+          floor((col("cum_tok") - col("n_tok")) / 5000.0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Capstone: the full training-shard prep pass in ONE plan — quality
     // gate (length + stopword evidence) → exact-Jaccard near-dup mining →
     // connected-components cluster resolution (keep the min-id survivor)
@@ -623,6 +638,21 @@ object LlmQueries extends QueryPack {
          |FROM ranked WHERE rn <= 3
          |ORDER BY q_id NULLS FIRST, sim DESC NULLS LAST,
          |         vec_id NULLS FIRST""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tok
+        |  FROM d)
+        |SELECT doc_id, n_tok, cum_tok,
+        |  CAST(floor((cum_tok - n_tok) / 5000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_pipeline_shard" ->
       """WITH RECURSIVE docs_f AS (

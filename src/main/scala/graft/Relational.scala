@@ -93,6 +93,39 @@ object Relational {
                         nullable = false))
   }
 
+  /** Global running sum WITHOUT the single-task window — same two-pass
+    * mechanics as [[globalRowNumber]]: range-partition the sort, sum each
+    * partition (one tiny job), then add the per-partition offset to a
+    * local running sum. The driver only ever sees one long per partition.
+    * Powers token-budget shard packing (`q_pack_shards`).
+    */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                      outCol: String = "cumsum"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (i, rows) =>
+      var s = 0L
+      rows.foreach(r => s += r.getLong(idx))
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withSum = rdd.mapPartitionsWithIndex { (i, rows) =>
+      var s = bc.value(i)
+      rows.map { row =>
+        s += row.getLong(idx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(withSum,
+      sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+                        nullable = false))
+  }
+
   /** The scale path for interval/range joins: quantize the range into
     * buckets so the nested-loop join becomes a hash equi-join on the
     * bucket id (right intervals explode into every covered bucket, left

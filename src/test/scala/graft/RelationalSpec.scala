@@ -74,6 +74,19 @@ class RelationalSpec extends SparkSpec {
     assert(viaMaxBy.exceptAll(viaWindow).count() === 0)
   }
 
+  test("globalPrefixSum matches the single-task window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    val viaWindow = docs.withColumn("cumsum",
+        sum("v").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val viaScalable = Relational.globalPrefixSum(docs, Seq(col("doc_id")), "v")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(viaScalable === viaWindow)
+  }
+
   test("filter + narrow projection reach the parquet scan " +
        "(PushedFilters + pruned ReadSchema)") {
     val plan = Tables(spark, sf("lineitem"), "lineitem")
