@@ -35,6 +35,16 @@ object LlmOps {
                    i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Non-overlapping k-token chunks (trailing partial chunk dropped) —
+    * the "line"/paragraph unit for corpus-wide exact chunk dedup on a
+    * corpus without newlines.
+    */
+  def chunksOf(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+         transform(sequence(lit(0), (size(toks) / k).cast("int") - 1),
+                   i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
     * shingle Jaccard — fully relational formulation:
     *

@@ -346,6 +346,30 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1: corpus-wide chunk-level exact dedup (the C4 "line dedup" shape
+    // on a corpus without newlines): 8-token chunks, a chunk is duplicate
+    // when it appears in more than one document; per-doc duplicate-chunk
+    // ratio. Two hash-aggregates + one semi-join-shaped count.
+    "q_dedup_chunks" -> ((s, dir) => {
+      val ch = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(LlmOps.chunksOf(LlmOps.tokens(col("text")), 8))
+                  .as("chunk"))
+      val dup = ch.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("chunk")
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val dups = ch.join(dup, "chunk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+                coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+                round(coalesce(col("n_dup"), lit(0L)).cast("double")
+                        / col("n_chunks"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // L1: token-budget shard packing — docs in stable order, cumulative
     // token count, shard id = exclusive-prefix // budget. The prefix sum
     // is the two-pass range-partitioned form ([[Relational
@@ -638,6 +662,26 @@ object LlmQueries extends QueryPack {
          |FROM ranked WHERE rn <= 3
          |ORDER BY q_id NULLS FIRST, sim DESC NULLS LAST,
          |         vec_id NULLS FIRST""".stripMargin,
+
+    "q_dedup_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(floor(len(tk) / 8) AS INTEGER)),
+        |    i -> array_to_string(tk[i*8+1 : i*8+8], ' '))) AS chunk
+        |  FROM toks WHERE len(tk) >= 8),
+        |dup AS (SELECT chunk FROM ch GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch
+        |        GROUP BY doc_id),
+        |dups AS (SELECT doc_id, count(*) AS n_dup
+        |         FROM ch JOIN dup USING (chunk) GROUP BY doc_id)
+        |SELECT tot.doc_id, n_chunks,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  round(coalesce(n_dup, 0) * 1.0 / n_chunks, 4) AS dup_ratio
+        |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
+        |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
 
     "q_pack_shards" ->
       """WITH d AS (
