@@ -346,6 +346,24 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1: benchmark decontamination — flag training docs sharing any
+    // 8-token shingle with the eval set (the standard n-gram overlap
+    // pass). Eval shingle set is small → broadcast; training docs never
+    // shuffle.
+    "q_decontaminate" -> ((s, dir) => {
+      def sh(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+                  explode(LlmOps.shingles(LlmOps.tokens(col("text")), 8))
+                    .as("s"))
+      val docs = Tables(s, dir, "documents")
+      val evalSh = sh(docs.filter(col("doc_id") < 20))
+        .select("s").distinct()
+      sh(docs.filter(col("doc_id") >= 20))
+        .join(broadcast(evalSh), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // L1: corpus-wide chunk-level exact dedup (the C4 "line dedup" shape
     // on a corpus without newlines): 8-token chunks, a chunk is duplicate
     // when it appears in more than one document; per-doc duplicate-chunk
@@ -662,6 +680,22 @@ object LlmQueries extends QueryPack {
          |FROM ranked WHERE rn <= 3
          |ORDER BY q_id NULLS FIRST, sim DESC NULLS LAST,
          |         vec_id NULLS FIRST""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 6),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |         tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+        |         tk[i+6] || ' ' || tk[i+7]))) AS s
+        |  FROM toks WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_dedup_chunks" ->
       """WITH toks AS (
