@@ -175,6 +175,15 @@ object AggQueries extends QueryPack {
         .agg(round(sum("value"), 4))
         .orderBy("user_id")),
 
+    // Boolean/conditional-count aggregates (every/any/count_if).
+    "q_agg_bool" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+             bool_or(col("l_discount") > 0.05).as("any_disc"),
+             count_if(col("l_quantity") > 45).as("n_big"))
+        .orderBy("l_returnflag")),
+
     // Value histogram (ClickHouse histogram analog, fixed-width buckets):
     // floor-division bucketing is a map-side expression, so the whole
     // histogram costs one hash-aggregate on a tiny key space.
@@ -305,6 +314,14 @@ object AggQueries extends QueryPack {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |        / count(*), 4) AS avg_price
         |FROM orders""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_disc,
+        |  CAST(count_if(l_quantity > 45) AS BIGINT) AS n_big
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q_agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

@@ -77,6 +77,18 @@ object FunctionQueries extends QueryPack {
                 (col("l_orderkey") % 7).as("md"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "r1")),
 
+    // F7b: bitwise operators on integer keys (ClickHouse bitAnd/bitOr/
+    // bitShift* analogs).
+    "q_bit_ops" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+                col("event_id").bitwiseOR(lit(16L)).as("b_or"),
+                col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+                shiftleft(col("event_id"), 2).as("b_shl"),
+                shiftright(col("event_id"), 1).as("b_shr"))
+        .orderBy("event_id")),
+
     // F8: array basics on the embeddings table.
     "q_array_funcs" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -211,6 +223,15 @@ object FunctionQueries extends QueryPack {
         |FROM lineitem
         |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
         |         l_quantity NULLS FIRST, r1 NULLS FIRST""".stripMargin,
+
+    "q_bit_ops" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 16 AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  event_id << 2 AS b_shl,
+        |  event_id >> 1 AS b_shr
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
