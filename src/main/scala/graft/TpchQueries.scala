@@ -103,6 +103,21 @@ object TpchQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
     }),
 
+    // Q10 shape: returned-item revenue per customer, top 20 — the
+    // "problem customers" report (3-way join, R-flag filter, grouped
+    // revenue, bounded output).
+    "q_tpch_q10" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("c_custkey"))
+        .limit(20)),
+
     // Q4 shape: order-priority counts for orders with late first shipment
     // (> 30 days after order date). Aggregate lineitem to min shipdate per
     // order FIRST (map-side shrink), then one equi-join — the EXISTS
@@ -220,6 +235,18 @@ object TpchQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC NULLS LAST,
         |         o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "q_tpch_q4" ->
       """WITH fs AS (
