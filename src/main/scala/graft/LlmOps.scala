@@ -230,6 +230,73 @@ object LlmOps {
     cosineTopK(inBucket, query, k)
   }
 
+  /** Banded hyperplane-LSH near-duplicate pairs over an embedding column —
+    * the production-scale replacement for the exact all-pairs cosine join
+    * (which stays as the recall oracle). Shape:
+    *
+    *  1. ONE posexplode + ONE hash-aggregate computes every plane
+    *     projection: plane p's coefficient for dimension i is ±1 derived
+    *     from xxhash64(p, i) (same stored-model-free derivation as
+    *     [[hyperplaneBucket]], but formulated relationally so the
+    *     tables×bits sums are codegen'd native aggregates instead of
+    *     interpreted HOF folds);
+    *  2. the sign bits band into `tables` keys of `bitsPerTable` bits;
+    *     a pair is a candidate iff it agrees on ≥1 full band
+    *     (sim s → per-plane agreement 1-acos(s)/π, so at s=0.5 a
+    *     16-table × 3-bit banding misses with prob (1-(2/3)³)¹⁶ ≈ 0.4 %);
+    *  3. candidates come from a self-equi-join on (table, bandKey) —
+    *     shuffle cost is Σ bucket² per table, linear in collisions, never
+    *     the O(n²) pair space;
+    *  4. exact-cosine verify with the same [[Functions.dotProduct]]
+    *     arithmetic as the baseline, so surviving pairs are bit-identical
+    *     to what the all-pairs join would emit.
+    *
+    * At 100 TB, `bitsPerTable` is the scale knob: bucket count 2^bits per
+    * table should track log₂(n / target-bucket-size) so per-bucket pair
+    * counts stay bounded; the harness default (3 bits over ~10³ vectors)
+    * keeps buckets ~n/8.
+    */
+  def embedNearDupPairsBucketed(embeddings: DataFrame, idCol: String,
+                                vecCol: String, tables: Int,
+                                bitsPerTable: Int,
+                                minSim: Double): DataFrame = {
+    val numPlanes = tables * bitsPerTable
+    val comps = embeddings.select(col(idCol).as("vid"),
+                                  posexplode(col(vecCol)).as(Seq("i", "x")))
+    val projAggs = (0 until numPlanes).map { p =>
+      sum(col("x").cast("double") *
+          (pmod(xxhash64(lit(p), col("i")), lit(2)).cast("double") * 2 - 1))
+        .as(s"proj_$p")
+    }
+    val proj = comps.groupBy("vid").agg(projAggs.head, projAggs.tail: _*)
+    val tableKeys = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+             (0 until bitsPerTable).map { j =>
+               when(col(s"proj_${t * bitsPerTable + j}") > 0,
+                    shiftleft(lit(1L), j)).otherwise(lit(0L))
+             }.reduce(_ bitwiseOR _).as("bk"))
+    }
+    val keys = proj
+      .select(col("vid"), explode(array(tableKeys: _*)).as("kk"))
+      .select(col("vid"), col("kk.tbl").as("tbl"), col("kk.bk").as("bk"))
+    val cand = keys.select(col("vid").as("a"), col("tbl"), col("bk"))
+      .join(keys.select(col("vid").as("b"), col("tbl"), col("bk")),
+            Seq("tbl", "bk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val v = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"),
+                              Functions.l2Norm(col(vecCol)).as("nrm"))
+    cand
+      .join(v.select(col("vid").as("a"), col("v").as("ea"),
+                     col("nrm").as("na")), "a")
+      .join(v.select(col("vid").as("b"), col("v").as("eb"),
+                     col("nrm").as("nb")), "b")
+      .withColumn("sim_raw",
+        Functions.dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim_raw") >= minSim)
+      .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
   /** Resolve near-dup pairs into duplicate clusters: iterative min-label
     * propagation (the GraphFrames-style connected-components loop — a
     * driver-side loop of ~diameter iterations, each a distributed

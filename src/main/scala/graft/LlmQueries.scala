@@ -40,10 +40,12 @@ object LlmQueries extends QueryPack {
                                  "text", 10)
         .orderBy("a", "b")),
 
-    // L2d: embedding-cosine near-dup pairs. Norms are projected BEFORE the
-    // quadratic pair join (n values instead of n² — cuts 2/3 of the
-    // per-pair flops); the division keeps the exact cosine() arithmetic,
-    // so results stay bit-identical to the oracle.
+    // L2d: embedding-cosine near-dup pairs — the EXACT ALL-PAIRS ORACLE
+    // BASELINE (O(n²); kept for correctness + recall testing of the banded
+    // LSH production path below, never for scale). Norms are projected
+    // BEFORE the quadratic pair join (n values instead of n² — cuts 2/3 of
+    // the per-pair flops); the division keeps the exact cosine()
+    // arithmetic, so results stay bit-identical to the oracle.
     "q_dedup_embed" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
@@ -57,6 +59,17 @@ object LlmQueries extends QueryPack {
         .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
         .orderBy("a", "b")
     }),
+
+    // L2d': banded hyperplane-LSH embedding near-dup — the production
+    // path that replaces the quadratic all-pairs join (rows-only here;
+    // LlmSpec asserts recall vs q_dedup_embed and exact-verify precision).
+    // Threshold 0.4 (vs the baseline's 0.5) so the synthetic corpus —
+    // whose max non-self pair sim is ~0.48 at sf0.001 — yields rows at
+    // every harness SF.
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      LlmOps.embedNearDupPairsBucketed(Tables(s, dir, "embeddings"),
+                                       "vec_id", "embedding", 16, 3, 0.4)
+        .orderBy("a", "b")),
 
     // L2e: near-dup pairs resolved into duplicate clusters (canonical
     // survivor = min doc id per connected component).

@@ -31,6 +31,40 @@ class LlmSpec extends SparkSpec {
            s"missed pairs: ${exact.diff(lsh)}")
   }
 
+  test("banded hyperplane LSH embed dedup: recall >= 0.9 vs the exact " +
+       "all-pairs baseline, precision exact") {
+    // exact all-pairs pairs at two thresholds below the sf0.001 max pair
+    // sim (~0.48): 0.45 (a handful of pairs) and 0.4 (a wider set, so
+    // recall is measured over dozens of pairs, not one)
+    def exactPairs(minSim: Double): Set[(Long, Long)] = {
+      val e = embs
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+                       Functions.l2Norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+                       Functions.l2Norm(col("embedding")).as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("sim", Functions.dotProduct(col("ea"), col("eb"))
+                             / (col("na") * col("nb")))
+        .filter(col("sim") >= minSim)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    }
+    def lshPairs(minSim: Double): Set[(Long, Long)] =
+      LlmOps.embedNearDupPairsBucketed(embs, "vec_id", "embedding", 16, 3,
+                                       minSim)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    for (t <- Seq(0.45, 0.4)) {
+      val exact = exactPairs(t)
+      val lsh = lshPairs(t)
+      assert(exact.nonEmpty, s"fixture should contain pairs at sim >= $t")
+      // precision is exact by construction: every candidate is verified
+      // with the same cosine arithmetic as the baseline
+      assert(lsh.subsetOf(exact), s"false positives at $t: ${lsh.diff(exact)}")
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9,
+             s"recall $recall at $t; missed ${exact.diff(lsh)}")
+    }
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val df = Seq(
       (1L, "spark join hash row batch scan filter merge order vector"),
