@@ -121,9 +121,48 @@ class StreamingSpec extends SparkSpec {
     stream.addData(Seq((1L, ts("2024-01-01 00:05:00"), "gold", 3.0)))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(state).orderBy("user_id")
+    val out = Streaming.readUpsertState(spark, state).orderBy("user_id")
       .select("user_id", "event_type").as[(Long, String)].collect()
     assert(out === Array((1L, "gold"), (2L, "silver")))
+  }
+
+  test("T1+U1: a 1-key micro-batch rewrites exactly its own state bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-upsertb").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-upsertb-ckpt").toString
+    val numBuckets = 8
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streaming.upsertSink(toDfStream(stream), state, ckpt,
+                                 Seq("user_id"), Seq("ts"), numBuckets).start()
+    // batch 1: 16 keys spread over the buckets
+    stream.addData((1L to 16L).map(u =>
+      (u, ts("2024-01-01 00:01:00"), "bronze", u.toDouble)))
+    q.processAllAvailable()
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(state)
+      root.listFiles().filter(_.getName.startsWith("__bucket=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(_.startsWith("part-")).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    assert(before.size > 1, "16 keys should touch more than one bucket")
+    // batch 2: a single key
+    stream.addData(Seq((7L, ts("2024-01-01 00:09:00"), "gold", 99.0)))
+    q.processAllAvailable()
+    q.stop()
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    // exactly ONE bucket dir rewritten — the one key 7 hashes into
+    val expected = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(numBuckets)).cast("int")).as[Int].head()
+    assert(changed === Set(s"__bucket=$expected"))
+    // and the merged state is still exactly the latest row per key
+    val out = Streaming.readUpsertState(spark, state)
+      .select("user_id", "event_type").as[(Long, String)].collect().toMap
+    assert(out(7L) === "gold")
+    assert(out.size === 16 && out.count(_._2 == "bronze") === 15)
   }
 
   test("T6: watermark drops events later than the allowed lateness") {
