@@ -63,6 +63,42 @@ object SourceQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // S4 end-to-end: registry-resolved decode of a stream carrying TWO
+    // schema generations (gen 2 adds a nullable field) — Avro schema
+    // resolution fills the default for gen-1 rows.
+    "q_confluent_decode" -> ((s, dir) => {
+      import s.implicits._
+      val gen2Json =
+        """{"type":"record","name":"users","fields":[
+          |{"name":"user_id","type":"long"},
+          |{"name":"username","type":["null","string"],"default":null},
+          |{"name":"account_type","type":["null","string"],"default":null},
+          |{"name":"updated_at","type":"long"},
+          |{"name":"tier","type":["null","string"],"default":null}]}"""
+          .stripMargin
+      val gen2Schema = new Schema.Parser().parse(gen2Json)
+      val writer2 = new GenericDatumWriter[GenericRecord](gen2Schema)
+      val gen2Frame = {
+        val rec = new GenericData.Record(gen2Schema)
+        rec.put("user_id", 4L)
+        rec.put("username", "user4")
+        rec.put("account_type", "Gold")
+        rec.put("updated_at", 1700000000000004L)
+        rec.put("tier", "vip")
+        val out = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        writer2.write(rec, enc)
+        enc.flush()
+        Array[Byte](0, 0, 0, 0, 8) ++ out.toByteArray // schema id 8
+      }
+      val registry = Sources.StaticSchemaRegistry(
+        Map(7 -> avroSchemaJson, 8 -> gen2Json))
+      val framed = (framedDemo :+ gen2Frame).toDF("value")
+      Sources.decodeConfluent(framed, col("value"), registry, gen2Json,
+                              usersSchema.add(StructField("tier", StringType)))
+        .orderBy("user_id")
+    }),
+
     // L7: multimodal feature extraction over binary payloads synthesized
     // from the documents table (payload = utf8 bytes of the text).
     "q_multimodal_features" -> ((s, dir) => {

@@ -97,11 +97,30 @@ object Sources {
   def confluentSchemaId(value: Column): Column =
     conv(hex(substring(value, 2, 4)), 16, 10).cast("int")
 
-  /** S4: decode flat Avro records (the post-SMT after-image shape) to rows
-    * of `schema` using the core Avro runtime — executor-side, one reader
-    * per partition, no driver involvement. Fields are matched by name;
+  /** Shared Avro GenericRecord → Row conversion: fields matched by name;
     * supported Avro types: long/int/string/double/float/boolean/bytes and
     * timestamp-micros logical longs (mapped per `schema`'s field type).
+    */
+  private def avroToRow(rec: GenericRecord, schema: StructType): Row =
+    Row.fromSeq(schema.fields.map { f =>
+      val v = if (rec.getSchema.getField(f.name) != null) rec.get(f.name)
+              else null
+      (v, f.dataType) match {
+        case (null, _) => null
+        case (x: org.apache.avro.util.Utf8, StringType) => x.toString
+        case (x: java.lang.Long, TimestampType) =>
+          // epoch micros (Debezium wire format, README.md:194) →
+          // micro-precision Timestamp
+          val t = new java.sql.Timestamp(x / 1000)
+          t.setNanos(((x % 1000000) * 1000).toInt)
+          t
+        case (x, _) => x
+      }
+    }.toSeq)
+
+  /** S4: decode flat Avro records (the post-SMT after-image shape) to rows
+    * of `schema` using the core Avro runtime — executor-side, one reader
+    * per partition, no driver involvement.
     */
   def decodeAvro(df: DataFrame, payload: Column, avroSchemaJson: String,
                  schema: StructType): DataFrame = {
@@ -114,21 +133,84 @@ object Sources {
         val bytes = r.getAs[Array[Byte]](0)
         val dec = decoderFactory.binaryDecoder(
           new ByteArrayInputStream(bytes), null)
-        val rec = reader.read(null, dec)
-        Row.fromSeq(schema.fields.map { f =>
-          val v = rec.get(f.name)
-          (v, f.dataType) match {
-            case (null, _) => null
-            case (x: org.apache.avro.util.Utf8, StringType) => x.toString
-            case (x: java.lang.Long, TimestampType) =>
-              // epoch micros (Debezium wire format, README.md:194) →
-              // micro-precision Timestamp
-              val t = new java.sql.Timestamp(x / 1000)
-              t.setNanos(((x % 1000000) * 1000).toInt)
-              t
-            case (x, _) => x
-          }
-        }.toSeq)
+        avroToRow(reader.read(null, dec), schema)
+      }
+    }(RowEncoder.encoderFor(schema)).toDF()
+  }
+
+  /** S4: schema lookup by registry id — the contract behind Confluent's
+    * `GET /schemas/ids/{id}` that the reference's consumers perform per
+    * message batch (`/root/reference/README.md:201-202`, `:138-141`).
+    * Implementations must be serializable: lookups run executor-side.
+    */
+  trait SchemaById extends Serializable {
+    /** The writer schema JSON registered under `id`. */
+    def apply(id: Int): String
+  }
+
+  /** Static id→schema registry: tests, frozen deployments, or a
+    * pre-fetched snapshot of the real registry shipped with the job.
+    */
+  final case class StaticSchemaRegistry(schemas: Map[Int, String])
+      extends SchemaById {
+    def apply(id: Int): String = schemas.getOrElse(id,
+      throw new NoSuchElementException(s"schema id $id not in registry"))
+  }
+
+  /** Confluent Schema Registry REST client
+    * (`GET {baseUrl}/schemas/ids/{id}` → `{"schema": "<json>"}`), with a
+    * per-JVM cache so each executor fetches a given id at most once —
+    * the access pattern the reference's serializer jar implements
+    * (`kafka-avro-serializer`, `README.md:202`).
+    */
+  final case class HttpSchemaRegistry(baseUrl: String) extends SchemaById {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    def apply(id: Int): String =
+      cache.computeIfAbsent(id, fetch(_))
+    private def fetch(id: Int): String = {
+      val conn = new java.net.URL(s"$baseUrl/schemas/ids/$id")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      try {
+        val body = new String(conn.getInputStream.readAllBytes(),
+                              java.nio.charset.StandardCharsets.UTF_8)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("schema").asText()
+      } finally conn.disconnect()
+    }
+  }
+
+  /** S4 end-to-end: decode Confluent-framed messages (magic 0x0 +
+    * big-endian schema id + Avro body) resolving each row's WRITER schema
+    * through `registry` and reading with `readerSchemaJson` — Avro schema
+    * resolution handles evolution (added-with-default / removed fields),
+    * so one stream can carry several schema generations, the exact
+    * situation the reference's registry-checked producers create
+    * (`README.md:260`). Per-partition reader cache: one registry lookup
+    * and one resolving reader per distinct schema id per partition.
+    */
+  def decodeConfluent(df: DataFrame, value: Column, registry: SchemaById,
+                      readerSchemaJson: String,
+                      schema: StructType): DataFrame = {
+    val bytesDf = df.select(value.cast("binary").as("__value"))
+    bytesDf.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val readers =
+        scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      val decoderFactory = DecoderFactory.get()
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        require(bytes.length > 5 && bytes(0) == 0,
+                "not a Confluent-framed message (magic byte != 0)")
+        val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+        val reader = readers.getOrElseUpdate(id, {
+          val writer = new Schema.Parser().parse(registry(id))
+          new GenericDatumReader[GenericRecord](writer, readerSchema)
+        })
+        val dec = decoderFactory.binaryDecoder(bytes, 5, bytes.length - 5, null)
+        avroToRow(reader.read(null, dec), schema)
       }
     }(RowEncoder.encoderFor(schema)).toDF()
   }

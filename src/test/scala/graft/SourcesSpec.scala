@@ -75,6 +75,64 @@ class SourcesSpec extends SparkSpec {
     assert(rows === demo.toArray)
   }
 
+  test("decodeConfluent resolves writer schemas by id through the " +
+       "registry across two schema generations") {
+    // gen 1: the original users schema; gen 2 adds a nullable field with a
+    // default — the compatible-evolution case the reference's registry
+    // enforces on producers
+    val gen2Json =
+      """{"type":"record","name":"users","fields":[
+        |{"name":"user_id","type":"long"},
+        |{"name":"username","type":["null","string"],"default":null},
+        |{"name":"account_type","type":["null","string"],"default":null},
+        |{"name":"updated_at","type":"long"},
+        |{"name":"tier","type":["null","string"],"default":null}]}"""
+        .stripMargin
+    val gen2Schema = new Schema.Parser().parse(gen2Json)
+    def gen2Bytes(id: Long, name: String, acct: String, micros: Long,
+                  tier: String): Array[Byte] = {
+      val rec = new GenericData.Record(gen2Schema)
+      rec.put("user_id", id)
+      rec.put("username", name)
+      rec.put("account_type", acct)
+      rec.put("updated_at", micros)
+      rec.put("tier", tier)
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](gen2Schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val registry = Sources.StaticSchemaRegistry(
+      Map(1 -> avroSchemaJson, 2 -> gen2Json))
+    val targetSchema = sparkSchema.add(StructField("tier", StringType))
+    // one stream, both generations interleaved
+    val df = Seq(
+      frame(1, avroBytes(1L, "user1", "Bronze", 1700000000123456L)),
+      frame(2, gen2Bytes(2L, "user2", "Silver", 1700000001000000L, "vip")),
+      frame(1, avroBytes(3L, "user3", "Gold", 1700000002000000L))
+    ).toDF("value")
+    val decoded = Sources.decodeConfluent(df, col("value"), registry,
+                                          gen2Json, targetSchema)
+    assert(decoded.schema === targetSchema)
+    val rows = decoded.orderBy("user_id")
+      .select(col("user_id"), col("username"),
+              unix_micros(col("updated_at")), col("tier"))
+      .as[(Long, String, Long, String)].collect()
+    assert(rows === Array(
+      (1L, "user1", 1700000000123456L, null),   // gen-1 row: default fills
+      (2L, "user2", 1700000001000000L, "vip"),  // gen-2 row: field present
+      (3L, "user3", 1700000002000000L, null)))
+    // unknown id surfaces, not swallowed
+    val bad = Seq(frame(9, avroBytes(1L, "x", "y", 0L))).toDF("value")
+    val err = intercept[org.apache.spark.SparkException] {
+      Sources.decodeConfluent(bad, col("value"), registry, gen2Json,
+                              targetSchema).collect()
+    }
+    assert(err.getMessage.contains("schema id 9") ||
+           Option(err.getCause).exists(_.getMessage.contains("schema id 9")))
+  }
+
   test("unwrapCdc surfaces after-images and delete tombstones") {
     val img = StructType(Seq(StructField("user_id", LongType),
                              StructField("account_type", StringType)))
