@@ -18,7 +18,6 @@ object Explain {
     "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
     "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf",
     "q_knn_join",           // scores vs explicitly broadcast query set
-    "q_text_edit_distance", // theta self-join on a blocked bounded slice
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_text_logprob")       // cross vs broadcast one-row total
   // Operators where a SinglePartition exchange is semantically required

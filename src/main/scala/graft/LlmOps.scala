@@ -230,6 +230,49 @@ object LlmOps {
     cosineTopK(inBucket, query, k)
   }
 
+  /** Blocked fuzzy-match pairs: Levenshtein distance computed only on
+    * candidate pairs from a real blocking stage — (a) the pair shares at
+    * least one RARE shingle (document frequency ≤ maxDf), and (b) the
+    * docs' lengths differ by ≤ lenTol chars (edit distance is lower-bounded
+    * by the length difference, so distant-length pairs can't be close).
+    * The O(len²) Levenshtein then runs on the first `prefixLen` chars of
+    * the surviving pairs only.
+    *
+    * Scale shape: pair count is bounded by Σ_rare-shingles df² ≤
+    * maxDf · |shingle occurrences| — linear in corpus size for fixed
+    * maxDf, never the O(n²) pair space. All stages are explode +
+    * hash-aggregate + equi-join.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, maxDf: Int, lenTol: Int,
+                        prefixLen: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+                           length(col(textCol)).as("len"),
+                           substring(col(textCol), 1, prefixLen).as("p"))
+      .localCheckpoint() // reused by both sides of the verify join
+    val sh = docs.select(col(idCol).as("doc"),
+                         explode(shingles(tokens(col(textCol)), shingleK))
+                           .as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
+    // shingles are distinct per doc, so count(*) per shingle = doc freq
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val rareSh = sh.join(rare, "s")
+    val cand = rareSh.select(col("doc").as("a"), col("s"))
+      .join(rareSh.select(col("doc").as("b"), col("s")), "s")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("doc").as("a"), col("p").as("pa"),
+                        col("len").as("la")), "a")
+      .join(base.select(col("doc").as("b"), col("p").as("pb"),
+                        col("len").as("lb")), "b")
+      .filter(abs(col("la") - col("lb")) <= lenTol)
+      .select(col("a"), col("b"),
+              levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+  }
+
   /** Banded hyperplane-LSH near-duplicate pairs over an embedding column —
     * the production-scale replacement for the exact all-pairs cosine join
     * (which stays as the recall oracle). Shape:

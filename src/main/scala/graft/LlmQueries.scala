@@ -330,20 +330,15 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // L2: character-level edit distance on a bounded doc slice (the
-    // fuzzy-match primitive; O(len²) per pair, so real pipelines run it
-    // only on candidate pairs from a cheaper blocking stage — here the
-    // slice bound plays that role).
-    "q_text_edit_distance" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").filter(col("doc_id") < 30)
-        .select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
-      d.select(col("doc_id").as("a"), col("p").as("pa"))
-        .join(d.select(col("doc_id").as("b"), col("p").as("pb")),
-              col("a") < col("b"))
-        .select(col("a"), col("b"),
-                levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
-        .orderBy("a", "b")
-    }),
+    // L2: character-level edit distance behind a REAL blocking stage:
+    // candidates must share a rare 3-token shingle (df <= 3) and sit
+    // within 30 chars of each other in length; Levenshtein verifies the
+    // 60-char prefixes of survivors only (~1% of the all-pairs space on
+    // this corpus, collision-linear at scale).
+    "q_text_edit_distance" -> ((s, dir) =>
+      LlmOps.editDistancePairs(Tables(s, dir, "documents"), "doc_id",
+                               "text", 3, 3, 30, 60)
+        .orderBy("a", "b")),
 
     // L1: stratified deterministic sampling — per-language keep rates via
     // an md5 hex threshold (en 50 %, de/es 25 %, rest 12.5 %). The
@@ -823,12 +818,24 @@ object LlmQueries extends QueryPack {
         |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_text_edit_distance" ->
-      """WITH d AS (
-        |  SELECT doc_id, substring(text, 1, 60) AS p FROM documents
-        |  WHERE doc_id < 30)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
-        |  CAST(levenshtein(x.p, y.p) AS BIGINT) AS dist
-        |FROM d x JOIN d y ON x.doc_id < y.doc_id
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS len, substring(text, 1, 60) AS p,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM base WHERE len(tk) >= 3),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 3),
+        |rsh AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM rsh x JOIN rsh y ON x.s = y.s AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(levenshtein(ba.p, bb.p) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN base ba ON a = ba.doc_id JOIN base bb ON b = bb.doc_id
+        |WHERE abs(ba.len - bb.len) <= 30
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
     "q_sample_stratified" ->
