@@ -378,7 +378,89 @@ object LlmOps {
       labels = updated.select(col("node"), col("next_label").as("label"))
       i += 1
     }
+    // plain label propagation needs O(graph diameter) rounds; returning
+    // partially-converged labels would silently split components, so
+    // refuse instead and point at the round-bounded algorithm
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds the round budget); raise maxIter or use " +
+        "connectedComponentsStar, which converges in O(log^2 n) rounds")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the round-bounded production algorithm: O(log² n) rounds
+    * regardless of graph diameter, where min-label propagation
+    * ([[connectedComponents]]) needs O(diameter) rounds and dies on long
+    * chains. Each round is two hash-aggregate + equi-join passes, fully
+    * distributed, lineage cut per round with localCheckpoint.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ u) — halves long chains;
+    *  - small-star(u): u and its smaller neighbors collapse onto their
+    *    minimum — forms stars.
+    *
+    * Converges when the canonical (big → small) edge set is stable; the
+    * final edges point every non-root node at its component minimum.
+    * Same output contract as [[connectedComponents]]: (node, component =
+    * min id), nodes appearing in `pairs` only.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical orientation u > v, no self-loops
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      // set identity = (count, two independent xor-folded hashes): xor is
+      // order-independent and can't overflow under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+                    coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+                    coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the SYMMETRIC neighborhood
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the canonical big → small edges
+      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = afterLarge.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val fpNext = fingerprint(afterSmall)
+      converged = fpNext == fp
+      fp = fpNext
+      edges = afterSmall
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    nodes.join(edges, nodes("node") === edges("u"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
 
   /** IVF-style ANN: coarse-quantize with per-partition centroids

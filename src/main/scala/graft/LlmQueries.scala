@@ -13,6 +13,36 @@ object LlmQueries extends QueryPack {
     Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
 
+  /** Shared oracle for both connected-components formulations (min-label
+    * propagation and alternating-star): DuckDB recursive-CTE reachability,
+    * min reachable id per node.
+    */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM toks WHERE len(tk) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+      |    AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (
+      |  SELECT a, b FROM inter
+      |  JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+      |  WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
+      |SELECT x AS node, min(y) AS component FROM reach GROUP BY x
+      |ORDER BY node NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content hash — keep the lowest doc_id per hash.
     "q_dedup_exact" -> ((s, dir) =>
@@ -72,9 +102,20 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")),
 
     // L2e: near-dup pairs resolved into duplicate clusters (canonical
-    // survivor = min doc id per connected component).
+    // survivor = min doc id per connected component). Min-label
+    // propagation: O(diameter) rounds, raises instead of silently
+    // truncating when the round budget is hit.
     "q_dedup_components" -> ((s, dir) =>
       LlmOps.connectedComponents(
+        LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
+                                 "text", "lang", 3, 0.2))
+        .orderBy("node")),
+
+    // L2e': the same clusters via alternating large-star/small-star —
+    // O(log² n) rounds independent of graph diameter, the form that
+    // survives long duplicate chains at 100 TB. Same oracle as above.
+    "q_dedup_components_star" -> ((s, dir) =>
+      LlmOps.connectedComponentsStar(
         LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
                                  "text", "lang", 3, 0.2))
         .orderBy("node")),
@@ -426,7 +467,7 @@ object LlmQueries extends QueryPack {
         .filter(col("n_tok") >= 20 && col("n_stop") >= 1)
       val pairs = LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang",
                                            3, 0.2)
-      val dropped = LlmOps.connectedComponents(pairs)
+      val dropped = LlmOps.connectedComponentsStar(pairs)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
@@ -490,31 +531,10 @@ object LlmQueries extends QueryPack {
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
-    "q_dedup_components" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
-        |    range(1, len(tk) - 1),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |  FROM toks WHERE len(tk) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
-        |    AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
-        |  WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2),
-        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-        |reach(x, y) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
-        |SELECT x AS node, min(y) AS component FROM reach GROUP BY x
-        |ORDER BY node NULLS FIRST""".stripMargin,
+    "q_dedup_components" -> componentsOracleSql,
+
+    // identical clustering contract, different distributed algorithm
+    "q_dedup_components_star" -> componentsOracleSql,
 
     "q_text_tfidf" ->
       """WITH tf AS (

@@ -78,4 +78,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"edges=$edges")
     }
   }
+
+  test("connectedComponentsStar equals union-find on random graphs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val samples = Gen.listOfN(12, edgeList).sample.get
+    samples.foreach { edges =>
+      val expected = bruteComponents(edges)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else LlmOps.connectedComponentsStar(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+
+  test("long chains: label propagation refuses to truncate; " +
+       "alternating-star converges in O(log^2 n) rounds") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // a path graph of diameter 100 — far beyond a maxIter=3 round budget
+    val chain = (0L until 100L).sliding(2).map(s => (s(0), s(1))).toList
+    val err = intercept[IllegalStateException] {
+      LlmOps.connectedComponents(chain.toDF("a", "b"), maxIter = 3).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // the alternating-star algorithm needs only O(log^2 n) rounds: the
+    // same 100-node chain collapses well within 15 rounds
+    val star = LlmOps.connectedComponentsStar(chain.toDF("a", "b"),
+                                              maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === 100 && star.values.forall(_ == 0L))
+  }
 }
