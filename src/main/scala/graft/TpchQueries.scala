@@ -149,6 +149,91 @@ object TpchQueries extends QueryPack {
                sum(revenue).cast("double"), 6).as("promo_revenue"))
     }),
 
+    // Q2 shape: min-cost supplier per part — a correlated aggregate
+    // subquery that Catalyst decorrelates into an aggregate + join (the
+    // lineitem relation plays partsupp's part↔supplier cost role in this
+    // schema). Exercises decorrelation + join reorder over 5 relations.
+    "q_tpch_q2" -> ((s, dir) => Sql.query(s, dir,
+      """WITH europe_cost AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+        |  ec.l_extendedprice AS cost
+        |FROM part
+        |JOIN europe_cost ec ON ec.l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = ec.l_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD' AND p_size < 25
+        |  AND ec.l_extendedprice = (
+        |    SELECT min(e2.l_extendedprice) FROM europe_cost e2
+        |    WHERE e2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC NULLS LAST, n_name NULLS FIRST,
+        |  s_name NULLS FIRST, p_partkey NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // Q7 shape: volume shipping between two nations by year — the
+    // two-role dimension join (nation as both supplier- and
+    // customer-nation). Both nation sides are pre-filtered to the two
+    // nations of interest and broadcast; only the pair filter that spans
+    // both roles runs post-join.
+    "q_tpch_q7" -> ((s, dir) => {
+      val twoNations = Tables(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val n1 = twoNations.select(col("n_nationkey").as("s_nkey"),
+                                 col("n_name").as("supp_nation"))
+      val n2 = twoNations.select(col("n_nationkey").as("c_nkey"),
+                                 col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate")
+                  .between(lit("1995-01-01").cast("timestamp"),
+                           lit("1996-12-31").cast("timestamp")))
+        .join(Tables(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+                 col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" &&
+                 col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q8 shape: national market share inside a region — 8-relation join
+    // with nation in two roles feeding a conditional-share aggregate.
+    "q_tpch_q8" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |             AS DOUBLE) /
+        |        CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS volume,
+        |    n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region   ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
+        |GROUP BY o_year
+        |ORDER BY o_year NULLS FIRST""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -268,6 +353,72 @@ object TpchQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH europe_cost AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+        |  ec.l_extendedprice AS cost
+        |FROM part
+        |JOIN europe_cost ec ON ec.l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = ec.l_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD' AND p_size < 25
+        |  AND ec.l_extendedprice = (
+        |    SELECT min(e2.l_extendedprice) FROM europe_cost e2
+        |    WHERE e2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC NULLS LAST, n_name NULLS FIRST,
+        |  s_name NULLS FIRST, p_partkey NULLS FIRST
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN (SELECT n_nationkey AS s_nkey, n_name AS supp_nation
+        |      FROM nation) a ON s_nationkey = s_nkey
+        |JOIN (SELECT n_nationkey AS c_nkey, n_name AS cust_nation
+        |      FROM nation) b ON c_nationkey = c_nkey
+        |WHERE ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') OR
+        |       (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+        |                     AND TIMESTAMP '1996-12-31'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+        |  l_year NULLS FIRST""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |             AS DOUBLE) /
+        |        CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS volume,
+        |    n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region   ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
+        |GROUP BY o_year
+        |ORDER BY o_year NULLS FIRST""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
