@@ -35,7 +35,7 @@ object Bench {
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q14", "q_tpch_q18",
     // LLM-pipeline: dedup / similarity / text
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_chunks_skew", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
     "q_dedup_embed_lsh",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",

@@ -381,6 +381,32 @@ object LlmQueries extends QueryPack {
                                "text", 3, 3, 30, 60)
         .orderBy("a", "b")),
 
+    // L1 under SKEW: chunk-level dedup where one 8-token chunk is a
+    // power-law heavy hitter (planted in every 3rd doc — ~33% of the
+    // corpus shares ONE chunk hash). The shape stays collision-linear
+    // because both hot paths are two-phase: the chunk aggregate
+    // pre-combines the hot key map-side (partial count before the
+    // exchange), and the dup join fans out only to the actual
+    // occurrences; AQE splits the oversized post-shuffle partition.
+    "q_dedup_chunks_skew" -> ((s, dir) => {
+      val heavy = "alpha beta gamma delta epsilon zeta eta theta "
+      val skewed = Tables(s, dir, "documents")
+        .withColumn("text",
+          concat(when(pmod(col("doc_id"), lit(3)) === 0, lit(heavy))
+                   .otherwise(lit("")), col("text")))
+      val ch = skewed
+        .select(col("doc_id"),
+                explode(LlmOps.chunksOf(LlmOps.tokens(col("text")), 8))
+                  .as("chunk"))
+      val dup = ch.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("chunk")
+      ch.join(dup, "chunk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        .orderBy("doc_id")
+    }),
+
     // L1: stratified deterministic sampling — per-language keep rates via
     // an md5 hex threshold (en 50 %, de/es 25 %, rest 12.5 %). The
     // hash-threshold form reproduces exactly on any cluster and any
@@ -857,6 +883,26 @@ object LlmQueries extends QueryPack {
         |JOIN base ba ON a = ba.doc_id JOIN base bb ON b = bb.doc_id
         |WHERE abs(ba.len - bb.len) <= 30
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    "q_dedup_chunks_skew" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN 'alpha beta gamma delta epsilon zeta eta theta '
+        |          ELSE '' END) || text AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM sk),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(floor(len(tk) / 8) AS INTEGER)),
+        |    i -> array_to_string(tk[i*8+1 : i*8+8], ' '))) AS chunk
+        |  FROM toks WHERE len(tk) >= 8),
+        |dup AS (SELECT chunk FROM ch GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_dup
+        |FROM ch JOIN dup USING (chunk)
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -127,6 +127,48 @@ class LlmSpec extends SparkSpec {
     assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L)))
   }
 
+  test("skewed chunk dedup: hot key pre-aggregates map-side and every " +
+       "planted doc is flagged") {
+    val q = SparkEntry.queries("q_dedup_chunks_skew")
+    val df = q(spark, sf("documents"))
+    // two-phase aggregate: the heavy chunk's counts combine BEFORE the
+    // exchange (partial_count / partial agg in plan), so the hot key
+    // costs its occurrence count, never a single-reducer pileup
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+           plan.take(3000))
+    // every 3rd doc carries the planted heavy chunk → appears in output
+    // with n_dup >= 1
+    val flagged = df.select("doc_id").as[Long].collect().toSet
+    val planted = Tables(spark, sf("documents"), "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(planted.subsetOf(flagged),
+           s"missing planted docs: ${planted.diff(flagged).take(5)}")
+  }
+
+  test("langId discriminates a multi-vocabulary corpus") {
+    // docs written in genuinely distinct marker vocabularies — unlike the
+    // shared-vocabulary synthetic corpus, accuracy here is meaningful
+    val corpus = Seq(
+      ("en", "the cat sat of the mat and went to a house"),
+      ("en", "a tale of the river and the long road to town"),
+      ("de", "der hund und die katze liefen zu das haus und der baum"),
+      ("de", "die frau und der mann gehen zu das fest"),
+      ("es", "el perro y la casa de el rio que corre"),
+      ("es", "la luna y el sol de la manana que brilla"),
+      ("fr", "le chien et la maison de le fleuve que coule"),
+      ("zh", "的 是 了 在 和 的 是 了 在 和")
+    ).toDF("expected", "text")
+    val out = corpus
+      .withColumn("got", LlmOps.langId(LlmOps.tokens(col("text"))))
+      .select("expected", "got").as[(String, String)].collect()
+    // es/fr share 'la'/'de'/'que' markers; the extra el/le votes decide.
+    val correct = out.count { case (e, g) => e == g }
+    assert(correct === out.length,
+           s"misclassified: ${out.filter { case (e, g) => e != g }.toSeq}")
+  }
+
   test("langId votes by marker tokens with deterministic ties") {
     val out = Seq("the cat of the hat", "der hund und die katze",
                   "el perro y la casa que")
