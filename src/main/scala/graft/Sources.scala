@@ -63,6 +63,39 @@ object Sources {
     props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
   }
 
+  /** S1→S2 handoff: snapshot bounded at the source's CURRENT cursor
+    * high-water mark, returned together with that cursor so the first
+    * incremental poll starts exactly where the snapshot ended — the
+    * polling re-expression of Debezium's snapshot-then-stream offset
+    * continuity (`/root/reference/README.md:137`: `snapshot.mode=initial`
+    * hands off to WAL streaming at the snapshot's recorded position).
+    * Both sides predicate on the same server-side cursor comparison, so a
+    * row committed after the bound lands in the first poll and never in
+    * both. Returns `None` cursor for an empty table (first poll then uses
+    * `Long.MinValue`).
+    */
+  def snapshotWithCursor(spark: SparkSession, url: String, table: String,
+                         cursorColumn: String,
+                         props: Map[String, String] = Map.empty)
+      : (DataFrame, Option[Long]) = {
+    val boundReader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT max($cursorColumn) AS hi FROM $table) t")
+    val boundRow = props.foldLeft(boundReader)((b, kv) => b.option(kv._1, kv._2))
+      .load().head()
+    val hi = if (boundRow.isNullAt(0)) None
+             else Some(boundRow.getAs[Number](0).longValue())
+    val snapReader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", hi match {
+        case Some(h) => s"(SELECT * FROM $table WHERE $cursorColumn <= $h) t"
+        case None    => table // provably empty — plain read keeps the schema
+      })
+    val snap = props.foldLeft(snapReader)((b, kv) => b.option(kv._1, kv._2))
+      .load()
+    (snap, hi)
+  }
+
   /** S8: JDBC sink (ClickHouse HTTP/MySQL endpoints in the reference,
     * `config.xml:11,30` — any JDBC URL here).
     */
@@ -182,6 +215,28 @@ object Sources {
     }
   }
 
+  /** S4/§2.1: Avro reader/writer compatibility verdict — the check the
+    * reference's Schema Registry performs when a producer registers a new
+    * generation (`/root/reference/README.md:260`), re-expressed on the
+    * consumer side with Avro's own resolution rules
+    * (`org.apache.avro.SchemaCompatibility`). Empty result = `reader`
+    * can read data written with `writer`.
+    */
+  def schemaIncompatibilities(writer: Schema, reader: Schema): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.avro.SchemaCompatibility
+      .checkReaderWriterCompatibility(reader, writer)
+      .getResult.getIncompatibilities.asScala.toSeq
+      .map(i => s"${i.getType} at ${i.getLocation}: ${i.getMessage}")
+  }
+
+  /** True iff data written with `writerJson` is readable as `readerJson`
+    * (BACKWARD compatibility in registry terms).
+    */
+  def compatible(writerJson: String, readerJson: String): Boolean =
+    schemaIncompatibilities(new Schema.Parser().parse(writerJson),
+                            new Schema.Parser().parse(readerJson)).isEmpty
+
   /** S4 end-to-end: decode Confluent-framed messages (magic 0x0 +
     * big-endian schema id + Avro body) resolving each row's WRITER schema
     * through `registry` and reading with `readerSchemaJson` — Avro schema
@@ -207,6 +262,14 @@ object Sources {
         val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
         val reader = readers.getOrElseUpdate(id, {
           val writer = new Schema.Parser().parse(registry(id))
+          // enforce the registry's compatibility contract at reader
+          // construction — a clear verdict per schema id instead of an
+          // obscure Avro resolution failure mid-stream
+          val problems = schemaIncompatibilities(writer, readerSchema)
+          if (problems.nonEmpty)
+            throw new IllegalStateException(
+              s"schema id $id is incompatible with the reader schema: " +
+              problems.mkString("; "))
           new GenericDatumReader[GenericRecord](writer, readerSchema)
         })
         val dec = decoderFactory.binaryDecoder(bytes, 5, bytes.length - 5, null)

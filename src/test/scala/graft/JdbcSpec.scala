@@ -51,6 +51,43 @@ class JdbcSpec extends SparkSpec {
     assert(delta.select("user_id").as[Long].collect() === Array(4L))
   }
 
+  test("S1->S2 handoff: first poll starts exactly at the snapshot's " +
+       "cursor — no row lost, none duplicated") {
+    // dedicated table: the scenario mutates it mid-test
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute(
+      """CREATE TABLE users_handoff (
+        |  user_id BIGINT PRIMARY KEY, updated_at BIGINT)""".stripMargin)
+    Seq((1L, 1000000L), (2L, 1000000L), (3L, 2000000L)).foreach {
+      case (id, t) => st.execute(
+        s"INSERT INTO users_handoff VALUES ($id, $t)")
+    }
+    val (snap, cursor) = Sources.snapshotWithCursor(
+      spark, url, "users_handoff", "updated_at")
+    assert(cursor === Some(2000000L))
+    val snapIds = snap.select("user_id").as[Long].collect().toSet
+    assert(snapIds === Set(1L, 2L, 3L))
+    // a row committed AFTER the snapshot bound
+    st.execute("INSERT INTO users_handoff VALUES (4, 3000000)")
+    st.close(); conn.close()
+    val delta = Sources.jdbcIncremental(spark, url, "users_handoff",
+                                        "updated_at", cursor.get)
+    val deltaIds = delta.select("user_id").as[Long].collect().toSet
+    assert(deltaIds === Set(4L))
+    // continuity: snapshot ∪ poll covers the table exactly once
+    assert((snapIds ++ deltaIds) === Set(1L, 2L, 3L, 4L))
+    assert(snapIds.intersect(deltaIds).isEmpty)
+    // empty-table handoff: no cursor, first poll takes over from MinValue
+    val st2 = DriverManager.getConnection(url).createStatement()
+    st2.execute(
+      "CREATE TABLE users_empty (user_id BIGINT, updated_at BIGINT)")
+    st2.close()
+    val (emptySnap, noCursor) = Sources.snapshotWithCursor(
+      spark, url, "users_empty", "updated_at")
+    assert(noCursor === None && emptySnap.count() === 0)
+  }
+
   test("S8: snapshot -> transform -> JDBC sink round-trips") {
     val snapshot = Sources.jdbcSnapshot(spark, url, "users",
       "user_id", 0L, 10L, 2)

@@ -133,6 +133,44 @@ class SourcesSpec extends SparkSpec {
            Option(err.getCause).exists(_.getMessage.contains("schema id 9")))
   }
 
+  test("schema compatibility: evolution rules enforced, incompatible " +
+       "writers rejected with a clear verdict") {
+    // added reader field WITH default: compatible (gen1 -> gen2)
+    val withDefault = avroSchemaJson.replace(
+      """{"name":"updated_at","type":"long"}]}""",
+      """{"name":"updated_at","type":"long"},
+        |{"name":"tier","type":["null","string"],"default":null}]}"""
+        .stripMargin)
+    assert(Sources.compatible(avroSchemaJson, withDefault))
+    // added reader field WITHOUT default: incompatible
+    val noDefault = avroSchemaJson.replace(
+      """{"name":"updated_at","type":"long"}]}""",
+      """{"name":"updated_at","type":"long"},
+        |{"name":"tier","type":"string"}]}""".stripMargin)
+    assert(!Sources.compatible(avroSchemaJson, noDefault))
+    // field type change long -> string: incompatible
+    val typeChange = avroSchemaJson.replace(
+      """{"name":"updated_at","type":"long"}""",
+      """{"name":"updated_at","type":"string"}""")
+    assert(!Sources.compatible(avroSchemaJson, typeChange))
+    // long -> double promotion is legal Avro resolution
+    val promoted = avroSchemaJson.replace(
+      """{"name":"updated_at","type":"long"}""",
+      """{"name":"updated_at","type":"double"}""")
+    assert(Sources.compatible(avroSchemaJson, promoted))
+
+    // decodeConfluent surfaces the verdict per schema id
+    val registry = Sources.StaticSchemaRegistry(Map(3 -> typeChange))
+    val framed = Seq(frame(3, avroBytes(1L, "x", "y", 1L))).toDF("value")
+    val err = intercept[org.apache.spark.SparkException] {
+      Sources.decodeConfluent(framed, col("value"), registry,
+                              avroSchemaJson, sparkSchema).collect()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("schema id 3 is incompatible"))
+  }
+
   test("unwrapCdc surfaces after-images and delete tombstones") {
     val img = StructType(Seq(StructField("user_id", LongType),
                              StructField("account_type", StringType)))
