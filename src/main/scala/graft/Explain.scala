@@ -29,6 +29,7 @@ object Explain {
     "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
     "q_agg_global", "q_profile", "q_text_tfidf",
     "q_subquery_scalar", // scalar subquery = one-row global aggregate
+    "q_tpch_q22",        // scalar avg(acctbal) subquery, same shape
     "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
     "q_text_logprob")          // broadcast scalar corpus-total aggregate
 

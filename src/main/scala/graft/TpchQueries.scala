@@ -234,6 +234,67 @@ object TpchQueries extends QueryPack {
         |GROUP BY o_year
         |ORDER BY o_year NULLS FIRST""".stripMargin)),
 
+    // Q9 shape: product-type profit by nation and year — 5-relation join
+    // with a computed profit measure (p_retailprice plays partsupp's cost
+    // role at a fixed margin). part is filtered BEFORE the join (the
+    // LIKE pushes to the scan) and all dims broadcast.
+    "q_tpch_q9" -> ((s, dir) => {
+      val gearParts = Tables(s, dir, "part")
+        .filter(col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+      val amount =
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+           - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,4)")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+                year(col("o_orderdate")).cast("long").as("o_year"),
+                amount.as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(sum("amount").cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q13 shape: customer order-count distribution — left join with an
+    // extra join-side predicate, then a two-level aggregate (per-customer
+    // count → histogram of counts).
+    "q_tpch_q13" -> ((s, dir) => {
+      val perCust = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey") &&
+                col("o_orderpriority") =!= "1-URGENT",
+              "left")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q22 shape: above-average-balance customers with no urgent orders —
+    // scalar aggregate subquery + correlated NOT EXISTS (anti join after
+    // decorrelation), grouped by a derived country code.
+    "q_tpch_q22" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM (
+        |  SELECT c_nationkey % 5 AS cntrycode, c_acctbal FROM customer
+        |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey
+        |                      AND o_orderpriority = '1-URGENT')) t
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode NULLS FIRST""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -419,6 +480,47 @@ object TpchQueries extends QueryPack {
         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
         |GROUP BY o_year
         |ORDER BY o_year NULLS FIRST""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount)
+        |         - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))
+        |      AS amount
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%gear%') t
+        |GROUP BY nation, o_year
+        |ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST"""
+        .stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM (
+        |  SELECT c_nationkey % 5 AS cntrycode, c_acctbal FROM customer
+        |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey
+        |                      AND o_orderpriority = '1-URGENT')) t
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode NULLS FIRST""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
