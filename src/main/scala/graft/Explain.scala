@@ -16,7 +16,8 @@ object Explain {
   // (bounded dims or an explicitly broadcast side).
   private val nestedLoopExpected = Set(
     "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
-    "q_simsearch_lsh", "q_simsearch_ivf", "q_dedup_embed", "q_text_tfidf",
+    "q_simsearch_lsh", "q_simsearch_lsh_mp", "q_simsearch_ivf",
+    "q_dedup_embed", "q_text_tfidf",
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_text_logprob")       // cross vs broadcast one-row total

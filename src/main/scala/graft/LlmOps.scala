@@ -340,6 +340,35 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Multi-probe LSH ANN: probe the query's hyperplane bucket PLUS every
+    * bucket within Hamming distance `radius` (≤ radius sign bits
+    * flipped). A near neighbor that lands across one or two hyperplanes
+    * from the query — the dominant miss mode of single-probe LSH — is
+    * recovered; recall is monotone in `radius` while the scan fraction is
+    * C(numPlanes, ≤radius)/2^numPlanes. The probe list is a broadcast of
+    * bounded size; the data side still computes its bucket once and
+    * semi-joins, so radius trades recall for scan WITHOUT re-hashing or
+    * extra tables.
+    */
+  def annLshMultiProbeTopK(embeddings: DataFrame, query: DataFrame,
+                           numPlanes: Int, k: Int,
+                           radius: Int = 1): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), numPlanes))
+    val masks: Seq[Long] = (0 to radius).flatMap(r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))))
+    val probes = query
+      .select(hyperplaneBucket(col("q_emb"), numPlanes).as("qb"))
+      .select(explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*))
+                .as("q_bucket"))
+      .distinct()
+    val inBuckets = bucketed
+      .join(broadcast(probes), col("bucket") === col("q_bucket"), "left_semi")
+      .drop("bucket")
+    cosineTopK(inBuckets, query, k)
+  }
+
   /** Resolve near-dup pairs into duplicate clusters: iterative min-label
     * propagation (the GraphFrames-style connected-components loop — a
     * driver-side loop of ~diameter iterations, each a distributed

@@ -157,6 +157,13 @@ object LlmQueries extends QueryPack {
       LlmOps.annLshTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 4, 10)
         .orderBy("vec_id")),
 
+    // L4b': multi-probe LSH ANN — query bucket + all Hamming-1 buckets
+    // (rows-only; LlmSpec asserts recall strictly dominates single-probe).
+    "q_simsearch_lsh_mp" -> ((s, dir) =>
+      LlmOps.annLshMultiProbeTopK(Tables(s, dir, "embeddings"),
+                                  queryVec(s, dir), 4, 10)
+        .orderBy("vec_id")),
+
     // L4c: IVF-style ANN via centroid probe (rows-only; see LlmSpec).
     "q_simsearch_ivf" -> ((s, dir) =>
       LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
