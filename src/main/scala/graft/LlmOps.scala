@@ -514,6 +514,25 @@ object LlmOps {
       embeddings.join(broadcast(bestPartition), "label"), query, k)
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis, IPL 2006): each row draws a hash-uniform
+    * u ∈ (0,1) from its id and scores key = ln(u)/w; the k rows with the
+    * LARGEST key (closest to 0) are a weight-proportional sample — the
+    * quality-weighted subsampling step of a curation pipeline, with zero
+    * RNG state: identical output on any cluster and any partitioning.
+    * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+               .cast("double") + 0.5) / 4294967296.0
+    df.withColumn("__es_key", log(u) / weight.cast("double"))
+      .orderBy(col("__es_key").desc_nulls_last, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Language ID by stopword voting: per-language marker-token counts,
     * argmax wins (deterministic tie-break by language order). A real
     * deployment swaps the marker lists; the operator shape — N conditional

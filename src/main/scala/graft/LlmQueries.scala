@@ -428,6 +428,16 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1: deterministic weighted sampling (Efraimidis–Spirakis) — 50 docs
+    // drawn proportional to token count, no RNG state, reproducible on
+    // any partitioning. Per-partition top-k, never a global sort.
+    "q_sample_weighted" -> ((s, dir) =>
+      LlmOps.weightedSample(
+        Tables(s, dir, "documents"),
+        "doc_id", size(LlmOps.tokens(col("text"))), 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // L1: benchmark decontamination — flag training docs sharing any
     // 8-token shingle with the eval set (the standard n-gram overlap
     // pass). Eval shingle set is small → broadcast; training docs never
@@ -909,6 +919,16 @@ object LlmQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_dup
         |FROM ch JOIN dup USING (chunk)
         |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::UBIGINT + 0.5) / 4294967296.0)
+        |      / len(string_split(text, ' ')) AS es_key
+        |  FROM documents
+        |  ORDER BY es_key DESC NULLS LAST, doc_id LIMIT 50) t
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_sample_stratified" ->

@@ -106,6 +106,17 @@ object Streaming {
                       stateDir: String): DataFrame =
     spark.read.parquet(stateDir).drop("__bucket")
 
+  /** Stream-static enrichment join: the continuous form of the
+    * dictionary/dimension join — each micro-batch equi-joins the static
+    * side, which is explicitly broadcast so the stream side never
+    * shuffles and no stream state accumulates (unlike stream-stream
+    * joins, no watermark needed). At scale the dimension is re-read per
+    * batch, picking up slowly-changing updates for free.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** T3: tumbling-window aggregate (the `toStartOf*` bucketing idiom over
     * kafka_time, `README.md:228`). Groups by the `window()` struct itself —
     * extracting `.start` inside the groupBy breaks event-time/watermark

@@ -131,6 +131,22 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).sorted === cellTop.sorted)
   }
 
+  test("weightedSample: deterministic, k-bounded, weight-dominant row " +
+       "always drawn") {
+    val rows = (1L to 100L).map(i => (i, 1.0)) :+ (999L, 1e9)
+    val df = rows.toDF("id", "w")
+    def sample() = LlmOps.weightedSample(df, "id", col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    val s1 = sample()
+    assert(s1.size === 10)
+    assert(s1 === sample()) // zero RNG state: bit-identical re-runs
+    // key = ln(u)/w → the 1e9-weight row's key ≈ 0⁻ beats every w=1 row
+    assert(s1.contains(999L))
+    // k > n degenerates to the full set
+    assert(LlmOps.weightedSample(df.limit(5), "id", col("w"), 50)
+             .count() === 5)
+  }
+
   test("near-dup operators tolerate empty and degenerate corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(LlmOps.ngramJaccardPairs(

@@ -165,6 +165,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.size === 16 && out.count(_._2 == "bronze") === 15)
   }
 
+  test("stream-static enrichment join matches the batch join, broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "premium"), (2L, "basic")).toDF("user_id", "segment")
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val enriched = Streaming.enrich(toDfStream(stream), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    stream.addData(eventRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("user_id", "event_type", "segment")
+      .as[(Long, String, String)].collect().sorted
+    val expected = Streaming.enrich(toDf(eventRows), dim, Seq("user_id"))
+      .select("user_id", "event_type", "segment")
+      .as[(Long, String, String)].collect().sorted
+    assert(got === expected && got.nonEmpty)
+    // the static side is broadcast: no shuffle on the stream side
+    val plan = Streaming.enrich(toDf(eventRows), dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("T6: watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
