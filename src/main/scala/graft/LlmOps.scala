@@ -340,6 +340,24 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** [[embedNearDupPairsBucketed]] with the bucket width chosen from the
+    * corpus size: bitsPerTable = log₂(n / targetBucketRows), so expected
+    * bucket occupancy stays ≈ targetBucketRows and candidate-pair cost
+    * (Σ bucket² per table) stays linear as n grows — the self-tuning form
+    * of the "bits is the scale knob" contract. Costs one count() of the
+    * embedding table (a metadata-only scan for parquet).
+    */
+  def embedNearDupPairsAuto(embeddings: DataFrame, idCol: String,
+                            vecCol: String, tables: Int,
+                            targetBucketRows: Int,
+                            minSim: Double): DataFrame = {
+    val n = embeddings.count()
+    val bits = math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
+                  / math.log(2)).toInt)
+    embedNearDupPairsBucketed(embeddings, idCol, vecCol, tables, bits, minSim)
+  }
+
   /** Multi-probe LSH ANN: probe the query's hyperplane bucket PLUS every
     * bucket within Hamming distance `radius` (≤ radius sign bits
     * flipped). A near neighbor that lands across one or two hyperplanes

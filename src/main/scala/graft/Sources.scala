@@ -63,6 +63,58 @@ object Sources {
     props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
   }
 
+  /** [[decodeConfluent]] with a dead-letter path instead of fail-the-batch
+    * semantics: rows that can't decode (bad framing, unknown schema id,
+    * incompatible writer, malformed body) come back with null fields and
+    * the failure in a `__error` column, so one poisoned message doesn't
+    * stall the pipeline — filter `__error IS NOT NULL` into a quarantine
+    * sink and keep consuming (the PERMISSIVE-mode contract of Spark's
+    * own file sources, applied to the registry decode path).
+    */
+  def decodeConfluentSafe(df: DataFrame, value: Column, registry: SchemaById,
+                          readerSchemaJson: String,
+                          schema: StructType): DataFrame = {
+    val outSchema = schema.add(StructField("__error", StringType))
+    val bytesDf = df.select(value.cast("binary").as("__value"))
+    bytesDf.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      // failures cached alongside successes: a hot poisoned id costs one
+      // registry round-trip per partition, not one per row
+      val readers = scala.collection.mutable
+        .Map.empty[Int, Either[String, GenericDatumReader[GenericRecord]]]
+      val decoderFactory = DecoderFactory.get()
+      val nulls = Seq.fill(schema.fields.length)(null)
+      rows.map { r =>
+        try {
+          val bytes = r.getAs[Array[Byte]](0)
+          require(bytes != null && bytes.length > 5 && bytes(0) == 0,
+                  "not a Confluent-framed message (magic byte != 0)")
+          val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+          val reader = readers.getOrElseUpdate(id,
+            try {
+              val writer = new Schema.Parser().parse(registry(id))
+              val problems = schemaIncompatibilities(writer, readerSchema)
+              if (problems.nonEmpty)
+                Left(s"schema id $id is incompatible with the reader " +
+                     s"schema: ${problems.mkString("; ")}")
+              else Right(new GenericDatumReader[GenericRecord](writer,
+                                                               readerSchema))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          ).fold(msg => throw new IllegalStateException(msg), identity)
+          val dec = decoderFactory.binaryDecoder(bytes, 5, bytes.length - 5,
+                                                 null)
+          Row.fromSeq(avroToRow(reader.read(null, dec), schema).toSeq :+ null)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Row.fromSeq(nulls :+ s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF()
+  }
+
   /** S1→S2 handoff: snapshot bounded at the source's CURRENT cursor
     * high-water mark, returned together with that cursor so the first
     * incremental poll starts exactly where the snapshot ended — the

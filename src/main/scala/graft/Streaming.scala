@@ -150,6 +150,57 @@ object Streaming {
                                 lateness: String): DataFrame =
     tumblingCounts(df.withWatermark(tsCol, lateness), col(tsCol), width)
 
+  /** T7+L1: continuous exact dedup against the FULL corpus history — each
+    * micro-batch keeps only rows whose content hash has never been seen,
+    * appends them to `outDir`, and records their hashes in a seen-store.
+    * The store is hash-bucketed (`__bucket = pmod(hash, numBuckets)` hive
+    * partitions) and APPEND-ONLY: a batch partition-prunes its read to
+    * the buckets it touches and appends only novel hashes, so per-batch
+    * cost is O(touched buckets), no rewrite ever — the incremental form
+    * of `q_dedup_exact` that a standing 100 TB corpus needs (new shards
+    * dedup against years of history without rescanning it).
+    */
+  def dedupAgainstHistorySink(df: DataFrame, contentCol: String,
+                              outDir: String, storeDir: String,
+                              checkpoint: String,
+                              numBuckets: Int = 16): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch
+          .withColumn("__h", xxhash64(col(contentCol)))
+          .withColumn("__bucket",
+                      pmod(col("__h"), lit(numBuckets)).cast("int"))
+          // first occurrence within the batch wins
+          .dropDuplicates("__h")
+        val touched = hashed.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val seen =
+          try spark.read.parquet(storeDir)
+            .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField(
+                    "__h", org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField(
+                    "__bucket", org.apache.spark.sql.types.IntegerType))))
+          }
+        val novel = hashed
+          .join(seen.select(col("__h")), Seq("__h"), "left_anti")
+          .localCheckpoint() // two writes below; mine the batch once
+        novel.drop("__h", "__bucket")
+          .write.mode("append").parquet(outDir)
+        novel.select(col("__h"), col("__bucket"))
+          .write.mode("append").partitionBy("__bucket").parquet(storeDir)
+        ()
+      }
+
   /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online
     * analog (state bounded by the watermark).
     */

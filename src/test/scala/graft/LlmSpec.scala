@@ -65,6 +65,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("auto-tuned embed LSH picks the corpus-appropriate bucket width") {
+    // 500 vectors / target 64 per bucket → ceil(log2(7.8)) = 3 bits: the
+    // auto form must equal the manually tuned production parameters
+    val auto = LlmOps.embedNearDupPairsAuto(embs, "vec_id", "embedding",
+                                            16, 64, 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val manual = LlmOps.embedNearDupPairsBucketed(embs, "vec_id",
+                                                  "embedding", 16, 3, 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto === manual && auto.nonEmpty)
+  }
+
   test("simhash: identical docs collide, near-dups are close") {
     val df = Seq(
       (1L, "spark join hash row batch scan filter merge order vector"),

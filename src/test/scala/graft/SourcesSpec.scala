@@ -171,6 +171,27 @@ class SourcesSpec extends SparkSpec {
     assert(msg.contains("schema id 3 is incompatible"))
   }
 
+  test("decodeConfluentSafe dead-letters poisoned messages instead of " +
+       "failing the batch") {
+    val registry = Sources.StaticSchemaRegistry(Map(7 -> avroSchemaJson))
+    val good = frame(7, avroBytes(1L, "user1", "Bronze", 1000000L))
+    val badMagic = Array[Byte](9, 0, 0, 0, 7, 1, 2, 3)
+    val unknownId = frame(99, avroBytes(2L, "user2", "Silver", 2000000L))
+    val truncated = frame(7, avroBytes(3L, "user3", "Gold", 3000000L))
+      .take(8) // body cut mid-record
+    val df = Seq(good, badMagic, unknownId, truncated).toDF("value")
+    val out = Sources.decodeConfluentSafe(df, col("value"), registry,
+                                          avroSchemaJson, sparkSchema)
+    assert(out.count() === 4) // nothing dropped, nothing thrown
+    val ok = out.filter(col("__error").isNull)
+    assert(ok.select("user_id").as[Long].collect() === Array(1L))
+    val errs = out.filter(col("__error").isNotNull)
+      .select("__error").as[String].collect()
+    assert(errs.length === 3)
+    assert(errs.exists(_.contains("magic byte")))
+    assert(errs.exists(_.contains("schema id 99")))
+  }
+
   test("unwrapCdc surfaces after-images and delete tombstones") {
     val img = StructType(Seq(StructField("user_id", LongType),
                              StructField("account_type", StringType)))

@@ -188,6 +188,32 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("dedup-against-history: cross-batch duplicates dropped, store " +
+       "buckets append-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-hist").toString + "/out"
+    val store = Files.createTempDirectory("graft-hist").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-hist-ckpt").toString
+    val stream = MemoryStream[String]
+    val q = Streaming.dedupAgainstHistorySink(
+      stream.toDF().toDF("text"), "text", out, store, ckpt, numBuckets = 4)
+      .start()
+    stream.addData(Seq("aa", "bb", "aa")) // in-batch dup
+    q.processAllAvailable()
+    stream.addData(Seq("bb", "cc"))       // cross-batch dup + novel
+    q.processAllAvailable()
+    stream.addData(Seq("aa", "bb"))       // nothing novel
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("text").as[String]
+      .collect().sorted
+    assert(kept === Array("aa", "bb", "cc")) // each text exactly once
+    // the store holds exactly one hash per distinct text, bucketed
+    val storeDf = spark.read.parquet(store)
+    assert(storeDf.count() === 3)
+    assert(storeDf.select("__h").distinct().count() === 3)
+  }
+
   test("T6: watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
