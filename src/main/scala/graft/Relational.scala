@@ -153,6 +153,43 @@ object Relational {
     * salting is the plan-level tool when the skew is known up front (e.g.
     * a null-heavy or power-law foreign key at 100 TB).
     */
+  /** Morton/Z-order value of two non-negative 32-bit dimensions: bits of
+    * `a` spread to even positions, `b` to odd. Sorting or
+    * range-partitioning by this interleaving clusters rows that are close
+    * in BOTH dimensions into the same parquet files/row-groups, so
+    * min/max skipping prunes 2-D box predicates — the multi-dimensional
+    * clustering a single-column ORDER BY can't give (a linear (a, b) sort
+    * scatters every a-slice across the full b range). All bit arithmetic;
+    * fully codegen'd, no UDF.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    // classic bit-spread via magic masks: x = x|x<<16 & 0x0000FFFF0000FFFF,
+    // then 8/4/2/1 — each step doubles the gaps between occupied bits
+    def spread(x: Column): Column = {
+      val steps = Seq(
+        (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+        (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+        (1, 0x5555555555555555L))
+      steps.foldLeft(x.cast("long")) { case (acc, (s, m)) =>
+        (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(lit(m))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` clustered on the Z-order of two dimensions: global range
+    * partitioning by the interleaved value (so files own compact Z-ranges)
+    * + an in-partition sort (so row-groups do too). `numFiles` tracks
+    * total size / target file size at scale.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, numFiles: Int,
+                    path: String): Unit =
+    df.withColumn("__z", zorder2(a, b))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = left.withColumn("__salt",

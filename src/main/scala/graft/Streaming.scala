@@ -201,6 +201,47 @@ object Streaming {
         ()
       }
 
+  /** T1+A7: incrementally-maintained aggregate table — the reference's MV
+    * writing into an aggregating target (SummingMergeTree's role), made
+    * deterministic: each micro-batch partially aggregates ITSELF (count +
+    * sum are merge-able partials), reads only the touched
+    * `partitionCol` partitions of the state, merges, and
+    * dynamic-overwrites just those partitions. Per-batch cost follows the
+    * batch's partition footprint (a day of late data re-aggregates one
+    * day, never the table); the full history is never rescanned.
+    */
+  def incrementalAggSink(df: DataFrame, stateDir: String, checkpoint: String,
+                         partitionCol: String, keyCols: Seq[String],
+                         valueCol: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val groupCols = (partitionCol +: keyCols).map(col)
+        val partial = batch.groupBy(groupCols: _*)
+          .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+        val touched = partial.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSeq
+        val current =
+          try spark.read.parquet(stateDir)
+            .filter(col(partitionCol).isin(touched: _*))
+            .localCheckpoint() // cut the scan lineage before overwrite
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], partial.schema)
+          }
+        current.unionByName(partial)
+          .groupBy(groupCols: _*)
+          .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(stateDir)
+      }
+
   /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online
     * analog (state bounded by the watermark).
     */

@@ -87,6 +87,41 @@ class RelationalSpec extends SparkSpec {
     assert(viaScalable === viaWindow)
   }
 
+  test("zorder2 interleaves bits; one Z layout prunes filters on BOTH " +
+       "dimensions where a linear sort serves only its own") {
+    // bit-level contract against a reference interleave
+    def interleave(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L)((z, i) =>
+        z | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1)))
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 170L))
+    val got = cases.toDF("a", "b")
+      .select(Relational.zorder2(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq === cases.map((interleave _).tupled))
+
+    // 10k points uniform on a 256x256 grid, 8 files per layout
+    val pts = spark.range(10000).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(256)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(256)).as("b"))
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    pts.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$base/linear")
+    Relational.writeZOrdered(pts, col("a"), col("b"), 8, s"$base/zorder")
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(path).filter(pred)
+        .select(col("_metadata.file_path")).distinct().count()
+    val aPred = col("a").between(64, 79)   // 1/16 of the a range
+    val bPred = col("b").between(64, 79)
+    // the a-sorted layout serves a-filters but scatters b-filters
+    assert(filesTouched(s"$base/linear", aPred) <= 2)
+    assert(filesTouched(s"$base/linear", bPred) === 8)
+    // the single Z layout bounds BOTH: a top-nibble constraint fixes
+    // leading interleaved bits, so each predicate maps to few Z ranges
+    assert(filesTouched(s"$base/zorder", aPred) <= 4)
+    assert(filesTouched(s"$base/zorder", bPred) <= 4)
+    // and the clustering is lossless
+    assert(spark.read.parquet(s"$base/zorder").count() === 10000)
+  }
+
   test("filter + narrow projection reach the parquet scan " +
        "(PushedFilters + pruned ReadSchema)") {
     val plan = Tables(spark, sf("lineitem"), "lineitem")

@@ -214,6 +214,41 @@ class StreamingSpec extends SparkSpec {
     assert(storeDf.select("__h").distinct().count() === 3)
   }
 
+  test("incremental aggregate sink: merges partials per partition, " +
+       "rewrites only touched days") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-iagg").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-iagg-ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val withDay = Streaming.mvTransform(toDfStream(stream), Seq.empty)
+      .withColumn("day", to_date(col("ts")))
+    val q = Streaming.incrementalAggSink(withDay, state, ckpt,
+      "day", Seq("event_type"), "value").start()
+    stream.addData(Seq(
+      (1L, ts("2024-01-01 01:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 02:00:00"), "click", 2.0),
+      (3L, ts("2024-01-02 01:00:00"), "view", 4.0)))
+    q.processAllAvailable()
+    def dayFiles(d: String): Set[String] = {
+      val dir = new java.io.File(s"$state/day=$d")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val day1Before = dayFiles("2024-01-01")
+    // batch 2 touches ONLY day 2: day 1 partition must not be rewritten
+    stream.addData(Seq((4L, ts("2024-01-02 03:00:00"), "view", 8.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(dayFiles("2024-01-01") === day1Before)
+    val out = spark.read.parquet(state)
+      .select(col("day").cast("string"), col("event_type"), col("n"),
+              col("sum_value"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      ("2024-01-01", "click", 2L, 3.0),
+      ("2024-01-02", "view", 2L, 12.0)))
+  }
+
   test("T6: watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
