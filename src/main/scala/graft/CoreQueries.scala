@@ -165,10 +165,41 @@ object CoreQueries extends QueryPack {
       Relational.saltedJoin(o, c, "o_custkey", 4)
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // Z-order (Morton) clustering value — the 2-D layout key behind
+    // Relational.writeZOrdered, oracle-checked bit-for-bit.
+    "q_zorder" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                Relational.zorder2(col("c_custkey"), col("c_nationkey"))
+                  .as("z"))
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      """WITH t0 AS (
+        |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS a,
+        |         CAST(c_nationkey AS BIGINT) AS b FROM customer),
+        |t1 AS (SELECT c_custkey,
+        |  (a | (a << 16)) & 281470681808895 AS a,
+        |  (b | (b << 16)) & 281470681808895 AS b FROM t0),
+        |t2 AS (SELECT c_custkey,
+        |  (a | (a << 8)) & 71777214294589695 AS a,
+        |  (b | (b << 8)) & 71777214294589695 AS b FROM t1),
+        |t3 AS (SELECT c_custkey,
+        |  (a | (a << 4)) & 1085102592571150095 AS a,
+        |  (b | (b << 4)) & 1085102592571150095 AS b FROM t2),
+        |t4 AS (SELECT c_custkey,
+        |  (a | (a << 2)) & 3689348814741910323 AS a,
+        |  (b | (b << 2)) & 3689348814741910323 AS b FROM t3),
+        |t5 AS (SELECT c_custkey,
+        |  (a | (a << 1)) & 6148914691236517205 AS a,
+        |  (b | (b << 1)) & 6148914691236517205 AS b FROM t4)
+        |SELECT c_custkey, (a | (b << 1)) AS z FROM t5
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

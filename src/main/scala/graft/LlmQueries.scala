@@ -428,6 +428,16 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L5: corpus vocabulary head — top-50 tokens by frequency (the
+    // tokenizer-training / stopword-mining pass): explode + one
+    // hash-aggregate + bounded top-k, never a global sort.
+    "q_text_vocab" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(LlmOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
     // L1: deterministic weighted sampling (Efraimidis–Spirakis) — 50 docs
     // drawn proportional to token count, no RNG state, reproducible on
     // any partitioning. Per-partition top-k, never a global sort.
@@ -920,6 +930,13 @@ object LlmQueries extends QueryPack {
         |FROM ch JOIN dup USING (chunk)
         |GROUP BY doc_id
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC NULLS LAST, token NULLS FIRST
+        |LIMIT 50""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM (
