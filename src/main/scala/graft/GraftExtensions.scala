@@ -72,6 +72,25 @@ object GraftExtensions {
                new Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
   }
 
+  private def zorderExpr(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr,
+      Cast, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+    // same spread steps as Relational.zorder2, built as a raw Catalyst
+    // tree (the Column DSL produces lazily-resolved nodes the function
+    // registry can't host)
+    def spread(x0: Expression): Expression = {
+      val steps = Seq(
+        (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+        (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+        (1, 0x5555555555555555L))
+      steps.foldLeft(Cast(x0, LongType): Expression) { case (acc, (s, m)) =>
+        BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+      }
+    }
+    BitwiseOr(spread(args(0)), ShiftLeft(spread(args(1)), Literal(1)))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
                       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),
@@ -79,7 +98,10 @@ object GraftExtensions {
      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("cosine_sim"),
      new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
-     cosineExpr _))
+     cosineExpr _),
+    (FunctionIdentifier("zorder2"),
+     new ExpressionInfo(Relational.getClass.getName, "zorder2"),
+     zorderExpr _))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit = {

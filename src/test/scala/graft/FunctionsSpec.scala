@@ -64,6 +64,9 @@ class FunctionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D))")
       .as[Double].head()
     assert(math.abs(cos - 1.0) < 1e-12)
+    // z-order interleave from SQL = the DataFrame helper's bit tree
+    val z = spark.sql("SELECT zorder2(3L, 5L)").as[Long].head()
+    assert(z === 39L) // spread(3)=5, spread(5)=17 → 5 | 17<<1
     // SQL form and DataFrame form are the same expression tree
     val viaDf = Seq((Array(1f, 2f, 3f), Array(9f, 8f, 7f))).toDF("a", "b")
       .select(Functions.cosine(col("a"), col("b"))).as[Double].head()

@@ -122,6 +122,33 @@ class RelationalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() === 10000)
   }
 
+  test("AQE splits the skewed join partition (skew=true in final plan)") {
+    // one key owns ~100k rows on both sides; with broadcast off the join
+    // is sort-merge, and AQE must split the oversized partition
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(100000)
+        .select(when(col("id") < 95000, lit(1L)).otherwise(col("id"))
+                  .as("k"),
+                col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"))
+      val joined = skewed.join(right, "k")
+      // run THIS dataframe's plan (count() would execute a separate one
+      // and the final AQE plan would stay unresolved on this reference)
+      assert(joined.collect().length === 95000) // all k=1 rows match
+      // AQE rewrites the plan at runtime: the executed plan must show the
+      // skewed side split (SortMergeJoin ... skew=true)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("filter + narrow projection reach the parquet scan " +
        "(PushedFilters + pruned ReadSchema)") {
     val plan = Tables(spark, sf("lineitem"), "lineitem")
