@@ -31,6 +31,7 @@ object Explain {
     "q_agg_global", "q_profile", "q_text_tfidf",
     "q_subquery_scalar", // scalar subquery = one-row global aggregate
     "q_tpch_q22",        // scalar avg(acctbal) subquery, same shape
+    "q_tpch_q15",        // scalar max over the pre-shrunk revenue view
     "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
     "q_text_logprob")          // broadcast scalar corpus-total aggregate
 

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => BoundedLevenshtein)
   }
 }
 
@@ -60,6 +61,42 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
              acc.exprId == acca.exprId && v.exprId == va.exprId &&
              isIdentity(finish) =>
         DotProduct(a, b)
+    }
+}
+
+/** Optimizer rule: bound thresholded edit distance. A predicate
+  * `levenshtein(a, b) <= k` (k a literal) computes the FULL O(|a|·|b|) DP
+  * for every pair only to compare the result once. The rewrite
+  *
+  *   `abs(length(a) - length(b)) <= k AND levenshtein(a, b, k) >= 0`
+  *
+  * (1) short-circuits on the free length lower bound (edit distance ≥
+  * length difference — most candidate pairs die on two length reads), and
+  * (2) passes k into Spark's thresholded Levenshtein, whose banded DP is
+  * O(k·min(len)) with early exit (it returns -1 past the threshold, hence
+  * the `>= 0` comparison). Null behavior is identical: every conjunct
+  * null-propagates from the same inputs. Fires only on the plain 2-arg
+  * form, so the rewrite can't re-match its own output.
+  */
+object BoundedLevenshtein extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Abs, GreaterThanOrEqual,
+    LessThanOrEqual, Length, Levenshtein, Subtract}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def bounded(a: Expression, b: Expression, k: Int): Expression = {
+    val lengthGuard = LessThanOrEqual(
+      Abs(Subtract(Length(a), Length(b))), Literal(k))
+    val thresholded = GreaterThanOrEqual(
+      Levenshtein(a, b, Some(Literal(k))), Literal(0))
+    org.apache.spark.sql.catalyst.expressions.And(lengthGuard, thresholded)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) =>
+        bounded(a, b, k)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) =>
+        bounded(a, b, k)
     }
 }
 
@@ -108,8 +145,10 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+    val rules = Seq(RewriteHofDotProduct, BoundedLevenshtein)
+      .filterNot(spark.experimental.extraOptimizations.contains)
+    if (rules.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+        spark.experimental.extraOptimizations ++ rules
   }
 }

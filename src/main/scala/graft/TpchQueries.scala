@@ -295,6 +295,23 @@ object TpchQueries extends QueryPack {
         |GROUP BY cntrycode
         |ORDER BY cntrycode NULLS FIRST""".stripMargin)),
 
+    // Q15 shape: top supplier by quarterly revenue — the revenue "view"
+    // (group-before-join shrink) consumed twice: once for the join, once
+    // for the scalar max the filter compares against.
+    "q_tpch_q15" -> ((s, dir) => Sql.query(s, dir,
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -521,6 +538,20 @@ object TpchQueries extends QueryPack {
         |                      AND o_orderpriority = '1-URGENT')) t
         |GROUP BY cntrycode
         |ORDER BY cntrycode NULLS FIRST""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,

@@ -54,6 +54,34 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) !== out(2))
   }
 
+  test("BoundedLevenshtein rewrites threshold predicates to the banded " +
+       "early-exit form, results unchanged") {
+    GraftExtensions.register(spark)
+    // RDD-backed (a LocalRelation would be constant-folded before the
+    // filter could show the rewrite)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("kitten", "sitting"),
+        org.apache.spark.sql.Row("kitten", "kitten"),
+        org.apache.spark.sql.Row("abc", "abcdefgh"),
+        org.apache.spark.sql.Row("a", null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "x", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "y", org.apache.spark.sql.types.StringType))))
+    val filtered = df.filter(levenshtein(col("x"), col("y")) <= 3)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the rewrite installed the length guard and the 3-arg levenshtein
+    assert(optimized.contains("levenshtein(x#") &&
+           optimized.contains("Some(3)) >= 0"), optimized)
+    assert(optimized.contains("abs((length(x#"), optimized)
+    // semantics identical to the unrewritten comparison: dist 3 and 0
+    // pass, dist 5 and the null row don't
+    assert(filtered.as[(String, String)].collect().toSet ===
+           Set(("kitten", "sitting"), ("kitten", "kitten")))
+  }
+
   test("SQL registry exposes dot_product / cosine_sim with native codegen") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
