@@ -30,18 +30,41 @@ object Streaming {
     microsCols.foldLeft(df)((d, c) =>
       d.withColumn(c, Functions.microsToTimestampSecond(col(c))))
 
+  /** Replay guard for `foreachBatch` sinks whose writes are NOT naturally
+    * idempotent (appends, partial-aggregate merges): Structured Streaming
+    * re-delivers the in-flight batch after a crash, so each sink records
+    * a marker per committed batch id and skips re-delivered ones. The
+    * marker write happens AFTER the data write — a crash between the two
+    * replays the batch (at-least-once on that one batch), never loses it.
+    */
+  private[graft] def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def markCommitted(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_commits/$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** T1/T2: continuous ingest — append each micro-batch to a parquet dir
-    * (the MV's `TO shop.users` insert) with exactly-once progress via
-    * checkpointing (stronger than the reference's at-least-once consumer
-    * group, `README.md:200`).
+    * (the MV's `TO shop.users` insert) with exactly-once progress:
+    * checkpointing bounds re-delivery to the in-flight batch and the
+    * commit marker makes the replayed append a no-op.
     */
   def appendSink(df: DataFrame, outDir: String, checkpoint: String)
       : DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!alreadyCommitted(batch.sparkSession, outDir, batchId)) {
+          batch.write.mode("append").parquet(outDir)
+          markCommitted(batch.sparkSession, outDir, batchId)
+        }
       }
 
   /** T1+U1: the reference's full loop — continuous ingest with
@@ -167,38 +190,47 @@ object Streaming {
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hashed = batch
-          .withColumn("__h", xxhash64(col(contentCol)))
-          .withColumn("__bucket",
-                      pmod(col("__h"), lit(numBuckets)).cast("int"))
-          // first occurrence within the batch wins
-          .dropDuplicates("__h")
-        val touched = hashed.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val seen =
-          try spark.read.parquet(storeDir)
-            .filter(col("__bucket").isin(touched: _*)) // partition-pruned
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField(
-                    "__h", org.apache.spark.sql.types.LongType),
-                  org.apache.spark.sql.types.StructField(
-                    "__bucket", org.apache.spark.sql.types.IntegerType))))
-          }
-        val novel = hashed
-          .join(seen.select(col("__h")), Seq("__h"), "left_anti")
-          .localCheckpoint() // two writes below; mine the batch once
-        novel.drop("__h", "__bucket")
-          .write.mode("append").parquet(outDir)
-        novel.select(col("__h"), col("__bucket"))
-          .write.mode("append").partitionBy("__bucket").parquet(storeDir)
-        ()
+        // the seen-store anti-join already makes a FULL replay a no-op;
+        // the marker closes the partial-failure window (outDir appended,
+        // store append crashed → replay would re-append the rows)
+        if (!alreadyCommitted(spark, outDir, batchId)) {
+          val hashed = batch
+            .withColumn("__h", xxhash64(col(contentCol)))
+            .withColumn("__bucket",
+                        pmod(col("__h"), lit(numBuckets)).cast("int"))
+            // first occurrence within the batch wins
+            .dropDuplicates("__h")
+          val touched = hashed.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val seen =
+            try spark.read.parquet(storeDir)
+              .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField(
+                      "__h", org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField(
+                      "__bucket", org.apache.spark.sql.types.IntegerType))))
+            }
+          val novel = hashed
+            .join(seen.select(col("__h")), Seq("__h"), "left_anti")
+            .localCheckpoint() // two writes below; mine the batch once
+          // outDir BEFORE store: a crash between the two replays the batch
+          // with the hashes still absent from the store → duplicate rows
+          // in outDir (at-least-once on that batch). The reverse order
+          // would make the replayed anti-join drop the rows → data loss.
+          novel.drop("__h", "__bucket")
+            .write.mode("append").parquet(outDir)
+          novel.select(col("__h"), col("__bucket"))
+            .write.mode("append").partitionBy("__bucket").parquet(storeDir)
+          markCommitted(spark, outDir, batchId)
+        }
       }
 
   /** T1+A7: incrementally-maintained aggregate table — the reference's MV
@@ -216,30 +248,37 @@ object Streaming {
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val groupCols = (partitionCol +: keyCols).map(col)
-        val partial = batch.groupBy(groupCols: _*)
-          .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
-        val touched = partial.select(partitionCol).distinct()
-          .collect().map(_.get(0)).toSeq
-        val current =
-          try spark.read.parquet(stateDir)
-            .filter(col(partitionCol).isin(touched: _*))
-            .localCheckpoint() // cut the scan lineage before overwrite
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], partial.schema)
-          }
-        current.unionByName(partial)
-          .groupBy(groupCols: _*)
-          .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionCol)
-          .parquet(stateDir)
+        // a replayed batch would merge its partials TWICE — skip it
+        if (!alreadyCommitted(spark, stateDir, batchId)) {
+          val groupCols = (partitionCol +: keyCols).map(col)
+          val partial = batch.groupBy(groupCols: _*)
+            .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+          val touched = partial.select(partitionCol).distinct()
+            .collect().map(_.get(0)).toSeq
+          val current =
+            try spark.read.parquet(stateDir)
+              .filter(col(partitionCol).isin(touched: _*))
+              .localCheckpoint() // cut the scan lineage before overwrite
+            catch {
+              // no state yet: dir absent, or holding only the hidden
+              // _graft_commits markers (no parquet to infer from)
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" ||
+                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], partial.schema)
+            }
+          current.unionByName(partial)
+            .groupBy(groupCols: _*)
+            .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(stateDir)
+          markCommitted(spark, stateDir, batchId)
+        }
       }
 
   /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online

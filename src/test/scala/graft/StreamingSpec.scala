@@ -249,6 +249,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-02", "view", 2L, 12.0)))
   }
 
+  test("replay guard: a batch id already marked committed is skipped; " +
+       "later batches process normally") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-replay").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    // simulate the post-crash re-delivery: batch 0 already committed
+    Streaming.markCommitted(spark, state, 0L)
+    assert(Streaming.alreadyCommitted(spark, state, 0L))
+    assert(!Streaming.alreadyCommitted(spark, state, 1L))
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val withDay = Streaming.mvTransform(toDfStream(stream), Seq.empty)
+      .withColumn("day", to_date(col("ts")))
+    val q = Streaming.incrementalAggSink(withDay, state, ckpt,
+      "day", Seq("event_type"), "value").start()
+    stream.addData(Seq((1L, ts("2024-01-01 01:00:00"), "click", 1.0)))
+    q.processAllAvailable() // batch 0: replayed → must be a no-op
+    stream.addData(Seq((2L, ts("2024-01-01 02:00:00"), "click", 2.0)))
+    q.processAllAvailable() // batch 1: fresh → must commit
+    q.stop()
+    val out = spark.read.parquet(state)
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect()
+    // only batch 1's row counted — the replayed batch didn't double in
+    assert(out === Array(("click", 1L, 2.0)))
+    assert(Streaming.alreadyCommitted(spark, state, 1L))
+  }
+
   test("T6: watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
