@@ -351,6 +351,26 @@ object Sources {
     df.withColumn("kafka_time", col("timestamp"))
       .withColumn("kafka_offset", col("offset"))
 
+  /** Small-file compaction for an append-only hive-partitioned store
+    * (each micro-batch append adds files; thousands of batches → listing
+    * and task-scheduling overhead dominates reads). Rewrites each
+    * partition's rows into ONE file (hash-clustering on the partition
+    * column puts a hive partition's rows in a single task) via dynamic
+    * partition overwrite — content-identical, same layout, one run
+    * amortizes across all subsequent reads. Quiesce writers first, as
+    * any compactor must.
+    */
+  def compactPartitionedDir(spark: SparkSession, dir: String,
+                            partitionCol: String): Unit = {
+    val current = spark.read.parquet(dir)
+      .repartition(col(partitionCol))
+      .localCheckpoint() // cut the scan lineage: we overwrite the source
+    current.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+  }
+
   /** S7: columnar append sink (the MV's `TO shop.users` insert,
     * `README.md:212`), clustered like the reference's ORDER BY for
     * min/max-stat row-group skipping (`README.md:177`). `partitionCols`

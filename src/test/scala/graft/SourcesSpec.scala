@@ -192,6 +192,28 @@ class SourcesSpec extends SparkSpec {
     assert(errs.exists(_.contains("schema id 99")))
   }
 
+  test("compactPartitionedDir collapses appended small files, content " +
+       "and layout unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/store"
+    // 4 appends × 2 partitions → many small files
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, 0), (i.toLong + 100, 1)).toDF("v", "b")
+        .repartition(2)
+        .write.mode("append").partitionBy("b").parquet(dir)
+    }
+    def filesIn(b: Int) = new java.io.File(s"$dir/b=$b").listFiles()
+      .map(_.getName).count(_.startsWith("part-"))
+    val before = spark.read.parquet(dir).select("v", "b")
+      .as[(Long, Int)].collect().sorted
+    assert(filesIn(0) > 1 && filesIn(1) > 1)
+    Sources.compactPartitionedDir(spark, dir, "b")
+    assert(filesIn(0) === 1 && filesIn(1) === 1)
+    val after = spark.read.parquet(dir).select("v", "b")
+      .as[(Long, Int)].collect().sorted
+    assert(after === before)
+  }
+
   test("unwrapCdc surfaces after-images and delete tombstones") {
     val img = StructType(Seq(StructField("user_id", LongType),
                              StructField("account_type", StringType)))
