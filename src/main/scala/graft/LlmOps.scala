@@ -144,6 +144,131 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental MinHash-LSH near-dup: match a NEW batch of documents
+    * against the accumulated corpus without recomputing history — the
+    * production flow for a growing corpus (today's shard vs years of
+    * data). A persistent store holds, for every indexed doc,
+    *
+    *  - its LSH band keys `(band, bh)`, hive-partitioned by
+    *    `bhb = pmod(bh, numBuckets)` — the batch's band keys
+    *    partition-prune the candidate lookup;
+    *  - its shingle hashes `(doc, s)`, hive-partitioned by
+    *    `docb = pmod(doc, numBuckets)` — candidate docs partition-prune
+    *    the verification reads.
+    *
+    * Per batch: signature pass over the batch only → candidates =
+    * batch-vs-history (pruned store join) ∪ batch-vs-batch → exact
+    * Jaccard verify (batch shingles + pruned history shingles) → append
+    * the batch's own band keys and shingles (append-only, no rewrite).
+    * Cost scales with batch size × collision rate, never with corpus
+    * size. Returns verified pairs (a = new doc, b = matched doc, both
+    * orientations batch-vs-history; a < b within the batch).
+    */
+  def minhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                         storeDir: String, shingleK: Int, numHashes: Int,
+                         bands: Int, minJaccard: Double,
+                         numBuckets: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rowsPerBand = numHashes / bands
+    def emptyStore(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                            schema)
+    def readStore(path: String,
+                  schema: org.apache.spark.sql.types.StructType) =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          emptyStore(schema)
+      }
+    // batch-local shingles + signatures (same shapes as the batch form)
+    val sh = newDocs.select(
+      col(idCol).as("doc"),
+      explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
+      .localCheckpoint()
+    val sigAggs = (0 until numHashes).map { j =>
+      min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
+    }
+    val sig = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"), sigAggs: _*)
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+             xxhash64((0 until rowsPerBand)
+               .map(r => col(s"sig_${i * rowsPerBand + r}")): _*).as("bh"))
+    }
+    val batchKeys = sig
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .withColumn("bhb", pmod(col("bh"), lit(numBuckets)).cast("int"))
+      .localCheckpoint()
+    val touchedBhb = batchKeys.select("bhb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bhb",
+        org.apache.spark.sql.types.IntegerType)))
+    val histKeys = readStore(s"$storeDir/bands", keySchema)
+      .filter(col("bhb").isin(touchedBhb: _*)) // partition-pruned
+    // candidates: new-vs-history (both orientations kept distinct by
+    // construction: a is always the new doc) ∪ new-vs-new (a < b)
+    val candHist = batchKeys.select(col("doc").as("a"), col("band"), col("bh"))
+      .join(histKeys.select(col("doc").as("b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
+    val candNew = batchKeys.select(col("doc").as("a"), col("band"), col("bh"))
+      .join(batchKeys.select(col("doc").as("b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+    val cand = candHist.select("a", "b").union(candNew.select("a", "b"))
+      .distinct().localCheckpoint()
+    // verification shingles: the batch's own + the candidates' history
+    // docs (doc-bucket partition-pruned read)
+    val candDocsB = cand.select(col("b").as("doc")).distinct()
+    val touchedDocb = candDocsB
+      .select(pmod(col("doc"), lit(numBuckets)).cast("int").as("docb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val shSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("docb",
+        org.apache.spark.sql.types.IntegerType)))
+    val histSh =
+      (if (touchedDocb.isEmpty) emptyStore(shSchema)
+       else readStore(s"$storeDir/shingles", shSchema)
+         .filter(col("docb").isin(touchedDocb: _*)))
+        .join(candDocsB, "doc") // only candidates' shingles
+        .select("doc", "s")
+    val allSh = sh.union(histSh).localCheckpoint()
+    val counts = allSh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(allSh.select(col("doc").as("a"), col("s")), "a")
+      .join(allSh.select(col("doc").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(counts.select(col("doc").as("a"), col("n_sh").as("na")), "a")
+      .join(counts.select(col("doc").as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint() // materialize BEFORE the appends change the store
+    // index the batch (append-only; new shards never rewrite history)
+    batchKeys.write.mode("append").partitionBy("bhb")
+      .parquet(s"$storeDir/bands")
+    sh.withColumn("docb", pmod(col("doc"), lit(numBuckets)).cast("int"))
+      .write.mode("append").partitionBy("docb")
+      .parquet(s"$storeDir/shingles")
+    pairs
+  }
+
   /** 64-bit SimHash, relationally: explode tokens, hash each once, then 64
     * native `sum` aggregates (one per bit: ±1 by that bit of the token
     * hash) in a single hash-aggregate pass; bit k of the result is set

@@ -64,6 +64,23 @@ object LlmQueries extends QueryPack {
                                  "text", 3, 32, 16, 0.2)
         .orderBy("a", "b")),
 
+    // L2b': incremental MinHash — index half the corpus, then match the
+    // other half against that history (rows-only; LlmSpec proves the
+    // two-batch union equals the one-shot batch run). Fresh temp store
+    // per invocation keeps repeated driver runs deterministic.
+    "q_dedup_minhash_incr" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mh-incr").toString + "/store"
+      val d = Tables(s, dir, "documents")
+      LlmOps.minhashIncremental(d.filter(col("doc_id") < 250), "doc_id",
+                                "text", store, 3, 32, 16, 0.5)
+      LlmOps.minhashIncremental(d.filter(col("doc_id") >= 250), "doc_id",
+                                "text", store, 3, 32, 16, 0.5)
+        .select(least(col("a"), col("b")).as("a"),
+                greatest(col("a"), col("b")).as("b"), col("jaccard"))
+        .orderBy("a", "b")
+    }),
+
     // L2c: SimHash near-dup pairs (rows-only).
     "q_dedup_simhash" -> ((s, dir) =>
       LlmOps.simhashNearDupPairs(Tables(s, dir, "documents"), "doc_id",

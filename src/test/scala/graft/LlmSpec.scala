@@ -65,6 +65,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental MinHash over two batches equals the batch-mode run " +
+       "on the full corpus") {
+    val store = java.nio.file.Files.createTempDirectory("graft-mh")
+      .toString + "/store"
+    val batch1 = docs.filter(col("doc_id") < 250)
+    val batch2 = docs.filter(col("doc_id") >= 250)
+    def norm(rows: Array[(Long, Long, Double)]) =
+      rows.map { case (a, b, j) =>
+        (math.min(a, b), math.max(a, b), j) }.toSet
+    val p1 = LlmOps.minhashIncremental(batch1, "doc_id", "text", store,
+                                       3, 32, 16, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val p2 = LlmOps.minhashIncremental(batch2, "doc_id", "text", store,
+                                       3, 32, 16, 0.5)
+      .as[(Long, Long, Double)].collect()
+    // same hash family + bands + verify arithmetic → the incremental
+    // union must be EXACTLY the one-shot batch result
+    val full = norm(LlmOps.minhashNearDupPairs(docs, "doc_id", "text",
+                                               3, 32, 16, 0.5)
+      .as[(Long, Long, Double)].collect())
+    assert(norm(p1 ++ p2) === full)
+    assert(full.nonEmpty, "fixture should contain planted near-dups")
+    // at least one pair crosses the batch boundary (else the history
+    // path went untested)
+    assert((p1 ++ p2).exists { case (a, b, _) =>
+      math.min(a, b) < 250 && math.max(a, b) >= 250 })
+  }
+
   test("auto-tuned embed LSH picks the corpus-appropriate bucket width") {
     // 500 vectors / target 64 per bucket → ceil(log2(7.8)) = 3 bits: the
     // auto form must equal the manually tuned production parameters
