@@ -43,6 +43,33 @@ object Analytics {
                 .reduce(_ + _).cast("long").as("funnel_level"))
   }
 
+  /** Event-sequence predicate (ClickHouse `sequenceMatch('(?1).*(?2)…')`
+    * analog): per entity, whether events matching each step occur in
+    * STRICT time order, any gaps allowed. Greedy earliest-occurrence
+    * chaining decides it exactly (if any ordered chain exists, the one
+    * through each step's earliest admissible time does) — so the plan is
+    * `steps` chained filter→min aggregates on the entity key, one
+    * hash-shuffle shape, no per-entity sort or pattern automaton.
+    * Returns (userCol, matched) for every entity in `events`.
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "sequenceMatch needs at least one step")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"))
+    val first = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("ts").as("t_prev"))
+    val last = steps.tail.foldLeft(first) { (prev, step) =>
+      e.filter(col("et") === step).join(prev, "u")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("u").agg(min("ts").as("t_prev"))
+    }
+    e.select(col("u")).distinct()
+      .join(last.select(col("u"), lit(true).as("m")), Seq("u"), "left")
+      .select(col("u").as(userCol),
+              coalesce(col("m"), lit(false)).as("matched"))
+  }
+
   /** Cohort retention (ClickHouse retention analog): entities grouped by
     * the day of their first `cohortType` event; for each offset n in
     * `days`, how many were active exactly n days later. Returns

@@ -48,6 +48,15 @@ object CdcQueries extends QueryPack {
                        "ts", Seq("view", "click", "purchase"), "24 HOURS")
         .orderBy("user_id")),
 
+    // D: event-sequence predicate ([[Analytics.sequenceMatch]] —
+    // ClickHouse sequenceMatch analog): did view → click → purchase
+    // happen in strict order, any gaps, no window bound.
+    "q_seq_match" -> ((s, dir) =>
+      Analytics.sequenceMatch(Tables(s, dir, "events"), "user_id",
+                              "event_type", "ts",
+                              Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // D: cohort retention ([[Analytics.retention]]) — users by signup day;
     // active exactly 1 and 7 days later.
     "q_retention" -> ((s, dir) =>
@@ -156,6 +165,25 @@ object CdcQueries extends QueryPack {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN s1 ON u.user_id = s1.user_id
         |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id NULLS FIRST""".stripMargin,
+
+    "q_seq_match" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, s3.user_id IS NOT NULL AS matched
+        |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN s3 ON u.user_id = s3.user_id
         |ORDER BY u.user_id NULLS FIRST""".stripMargin,
 
