@@ -31,6 +31,7 @@ object Bench {
     "q_global_rownum", "q_topk_per_group",
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_scd2", "q_funnel", "q_retention",
+    "q_seq_match",
     // TPC-H composites
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13",
@@ -44,7 +45,8 @@ object Bench {
     "q_knn_join", "q_curation",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
-    "q_sample_hash", "q_hash", "q_pipeline_shard")
+    "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
+    "q_pipeline_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
