@@ -111,6 +111,62 @@ object AggQueries extends QueryPack {
                .as("cov_qd"))
         .orderBy("l_returnflag")),
 
+    // Linear-regression aggregates (PostgreSQL regr_* surface — the
+    // destination-engine analytics the reference's consumers run on
+    // numeric pairs). Single-pass moment aggregates, rounded for
+    // cross-engine float parity like q_agg_stats.
+    "q_agg_regr" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg((round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+                + lit(0.0)).as("slope"),
+             (round(regr_intercept(col("l_extendedprice"),
+                                   col("l_quantity")), 4)
+                + lit(0.0)).as("intercept"),
+             (round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+                + lit(0.0)).as("r2"),
+             regr_count(col("l_extendedprice"), col("l_quantity"))
+               .cast("long").as("n"))
+        .orderBy("l_returnflag")),
+
+    // ClickHouse sumMap analog: per entity, the map event_type → sum(value)
+    // as aligned sorted key/value lists. Two hash aggregates — the inner
+    // one owns the numeric sum (DECIMAL → exact integer ten-thousandths,
+    // so the joined string is bit-portable), the outer collects the small
+    // per-entity key set. Values never pass through double→string.
+    "q_agg_summap" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg((sum(col("value").cast("decimal(18,4)")) * 10000)
+               .cast("long").as("v"))
+      per.groupBy("user_id")
+        .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
+               .as("ks"),
+             array_join(
+               transform(
+                 array_sort(collect_list(struct(col("event_type").as("k"),
+                                                col("v").as("v")))),
+                 e => e.getField("v").cast("string")), ",").as("vs"))
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse uniqState/uniqMerge analog: mergeable HLL sketch
+    // partials — per-day sketches of the visitor set, rolled up to a
+    // per-event-type estimate WITHOUT touching raw rows again. The
+    // partial-sketch table is what an AggregatingMergeTree target stores;
+    // re-aggregation cost is O(days × sketch), not O(events). Sketch
+    // binary → rows-only; SketchSpec pins merge(partials) == direct.
+    "q_hll_rollup" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+               .as("approx_users"),
+             count(lit(1)).as("n_partials"))
+        .orderBy("event_type")
+    }),
+
     // Exact interpolated percentiles (ClickHouse quantile() surface).
     "q_agg_percentile" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -297,6 +353,26 @@ object AggQueries extends QueryPack {
         |  round(covar_samp(l_quantity, l_discount), 4) + 0 AS cov_qd
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) + 0 AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_summap" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS v
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS ks,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY event_type) AS vs
+        |FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

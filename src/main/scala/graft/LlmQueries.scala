@@ -465,6 +465,29 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // L1: temperature-based domain mixing — per-language keep rates
+    // ∝ n^α (α = 0.5, the multilingual up/down-sampling pass), realized
+    // as a deterministic hash threshold. The rate table is one tiny
+    // aggregate broadcast back onto the corpus; docs never shuffle.
+    // sqrt is IEEE-correctly-rounded, so the rate — and therefore the
+    // kept set — is bit-identical across engines and partitionings.
+    "q_sample_temperature" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rates = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")))
+      val wmax = rates.agg(max(col("w")).as("wmax"))
+      val rate = rates.crossJoin(broadcast(wmax))
+        .select(col("lang"), (col("w") / col("wmax")).as("rate"))
+      docs
+        .join(broadcast(rate), "lang")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("double") / lit(4294967296.0)
+                  < col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // L1: benchmark decontamination — flag training docs sharing any
     // 8-token shingle with the eval set (the standard n-gram overlap
     // pass). Eval shingle set is small → broadcast; training docs never
@@ -519,6 +542,30 @@ object LlmQueries extends QueryPack {
                                  "cum_tok")
         .withColumn("shard",
           floor((col("cum_tok") - col("n_tok")) / 5000.0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // L1: GPT-style sequence packing — concatenate the token stream in
+    // stable doc order and cut fixed 512-token training sequences; each
+    // doc reports the sequence it starts in, its offset there, and how
+    // many sequences it spans (docs longer than the budget straddle).
+    // Pure arithmetic on the same two-pass range-partitioned prefix sum
+    // as q_pack_shards — no window over the global stream.
+    "q_pack_sequences" -> ((s, dir) => {
+      val budget = 512.0
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+      Relational.globalPrefixSum(docs, Seq(col("doc_id")), "n_tok",
+                                 "cum_tok")
+        .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+        .withColumn("first_seq",
+          floor(col("start_tok") / budget).cast("long"))
+        .withColumn("seq_offset", col("start_tok") % lit(512L))
+        .withColumn("n_seqs",
+          floor((col("cum_tok") - 1) / budget).cast("long")
+            - col("first_seq") + 1)
+        .select("doc_id", "n_tok", "first_seq", "seq_offset", "n_seqs")
         .orderBy("doc_id")
     }),
 
@@ -814,6 +861,39 @@ object LlmQueries extends QueryPack {
         |  round(coalesce(n_dup, 0) * 1.0 / n_chunks, 4) AS dup_ratio
         |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
         |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
+
+    "q_sample_temperature" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang,
+        |    sqrt(CAST(n AS DOUBLE)) /
+        |      (SELECT max(sqrt(CAST(n AS DOUBLE))) FROM n) AS rate
+        |  FROM n)
+        |SELECT doc_id, d.lang FROM documents d
+        |JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS UBIGINT) / 4294967296.0 < rate
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tok
+        |  FROM d)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS first_seq,
+        |  (cum_tok - n_tok) % 512 AS seq_offset,
+        |  CAST(floor((cum_tok - 1) / 512.0) AS BIGINT)
+        |    - CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) + 1
+        |    AS n_seqs
+        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_pack_shards" ->
       """WITH d AS (

@@ -312,6 +312,85 @@ object TpchQueries extends QueryPack {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey NULLS FIRST""".stripMargin)),
 
+    // Q12 shape: shipping-delay priority split — late lines (shipped
+    // > 60 days after order) classified into high/low priority counts
+    // per return flag (the flag plays l_shipmode's role in this schema).
+    // One equi-join + conditional counts; the shipdate year filter
+    // pushes to the scan.
+    "q_tpch_q12" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate")
+                  + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q17 shape: small-quantity-order revenue — a correlated average
+    // subquery per part (Catalyst decorrelates it to an aggregate +
+    // join). The per-part average goes through DECIMAL so the 0.2×avg
+    // threshold is order-independent in both engines.
+    "q_tpch_q17" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT CAST(round(
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / 7.0, 4) AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |                      AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+        .stripMargin)),
+
+    // Q19 shape: disjunctive OR-of-ANDs predicate spanning both join
+    // sides — the pushdown stress case: each disjunct's part-only
+    // conjuncts can prefilter the broadcast dim, the residual runs
+    // post-join.
+    "q_tpch_q19" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")),
+              col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+             col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+             col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+             col("l_quantity").between(20, 30)))
+        .agg(sum(revenue).cast("double").as("revenue"))),
+
+    // Q21 shape: suppliers who kept finished orders waiting — the
+    // hardest decorrelation in the suite: a correlated EXISTS (another
+    // supplier contributed to the order) AND a correlated NOT EXISTS
+    // (no OTHER supplier was late) with non-equality correlated
+    // predicates, over multi-line orders. Late = shipped > 60 days
+    // after order date.
+    "q_tpch_q21" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -552,6 +631,61 @@ object TpchQueries extends QueryPack {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT CAST(round(
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / 7.0, 4) AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |                      AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
