@@ -429,12 +429,21 @@ object LlmOps {
                                 bitsPerTable: Int,
                                 minSim: Double): DataFrame = {
     val numPlanes = tables * bitsPerTable
-    val comps = embeddings.select(col(idCol).as("vid"),
-                                  posexplode(col(vecCol)).as(Seq("i", "x")))
+    // One xxhash64 per element per 64-plane BLOCK (projected once per row,
+    // before the aggregate), with each plane's ±1 sign read as a bit of
+    // that hash — versus hashing per (plane, element), this cuts the
+    // signature stage's hash work by ~min(numPlanes, 64)×. Signs stay iid
+    // uniform (xxhash64 bits), so LSH quality is unchanged.
+    val blocks = (numPlanes + 63) / 64
+    val comps = (0 until blocks).foldLeft(
+        embeddings.select(col(idCol).as("vid"),
+                          posexplode(col(vecCol)).as(Seq("i", "x")))) {
+      (df, b) => df.withColumn(s"h_$b", xxhash64(lit(b), col("i")))
+    }
     val projAggs = (0 until numPlanes).map { p =>
-      sum(col("x").cast("double") *
-          (pmod(xxhash64(lit(p), col("i")), lit(2)).cast("double") * 2 - 1))
-        .as(s"proj_$p")
+      val sign = shiftright(col(s"h_${p / 64}"), p % 64)
+        .bitwiseAND(lit(1L)).cast("double") * 2 - 1
+      sum(col("x").cast("double") * sign).as(s"proj_$p")
     }
     val proj = comps.groupBy("vid").agg(projAggs.head, projAggs.tail: _*)
     val tableKeys = (0 until tables).map { t =>

@@ -113,9 +113,14 @@ object LlmQueries extends QueryPack {
     // Threshold 0.4 (vs the baseline's 0.5) so the synthetic corpus —
     // whose max non-self pair sim is ~0.48 at sf0.001 — yields rows at
     // every harness SF.
+    // The self-tuning form: bucket width follows the corpus size
+    // (bits = log2(n / 64)), so the candidate join stays ~64 rows/bucket
+    // at EVERY scale factor instead of flooding at large n. At the spec's
+    // sf0.001 this resolves to the same 3 bits as the manual tuning
+    // (LlmSpec pins auto == manual there).
     "q_dedup_embed_lsh" -> ((s, dir) =>
-      LlmOps.embedNearDupPairsBucketed(Tables(s, dir, "embeddings"),
-                                       "vec_id", "embedding", 16, 3, 0.4)
+      LlmOps.embedNearDupPairsAuto(Tables(s, dir, "embeddings"),
+                                   "vec_id", "embedding", 16, 64, 0.4)
         .orderBy("a", "b")),
 
     // L2e: near-dup pairs resolved into duplicate clusters (canonical
