@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
@@ -280,6 +280,62 @@ object Streaming {
           markCommitted(spark, stateDir, batchId)
         }
       }
+
+  /** [[incrementalAggSink]]'s distinct-count sibling — the
+    * AggregatingMergeTree uniqState/uniqMerge analog: the maintained state
+    * is a MERGEABLE Datasketches-HLL sketch per (partition, key), not a
+    * number. Each micro-batch sketches ITSELF (`hll_sketch_agg`), reads
+    * only the touched `partitionCol` partitions, merges via
+    * `hll_union_agg`, and dynamic-overwrites just those partitions —
+    * so a cross-batch duplicate visitor is never double-counted even
+    * though no batch ever sees another batch's raw rows, and per-batch
+    * cost is O(batch footprint × sketch), never O(history).
+    * Read the table with [[distinctEstimates]].
+    */
+  def incrementalDistinctSink(df: DataFrame, stateDir: String,
+                              checkpoint: String, partitionCol: String,
+                              keyCols: Seq[String],
+                              distinctCol: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, stateDir, batchId)) {
+          val groupCols = (partitionCol +: keyCols).map(col)
+          val partial = batch.groupBy(groupCols: _*)
+            .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+          val touched = partial.select(partitionCol).distinct()
+            .collect().map(_.get(0)).toSeq
+          val current =
+            try spark.read.parquet(stateDir)
+              .filter(col(partitionCol).isin(touched: _*))
+              .localCheckpoint()
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" ||
+                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], partial.schema)
+            }
+          current.unionByName(partial)
+            .groupBy(groupCols: _*)
+            .agg(hll_union_agg(col("sk")).as("sk"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(stateDir)
+          markCommitted(spark, stateDir, batchId)
+        }
+      }
+
+  /** The read side of [[incrementalDistinctSink]]: per-key distinct-count
+    * estimates from the stored sketches — O(state rows), raw events never
+    * touched. */
+  def distinctEstimates(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .withColumn("approx_distinct", hll_sketch_estimate(col("sk")))
+      .drop("sk")
 
   /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online
     * analog (state bounded by the watermark).
