@@ -20,7 +20,8 @@ object Explain {
     "q_dedup_embed", "q_text_tfidf",
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
-    "q_text_logprob")       // cross vs broadcast one-row total
+    "q_text_logprob",       // cross vs broadcast one-row total
+    "q_sample_temperature") // cross vs broadcast one-row global max rate
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -33,7 +34,9 @@ object Explain {
     "q_tpch_q22",        // scalar avg(acctbal) subquery, same shape
     "q_tpch_q15",        // scalar max over the pre-shrunk revenue view
     "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
-    "q_text_logprob")          // broadcast scalar corpus-total aggregate
+    "q_tpch_q17", "q_tpch_q19", // single-row revenue aggregates, same shape
+    "q_text_logprob",          // broadcast scalar corpus-total aggregate
+    "q_sample_temperature")    // one-row max over the 5-row rate table
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -149,6 +149,40 @@ class RelationalSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime bloom filter from the selective build side prefilters " +
+       "the probe-side scan") {
+    // the 100 TB shape: a selective dim filter should cut the fact scan
+    // BEFORE the shuffle via Spark's injected bloom filter (the runtime
+    // half of predicate pushdown — the static planner can't know the
+    // surviving key set). Thresholds lowered so the harness-sized tables
+    // qualify; broadcast off so the join actually shuffles.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = Tables(spark, sf("lineitem"), "lineitem")
+        .join(Tables(spark, sf("part"), "part")
+                .filter(col("p_type") === "PROMO"),
+              col("l_partkey") === col("p_partkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // probe side filtered by the bloom built from the dim's survivors
+      assert(plan.contains("might_contain"), plan.take(3000))
+      assert(plan.contains("bloom_filter_agg"), plan.take(3000))
+      // and the filtered plan still returns exactly the join's rows
+      val expected = Tables(spark, sf("lineitem"), "lineitem")
+        .join(broadcast(Tables(spark, sf("part"), "part")
+                          .filter(col("p_type") === "PROMO")),
+              col("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() === expected)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("filter + narrow projection reach the parquet scan " +
        "(PushedFilters + pruned ReadSchema)") {
     val plan = Tables(spark, sf("lineitem"), "lineitem")
