@@ -111,6 +111,22 @@ object AggQueries extends QueryPack {
                .as("cov_qd"))
         .orderBy("l_returnflag")),
 
+    // Deterministic mode — most frequent value per group with an explicit
+    // smallest-value tie-break (built-in mode() is tie-arbitrary in both
+    // engines, so it can't be oracle-checked). Two hash aggregates: the
+    // value histogram, then max_by over (count, -value) — never a window
+    // over raw rows.
+    "q_agg_mode" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_quantity"),
+                    struct(col("c"), (-col("l_quantity")).as("nq")))
+               .as("mode_qty"),
+             max("c").as("mode_n"))
+        .orderBy("l_returnflag")),
+
     // Linear-regression aggregates (PostgreSQL regr_* surface — the
     // destination-engine analytics the reference's consumers run on
     // numeric pairs). Single-pass moment aggregates, rounded for
@@ -352,6 +368,17 @@ object AggQueries extends QueryPack {
         |  round(corr(l_quantity, l_discount), 4) + 0 AS corr_qd,
         |  round(covar_samp(l_quantity, l_discount), 4) + 0 AS cov_qd
         |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, CAST(c AS BIGINT)
+        |    AS mode_n
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q_agg_regr" ->

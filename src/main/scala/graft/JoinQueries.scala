@@ -124,6 +124,26 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // ClickHouse LEFT ANY JOIN analog: at most ONE right row per left
+    // row, made deterministic (ClickHouse keeps an arbitrary match) by
+    // collapsing the right side to its lexicographic-min row per key
+    // FIRST — a hash aggregate, so the right side shrinks before the
+    // join and left rows never duplicate. min(struct) keeps the matched
+    // columns consistent with each other (one row, not per-column mins).
+    "q_join_any" -> ((s, dir) => {
+      val one = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_shipdate"), col("l_linenumber"),
+                        col("l_quantity"))).as("f"))
+      Tables(s, dir, "orders")
+        .join(one, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("f.l_shipdate").as("any_ship"),
+                col("f.l_linenumber").as("any_line"),
+                col("f.l_quantity").as("any_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // J7: cross join (bounded inputs only).
     "q_join_cross" -> ((s, dir) =>
       Tables(s, dir, "region")
@@ -212,6 +232,19 @@ object JoinQueries extends QueryPack {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_any" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  l_shipdate AS any_ship,
+        |  l_linenumber AS any_line,
+        |  l_quantity AS any_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, l_shipdate, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_shipdate, l_linenumber, l_quantity) AS rn
+        |  FROM lineitem) l
+        |  ON o_orderkey = l_orderkey AND rn = 1
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
 
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
