@@ -183,6 +183,45 @@ object AggQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // PostgreSQL string_agg / ClickHouse groupArray-join analog via the
+    // native listagg aggregate (WITHIN GROUP ordering — codegen'd, no
+    // collect_list array materialization on the way to the string).
+    "q_agg_listagg" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("listagg(event_type, ',') WITHIN GROUP (ORDER BY event_type)")
+               .as("types"))
+        .orderBy("user_id")),
+
+    // ClickHouse topK analog: approximate heavy hitters per group via the
+    // native ApproxTopK sketch. Approx (and array-typed) → rows-only;
+    // SketchSpec pins the exact-regime behavior and q_topk_merge below
+    // oracle-checks the mergeable-state path.
+    "q_agg_approx_topk" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_top_k(l_suppkey, 5)").as("top_supp"))
+        .select(col("l_returnflag"),
+                to_json(col("top_supp")).as("top_supp"))
+        .orderBy("l_returnflag")),
+
+    // ClickHouse topKState/topKMerge analog, oracle-checked: per-day
+    // ApproxTopK partial states (what an AggregatingMergeTree target
+    // would store), combined and estimated WITHOUT re-reading raw rows.
+    // The tracked-item budget (64) exceeds the event_type domain, so the
+    // sketch is in its exact regime and the merged counts hash-match a
+    // plain GROUP BY — re-aggregation cost O(days × sketch), not
+    // O(events).
+    "q_topk_merge" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 64)").as("st"))
+      daily.agg(expr("approx_top_k_combine(st, 64)").as("c"))
+        .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy(desc("n"), col("event_type"))
+    }),
+
     // Exact interpolated percentiles (ClickHouse quantile() surface).
     "q_agg_percentile" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -390,6 +429,16 @@ object AggQueries extends QueryPack {
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_topk_merge" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type
+        |ORDER BY n DESC NULLS LAST, event_type NULLS FIRST""".stripMargin,
 
     "q_agg_summap" ->
       """WITH per AS (

@@ -86,7 +86,32 @@ object CdcQueries extends QueryPack {
         .select(col("user_id"), col("d"),
                 col("asof_value").as("fill_value"))
         .orderBy("user_id", "d")
-    })
+    }),
+
+    // U5: CollapsingMergeTree-analog latest-state read ([[Cdc.collapse]]):
+    // the stream carries sign = +1 state / -1 cancel (synthesized
+    // deterministically from event_id here); one hash aggregate yields the
+    // surviving latest row per entity plus its net sign.
+    "q_cdc_collapse" -> ((s, dir) =>
+      Cdc.collapse(
+          Tables(s, dir, "events")
+            .withColumn("sign", when(pmod(col("event_id"), lit(3)) === 0,
+                                     lit(-1)).otherwise(lit(1))),
+          Seq("user_id"), col("sign"),
+          Seq("ts", "event_id"), Seq("event_type", "value"))
+        .orderBy("user_id")),
+
+    // U5b: VersionedCollapsingMergeTree analog ([[Cdc.collapseVersioned]]):
+    // cancels only pair up within the same (entity, version) tuple; the
+    // surviving version rows are the readable history.
+    "q_cdc_collapse_versioned" -> ((s, dir) =>
+      Cdc.collapseVersioned(
+          Tables(s, dir, "events")
+            .withColumn("sign", when(pmod(col("event_id"), lit(3)) === 0,
+                                     lit(-1)).otherwise(lit(1))),
+          Seq("user_id"), Seq("ts"), col("sign"),
+          Seq("event_id", "event_type", "value"))
+        .orderBy("user_id", "ts"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +231,40 @@ object CdcQueries extends QueryPack {
         |SELECT d0, count(*) AS n_users,
         |  CAST(sum(r1) AS BIGINT) AS retained_d1,
         |  CAST(sum(r7) AS BIGINT) AS retained_d7
-        |FROM per_user GROUP BY d0 ORDER BY d0 NULLS FIRST""".stripMargin
+        |FROM per_user GROUP BY d0 ORDER BY d0 NULLS FIRST""".stripMargin,
+
+    "q_cdc_collapse" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign
+        |  FROM events),
+        |net AS (SELECT user_id, CAST(sum(sign) AS BIGINT) AS net
+        |        FROM s GROUP BY user_id),
+        |latest AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |  FROM s WHERE sign = 1)
+        |SELECT l.user_id, l.ts, l.event_id, l.event_type, l.value, n.net
+        |FROM latest l JOIN net n ON l.user_id = n.user_id
+        |WHERE l.rn = 1 AND n.net > 0
+        |ORDER BY l.user_id NULLS FIRST""".stripMargin,
+
+    "q_cdc_collapse_versioned" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign
+        |  FROM events),
+        |net AS (SELECT user_id, ts, CAST(sum(sign) AS BIGINT) AS net
+        |        FROM s GROUP BY user_id, ts),
+        |latest AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC NULLS LAST) AS rn
+        |  FROM s WHERE sign = 1)
+        |SELECT l.user_id, l.ts, l.event_id, l.event_type, l.value, n.net
+        |FROM latest l JOIN net n ON l.user_id = n.user_id AND l.ts = n.ts
+        |WHERE l.rn = 1 AND n.net > 0
+        |ORDER BY l.user_id NULLS FIRST, l.ts NULLS FIRST""".stripMargin
   )
 }

@@ -97,4 +97,48 @@ class CdcSpec extends SparkSpec {
       .filter(col("op") =!= "d")
     assert(alive.select("user_id").as[Long].collect().sorted === Array(1L, 3L))
   }
+
+  // CollapsingMergeTree scenario: (user_id, version, sign, payload)
+  //  u1: state v1, cancel v1, state v2       → survives with v2, net 1
+  //  u2: state v1, cancel v1                 → fully cancelled, deleted
+  //  u3: state v1                            → survives with v1
+  //  u4: lone cancel (malformed stream)      → net < 0, dropped
+  private def collapsing = Seq(
+    (1L, 1L, 1, "a"), (1L, 1L, -1, "a"), (1L, 2L, 1, "b"),
+    (2L, 1L, 1, "c"), (2L, 1L, -1, "c"),
+    (3L, 1L, 1, "d"),
+    (4L, 1L, -1, "e")
+  ).toDF("user_id", "v", "sign", "payload")
+
+  test("collapse keeps the latest state row while net sign is positive") {
+    val out = Cdc.collapse(collapsing, Seq("user_id"), col("sign"),
+                           Seq("v"), Seq("payload"))
+      .orderBy("user_id")
+      .select("user_id", "v", "payload", "net")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out === Array((1L, 2L, "b", 1L), (3L, 1L, "d", 1L)))
+  }
+
+  test("collapseVersioned cancels only within the same version tuple") {
+    // u6: duplicate cancel of v1 then a later state v2. Plain collapse
+    // nets to 0 and wrongly deletes the entity; the versioned form drops
+    // only v1 and keeps v2 — the out-of-order/at-least-once safe read.
+    val dupCancel = collapsing.unionByName(Seq(
+      (6L, 1L, 1, "x"), (6L, 1L, -1, "x"), (6L, 1L, -1, "x"),
+      (6L, 2L, 1, "y")
+    ).toDF("user_id", "v", "sign", "payload"))
+
+    val plain = Cdc.collapse(dupCancel, Seq("user_id"), col("sign"),
+                             Seq("v"), Seq("payload"))
+    assert(!plain.select("user_id").as[Long].collect().contains(6L))
+
+    val versioned = Cdc.collapseVersioned(dupCancel, Seq("user_id"),
+                                          Seq("v"), col("sign"),
+                                          Seq("payload"))
+      .orderBy("user_id", "v")
+      .select("user_id", "v", "payload", "net")
+      .as[(Long, Long, String, Long)].collect()
+    assert(versioned === Array((1L, 2L, "b", 1L), (3L, 1L, "d", 1L),
+                               (6L, 2L, "y", 1L)))
+  }
 }

@@ -47,6 +47,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k: combined daily partials equal the one-shot sketch " +
+       "and, in the exact regime, the true counts") {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("approx_top_k_accumulate(event_type, 64)").as("st"))
+    val merged = daily
+      .agg(expr("approx_top_k_combine(st, 64)").as("c"))
+      .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    val oneShot = events
+      .agg(expr("approx_top_k_accumulate(event_type, 64)").as("c"))
+      .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    val exact = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val (mm, os, ex) = (m(merged), m(oneShot), m(exact))
+    // tracked budget (64) > domain (5): sketch is exact, so merge order
+    // cannot matter and counts match GROUP BY — the property that makes a
+    // stored partial-state table re-aggregable without raw rows.
+    assert(mm == ex, s"merged $mm != exact $ex")
+    assert(os == ex, s"one-shot $os != exact $ex")
+  }
+
   test("temperature mixing: rates follow sqrt(n) and the head lang keeps all") {
     val docs = Tables(spark, sf("documents"), "documents")
     val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
