@@ -104,6 +104,35 @@ object Cdc {
         payload.map(c => col(s"__state.`$c`").as(c)) :+ col("net"): _*)
   }
 
+  /** MergeTree `TTL … GROUP BY` analog: rows whose `tsCol` falls before
+    * `cutoff` collapse to one row per (`keys`, `bucket`) with the additive
+    * `sums` columns summed (ClickHouse's `TTL ts + INTERVAL x GROUP BY k
+    * SET v = sum(v)` merge-time rewrite); newer rows pass through
+    * untouched with n = 1. Deterministic by design: the caller supplies
+    * the as-of cutoff instead of now(), so the same input always yields
+    * the same table (and an oracle can check it). Expired rows shrink via
+    * one hash aggregate; live rows never shuffle. Sums go through DECIMAL
+    * so the rollup is exact regardless of partial-aggregation order.
+    */
+  def ttlRollup(df: DataFrame, tsCol: String, cutoff: Column,
+                keys: Seq[String], bucket: Column,
+                sums: Seq[String]): DataFrame = {
+    val expired = df.filter(col(tsCol) < cutoff)
+      .groupBy(keys.map(col) :+ bucket.as(tsCol): _*)
+      .agg(count(lit(1)).as("n"),
+           sums.map(c => sum(col(c).cast("decimal(18,4)")).cast("double")
+             .as(c)): _*)
+    val live = df.filter(col(tsCol) >= cutoff)
+      .select(keys.map(col) ++ Seq(col(tsCol), lit(1L).as("n")) ++
+        sums.map(c => col(c).cast("double").as(c)): _*)
+    live.unionByName(expired)
+  }
+
+  /** Plain MergeTree `TTL` row expiry (no GROUP BY): drop rows older than
+    * the explicit as-of cutoff. */
+  def ttlExpire(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
+    df.filter(col(tsCol) >= cutoff)
+
   /** Compaction job: materialize the latest-state view so readers skip the
     * per-query version collapse — the explicit form of ReplacingMergeTree's
     * background merges (`/root/reference/README.md:176`, which are async

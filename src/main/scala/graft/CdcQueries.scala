@@ -101,6 +101,17 @@ object CdcQueries extends QueryPack {
           Seq("ts", "event_id"), Seq("event_type", "value"))
         .orderBy("user_id")),
 
+    // U6: MergeTree TTL GROUP BY analog ([[Cdc.ttlRollup]]): lineitem
+    // rows shipped before the as-of cutoff collapse to monthly rollups
+    // per return flag; recent rows survive at full granularity.
+    "q_ttl_rollup" -> ((s, dir) =>
+      Cdc.ttlRollup(Tables(s, dir, "lineitem"), "l_shipdate",
+                    lit("1998-09-01").cast("date"),
+                    Seq("l_returnflag"),
+                    date_trunc("month", col("l_shipdate")).cast("date"),
+                    Seq("l_quantity"))
+        .orderBy("l_returnflag", "l_shipdate", "n", "l_quantity")),
+
     // U5b: VersionedCollapsingMergeTree analog ([[Cdc.collapseVersioned]]):
     // cancels only pair up within the same (entity, version) tuple; the
     // surviving version rows are the readable history.
@@ -232,6 +243,23 @@ object CdcQueries extends QueryPack {
         |  CAST(sum(r1) AS BIGINT) AS retained_d1,
         |  CAST(sum(r7) AS BIGINT) AS retained_d7
         |FROM per_user GROUP BY d0 ORDER BY d0 NULLS FIRST""".stripMargin,
+
+    "q_ttl_rollup" ->
+      """WITH live AS (
+        |  SELECT l_returnflag, l_shipdate, CAST(1 AS BIGINT) AS n,
+        |    CAST(l_quantity AS DOUBLE) AS l_quantity
+        |  FROM lineitem WHERE l_shipdate >= DATE '1998-09-01'),
+        |expired AS (
+        |  SELECT l_returnflag,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS l_shipdate,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS l_quantity
+        |  FROM lineitem WHERE l_shipdate < DATE '1998-09-01'
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM live UNION ALL SELECT * FROM expired)
+        |ORDER BY l_returnflag NULLS FIRST, l_shipdate NULLS FIRST,
+        |         n NULLS FIRST, l_quantity NULLS FIRST""".stripMargin,
 
     "q_cdc_collapse" ->
       """WITH s AS (

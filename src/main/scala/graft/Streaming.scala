@@ -337,6 +337,66 @@ object Streaming {
       .withColumn("approx_distinct", hll_sketch_estimate(col("sk")))
       .drop("sk")
 
+  /** Incrementally-maintained heavy hitters — the topKState/topKMerge
+    * sibling of [[incrementalDistinctSink]]: the maintained state is a
+    * mergeable ApproxTopK sketch per (partition, key). Each micro-batch
+    * accumulates ITSELF, reads only the touched `partitionCol` partitions,
+    * re-combines, and dynamic-overwrites just those partitions — item
+    * counts keep accumulating across batches although no batch sees
+    * another's raw rows, and per-batch cost is O(batch footprint ×
+    * sketch), never O(history). Read with [[topKEstimates]].
+    */
+  def incrementalTopKSink(df: DataFrame, stateDir: String,
+                          checkpoint: String, partitionCol: String,
+                          keyCols: Seq[String], itemCol: String,
+                          maxItemsTracked: Int = 1024): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, stateDir, batchId)) {
+          val groupCols = (partitionCol +: keyCols).map(col)
+          val partial = batch.groupBy(groupCols: _*)
+            .agg(expr(s"approx_top_k_accumulate($itemCol, $maxItemsTracked)")
+                   .as("st"))
+          val touched = partial.select(partitionCol).distinct()
+            .collect().map(_.get(0)).toSeq
+          val current =
+            try spark.read.parquet(stateDir)
+              .filter(col(partitionCol).isin(touched: _*))
+              .localCheckpoint()
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" ||
+                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], partial.schema)
+            }
+          current.unionByName(partial)
+            .groupBy(groupCols: _*)
+            .agg(expr(s"approx_top_k_combine(st, $maxItemsTracked)").as("st"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(stateDir)
+          markCommitted(spark, stateDir, batchId)
+        }
+      }
+
+  /** The read side of [[incrementalTopKSink]]: per-key top-k items with
+    * accumulated counts from the stored sketch states — O(state rows),
+    * raw events never touched. */
+  def topKEstimates(spark: SparkSession, stateDir: String,
+                    k: Int): DataFrame = {
+    val st = spark.read.parquet(stateDir)
+    val keep = st.columns.filterNot(_ == "st").map(col)
+    st.select(keep :+
+        explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"): _*)
+      .select(keep :+ col("e.item").as("item") :+
+        col("e.count").as("approx_count"): _*)
+  }
+
   /** T7: streaming dedup on the upsert key — ReplacingMergeTree's online
     * analog (state bounded by the watermark).
     */

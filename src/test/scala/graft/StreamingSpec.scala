@@ -288,6 +288,44 @@ class StreamingSpec extends SparkSpec {
                          ("2024-01-02", "view", 1L)))
   }
 
+  test("incremental top-k sink: counts accumulate across batches, only " +
+       "touched partitions rewritten, estimates exact in-regime") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-topksink").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-topksink-ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val withDay = Streaming.mvTransform(toDfStream(stream), Seq.empty)
+      .withColumn("day", to_date(col("ts")))
+    val q = Streaming.incrementalTopKSink(withDay, state, ckpt,
+      "day", Seq.empty, "event_type", 64).start()
+    stream.addData(Seq(
+      (1L, ts("2024-01-01 01:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 02:00:00"), "click", 1.0),
+      (3L, ts("2024-01-02 01:00:00"), "view", 1.0)))
+    q.processAllAvailable()
+    def dayFiles(d: String): Set[String] = {
+      val dir = new java.io.File(s"$state/day=$d")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val day2Before = dayFiles("2024-01-02")
+    stream.addData(Seq(
+      (4L, ts("2024-01-01 03:00:00"), "click", 1.0), // click total → 3
+      (5L, ts("2024-01-01 04:00:00"), "view", 1.0))) // new item on day 1
+    q.processAllAvailable()
+    q.stop()
+    // batch 2 touched only day 1 — day 2's sketch partition untouched
+    assert(dayFiles("2024-01-02") === day2Before)
+    val got = Streaming.topKEstimates(spark, state, 10)
+      .select(col("day").cast("string"), col("item"), col("approx_count"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // combined per-batch sketches must carry the cross-batch totals —
+    // exact here because tracked budget (64) dwarfs the item domain
+    assert(got === Array(("2024-01-01", "click", 3L),
+                         ("2024-01-01", "view", 1L),
+                         ("2024-01-02", "view", 1L)))
+  }
+
   test("replay guard: a batch id already marked committed is skipped; " +
        "later batches process normally") {
     implicit val sqlCtx = spark.sqlContext
