@@ -231,6 +231,19 @@ object AggQueries extends QueryPack {
              round(median(col("l_extendedprice")), 4).as("med_price"))
         .orderBy("l_returnflag")),
 
+    // Weighted exact percentile (ClickHouse quantileExactWeighted
+    // analog): each value counts `frequency` times — the built-in
+    // percentile's third argument, so no row expansion ever happens;
+    // the oracle replicates by actually expanding rows.
+    "q_agg_percentile_weighted" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5, l_linenumber)"), 4)
+               .as("wp50"),
+             round(expr("percentile(l_extendedprice, 0.9, l_linenumber)"), 4)
+               .as("wp90"))
+        .orderBy("l_returnflag")),
+
     // Approximate percentiles (t-digest-style sketch — ClickHouse
     // quantileTDigest analog); approx → rows-only check. Scalar columns
     // (not the array form): the driver's compare sorts output columns and
@@ -434,6 +447,17 @@ object AggQueries extends QueryPack {
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_type) AS types
         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_percentile_weighted" ->
+      """WITH expanded AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    unnest(generate_series(1, l_linenumber)) AS rep
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS wp50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS wp90
+        |FROM expanded GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q_topk_merge" ->
       """SELECT event_type, count(*) AS n FROM events

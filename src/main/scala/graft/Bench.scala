@@ -30,15 +30,15 @@ object Bench {
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame",
     "q_global_rownum", "q_topk_per_group",
     // CDC + event analytics
-    "q_upsert_latest", "q_dedup_key", "q_scd2", "q_funnel", "q_retention",
-    "q_seq_match",
+    "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
+    "q_scd2", "q_funnel", "q_retention", "q_seq_match",
     // TPC-H composites
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
     "q_tpch_q21", "q_tpch_q22",
-    // mergeable-sketch rollup (uniqState/uniqMerge analog)
-    "q_hll_rollup",
+    // mergeable-sketch rollups (uniqState/topKState + merge analogs)
+    "q_hll_rollup", "q_topk_merge",
     // LLM-pipeline: dedup / similarity / text
     "q_dedup_exact", "q_dedup_chunks_skew", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",

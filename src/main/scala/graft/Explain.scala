@@ -36,7 +36,9 @@ object Explain {
     "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
     "q_tpch_q17", "q_tpch_q19", // single-row revenue aggregates, same shape
     "q_text_logprob",          // broadcast scalar corpus-total aggregate
-    "q_sample_temperature")    // one-row max over the 5-row rate table
+    "q_sample_temperature",    // one-row max over the 5-row rate table
+    "q_topk_merge")            // global sketch-combine: one partial
+                               // ApproxTopK state per day, never raw rows
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
