@@ -45,6 +45,38 @@ object LlmOps {
                    i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Content-defined chunking: a token STARTS a new chunk when its
+    * portable hash ≡ 0 (mod `modulus`), so chunk boundaries are decided by
+    * content, not position — inserting one token near the start of a
+    * document shifts every fixed-width chunk ([[chunksOf]]) but leaves all
+    * content-defined chunks after the next boundary byte-identical (the
+    * rsync/dedup-storage trick, applied to corpus chunk dedup). Expected
+    * chunk length = `modulus` tokens.
+    *
+    * Relational form: posexplode → per-doc boundary prefix-count (the
+    * window partitions by document, so no global sort), one hash aggregate
+    * rebuilds chunk strings. The hash is the md5-prefix used by the
+    * fingerprint ops — portable, so a SQL oracle reproduces boundaries
+    * bit-for-bit. Returns (doc, chunk).
+    */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+                    modulus: Int): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    docs
+      .select(col(idCol).as("doc"),
+              posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("flag", when(pmod(h, lit(modulus)) === 0, 1L)
+                            .otherwise(0L))
+      .withColumn("chunk_id", sum("flag").over(w))
+      .groupBy("doc", "chunk_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                  x => x.getField("tok"))).as("chunk"))
+      .select("doc", "chunk")
+  }
+
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
     * shingle Jaccard — fully relational formulation:
     *

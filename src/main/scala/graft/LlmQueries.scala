@@ -535,6 +535,30 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1: content-defined chunk dedup ([[LlmOps.contentChunks]]) — same
+    // duplicate-chunk stats as q_dedup_chunks but over variable-length
+    // chunks whose boundaries are decided by token content (md5-prefix
+    // hash ≡ 0 mod 8), so duplicated passages survive insertions that
+    // would shift every fixed-width chunk.
+    "q_dedup_cdc_chunks" -> ((s, dir) => {
+      val ch = LlmOps.contentChunks(Tables(s, dir, "documents"),
+                                    "doc_id", "text", 8)
+        .withColumnRenamed("doc", "doc_id")
+      val dup = ch.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("chunk")
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val dups = ch.join(dup, "chunk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+                coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+                round(coalesce(col("n_dup"), lit(0L)).cast("double")
+                        / col("n_chunks"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // L1: token-budget shard packing — docs in stable order, cumulative
     // token count, shard id = exclusive-prefix // budget. The prefix sum
     // is the two-pass range-partitioned form ([[Relational
@@ -981,6 +1005,37 @@ object LlmQueries extends QueryPack {
         |               AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_dedup_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pt AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+        |    i -> struct_pack(pos := i, tok := tk[i+1]))) AS e
+        |  FROM toks),
+        |flagged AS (
+        |  SELECT doc_id, e.pos AS pos, e.tok AS tok,
+        |    CASE WHEN CAST(concat('0x', substring(md5(e.tok), 1, 8))
+        |                 AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM pt),
+        |cid AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |  FROM flagged),
+        |ch AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM cid GROUP BY doc_id, chunk_id),
+        |dup AS (SELECT chunk FROM ch GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch
+        |        GROUP BY doc_id),
+        |dups AS (SELECT doc_id, count(*) AS n_dup
+        |         FROM ch JOIN dup USING (chunk) GROUP BY doc_id)
+        |SELECT tot.doc_id, n_chunks, coalesce(n_dup, 0) AS n_dup,
+        |  round(coalesce(n_dup, 0) * 1.0 / n_chunks, 4) AS dup_ratio
+        |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
+        |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
 
     "q_text_logprob" ->
       """WITH tok AS (

@@ -320,6 +320,39 @@ class LlmSpec extends SparkSpec {
     assert(hashes.distinct.length === hashes.length)
   }
 
+  test("content-defined chunks survive an insertion that shifts every " +
+       "fixed-width chunk") {
+    // 200 distinct tokens; doc B = doc A with ONE token inserted at the
+    // front. Boundaries are content-decided, so after the first boundary
+    // both docs chunk identically; fixed 8-token windows all shift.
+    val base = (0 until 200).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = ("inserted" +: base).mkString(" ")
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+
+    def chunkSets(df: org.apache.spark.sql.DataFrame): (Set[String], Set[String]) = {
+      val rows = df.as[(Long, String)].collect()
+      (rows.filter(_._1 == 0L).map(_._2).toSet,
+       rows.filter(_._1 == 1L).map(_._2).toSet)
+    }
+    val (cdcA, cdcB) = chunkSets(
+      LlmOps.contentChunks(docs, "doc_id", "text", 8)
+        .select(col("doc").cast("long"), col("chunk")))
+    val fixed = docs.select(col("doc_id"),
+      explode(LlmOps.chunksOf(LlmOps.tokens(col("text")), 8)).as("chunk"))
+    val (fixA, fixB) = chunkSets(fixed.select(col("doc_id"), col("chunk")))
+
+    val cdcShared = (cdcA intersect cdcB).size
+    val fixShared = (fixA intersect fixB).size
+    // every CDC chunk after the first boundary is shared; fixed-width
+    // chunks are all shifted by one token and share nothing
+    assert(cdcShared >= cdcA.size - 1,
+           s"CDC chunks should realign after the first boundary: " +
+             s"shared=$cdcShared of ${cdcA.size}")
+    assert(fixShared === 0, s"fixed chunks unexpectedly aligned: $fixShared")
+    assert(cdcShared > 0)
+  }
+
   test("scrub removes exactly the marker tokens and renormalizes") {
     val df = Seq((0L, "the data x the y"), (1L, "x y z")).toDF("doc_id", "text")
     val cleaned = trim(regexp_replace(
