@@ -183,6 +183,28 @@ object AggQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // ClickHouse uniqTheta analog with SET OPERATIONS: Datasketches theta
+    // sketches support intersection/difference, which HLL fundamentally
+    // can't — the segment-overlap question ("how many distinct users did
+    // BOTH view and purchase") answered from two mergeable per-segment
+    // sketches, never from raw-row joins. Each side is a one-row partial
+    // aggregate; the tiny harness user domain keeps the sketch in its
+    // exact regime, so the estimates hash-match the exact set algebra.
+    "q_theta_segments" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .agg(expr("theta_sketch_agg(user_id)").as("v"))
+      val p = e.filter(col("event_type") === "purchase")
+        .agg(expr("theta_sketch_agg(user_id)").as("p"))
+      v.crossJoin(p).select(
+        expr("theta_sketch_estimate(theta_intersection(v, p))")
+          .cast("long").as("n_both"),
+        expr("theta_sketch_estimate(theta_difference(v, p))")
+          .cast("long").as("n_view_only"),
+        expr("theta_sketch_estimate(theta_union(v, p))")
+          .cast("long").as("n_either"))
+    }),
+
     // PostgreSQL string_agg / ClickHouse groupArray-join analog via the
     // native listagg aggregate (WITHIN GROUP ordering — codegen'd, no
     // collect_list array materialization on the way to the string).
@@ -442,6 +464,21 @@ object AggQueries extends QueryPack {
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_theta_segments" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST((SELECT count(*) FROM v JOIN p USING (user_id))
+        |    AS BIGINT) AS n_both,
+        |  CAST((SELECT count(*) FROM v
+        |        WHERE user_id NOT IN (SELECT user_id FROM p))
+        |    AS BIGINT) AS n_view_only,
+        |  CAST((SELECT count(*) FROM (
+        |    SELECT user_id FROM v UNION SELECT user_id FROM p))
+        |    AS BIGINT) AS n_either""".stripMargin,
 
     "q_agg_listagg" ->
       """SELECT user_id,

@@ -133,6 +133,28 @@ object Cdc {
   def ttlExpire(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
     df.filter(col(tsCol) >= cutoff)
 
+  /** GraphiteMergeTree-style multi-tier retention: each row lands in the
+    * first (newest) tier whose lower bound it reaches and is bucketed at
+    * that tier's precision — e.g. raw below 1 year of age, monthly below
+    * 4 years, yearly beyond. `tiers` is newest-first (lowerBoundInclusive,
+    * bucketExpr); `oldestBucket` catches everything older. The whole
+    * downsampling pass is ONE hash aggregate over a CASE bucket — tier
+    * count never adds passes, and the newest tier can keep raw precision
+    * by bucketing on the timestamp itself. Sums go through DECIMAL
+    * (order-independent), cutoffs are explicit (deterministic, oracle-able).
+    */
+  def retentionRollup(df: DataFrame, tsCol: String, keys: Seq[String],
+                      sums: Seq[String], tiers: Seq[(Column, Column)],
+                      oldestBucket: Column): DataFrame = {
+    val bucket = tiers.reverse.foldLeft(oldestBucket) {
+      case (older, (minTs, b)) => when(col(tsCol) >= minTs, b).otherwise(older)
+    }
+    df.groupBy(keys.map(col) :+ bucket.as(tsCol): _*)
+      .agg(count(lit(1)).as("n"),
+           sums.map(c => sum(col(c).cast("decimal(18,4)")).cast("double")
+             .as(c)): _*)
+  }
+
   /** Compaction job: materialize the latest-state view so readers skip the
     * per-query version collapse — the explicit form of ReplacingMergeTree's
     * background merges (`/root/reference/README.md:176`, which are async

@@ -112,6 +112,18 @@ object CdcQueries extends QueryPack {
                     Seq("l_quantity"))
         .orderBy("l_returnflag", "l_shipdate", "n", "l_quantity")),
 
+    // U6b: GraphiteMergeTree-style tiered retention
+    // ([[Cdc.retentionRollup]]): raw precision within a year of the as-of
+    // date, monthly within four, yearly beyond — one hash aggregate.
+    "q_retention_tiers" -> ((s, dir) =>
+      Cdc.retentionRollup(Tables(s, dir, "lineitem"), "l_shipdate",
+          Seq("l_returnflag"), Seq("l_quantity"),
+          Seq(lit("1998-01-01").cast("date") -> col("l_shipdate"),
+              lit("1995-01-01").cast("date") ->
+                date_trunc("month", col("l_shipdate")).cast("date")),
+          date_trunc("year", col("l_shipdate")).cast("date"))
+        .orderBy("l_returnflag", "l_shipdate", "n", "l_quantity")),
+
     // U5b: VersionedCollapsingMergeTree analog ([[Cdc.collapseVersioned]]):
     // cancels only pair up within the same (entity, version) tuple; the
     // surviving version rows are the readable history.
@@ -258,6 +270,20 @@ object CdcQueries extends QueryPack {
         |  FROM lineitem WHERE l_shipdate < DATE '1998-09-01'
         |  GROUP BY 1, 2)
         |SELECT * FROM (SELECT * FROM live UNION ALL SELECT * FROM expired)
+        |ORDER BY l_returnflag NULLS FIRST, l_shipdate NULLS FIRST,
+        |         n NULLS FIRST, l_quantity NULLS FIRST""".stripMargin,
+
+    "q_retention_tiers" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN l_shipdate >= DATE '1998-01-01' THEN l_shipdate
+        |       WHEN l_shipdate >= DATE '1995-01-01'
+        |         THEN CAST(date_trunc('month', l_shipdate) AS DATE)
+        |       ELSE CAST(date_trunc('year', l_shipdate) AS DATE)
+        |  END AS l_shipdate,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS l_quantity
+        |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag NULLS FIRST, l_shipdate NULLS FIRST,
         |         n NULLS FIRST, l_quantity NULLS FIRST""".stripMargin,
 

@@ -21,7 +21,8 @@ object Explain {
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_text_logprob",       // cross vs broadcast one-row total
-    "q_sample_temperature") // cross vs broadcast one-row global max rate
+    "q_sample_temperature", // cross vs broadcast one-row global max rate
+    "q_theta_segments")     // cross of two one-row sketch aggregates
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -37,8 +38,10 @@ object Explain {
     "q_tpch_q17", "q_tpch_q19", // single-row revenue aggregates, same shape
     "q_text_logprob",          // broadcast scalar corpus-total aggregate
     "q_sample_temperature",    // one-row max over the 5-row rate table
-    "q_topk_merge")            // global sketch-combine: one partial
+    "q_topk_merge",            // global sketch-combine: one partial
                                // ApproxTopK state per day, never raw rows
+    "q_theta_segments")        // two one-row theta-sketch aggregates
+                               // crossed for the set algebra
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -72,6 +72,36 @@ class SketchSpec extends SparkSpec {
     assert(os == ex, s"one-shot $os != exact $ex")
   }
 
+  test("theta: union of daily partials equals the one-shot sketch; " +
+       "intersection matches exact overlap in the exact regime") {
+    val viaPartials = events
+      .filter(col("event_type") === "view")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .agg(expr("theta_sketch_estimate(theta_union_agg(sk))")
+             .cast("long").as("n"))
+      .head().getAs[Long]("n")
+    val oneShot = events
+      .filter(col("event_type") === "view")
+      .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))")
+             .cast("long").as("n"))
+      .head().getAs[Long]("n")
+    assert(viaPartials == oneShot)
+
+    val exactBoth = {
+      val v = events.filter(col("event_type") === "view")
+        .select("user_id").distinct()
+      val p = events.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      v.join(p, "user_id").count()
+    }
+    val sketchBoth = SparkEntry.queries("q_theta_segments")(
+        spark, sf("events"))
+      .head().getAs[Long]("n_both")
+    assert(sketchBoth == exactBoth,
+           s"theta intersection $sketchBoth != exact $exactBoth")
+  }
+
   test("temperature mixing: rates follow sqrt(n) and the head lang keeps all") {
     val docs = Tables(spark, sf("documents"), "documents")
     val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
