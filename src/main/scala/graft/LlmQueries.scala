@@ -559,6 +559,20 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L5: per-domain document cap (the RefinedWeb/C4 anti-spam pass: no
+    // source may contribute more than N docs). Deterministic "random"
+    // pick = md5 order within each domain; [[Relational.topKPerGroup]]
+    // ranks inside each domain partition — no global sort, and the
+    // per-domain window is exactly as skewed as the domain itself (AQE
+    // splits hot domains).
+    "q_domain_cap" -> ((s, dir) =>
+      Relational.topKPerGroup(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang")),
+          Seq("source"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), 20)
+        .orderBy("doc_id")),
+
     // L1: token-budget shard packing — docs in stable order, cumulative
     // token count, shard id = exclusive-prefix // budget. The prefix sum
     // is the two-pass range-partitioned form ([[Relational
@@ -1005,6 +1019,14 @@ object LlmQueries extends QueryPack {
         |               AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_dedup_cdc_chunks" ->
       """WITH toks AS (

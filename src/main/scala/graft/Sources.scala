@@ -158,6 +158,59 @@ object Sources {
     props.foldLeft(w)((b, kv) => b.option(kv._1, kv._2)).save()
   }
 
+  /** S8b: idempotent JDBC UPSERT sink — the destination-side analog of
+    * the reference target's ReplacingMergeTree semantics for a serving
+    * RDBMS: after a write there is exactly one row per key tuple, and
+    * replaying the same batch is a no-op (at-least-once delivery safe).
+    *
+    * Mechanics: the frame is hash-repartitioned on the key columns so
+    * every row of a key lands in exactly ONE task; each task deletes its
+    * keys and re-inserts inside a single local transaction. Delete+insert
+    * is the dialect-portable upsert (MERGE / ON CONFLICT syntax differs
+    * per engine); batches keep JDBC round trips O(rows / batchSize).
+    * Callers upserting a versioned change stream should collapse to the
+    * latest version per key first ([[Cdc.latest]]) — with duplicate keys
+    * in one batch a primary-key constraint on the target may reject the
+    * second insert.
+    */
+  def jdbcUpsertSink(df: DataFrame, url: String, table: String,
+                     keys: Seq[String], batchSize: Int = 500): Unit = {
+    val cols = df.columns.toSeq
+    val keyIdx = keys.map(cols.indexOf)
+    require(keyIdx.forall(_ >= 0), s"keys $keys must be columns of $cols")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $table WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
+    df.repartition(keys.map(col): _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(deleteSql)
+            val ins = conn.prepareStatement(insertSql)
+            var n = 0
+            rows.foreach { r =>
+              keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                del.setObject(pi + 1, r.get(ci))
+              }
+              del.addBatch()
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
+              n += 1
+              if (n % batchSize == 0) { del.executeBatch(); ins.executeBatch() }
+            }
+            del.executeBatch(); ins.executeBatch()
+            conn.commit()
+            del.close(); ins.close()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+    }
+  }
+
   /** S3: Kafka micro-batch source configured like the reference's consumer
     * (topic `shop.public.users`, group `clickhouse`, earliest-onward,
     * `README.md:197-202`). Requires the spark-sql-kafka connector on the

@@ -86,6 +86,24 @@ object Streaming {
     * state size / target-file-size. (A table format with MERGE — Delta,
     * Iceberg — is the managed version of exactly this layout.)
     */
+  /** The reference pipeline's destination leg as a streaming sink: each
+    * micro-batch collapses to its latest version per key ([[Cdc.latest]])
+    * and upserts into a serving RDBMS ([[Sources.jdbcUpsertSink]]).
+    * Upsert is naturally idempotent, so post-crash batch re-delivery
+    * needs no commit markers — replaying a batch rewrites the same rows
+    * to the same values.
+    */
+  def jdbcUpsertStreamSink(df: DataFrame, url: String, table: String,
+                           keys: Seq[String], version: Seq[String],
+                           checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = Cdc.latest(batch, keys, version.map(col))
+        Sources.jdbcUpsertSink(latest, url, table, keys)
+      }
+
   def upsertSink(df: DataFrame, stateDir: String, checkpoint: String,
                  keys: Seq[String], version: Seq[String],
                  numBuckets: Int = 16): DataStreamWriter[Row] =
