@@ -70,6 +70,36 @@ object Analytics {
               coalesce(col("m"), lit(false)).as("matched"))
   }
 
+  /** ClickHouse `sequenceCount('(?1).*(?2)…')` analog: per entity, how
+    * many NON-OVERLAPPING ordered occurrences of the step pattern exist
+    * (gaps allowed). Greedy left-to-right matching is optimal for
+    * non-overlapping counting, and greedy matching is one integer fold
+    * over the entity's time-ordered event types: the accumulator counts
+    * total matched steps (acc / n = completed sequences, acc % n = the
+    * step the automaton is waiting for). One hash aggregate builds the
+    * per-entity array (sorted in-memory per entity, never a global sort);
+    * the fold is a codegen'd higher-order function.
+    */
+  def sequenceCount(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, orderCol: String,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "sequenceCount needs at least one step")
+    val n = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    events
+      .groupBy(col(userCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(tsCol), col(orderCol),
+                                       col(typeCol).as("et")))),
+        e => e.getField("et")).as("evs"))
+      .select(col(userCol),
+              (aggregate(col("evs"), lit(0),
+                 (acc, t) => when(t === element_at(stepArr,
+                                    pmod(acc, lit(n)) + 1), acc + 1)
+                               .otherwise(acc)) / n).cast("long")
+                .as("n_matches"))
+  }
+
   /** Cohort retention (ClickHouse retention analog): entities grouped by
     * the day of their first `cohortType` event; for each offset n in
     * `days`, how many were active exactly n days later. Returns

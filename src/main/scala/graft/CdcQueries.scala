@@ -57,6 +57,15 @@ object CdcQueries extends QueryPack {
                               Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // D: non-overlapping sequence occurrences ([[Analytics.sequenceCount]]
+    // — ClickHouse sequenceCount analog): how many view → purchase
+    // chains per user, greedy matching as one per-entity integer fold.
+    "q_seq_count" -> ((s, dir) =>
+      Analytics.sequenceCount(Tables(s, dir, "events"), "user_id",
+                              "event_type", "ts", "event_id",
+                              Seq("view", "purchase"))
+        .orderBy("user_id")),
+
     // D: cohort retention ([[Analytics.retention]]) — users by signup day;
     // active exactly 1 and 7 days later.
     "q_retention" -> ((s, dir) =>
@@ -234,6 +243,31 @@ object CdcQueries extends QueryPack {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN s3 ON u.user_id = s3.user_id
         |ORDER BY u.user_id NULLS FIRST""".stripMargin,
+
+    // Recursive-CTE automaton rather than a DuckDB list_reduce fold: this
+    // harness's DuckDB (1.0.0) mis-evaluates list_reduce over grouped
+    // lists of uneven lengths (verified: same list, scalar fold 27 vs
+    // grouped fold 17), so the oracle walks the per-user event sequence
+    // one position per recursion round instead.
+    "q_seq_count" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN event_type = 'view' THEN 1
+        |         WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS s
+        |  FROM events),
+        |n AS (SELECT user_id AS u, max(rn) AS mx FROM ev GROUP BY user_id),
+        |walk(user_id, rn, acc) AS (
+        |  SELECT u, 0, 0 FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN e.s = (w.acc % 2) + 1 THEN w.acc + 1 ELSE w.acc END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+        |                       AND e.rn = w.rn + 1)
+        |SELECT w.user_id, CAST(acc // 2 AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON w.user_id = n.u AND w.rn = n.mx
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_retention" ->
       """WITH cohort AS (

@@ -74,4 +74,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2)._4 === None) // current state of user 1
     assert(out(3)._4 === None) // single-version user 2
   }
+
+  test("sequenceCount: greedy non-overlapping matches, extra first-step " +
+       "events ignored while a chain is open") {
+    val events = Seq(
+      // user 1: A B A B → 2 matches
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "A", 3L), (1L, "B", 4L),
+      // user 2: A A B B → 1 match (second A ignored while waiting for B,
+      // second B ignored while waiting for A) — the automaton semantics,
+      // NOT max bipartite pairing (which would find 2)
+      (2L, "A", 1L), (2L, "A", 2L), (2L, "B", 3L), (2L, "B", 4L),
+      // user 3: B B A → 0 matches (B before any A never counts)
+      (3L, "B", 1L), (3L, "B", 2L), (3L, "A", 3L),
+      // user 4: noise between steps is fine → 1 match
+      (4L, "A", 1L), (4L, "x", 2L), (4L, "B", 3L)
+    ).map { case (u, t, i) =>
+      (u, t, ts(s"2024-01-01 00:00:0$i"), i)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val out = Analytics.sequenceCount(events, "user_id", "event_type",
+                                      "ts", "event_id", Seq("A", "B"))
+      .orderBy("user_id")
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (2L, 1L), (3L, 0L), (4L, 1L)))
+  }
 }

@@ -110,6 +110,55 @@ class CdcSpec extends SparkSpec {
     (4L, 1L, -1, "e")
   ).toDF("user_id", "v", "sign", "payload")
 
+  test("collapse on an all-positive stream equals latest, with net = " +
+       "version count") {
+    val allState = demo.withColumn("sign", lit(1))
+    val viaCollapse = Cdc.collapse(allState, Seq("user_id"), col("sign"),
+        Seq("updated_at", "kafka_offset"), Seq("account_type"))
+      .select("user_id", "updated_at", "kafka_offset", "account_type")
+      .orderBy("user_id").collect()
+    val viaLatest = Cdc.latest(demo, Seq("user_id"),
+        Seq(col("updated_at"), col("kafka_offset")))
+      .select("user_id", "updated_at", "kafka_offset", "account_type")
+      .orderBy("user_id").collect()
+    assert(viaCollapse === viaLatest)
+    val nets = Cdc.collapse(allState, Seq("user_id"), col("sign"),
+        Seq("updated_at", "kafka_offset"), Seq("account_type"))
+      .select("user_id", "net").orderBy("user_id")
+      .as[(Long, Long)].collect()
+    assert(nets === Array((1L, 1L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("ttl/retention rollups conserve row counts and additive sums") {
+    val li = Tables(spark, sf("lineitem"), "lineitem")
+    val totalRows = li.count()
+    val totalQty = li.agg(sum(col("l_quantity").cast("decimal(18,4)")))
+      .head().getDecimal(0)
+
+    val ttl = Cdc.ttlRollup(li, "l_shipdate",
+      lit("1996-01-01").cast("date"), Seq("l_returnflag"),
+      date_trunc("month", col("l_shipdate")).cast("date"),
+      Seq("l_quantity"))
+    assert(ttl.agg(sum("n")).head().getLong(0) === totalRows)
+    assert(ttl.agg(sum(col("l_quantity").cast("decimal(18,4)")))
+             .head().getDecimal(0) === totalQty)
+
+    val tiers = Cdc.retentionRollup(li, "l_shipdate", Seq("l_returnflag"),
+      Seq("l_quantity"),
+      Seq(lit("1998-01-01").cast("date") -> col("l_shipdate"),
+          lit("1995-01-01").cast("date") ->
+            date_trunc("month", col("l_shipdate")).cast("date")),
+      date_trunc("year", col("l_shipdate")).cast("date"))
+    assert(tiers.agg(sum("n")).head().getLong(0) === totalRows)
+    assert(tiers.agg(sum(col("l_quantity").cast("decimal(18,4)")))
+             .head().getDecimal(0) === totalQty)
+    // tier buckets are coarser as they age: every yearly bucket is Jan 1
+    val yearly = tiers.filter(col("l_shipdate") < lit("1995-01-01"))
+      .select(month(col("l_shipdate")).as("m"), dayofmonth(col("l_shipdate")).as("d"))
+      .distinct().as[(Int, Int)].collect()
+    assert(yearly.forall(_ == ((1, 1))))
+  }
+
   test("collapse keeps the latest state row while net sign is positive") {
     val out = Cdc.collapse(collapsing, Seq("user_id"), col("sign"),
                            Seq("v"), Seq("payload"))
