@@ -44,7 +44,7 @@ object Bench {
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
     "q_dedup_embed_lsh",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
-    "q_text_tokens", "q_text_tfidf", "q_lang_id", "q_text_repetition",
+    "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_lang_id", "q_text_repetition",
     "q_knn_join", "q_curation",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",

@@ -22,7 +22,8 @@ object Explain {
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
-    "q_theta_segments")     // cross of two one-row sketch aggregates
+    "q_theta_segments",     // cross of two one-row sketch aggregates
+    "q_text_bm25")          // cross vs broadcast one-row (N, avgdl) stats
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -40,8 +41,9 @@ object Explain {
     "q_sample_temperature",    // one-row max over the 5-row rate table
     "q_topk_merge",            // global sketch-combine: one partial
                                // ApproxTopK state per day, never raw rows
-    "q_theta_segments")        // two one-row theta-sketch aggregates
+    "q_theta_segments",        // two one-row theta-sketch aggregates
                                // crossed for the set algebra
+    "q_text_bm25")             // one-row corpus-stats aggregate (N, avgdl)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

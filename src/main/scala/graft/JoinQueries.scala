@@ -124,6 +124,24 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6b: as-of join with a match TOLERANCE (pandas merge_asof /
+    // kdb window-join shape): the latest prior click counts only if it
+    // happened within 1 hour of the purchase; staler matches are nulled
+    // but the left row survives. Same single-shuffle asof plan — the
+    // tolerance is a post-join projection, never a second join.
+    "q_join_asof_tol" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+        .withColumn("cts", col("ts"))
+      Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+                          Seq("event_id", "cts"))
+        .select(col("user_id"), col("event_id"),
+                when(col("asof_cts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+                     col("asof_event_id")).as("tol_event_id"))
+        .orderBy("event_id")
+    }),
+
     // ClickHouse LEFT ANY JOIN analog: at most ONE right row per left
     // row, made deterministic (ClickHouse keeps an arbitrary match) by
     // collapsing the right side to its lexicographic-min row per key
@@ -228,6 +246,15 @@ object JoinQueries extends QueryPack {
 
     "q_join_asof" ->
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_asof_tol" ->
+      """SELECT p.user_id, p.event_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.event_id
+        |  END AS tol_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts

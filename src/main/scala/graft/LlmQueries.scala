@@ -160,6 +160,57 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id", "token")
     }),
 
+    // L6c: BM25 relevance of every document against a 3-term query — the
+    // retrieval scorer next to TF-IDF. Query terms are a broadcast-small
+    // literal set, so the term filter prunes the exploded postings BEFORE
+    // any shuffle; document-frequency and average-doc-length are one-row/
+    // per-term broadcast aggregates; docs never shuffle raw text. Sum of
+    // ≤3 per-term doubles, rounded for cross-engine float parity.
+    "q_text_bm25" -> ((s, dir) => {
+      val terms = Seq("data", "query", "row")
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(LlmOps.tokens(col("text"))).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+                         avg("dl").as("avgdl"))
+      val tf = docs.select(col("doc_id"),
+          explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("token")
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("tscore",
+          col("idf") * col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("tscore"), 4).as("bm25"),
+             count(lit(1)).as("n_terms"))
+        .orderBy("doc_id")
+    }),
+
+    // L6d: inverted-index posting lists for the same query vocabulary —
+    // token → (document frequency, first ≤50 postings). Postings stay
+    // sorted/capped per token (bounded output rows), emitted as a joined
+    // string for cross-engine hashing; the full index is this same plan
+    // without the term filter, partitioned by token.
+    "q_inverted_index" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(LlmOps.tokens(col("text"))).as("token"))
+        .filter(col("token").isin("data", "query", "row"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"),
+             array_join(slice(sort_array(collect_set(col("doc_id"))),
+                              1, 50), ",").as("postings"))
+        .orderBy("token")),
+
     // L3: cosine similarity of every vector vs a broadcast query vector.
     "q_cosine_sim" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -1058,6 +1109,42 @@ object LlmQueries extends QueryPack {
         |  round(coalesce(n_dup, 0) * 1.0 / n_chunks, 4) AS dup_ratio
         |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
         |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE t IN ('data', 'query', 'row')
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |            AS df
+        |          FROM tf GROUP BY token)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+        |    4) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id NULLS FIRST""".stripMargin,
+
+    "q_inverted_index" ->
+      """SELECT t AS token,
+        |  count(DISTINCT doc_id) AS df,
+        |  array_to_string(
+        |    list_slice(list(DISTINCT doc_id ORDER BY doc_id), 1, 50),
+        |    ',') AS postings
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |      FROM documents)
+        |WHERE t IN ('data', 'query', 'row')
+        |GROUP BY t ORDER BY t NULLS FIRST""".stripMargin,
 
     "q_text_logprob" ->
       """WITH tok AS (
