@@ -159,6 +159,23 @@ class CdcSpec extends SparkSpec {
     assert(yearly.forall(_ == ((1, 1))))
   }
 
+  test("collapse plans as one partially-aggregated exchange, no window") {
+    val plan = Cdc.collapse(demo.withColumn("sign", lit(1)),
+        Seq("user_id"), col("sign"),
+        Seq("updated_at", "kafka_offset"), Seq("account_type"))
+      .queryExecution.executedPlan.toString
+    // the scale claim vs the window-based `latest`: rows collapse to one
+    // per key per partition BEFORE the single exchange (partial agg —
+    // struct max plans as SortAggregate, whose local group-key sort is
+    // per-partition, never a global order), and no per-key window pass
+    // re-sorts the full stream after the shuffle.
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("partial_sum"),
+           s"expected map-side partial aggregation:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+           s"expected exactly one exchange:\n$plan")
+  }
+
   test("collapse keeps the latest state row while net sign is positive") {
     val out = Cdc.collapse(collapsing, Seq("user_id"), col("sign"),
                            Seq("v"), Seq("payload"))

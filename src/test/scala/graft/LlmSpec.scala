@@ -353,6 +353,20 @@ class LlmSpec extends SparkSpec {
     assert(cdcShared > 0)
   }
 
+  test("content-defined chunks conserve every token of every document") {
+    val docs = Tables(spark, sf("documents"), "documents").limit(100)
+    val fromChunks = LlmOps.contentChunks(docs, "doc_id", "text", 8)
+      .select(col("doc").as("doc_id"),
+              size(split(col("chunk"), " ")).as("n"))
+      .groupBy("doc_id").agg(sum("n").as("n_tok"))
+    val direct = docs.select(col("doc_id"),
+      size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val diff = fromChunks.join(direct, "doc_id")
+      .filter(fromChunks("n_tok") =!= direct("n_tok")).count()
+    assert(diff === 0)
+    assert(fromChunks.count() === 100)
+  }
+
   test("scrub removes exactly the marker tokens and renormalizes") {
     val df = Seq((0L, "the data x the y"), (1L, "x y z")).toDF("doc_id", "text")
     val cleaned = trim(regexp_replace(
