@@ -196,20 +196,31 @@ object LlmQueries extends QueryPack {
     }),
 
     // L6d: inverted-index posting lists for the same query vocabulary —
-    // token → (document frequency, first ≤50 postings). Postings stay
-    // sorted/capped per token (bounded output rows), emitted as a joined
-    // string for cross-engine hashing; the full index is this same plan
-    // without the term filter, partitioned by token.
-    "q_inverted_index" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+    // token → (document frequency, first ≤50 postings). The posting cap
+    // is enforced BEFORE any collection: distinct (token, doc_id) pairs →
+    // salted two-phase top-50 per token ([[Relational
+    // .topKPerGroupSalted]]) → collect_list over ≤50 survivors. df comes
+    // from a separate hash aggregate over the full pair set (map-side
+    // partial combine). Nothing ever buffers a full posting set: on the
+    // unfiltered full index a stop-word token (postings ≈ every doc)
+    // stays bounded at 50 rows per aggregation buffer and its cap sort is
+    // spread across the salt slices.
+    "q_inverted_index" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "documents")
         .select(col("doc_id"),
                 explode(LlmOps.tokens(col("text"))).as("token"))
         .filter(col("token").isin("data", "query", "row"))
+        .distinct()
+      val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      val top = Relational.topKPerGroupSalted(pairs, Seq("token"),
+          Seq(col("doc_id")), 50, xxhash64(col("doc_id")), 16)
         .groupBy("token")
-        .agg(countDistinct(col("doc_id")).as("df"),
-             array_join(slice(sort_array(collect_set(col("doc_id"))),
-                              1, 50), ",").as("postings"))
-        .orderBy("token")),
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+               .as("postings"))
+      dfreq.join(top, "token")
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy("token")
+    }),
 
     // L3: cosine similarity of every vector vs a broadcast query vector.
     "q_cosine_sim" -> ((s, dir) =>
@@ -612,16 +623,19 @@ object LlmQueries extends QueryPack {
 
     // L5: per-domain document cap (the RefinedWeb/C4 anti-spam pass: no
     // source may contribute more than N docs). Deterministic "random"
-    // pick = md5 order within each domain; [[Relational.topKPerGroup]]
-    // ranks inside each domain partition — no global sort, and the
-    // per-domain window is exactly as skewed as the domain itself (AQE
-    // splits hot domains).
+    // pick = md5 order within each domain. Two-phase salted cap
+    // ([[Relational.topKPerGroupSalted]]): a hot domain (one source with
+    // 10⁸ docs at 100 TB) is first capped per (domain, salt) slice across
+    // 16 tasks, so no single task ever sorts a whole domain — a plain
+    // per-domain window would (AQE skew-split covers shuffled joins, not
+    // window partitions). The final window sees ≤ 20×16 rows per domain.
     "q_domain_cap" -> ((s, dir) =>
-      Relational.topKPerGroup(
+      Relational.topKPerGroupSalted(
           Tables(s, dir, "documents")
             .select(col("doc_id"), col("source"), col("lang")),
           Seq("source"),
-          Seq(md5(col("doc_id").cast("string")), col("doc_id")), 20)
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), 20,
+          xxhash64(col("doc_id")), 16)
         .orderBy("doc_id")),
 
     // L1: token-budget shard packing — docs in stable order, cumulative

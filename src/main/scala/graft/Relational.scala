@@ -65,6 +65,46 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Phase 1 of [[topKPerGroupSalted]]: scatter each group across `salts`
+    * sub-partitions (salt = deterministic hash of `saltExpr`) and keep the
+    * per-(group, salt) top-k. Any row in a group's GLOBAL top-k is also in
+    * its salt slice's top-k under the same total order, so the survivor
+    * set (≤ k·salts rows per group) is a superset of the final answer.
+    * Package-private so the spec can assert the bound directly.
+    */
+  private[graft] def partialTopKPerSalt(df: DataFrame, groupCols: Seq[String],
+                                        order: Seq[Column], k: Int,
+                                        saltExpr: Column,
+                                        salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(saltExpr, lit(salts)).cast("int"))
+    val w = Window
+      .partitionBy(groupCols.map(col) :+ col("__salt"): _*)
+      .orderBy(order: _*)
+    salted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__salt")
+  }
+
+  /** Hot-key-safe top-k per group. A plain per-group window
+    * ([[topKPerGroup]]) sorts each group in ONE task — and AQE's skew
+    * split only applies to shuffled sort-merge JOINS, not to window
+    * partitions — so a power-law group column (one web domain with 10⁸
+    * docs in a 100 TB corpus) funnels that whole group through a single
+    * sort. Two phases fix the shape without changing the answer:
+    * per-(group, salt) partial top-k first (the hot group fans out over
+    * `salts` tasks, each bounded to k survivors), then the final window
+    * over ≤ k·salts rows per group. `saltExpr` must be deterministic per
+    * row (hash a key column, NOT rand()) so retries and oracle replays
+    * see the same slicing.
+    */
+  def topKPerGroupSalted(df: DataFrame, groupCols: Seq[String],
+                         order: Seq[Column], k: Int, saltExpr: Column,
+                         salts: Int = 16): DataFrame =
+    topKPerGroup(
+      partialTopKPerSalt(df, groupCols, order, k, saltExpr, salts),
+      groupCols, order, k)
+
   /** Global row_number WITHOUT the single-task window: an un-partitioned
     * `Window.orderBy` funnels every row through one task — fine at test
     * scale, fatal at 100 TB. This version range-partitions the sort, counts

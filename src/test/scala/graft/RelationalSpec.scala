@@ -39,6 +39,35 @@ class RelationalSpec extends SparkSpec {
     assert(out === Array((1, 20), (1, 30), (2, 5)))
   }
 
+  test("topKPerGroupSalted equals the plain window cap on a 90%-skew " +
+       "domain and never sorts the hot domain in one task") {
+    // planted skew: one domain owns 90% of 10k rows — the 100 TB shape
+    // where a single per-domain window partition becomes one giant sort
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 9000, lit("hot.example"))
+        .otherwise(concat(lit("d"), pmod(col("id"), lit(37)))).as("source"))
+    val order = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val k = 20; val salts = 16
+    val plain = Relational.topKPerGroup(docs, Seq("source"), order, k)
+    val salted = Relational.topKPerGroupSalted(
+      docs, Seq("source"), order, k, xxhash64(col("doc_id")), salts)
+    // identical answer (phase 1 keeps a superset of every global top-k)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // phase-1 bound: no group feeds the final window more than k·salts
+    // rows, and the hot domain's cap work really was split across salt
+    // slices (> k survivors ⇒ more than one slice contributed)
+    val phase1Counts = Relational.partialTopKPerSalt(
+        docs, Seq("source"), order, k, xxhash64(col("doc_id")), salts)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(phase1Counts.values.max <= k.toLong * salts)
+    assert(phase1Counts("hot.example") > k.toLong)
+    // and the plan's first window really partitions by (group, salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(3000))
+  }
+
   test("globalRowNumber matches the single-task window formulation") {
     val e = Tables(spark, sf("events"), "events")
     val viaWindow = e.withColumn("rn",
