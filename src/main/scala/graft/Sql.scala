@@ -17,6 +17,8 @@ object Sql {
     Tables.all.foreach { name =>
       Tables(spark, dir, name).createOrReplaceTempView(name)
     }
+    // derived relation (see Tables.partsupp) — lets SQL express Q11/Q16/Q20
+    Tables.partsupp(spark, dir).createOrReplaceTempView("partsupp")
   }
 
   /** Run SQL against the registered store. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -26,4 +27,32 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Synthesized TPC-H `partsupp`: the harness schema omits the relation,
+    * which blocked the last three official TPC-H shapes (Q11/Q16/Q20).
+    * Deterministic stand-in: one row per distinct (l_partkey, l_suppkey)
+    * observed in lineitem; `ps_availqty` ∈ [1, 9999] and
+    * `ps_supplycost_cents` ∈ [100, 99999] derive from portable md5-prefix
+    * hashes, so a DuckDB oracle rebuilds the identical relation
+    * bit-for-bit. Supply cost is integer CENTS (BIGINT) rather than a
+    * decimal: all downstream sums/threshold compares stay in exact
+    * integer arithmetic — order-independent and engine-portable (Q11's
+    * having-threshold scales both sides by the same 100).
+    *
+    * The distinct is one hash aggregate with map-side combine; in a real
+    * deployment partsupp is a first-class source table and this derivation
+    * disappears.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+              col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (conv(substring(md5(concat_ws("_", col("ps_partkey"),
+           col("ps_suppkey"))), 1, 8), 16, 10).cast("long") % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        (conv(substring(md5(concat_ws("#", col("ps_suppkey"),
+           col("ps_partkey"))), 1, 8), 16, 10).cast("long") % 99900 + 100)
+          .as("ps_supplycost_cents"))
 }

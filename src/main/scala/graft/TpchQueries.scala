@@ -391,6 +391,72 @@ object TpchQueries extends QueryPack {
         |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
         |LIMIT 100""".stripMargin)),
 
+    // Q11 shape: important-stock identification — grouped inventory value
+    // per part within one nation, kept only above a scalar-subquery
+    // threshold (a fraction of the nation's total). Supplier + nation are
+    // broadcast dims; partsupp aggregates once per branch with map-side
+    // combine; all arithmetic is exact integer cents (see
+    // [[Tables.partsupp]]) so the threshold compare is order-independent.
+    "q_tpch_q11" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT ps_partkey,
+        |  sum(ps_supplycost_cents * ps_availqty) AS value_cents
+        |FROM partsupp
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_19'
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_supplycost_cents * ps_availqty) > (
+        |  SELECT sum(ps_supplycost_cents * ps_availqty) * 0.0001
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19')
+        |ORDER BY value_cents DESC NULLS LAST,
+        |  ps_partkey NULLS FIRST""".stripMargin)),
+
+    // Q16 shape: supplier-part-type counts — count-distinct suppliers per
+    // (brand, type, size) bucket excluding a NOT-IN supplier denylist
+    // (negative balance plays the official "Customer Complaints" comment
+    // filter's role in this schema — supplier has no comment column).
+    // The NOT IN decorrelates to a null-aware anti join; the denylist
+    // side is tiny and broadcasts.
+    "q_tpch_q16" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
+        |  p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin)),
+
+    // Q20 shape: potential part promotion — suppliers in one nation whose
+    // stock of a name-matched part exceeds half their shipped quantity
+    // that year. Nested IN chains + a doubly-correlated scalar aggregate
+    // (Catalyst decorrelates it to a grouped join on both correlation
+    // keys); the year filter pushes to the lineitem scan. s_acctbal
+    // stands in for the schema's missing s_address in the output.
+    "q_tpch_q20" -> ((s, dir) => Sql.query(s, dir,
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_8'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey
+        |          AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_name NULLS FIRST""".stripMargin)),
+
     // Q5 shape: 6-way star join through the SQL entry point.
     "q_tpch_q5" -> ((s, dir) => Sql.query(s, dir,
       """SELECT n_name,
@@ -409,7 +475,73 @@ object TpchQueries extends QueryPack {
         |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin))
   )
 
+  /** DuckDB rebuild of the synthesized partsupp relation — must mirror
+    * [[Tables.partsupp]] bit-for-bit (same md5-prefix hashes, same
+    * integer-cent cost). Prefixed onto the Q11/Q16/Q20 oracles.
+    */
+  private val partsuppCte =
+    """WITH partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST(CAST(concat('0x', substring(md5(concat_ws('_',
+      |           ps_partkey, ps_suppkey)), 1, 8)) AS BIGINT) % 9999 + 1
+      |         AS INTEGER) AS ps_availqty,
+      |    CAST(concat('0x', substring(md5(concat_ws('#',
+      |           ps_suppkey, ps_partkey)), 1, 8)) AS BIGINT) % 99900 + 100
+      |      AS ps_supplycost_cents
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |                        l_suppkey AS ps_suppkey FROM lineitem))
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_tpch_q11" -> (partsuppCte +
+      """SELECT ps_partkey,
+        |  CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+        |    AS value_cents
+        |FROM partsupp
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_19'
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_supplycost_cents * ps_availqty) > (
+        |  SELECT sum(ps_supplycost_cents * ps_availqty) * 0.0001
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19')
+        |ORDER BY value_cents DESC NULLS LAST,
+        |  ps_partkey NULLS FIRST""".stripMargin),
+
+    "q_tpch_q16" -> (partsuppCte +
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST,
+        |  p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin),
+
+    "q_tpch_q20" -> (partsuppCte +
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_8'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey
+        |          AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_name NULLS FIRST""".stripMargin),
+
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
