@@ -195,11 +195,21 @@ object LlmOps {
     * Cost scales with batch size × collision rate, never with corpus
     * size. Returns verified pairs (a = new doc, b = matched doc, both
     * orientations batch-vs-history; a < b within the batch).
+    *
+    * `compactFileThreshold` > 0 makes store hygiene part of the
+    * lifecycle: when either store's data-file count exceeds the
+    * threshold after a batch's appends, that store is rewritten to one
+    * file per hive bucket ([[Sources.compactPartitionedDir]]) —
+    * append-only stays cheap per batch without the file count (and with
+    * it the pruned lookup's listing/scheduling cost) growing without
+    * bound over O(10⁴) batches. Caller must not index concurrently
+    * (single-writer, same rule as any compactor).
     */
   def minhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                          storeDir: String, shingleK: Int, numHashes: Int,
                          bands: Int, minJaccard: Double,
-                         numBuckets: Int = 16): DataFrame = {
+                         numBuckets: Int = 16,
+                         compactFileThreshold: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
     val rowsPerBand = numHashes / bands
     def emptyStore(schema: org.apache.spark.sql.types.StructType) =
@@ -298,6 +308,14 @@ object LlmOps {
     sh.withColumn("docb", pmod(col("doc"), lit(numBuckets)).cast("int"))
       .write.mode("append").partitionBy("docb")
       .parquet(s"$storeDir/shingles")
+    if (compactFileThreshold > 0) {
+      if (Sources.dataFileCount(spark, s"$storeDir/bands")
+            > compactFileThreshold)
+        Sources.compactPartitionedDir(spark, s"$storeDir/bands", "bhb")
+      if (Sources.dataFileCount(spark, s"$storeDir/shingles")
+            > compactFileThreshold)
+        Sources.compactPartitionedDir(spark, s"$storeDir/shingles", "docb")
+    }
     pairs
   }
 

@@ -413,6 +413,27 @@ object Sources {
     * amortizes across all subsequent reads. Quiesce writers first, as
     * any compactor must.
     */
+  /** Data files under `dir` (recursive, Hadoop FS API — works on any
+    * supported filesystem, not just local). Success markers / hidden
+    * files excluded. The trigger metric for store compaction: an
+    * append-only store's read cost grows with its file count, not its
+    * byte size.
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
   def compactPartitionedDir(spark: SparkSession, dir: String,
                             partitionCol: String): Unit = {
     val current = spark.read.parquet(dir)

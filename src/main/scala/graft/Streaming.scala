@@ -200,11 +200,21 @@ object Streaming {
     * cost is O(touched buckets), no rewrite ever — the incremental form
     * of `q_dedup_exact` that a standing 100 TB corpus needs (new shards
     * dedup against years of history without rescanning it).
+    *
+    * `compactEvery` > 0 folds store hygiene into the lifecycle: every
+    * N-th batch rewrites each store bucket to one file
+    * ([[Sources.compactPartitionedDir]]). Without it, O(10⁴) batches
+    * leave thousands of small files per bucket and the candidate-lookup
+    * read amplifies on listing + task scheduling. Running inside
+    * foreachBatch means the single writer is quiesced by construction;
+    * content is identical before/after, so a crash mid-compaction at
+    * worst re-runs it.
     */
   def dedupAgainstHistorySink(df: DataFrame, contentCol: String,
                               outDir: String, storeDir: String,
                               checkpoint: String,
-                              numBuckets: Int = 16): DataStreamWriter[Row] =
+                              numBuckets: Int = 16,
+                              compactEvery: Int = 0): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -248,6 +258,8 @@ object Streaming {
           novel.select(col("__h"), col("__bucket"))
             .write.mode("append").partitionBy("__bucket").parquet(storeDir)
           markCommitted(spark, outDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            Sources.compactPartitionedDir(spark, storeDir, "__bucket")
         }
       }
 

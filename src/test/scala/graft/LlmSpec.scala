@@ -93,6 +93,33 @@ class LlmSpec extends SparkSpec {
       math.min(a, b) < 250 && math.max(a, b) >= 250 })
   }
 
+  test("minhash incremental store compaction collapses file counts and " +
+       "leaves the next batch's results identical") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-mhc")
+      .toString + "/a"
+    val dirB = java.nio.file.Files.createTempDirectory("graft-mhc")
+      .toString + "/b"
+    val batch1 = docs.filter(col("doc_id") < 250)
+    val batch2 = docs.filter(col("doc_id") >= 250)
+    // A compacts after every batch (threshold 1 file); B never does
+    def run(store: String, thr: Int) = Seq(batch1, batch2).map(b =>
+      LlmOps.minhashIncremental(b, "doc_id", "text", store, 3, 32, 16, 0.5,
+          numBuckets = 16, compactFileThreshold = thr)
+        .as[(Long, Long, Double)].collect().toSet)
+    val Seq(a1, a2) = run(dirA, 1)
+    val Seq(b1, b2) = run(dirB, 0)
+    // batch 2 dedups against A's COMPACTED history → must equal B's
+    assert(a1 === b1)
+    assert(a2 === b2)
+    assert(a2.nonEmpty, "fixture should contain cross-batch near-dups")
+    // hygiene: compaction leaves at most one file per hive bucket
+    assert(Sources.dataFileCount(spark, s"$dirA/bands") <
+           Sources.dataFileCount(spark, s"$dirB/bands"))
+    assert(Sources.dataFileCount(spark, s"$dirA/shingles") <
+           Sources.dataFileCount(spark, s"$dirB/shingles"))
+    assert(Sources.dataFileCount(spark, s"$dirA/bands") <= 16)
+  }
+
   test("auto-tuned embed LSH picks the corpus-appropriate bucket width") {
     // 500 vectors / target 64 per bucket → ceil(log2(7.8)) = 3 bits: the
     // auto form must equal the manually tuned production parameters

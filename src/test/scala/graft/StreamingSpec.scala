@@ -214,6 +214,40 @@ class StreamingSpec extends SparkSpec {
     assert(storeDf.select("__h").distinct().count() === 3)
   }
 
+  test("history-store compaction every Nth batch collapses file counts " +
+       "without changing dedup results") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-hc").toString
+    val out = base + "/out"
+    val store = base + "/store"
+    val ckpt = Files.createTempDirectory("graft-hc-ckpt").toString
+    val stream = MemoryStream[String]
+    val q = Streaming.dedupAgainstHistorySink(
+      stream.toDF().toDF("text"), "text", out, store, ckpt,
+      numBuckets = 2, compactEvery = 4).start()
+    Seq(Seq("aa", "bb"), Seq("cc", "dd"), Seq("ee", "ff")).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    val filesBefore = Sources.dataFileCount(spark, store) // 3 appends
+    stream.addData(Seq("gg", "hh"))
+    q.processAllAvailable() // 4th batch triggers the compaction
+    val filesAfter = Sources.dataFileCount(spark, store)
+    assert(filesBefore >= 3) // one+ file per append — the growth problem
+    assert(filesAfter <= 2,  // ≤ one file per hive bucket after rewrite
+           s"expected <= 2 files after compaction, got $filesAfter")
+    // dedup against the compacted history still behaves identically
+    stream.addData(Seq("aa", "gg", "ii")) // two known, one novel
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("text").as[String]
+      .collect().sorted
+    assert(kept === Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+                          "ii"))
+    val storeDf = spark.read.parquet(store)
+    assert(storeDf.count() === 9)
+    assert(storeDf.select("__h").distinct().count() === 9)
+  }
+
   test("incremental aggregate sink: merges partials per partition, " +
        "rewrites only touched days") {
     implicit val sqlCtx = spark.sqlContext
