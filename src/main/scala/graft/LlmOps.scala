@@ -18,6 +18,21 @@ object LlmOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Tokenizer with an opt-in normalizing mode — the pass a real crawl
+    * needs before any token statistic: lowercase, punctuation → space,
+    * empty tokens dropped. Pure codegen'd built-ins (lower +
+    * regexp_replace + split + higher-order filter, no UDF), and the
+    * DuckDB oracles replicate the exact same expression, so both engines
+    * see identical token streams on any corpus — not just the
+    * punctuation-free synthetic fixture (where it is a no-op by
+    * construction). `normalize = false` is the bare whitespace split the
+    * dedup/fingerprint oracles were written against.
+    */
+  def tokens(text: Column, normalize: Boolean): Column =
+    if (!normalize) tokens(text)
+    else filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+                t => t =!= "")
+
   /** Distinct k-token shingles of a token array (empty when < k tokens). */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,

@@ -147,7 +147,9 @@ object LlmQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val tf = docs.select(col("doc_id"),
-                           explode(LlmOps.tokens(col("text"))).as("token"))
+                           explode(LlmOps.tokens(col("text"),
+                                                 normalize = true))
+                             .as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("token")
         .agg(countDistinct(col("doc_id")).as("df"))
@@ -171,11 +173,12 @@ object LlmQueries extends QueryPack {
       val k1 = 1.2; val b = 0.75
       val docs = Tables(s, dir, "documents")
       val dl = docs.select(col("doc_id"),
-        size(LlmOps.tokens(col("text"))).cast("double").as("dl"))
+        size(LlmOps.tokens(col("text"), normalize = true))
+          .cast("double").as("dl"))
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
                          avg("dl").as("avgdl"))
       val tf = docs.select(col("doc_id"),
-          explode(LlmOps.tokens(col("text"))).as("token"))
+          explode(LlmOps.tokens(col("text"), normalize = true)).as("token"))
         .filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
       val dfreq = tf.groupBy("token")
@@ -517,7 +520,8 @@ object LlmQueries extends QueryPack {
     // hash-aggregate + bounded top-k, never a global sort.
     "q_text_vocab" -> ((s, dir) =>
       Tables(s, dir, "documents")
-        .select(explode(LlmOps.tokens(col("text"))).as("token"))
+        .select(explode(LlmOps.tokens(col("text"), normalize = true))
+                  .as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
@@ -645,7 +649,8 @@ object LlmQueries extends QueryPack {
     "q_pack_shards" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"),
-                size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+                size(LlmOps.tokens(col("text"), normalize = true))
+                  .cast("long").as("n_tok"))
       Relational.globalPrefixSum(docs, Seq(col("doc_id")), "n_tok",
                                  "cum_tok")
         .withColumn("shard",
@@ -663,7 +668,8 @@ object LlmQueries extends QueryPack {
       val budget = 512.0
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"),
-                size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+                size(LlmOps.tokens(col("text"), normalize = true))
+                  .cast("long").as("n_tok"))
       Relational.globalPrefixSum(docs, Seq(col("doc_id")), "n_tok",
                                  "cum_tok")
         .withColumn("start_tok", col("cum_tok") - col("n_tok"))
@@ -764,7 +770,9 @@ object LlmQueries extends QueryPack {
     "q_text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    SELECT doc_id, unnest(list_filter(string_split(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> ''))
+        |      AS token
         |    FROM documents) t
         |  GROUP BY doc_id, token),
         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
@@ -987,7 +995,9 @@ object LlmQueries extends QueryPack {
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    CAST(len(list_filter(string_split(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tok
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tok,
@@ -1006,7 +1016,9 @@ object LlmQueries extends QueryPack {
     "q_pack_shards" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    CAST(len(list_filter(string_split(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tok
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tok,
@@ -1125,16 +1137,17 @@ object LlmQueries extends QueryPack {
         |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
 
     "q_text_bm25" ->
-      """WITH dl AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE)
-        |    AS dl
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '') AS tk
         |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
         |                 avg(dl) AS avgdl FROM dl),
         |tf AS (
         |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |        FROM documents)
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
         |  WHERE t IN ('data', 'query', 'row')
         |  GROUP BY doc_id, t),
         |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
@@ -1213,7 +1226,10 @@ object LlmQueries extends QueryPack {
 
     "q_text_vocab" ->
       """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  SELECT unnest(list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> ''))
+        |    AS token
+        |  FROM documents) t
         |GROUP BY token
         |ORDER BY n DESC NULLS LAST, token NULLS FIRST
         |LIMIT 50""".stripMargin,

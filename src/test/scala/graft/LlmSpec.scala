@@ -120,6 +120,27 @@ class LlmSpec extends SparkSpec {
     assert(Sources.dataFileCount(spark, s"$dirA/bands") <= 16)
   }
 
+  test("normalizing tokenizer lowercases, strips punctuation, drops " +
+       "empty tokens; bare mode is unchanged") {
+    val fixture = Seq(
+      (1L, "The QUICK, brown... fox!!  jumps-over 2 dogs"),
+      (2L, ""),
+      (3L, "already clean tokens")).toDF("id", "text")
+    val norm = fixture.orderBy("id")
+      .select(LlmOps.tokens(col("text"), normalize = true))
+      .as[Seq[String]].collect()
+    assert(norm(0) === Seq("the", "quick", "brown", "fox", "jumps",
+                           "over", "2", "dogs"))
+    assert(norm(1) === Seq.empty)
+    assert(norm(2) === Seq("already", "clean", "tokens"))
+    // normalize = false stays the bare split the existing oracles pin
+    val bare = fixture.orderBy("id")
+      .select(LlmOps.tokens(col("text"), normalize = false))
+      .as[Seq[String]].collect()
+    assert(bare(0).contains("QUICK,"))
+    assert(bare(2) === norm(2)) // no-op on clean text, in both modes
+  }
+
   test("auto-tuned embed LSH picks the corpus-appropriate bucket width") {
     // 500 vectors / target 64 per bucket → ceil(log2(7.8)) = 3 bits: the
     // auto form must equal the manually tuned production parameters
