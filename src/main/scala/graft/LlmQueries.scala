@@ -183,7 +183,14 @@ object LlmQueries extends QueryPack {
         .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
       val dfreq = tf.groupBy("token")
         .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      tf.join(broadcast(dfreq), "token")
+      // tf is collision-small after the term filter but not PROVABLY
+      // broadcastable at 100 TB (a stop-word query term reaches every
+      // doc): pin a shuffled hash join so the plan never degrades to a
+      // sort-merge that globally sorts the per-doc length table. AQE may
+      // still upgrade to broadcast at runtime when tf really is tiny —
+      // both are hash joins; LlmSpec pins the no-sort-merge shape.
+      tf.hint("shuffle_hash")
+        .join(broadcast(dfreq), "token")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",

@@ -120,6 +120,18 @@ class LlmSpec extends SparkSpec {
     assert(Sources.dataFileCount(spark, s"$dirA/bands") <= 16)
   }
 
+  test("BM25 doc-length join is hash-based — no sort-merge that would " +
+       "globally sort the per-doc length table") {
+    val bm25 = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
+    bm25.collect() // resolve AQE's final plan on this reference
+    val plan = bm25.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the dl join is a hash join: shuffled (pinned hint) or broadcast
+    // (AQE upgrade when the filtered tf side really is tiny)
+    assert(plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("normalizing tokenizer lowercases, strips punctuation, drops " +
        "empty tokens; bare mode is unchanged") {
     val fixture = Seq(
