@@ -413,6 +413,79 @@ object Sources {
     * amortizes across all subsequent reads. Quiesce writers first, as
     * any compactor must.
     */
+  // Bloom skip-index geometry: 1024 bits (16 longs) per file, 4 probes.
+  // At ~100 distinct keys per file the load is ~33 % ⇒ false-positive
+  // rate ~1 % — a false positive only costs reading one extra file.
+  private val BloomWords = 16
+  private val BloomProbes = 4
+
+  private def bloomPositions(value: Column): Seq[Column] =
+    (0 until BloomProbes).map { k =>
+      pmod(xxhash64(lit(k), value), lit(BloomWords * 64L))
+    }
+
+  /** MergeTree skip-index analog, bloom_filter variant (the reference's
+    * destination engine attaches `INDEX … TYPE bloom_filter` to skip
+    * granules whose indexed column can't contain a literal; here the
+    * skip unit is the FILE, next to the min/max pruning a clustered
+    * write already gives). Writes `df` hash-clustered on `indexCol`
+    * into `numFiles` files, then builds a sidecar index table at
+    * `<path>__bloomidx` with one row per (data file, bloom word):
+    * 1024 bits per file over 4 xxhash64 probes per value — built
+    * relationally (explode positions → bit_or per word), never
+    * driver-side. The sidecar is O(files × 16) rows — metadata-sized,
+    * like any skip index.
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, indexCol: String,
+                        numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    df.repartition(numFiles, col(indexCol))
+      .write.mode("overwrite").parquet(path)
+    val written = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"), col(indexCol).as("v"))
+    written
+      .select(col("file"),
+              explode(array(bloomPositions(col("v")): _*)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("word"),
+              expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("file", "word").agg(bit_or(col("bit")).as("bits"))
+      .write.mode("overwrite").parquet(path + "__bloomidx")
+  }
+
+  /** Point-lookup read through the bloom skip index: compute the
+    * literal's 4 probe positions, collect the metadata-sized sidecar to
+    * the driver (file-listing decisions are driver-side in every engine
+    * — this is partition pruning's sibling), keep only files whose
+    * bloom contains ALL probe bits, and scan just those with the exact
+    * predicate re-applied (bloom false positives are filtered, never
+    * returned). An absent value typically prunes every file ⇒ the scan
+    * reads nothing.
+    */
+  def bloomPrunedRead(spark: SparkSession, path: String, indexCol: String,
+                      value: Any): DataFrame = {
+    val probes = spark.range(1)
+      .select(bloomPositions(lit(value)).zipWithIndex.map {
+        case (c, i) => c.as(s"p$i") }: _*)
+      .collect()(0)
+    val masks = (0 until BloomProbes).map(i => probes.getLong(i))
+      .groupBy(p => (p / 64).toInt)
+      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64).toInt)
+               .reduce(_ | _) }
+    val idx = spark.read.parquet(path + "__bloomidx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byFile = idx.groupBy(_._1)
+    val candidates = byFile.collect {
+      case (file, rows)
+          if masks.forall { case (w, m) =>
+            rows.exists(r => r._2 == w && (r._3 & m) == m) } => file
+    }.toSeq
+    if (candidates.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(candidates: _*)
+        .filter(col(indexCol) === lit(value))
+  }
+
   /** Data files under `dir` (recursive, Hadoop FS API — works on any
     * supported filesystem, not just local). Success markers / hidden
     * files excluded. The trigger metric for store compaction: an

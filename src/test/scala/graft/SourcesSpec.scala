@@ -269,6 +269,34 @@ class SourcesSpec extends SparkSpec {
              .filter(col("event_type") === "click").count())
   }
 
+  test("bloom skip index prunes to few files on a hit, everything on a " +
+       "miss, and returns exactly the full-scan rows") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString + "/docs"
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select("doc_id", "source", "lang")
+    Sources.writeBloomIndexed(docs, path, "source", 8)
+    // the sidecar is metadata-sized: ≤ files × 16 words
+    assert(spark.read.parquet(path + "__bloomidx").count() <= 8 * 16)
+    val probe = docs.select("source").head.getString(0)
+    val pruned = Sources.bloomPrunedRead(spark, path, "source", probe)
+    // a present key reads at most a couple of files (its cluster file +
+    // rare false positives), never the whole table
+    val filesRead = pruned.select(col("_metadata.file_path"))
+      .distinct().count()
+    assert(filesRead <= 2, s"expected <= 2 files, read $filesRead")
+    // and pruning is lossless vs the full scan
+    val expected = spark.read.parquet(path)
+      .filter(col("source") === probe)
+    assert(pruned.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(pruned).count() === 0)
+    assert(expected.count() > 0)
+    // an absent key prunes every file: zero rows without scanning data
+    assert(Sources.bloomPrunedRead(
+      spark, path, "source", "no-such-source-xyz").count() === 0)
+  }
+
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
       .toDF("timestamp", "offset", "value")
