@@ -46,6 +46,7 @@ object Bench {
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
     "q_dedup_embed_lsh",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
+    "q_simsearch_pq",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_lang_id", "q_text_repetition",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",

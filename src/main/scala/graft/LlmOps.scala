@@ -731,6 +731,116 @@ object LlmOps {
       embeddings.join(broadcast(bestPartition), "label"), query, k)
   }
 
+  // ---- Product quantization (PQ) ANN --------------------------------
+
+  private def vdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def l2normalized(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+                           (a, x) => a + x.cast("double") * x.cast("double")))
+    when(n > 0, transform(vec, x => x.cast("double") / n))
+      .otherwise(transform(vec, x => lit(0.0)))
+  }
+
+  /** The m equal sub-vectors of a vector (dim must divide by m). */
+  private def subVectors(vec: Column, m: Int): Column = {
+    val subd = (size(vec) / m).cast("int")
+    transform(sequence(lit(0), lit(m - 1)),
+              i => slice(vec, i * subd + 1, subd))
+  }
+
+  /** PQ codebook training — m subspaces × k centroids over the
+    * L2-normalized corpus, `iters` Lloyd rounds. Initial centroids are
+    * the sub-vectors of the k smallest vec_ids (deterministic, no RNG).
+    * Each round is one broadcast-assignment pass (sub-vectors ×
+    * broadcast centroids → argmin via min(struct)) and one relational
+    * re-center (posexplode → per-dimension avg → rebuilt array) —
+    * linear in the corpus per round, and at 100 TB the training input
+    * is a sample while assignment/scoring stay full-corpus.
+    * Returns (sub, cid, c).
+    */
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val subs = embeddings
+      .select(col("vec_id"),
+              posexplode(subVectors(l2normalized(col("embedding")), m))
+                .as(Seq("sub", "v")))
+      .localCheckpoint() // reused every round
+    var cents = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("v").as("c"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val assigned = subs.join(broadcast(cents), "sub")
+        .withColumn("d", vdist2(col("v"), col("c")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d"), col("cid"))).as("best"),
+             first(col("v")).as("v"))
+        .select(col("sub"), col("best.cid").as("cid"),
+                posexplode(col("v")).as(Seq("i", "x")))
+      cents = assigned
+        .groupBy("sub", "cid", "i").agg(avg("x").as("cx"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+                       e => e.getField("cx")).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ compression: every vector → m small integer codes (nearest
+    * centroid per subspace). The codes table is the ANN serving set —
+    * m × log₂(k) bits per vector instead of dim × 32 (64-dim floats →
+    * 8 bytes at m=8, k=256: a 32× memory cut, the difference between a
+    * billion-vector index fitting executor memory or not).
+    */
+  def pqCodes(embeddings: DataFrame, codebooks: DataFrame,
+              m: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+              posexplode(subVectors(l2normalized(col("embedding")), m))
+                .as(Seq("sub", "v")))
+      .join(broadcast(codebooks), "sub")
+      .withColumn("d", vdist2(col("v"), col("c")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+
+  /** PQ ANN top-k: asymmetric distance computation (ADC) + exact
+    * refine, the FAISS IVFPQ-with-refinement shape. Stage 1 scores ONLY
+    * the codes: the normalized query's partial inner product against
+    * every (subspace, centroid) pair is one m×k broadcast lookup table,
+    * a vector's approximate cosine is the sum of its m entries, and the
+    * best `topK × refine` candidates survive (TakeOrderedAndProject —
+    * per-partition top-k, no global sort). Stage 2 re-ranks just that
+    * shortlist with exact cosine on the raw vectors (a broadcast semi
+    * join prunes the vector read to shortlist rows). The full corpus is
+    * touched only through its codes — m×log₂(k) bits per vector — which
+    * is what lets a 10⁹-vector index live in memory.
+    */
+  def annPqTopK(embeddings: DataFrame, query: DataFrame, m: Int, k: Int,
+                iters: Int, topK: Int, refine: Int = 5): DataFrame = {
+    val books = pqTrain(embeddings, m, k, iters)
+    val codes = pqCodes(embeddings, books, m)
+    val table = query
+      .select(posexplode(subVectors(l2normalized(col("q_emb")), m))
+                .as(Seq("sub", "qv")))
+      .join(books, "sub")
+      .select(col("sub"), col("cid").as("code"),
+              vdot(col("qv"), col("c")).as("pip"))
+    val shortlist = codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum("pip").as("sim_pq"))
+      .orderBy(col("sim_pq").desc_nulls_last, col("vec_id"))
+      .limit(topK * refine)
+      .select("vec_id")
+    cosineTopK(embeddings.join(broadcast(shortlist), Seq("vec_id"),
+                               "left_semi"),
+               query, topK)
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, IPL 2006): each row draws a hash-uniform
     * u ∈ (0,1) from its id and scores key = ln(u)/w; the k rows with the

@@ -263,6 +263,15 @@ object LlmQueries extends QueryPack {
       LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
         .orderBy("vec_id")),
 
+    // L4e: product-quantization ANN (rows-only; LlmSpec asserts recall
+    // vs the exact baseline) — serving reads 8 one-byte codes per
+    // vector instead of 64 floats; the query cost is one m×k broadcast
+    // lookup table + a sum over codes. The billion-vector memory path.
+    "q_simsearch_pq" -> ((s, dir) =>
+      LlmOps.annPqTopK(Tables(s, dir, "embeddings"), queryVec(s, dir),
+                       8, 16, 2, 10)
+        .orderBy("vec_id")),
+
     // L4d: k-means assignment step — nearest of k deterministic seed
     // vectors per embedding. One broadcast of the seeds + one
     // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,

@@ -120,6 +120,27 @@ class LlmSpec extends SparkSpec {
     assert(Sources.dataFileCount(spark, s"$dirA/bands") <= 16)
   }
 
+  test("PQ ANN: ADC ranking over 8 one-byte codes recalls the exact " +
+       "cosine top-k; codebooks cover every subspace") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = LlmOps.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // ADC over 8×4-bit codes shortlists 5×k candidates, exact cosine
+    // re-ranks them — the coarse quantizer only has to SURFACE the true
+    // neighborhood, the refine stage restores the ordering
+    assert(recall >= 0.7, s"PQ recall $recall; pq=$pq exact=$exact")
+    // the query vector itself (sim 1.0) must always survive quantization
+    assert(pq.contains(0L))
+    // training really produced k centroids per subspace (no empty books)
+    val books = LlmOps.pqTrain(embs, 8, 16, 2)
+    assert(books.groupBy("sub").count().as[(Int, Long)].collect()
+             .forall { case (_, n) => n == 16 })
+  }
+
   test("BM25 doc-length join is hash-based — no sort-merge that would " +
        "globally sort the per-doc length table") {
     val bm25 = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
