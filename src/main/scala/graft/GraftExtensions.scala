@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
     e.injectOptimizerRule(_ => BoundedLevenshtein)
+    e.injectOptimizerRule(_ => ProjectionRouter)
   }
 }
 
@@ -145,7 +146,8 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    val rules = Seq(RewriteHofDotProduct, BoundedLevenshtein)
+    val rules = Seq(RewriteHofDotProduct, BoundedLevenshtein,
+                    ProjectionRouter)
       .filterNot(spark.experimental.extraOptimizations.contains)
     if (rules.nonEmpty)
       spark.experimental.extraOptimizations =

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** ClickHouse `PROJECTION` analog (the destination engine's
+  * automatically-routed pre-aggregated alternative layout,
+  * `ALTER TABLE … ADD PROJECTION (SELECT keys, agg() GROUP BY keys)`):
+  * a registered base table gains a parquet side-table holding partial
+  * aggregates per key combination, and the optimizer REWRITES qualifying
+  * aggregate queries over the base relation to re-aggregate the partials
+  * instead — the user keeps querying the base table, the scan shrinks
+  * from raw rows to one row per key combination. The 100 TB win is the
+  * same as ClickHouse's: a daily-rollup question over years of raw events
+  * reads the rollup, not the events.
+  *
+  * Routing is deliberately conservative — it fires only when the rewrite
+  * is exactly answer-preserving from the partials:
+  *  - the aggregate's child is the registered base relation (bare, or
+  *    under an attribute-only column-pruning Project);
+  *  - every grouping expression is a plain column ⊆ the projection keys
+  *    (coarser-than-projection groupings re-aggregate partials — the
+  *    MergeTree merge rule);
+  *  - every aggregate is `count(literal)` → sum of stored counts (null-
+  *    guarded back to count's non-null contract), or `sum/min/max` of a
+  *    stored measure → the same function over the stored partial;
+  *    DISTINCT or filtered aggregates never route.
+  * Floating-point caveat (same as ClickHouse): re-aggregating stored
+  * double partials can differ from a raw scan in final ulps; integer and
+  * decimal measures are exact.
+  */
+object ProjectionRouter extends Rule[LogicalPlan] {
+
+  /** One registered projection: `basePath`'s raw rows are pre-aggregated
+    * by `keys` into `path`, whose schema is keys ++ `cnt` ++
+    * (`sum_<m>`, `min_<m>`, `max_<m>`) per measure — the layout
+    * [[writeProjection]] produces.
+    */
+  case class Projection(basePath: String, path: String, keys: Set[String],
+                        measures: Set[String])
+
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, Projection]()
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(p: Projection): Unit =
+    registry.put(normalize(p.basePath), p)
+
+  def clear(): Unit = registry.clear()
+
+  /** Build + write the projection table for `base` (call after loads,
+    * like ClickHouse's MATERIALIZE PROJECTION). One hash aggregate with
+    * map-side partials; the output is one row per live key combination.
+    */
+  def writeProjection(base: DataFrame, keys: Seq[String],
+                      measures: Seq[String], path: String): Unit =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+           measures.flatMap(m => Seq(
+             sum(col(m)).as(s"sum_$m"),
+             min(col(m)).as(s"min_$m"),
+             max(col(m)).as(s"max_$m"))): _*)
+      .write.mode("overwrite").parquet(path)
+
+  private def projectionFor(plan: LogicalPlan): Option[Projection] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation =>
+          hfs.location.rootPaths.headOption
+            .flatMap(p => registry.get(p.toUri.getPath))
+        case _ => None
+      }
+      case p: Project
+          if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        projectionFor(p.child)
+      case _ => None
+    }
+
+  private def routableFn(fn: Expression, proj: Projection): Boolean =
+    fn match {
+      case c: Count => c.children.forall(_.foldable)
+      case s: Sum => s.child match {
+        case a: AttributeReference => proj.measures.contains(a.name)
+        case _ => false
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference => proj.measures.contains(a.name)
+        case _ => false
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference => proj.measures.contains(a.name)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def canRoute(agg: Aggregate, proj: Projection): Boolean = {
+    val keysOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => proj.keys.contains(a.name)
+      case _ => false
+    }
+    val aggsOk = agg.aggregateExpressions.forall {
+      case a: AttributeReference => proj.keys.contains(a.name)
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty &&
+          routableFn(ae.aggregateFunction, proj)
+      case _ => false
+    }
+    keysOk && aggsOk
+  }
+
+  private def route(agg: Aggregate, proj: Projection): LogicalPlan = {
+    val projPlan = SparkSession.active.read.parquet(proj.path)
+      .queryExecution.analyzed
+    def out(name: String): AttributeReference =
+      projPlan.output.find(_.name == name).get
+        .asInstanceOf[AttributeReference]
+    val newGrouping = agg.groupingExpressions.map {
+      case a: AttributeReference => out(a.name)
+      case e => e
+    }
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(out(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val (newFn, postProcess): (Expression, Expression => Expression) =
+          ae.aggregateFunction match {
+            case _: Count =>
+              // count is non-null by contract; sum of counts over a
+              // non-empty group can't be null, but keep the type honest
+              (Sum(out("cnt")),
+               e => Coalesce(Seq(e, Literal(0L, LongType))))
+            case s: Sum =>
+              val m = s.child.asInstanceOf[AttributeReference].name
+              (s.withNewChildren(Seq(out(s"sum_$m"))), identity[Expression])
+            case m: Min =>
+              val c = m.child.asInstanceOf[AttributeReference].name
+              (Min(out(s"min_$c")), identity[Expression])
+            case m: Max =>
+              val c = m.child.asInstanceOf[AttributeReference].name
+              (Max(out(s"max_$c")), identity[Expression])
+            case other =>
+              throw new IllegalStateException(s"unroutable $other")
+          }
+        Alias(postProcess(ae.copy(aggregateFunction =
+          newFn.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .AggregateFunction])), name)(exprId = al.exprId)
+      case e => e
+    }
+    Aggregate(newGrouping, newAggs, projPlan)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate =>
+      projectionFor(agg.child) match {
+        case Some(proj) if canRoute(agg, proj) => route(agg, proj)
+        case _ => agg
+      }
+  }
+}

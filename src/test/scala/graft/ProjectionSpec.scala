@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualifying aggregates route to the pre-aggregated projection " +
+       "with identical results; disqualified shapes stay on the base") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-proj").toString
+    val basePath = s"$dir/events_base"
+    val projPath = s"$dir/events_by_type"
+    Tables(spark, sf("events"), "events")
+      .select("event_id", "user_id", "event_type")
+      .write.parquet(basePath)
+    ProjectionRouter.writeProjection(
+      spark.read.parquet(basePath), Seq("event_type"), Seq("user_id"),
+      projPath)
+    // ground truth BEFORE registration (no routing possible)
+    def query() = spark.read.parquet(basePath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum("user_id").as("s"),
+           min("user_id").as("mn"),
+           max("user_id").as("mx"))
+      .orderBy("event_type")
+    val expected = query().as[(String, Long, Long, Long, Long)].collect()
+    try {
+      ProjectionRouter.register(ProjectionRouter.Projection(
+        basePath, projPath, Set("event_type"), Set("user_id")))
+      val routed = query()
+      // the optimized plan reads the PROJECTION files, not the base
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("events_by_type"), plan.take(3000))
+      assert(!plan.contains("events_base"), plan.take(3000))
+      // and re-aggregating the partials is answer-identical
+      assert(routed.as[(String, Long, Long, Long, Long)].collect()
+               === expected)
+      // a DISTINCT aggregate cannot be answered from partials → no route
+      val distinctQ = spark.read.parquet(basePath)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("d"))
+      val dPlan = distinctQ.queryExecution.executedPlan.toString
+      assert(dPlan.contains("events_base"), dPlan.take(3000))
+      // an unregistered measure keeps the base too
+      val otherQ = spark.read.parquet(basePath)
+        .groupBy("event_type").agg(sum("event_id").as("s2"))
+      assert(otherQ.queryExecution.executedPlan.toString
+               .contains("events_base"))
+      // a non-aggregate read of the base is untouched
+      assert(spark.read.parquet(basePath).count() ===
+             Tables(spark, sf("events"), "events").count())
+    } finally ProjectionRouter.clear()
+  }
+}
