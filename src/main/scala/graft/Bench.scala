@@ -53,7 +53,7 @@ object Bench {
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
-    "q_pipeline_shard")
+    "q_projection_route", "q_pipeline_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -174,10 +174,48 @@ object CoreQueries extends QueryPack {
         .select(col("c_custkey"),
                 Relational.zorder2(col("c_custkey"), col("c_nationkey"))
                   .as("z"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // Projection routing end-to-end (see projectionRouteQuery below).
+    "q_projection_route" -> ((s, dir) => projectionRouteQuery(s, dir))
   )
 
+  private val projectionRouteQuery: Q = (s, dir) => {
+    // Build + register the projection, then run a plain aggregate over
+    // the BASE path: [[ProjectionRouter]] rewrites the plan to
+    // re-aggregate the partials, and the DuckDB oracle computes the
+    // same aggregate directly over the raw table — a hash match proves
+    // the routed plan is answer-identical end-to-end, not just in the
+    // spec. Measures chosen exact (count / long sum / double min-max)
+    // so partial re-aggregation is bit-stable.
+    val base = s"$dir/orders.parquet"
+    val proj = java.nio.file.Files
+      .createTempDirectory("graft-proj").toString + "/orders_by_priority"
+    ProjectionRouter.writeProjection(
+      s.read.parquet(base), Seq("o_orderpriority"),
+      Seq("o_custkey", "o_totalprice"), proj)
+    GraftExtensions.register(s)
+    ProjectionRouter.register(ProjectionRouter.Projection(
+      base, proj, Set("o_orderpriority"), Set("o_custkey", "o_totalprice")))
+    s.read.parquet(base)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum("o_custkey").as("sum_cust"),
+           min("o_totalprice").as("min_price"),
+           max("o_totalprice").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_projection_route" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_zorder" ->
       """WITH t0 AS (
         |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS a,

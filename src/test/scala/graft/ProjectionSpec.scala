@@ -53,4 +53,15 @@ class ProjectionSpec extends SparkSpec {
              Tables(spark, sf("events"), "events").count())
     } finally ProjectionRouter.clear()
   }
+
+  test("the packaged q_projection_route really executes through the " +
+       "projection files (the oracle alone can't tell)") {
+    try {
+      val df = CoreQueries.queries("q_projection_route")(spark, sf("orders"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("orders_by_priority"), plan.take(3000))
+      assert(!plan.contains("orders.parquet"), plan.take(3000))
+    } finally ProjectionRouter.clear()
+  }
 }
