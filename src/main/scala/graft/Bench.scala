@@ -44,7 +44,7 @@ object Bench {
     // LLM-pipeline: dedup / similarity / text
     "q_dedup_exact", "q_dedup_chunks_skew", "q_dedup_cdc_chunks", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
-    "q_dedup_embed_lsh",
+    "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
     "q_simsearch_pq",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",

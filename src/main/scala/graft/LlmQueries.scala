@@ -263,6 +263,36 @@ object LlmQueries extends QueryPack {
       LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
         .orderBy("vec_id")),
 
+    // L2e: SemDeDup (semantic dedup inside k-means cells) — assign every
+    // embedding to its nearest deterministic seed centroid (the same
+    // broadcast argmax as q_cluster_assign), form pairs ONLY within a
+    // cell (the cluster bounds the quadratic pair space — the paper's
+    // scale trick), and drop every vector with a smaller-id neighbor at
+    // cosine ≥ 0.4 in its cell. Survivors = the semantically-distinct
+    // corpus. All cosine arithmetic is the bit-portable native
+    // expression, so the τ boundary decides identically in the oracle.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("sim", Functions.cosine(col("embedding"), col("c_emb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("c_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).cast("long").as("cluster"))
+      val withVec = assigned.join(e.select("vec_id", "embedding"), "vec_id")
+      val a = withVec.select(col("vec_id").as("a"), col("cluster"),
+                             col("embedding").as("ea"))
+      val b = withVec.select(col("vec_id").as("b"), col("cluster"),
+                             col("embedding").as("eb"))
+      val drops = a.join(b, "cluster")
+        .filter(col("a") < col("b") &&
+                Functions.cosine(col("ea"), col("eb")) >= 0.4)
+        .select(col("b").as("vec_id")).distinct()
+      assigned.join(drops, Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    }),
+
     // L4e: product-quantization ANN (rows-only; LlmSpec asserts recall
     // vs the exact baseline) — serving reads 8 one-byte codes per
     // vector instead of 64 floats; the query cost is one m×k broadcast
@@ -922,6 +952,34 @@ object LlmQueries extends QueryPack {
         |           ELSE CAST(len(string_split(clean, ' ')) AS BIGINT) END
         |    AS n_removed
         |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, s.c_id,
+         |    ${cosSql("e.embedding", "s.c_emb")} AS sim
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT vec_id, c_id, row_number() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY sim DESC NULLS LAST, c_id) AS rn
+         |  FROM scored),
+         |assign AS (
+         |  SELECT vec_id, CAST(c_id AS BIGINT) AS cluster
+         |  FROM ranked WHERE rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT y.vec_id AS b
+         |  FROM assign xa
+         |  JOIN embeddings x ON x.vec_id = xa.vec_id
+         |  JOIN assign ya ON ya.cluster = xa.cluster
+         |  JOIN embeddings y ON y.vec_id = ya.vec_id
+         |  WHERE x.vec_id < y.vec_id
+         |    AND ${cosSql("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT a.vec_id, a.cluster FROM assign a
+         |WHERE a.vec_id NOT IN (SELECT b FROM drops)
+         |ORDER BY a.vec_id NULLS FIRST""".stripMargin,
 
     "q_cluster_assign" ->
       s"""WITH seeds AS (

@@ -40,19 +40,27 @@ object Tables {
     * having-threshold scales both sides by the same 100).
     *
     * The distinct is one hash aggregate with map-side combine; in a real
-    * deployment partsupp is a first-class source table and this derivation
-    * disappears.
+    * deployment partsupp is a first-class source table, so the derivation
+    * is memoized per (session, dir) behind a localCheckpoint — Q11 reads
+    * it twice (main + threshold subquery) and the three partsupp shapes
+    * share one materialization instead of re-deriving per branch.
     */
   def partsupp(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "lineitem")
-      .select(col("l_partkey").as("ps_partkey"),
-              col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .select(col("ps_partkey"), col("ps_suppkey"),
-        (conv(substring(md5(concat_ws("_", col("ps_partkey"),
-           col("ps_suppkey"))), 1, 8), 16, 10).cast("long") % 9999 + 1)
-          .cast("int").as("ps_availqty"),
-        (conv(substring(md5(concat_ws("#", col("ps_suppkey"),
-           col("ps_partkey"))), 1, 8), 16, 10).cast("long") % 99900 + 100)
-          .as("ps_supplycost_cents"))
+    psCache.computeIfAbsent((spark, dir), _ =>
+      apply(spark, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+                col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          (conv(substring(md5(concat_ws("_", col("ps_partkey"),
+             col("ps_suppkey"))), 1, 8), 16, 10).cast("long") % 9999 + 1)
+            .cast("int").as("ps_availqty"),
+          (conv(substring(md5(concat_ws("#", col("ps_suppkey"),
+             col("ps_partkey"))), 1, 8), 16, 10).cast("long") % 99900 + 100)
+            .as("ps_supplycost_cents"))
+        .localCheckpoint())
+
+  private val psCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+                                               DataFrame]()
 }
