@@ -20,6 +20,8 @@ object Explain {
     "q_dedup_embed", "q_text_tfidf",
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
+    "q_dedup_semantic",     // cross vs explicitly broadcast 8-seed set
+    "q_simsearch_pq",       // exact-refine cosine vs broadcast 1-row query
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates
@@ -35,6 +37,8 @@ object Explain {
     "q_subquery_scalar", // scalar subquery = one-row global aggregate
     "q_tpch_q22",        // scalar avg(acctbal) subquery, same shape
     "q_tpch_q15",        // scalar max over the pre-shrunk revenue view
+    "q_tpch_q11",        // scalar threshold subquery: one-row global
+                         // aggregate over the already-grouped partials
     "q_tpch_q6", "q_tpch_q14", // global scalar aggs: one partial row each
     "q_tpch_q17", "q_tpch_q19", // single-row revenue aggregates, same shape
     "q_text_logprob",          // broadcast scalar corpus-total aggregate
