@@ -140,6 +140,53 @@ object Streaming {
           .parquet(stateDir)
       }
 
+  /** Continuous projection maintenance — the full ClickHouse loop in one
+    * sink: each micro-batch appends its raw rows to `baseDir` AND folds
+    * its partial aggregates into the projection table at `projDir`
+    * ([[ProjectionRouter.writeProjection]] layout: keys ++ cnt ++
+    * sum/min/max per measure), so a registered [[ProjectionRouter]]
+    * serves aggregate queries over the base path from partials that are
+    * fresh as of the last batch. Merging partials is exact for
+    * count/sum-of-integer/min/max (sum cnt, sum sums, min mins, max
+    * maxes); the projection holds one row per live key combination, so
+    * the per-batch merge cost is O(|projection| + batch), never
+    * O(history raw). Replay-safe via the same commit markers as the
+    * other sinks (a replayed batch would double-merge its partials).
+    */
+  def projectionSink(df: DataFrame, baseDir: String, projDir: String,
+                     checkpoint: String, keys: Seq[String],
+                     measures: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, baseDir, batchId)) {
+          batch.write.mode("append").parquet(baseDir)
+          val partials = batch.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("cnt"),
+                 measures.flatMap(m => Seq(
+                   sum(col(m)).as(s"sum_$m"),
+                   min(col(m)).as(s"min_$m"),
+                   max(col(m)).as(s"max_$m"))): _*)
+          val merged =
+            (try spark.read.parquet(projDir).unionByName(partials)
+             catch {
+               case e: org.apache.spark.sql.AnalysisException
+                   if e.getCondition == "PATH_NOT_FOUND" => partials
+             })
+              .groupBy(keys.map(col): _*)
+              .agg(sum(col("cnt")).as("cnt"),
+                   measures.flatMap(m => Seq(
+                     sum(col(s"sum_$m")).as(s"sum_$m"),
+                     min(col(s"min_$m")).as(s"min_$m"),
+                     max(col(s"max_$m")).as(s"max_$m"))): _*)
+              .localCheckpoint() // we overwrite the path we just read
+          merged.write.mode("overwrite").parquet(projDir)
+          markCommitted(spark, baseDir, batchId)
+        }
+      }
+
   /** Read the current state maintained by [[upsertSink]] (hides the
     * internal bucketing column).
     */

@@ -54,6 +54,47 @@ class ProjectionSpec extends SparkSpec {
     } finally ProjectionRouter.clear()
   }
 
+  test("streaming projection maintenance: per-batch partial merge keeps " +
+       "the routed read fresh and exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-psink")
+      .toString
+    val base = s"$dir/base"
+    val proj = s"$dir/proj"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(String, Long)]
+    val q = Streaming.projectionSink(stream.toDS().toDF("k", "v"),
+                                     base, proj, ckpt, Seq("k"), Seq("v"))
+      .start()
+    stream.addData(("a", 1L), ("a", 2L), ("b", 5L))
+    q.processAllAvailable()
+    stream.addData(("a", 10L), ("c", 7L)) // a merges across batches
+    q.processAllAvailable()
+    q.stop()
+    // the maintained partials are exactly the raw-table aggregates
+    val partials = spark.read.parquet(proj)
+      .orderBy("k").as[(String, Long, Long, Long, Long)].collect()
+    assert(partials === Array(("a", 3L, 13L, 1L, 10L),
+                              ("b", 1L, 5L, 5L, 5L),
+                              ("c", 1L, 7L, 7L, 7L)))
+    try {
+      GraftExtensions.register(spark)
+      ProjectionRouter.register(ProjectionRouter.Projection(
+        base, proj, Set("k"), Set("v")))
+      val routed = spark.read.parquet(base).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+             min("v").as("mn"), max("v").as("mx"))
+        .orderBy("k")
+      routed.collect()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("proj"), plan.take(3000))
+      assert(!plan.contains("base"), plan.take(3000))
+      assert(routed.as[(String, Long, Long, Long, Long)].collect()
+               === partials)
+    } finally ProjectionRouter.clear()
+  }
+
   test("the packaged q_projection_route really executes through the " +
        "projection files (the oracle alone can't tell)") {
     try {
