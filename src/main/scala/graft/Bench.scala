@@ -23,7 +23,8 @@ object Bench {
     "q_scan", "q_filter", "q_project", "q_sort", "q_topn",
     // joins
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_join_anti", "q_join_asof", "q_join_asof_tol", "q_join_any",
+    "q_join_anti", "q_join_asof", "q_join_asof_bucketed",
+    "q_join_asof_tol", "q_join_any",
     "q_join_range_bucketed", "q_salted_join",
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",

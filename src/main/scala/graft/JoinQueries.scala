@@ -124,6 +124,22 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6c: the hot-key-safe as-of join — same result through the
+    // time-bucketed three-pass plan (within-bucket fill + per-bucket
+    // reduction + carry over the bucket list), so no task ever sorts a
+    // whole key's history (see Relational.asofJoinBucketed). Hourly
+    // buckets; identical oracle to q_join_asof.
+    "q_join_asof_bucketed" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoinBucketed(purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id"),
+          t => floor(unix_micros(t) / lit(3600L * 1000000L)))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
     // J6b: as-of join with a match TOLERANCE (pandas merge_asof /
     // kdb window-join shape): the latest prior click counts only if it
     // happened within 1 hour of the purchase; staler matches are nulled
@@ -245,6 +261,13 @@ object JoinQueries extends QueryPack {
         |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
 
     "q_join_asof" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_asof_bucketed" ->
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c

@@ -24,6 +24,24 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightPayload: Seq[String]): DataFrame = {
+    val (unioned, payload) =
+      asofUnion(left, right, key, leftTs, rightTs, rightPayload)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    asofFinish(filled.drop("__t", "__side"), payload, rightPayload)
+  }
+
+  /** Shared stage of the as-of joins: both sides unioned into one frame
+    * with `__t` (event time), `__side` (0 = right, 1 = left; rights sort
+    * first at equal times for `<=` semantics) and the right payload as
+    * null-padded `__r_*` columns.
+    */
+  private def asofUnion(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        rightPayload: Seq[String])
+      : (DataFrame, Seq[String]) = {
     val payload = rightPayload.map(c => s"__r_$c")
     val l = left
       .withColumn("__t", col(leftTs))
@@ -38,19 +56,74 @@ object Relational {
     val rAligned = lCols.foldLeft(r)((d, c) =>
       if (r.columns.contains(c)) d else d.withColumn(c, lit(null)))
       .select(lCols.map(col): _*)
-    val unioned = lPadded.unionByName(rAligned)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    val matched = filled.filter(col("__side") === 1)
-      .drop("__t", "__side")
-    // inner as-of: require a match on the first payload column
+    (lPadded.unionByName(rAligned), payload)
+  }
+
+  /** Shared tail of the as-of joins: keep left rows, enforce inner
+    * semantics (a match on the first payload column), rename `__r_*` →
+    * `asof_*`.
+    */
+  private def asofFinish(filled: DataFrame, payload: Seq[String],
+                         rightPayload: Seq[String]): DataFrame = {
+    val matched = filled.filter(col("__side") === 1).drop("__side")
     val inner = payload.headOption.map(c => matched.filter(col(c).isNotNull))
       .getOrElse(matched)
     payload.zip(rightPayload).foldLeft(inner) { case (d, (tmp, orig)) =>
       d.withColumnRenamed(tmp, s"asof_$orig")
     }
+  }
+
+  /** Hot-key-safe as-of join. [[asofJoin]]'s per-key window sorts each
+    * key's FULL history in one task — fatal when one key owns 10⁹ rows
+    * (one hot instrument in a 100 TB tick store; AQE never splits window
+    * partitions). This variant additionally partitions the window by a
+    * time bucket, so no task ever sorts more than one (key, bucket)
+    * slice:
+    *
+    *  1. within-bucket pass — the same last(ignoreNulls) fill, windowed
+    *     by (key, bucket);
+    *  2. per-(key, bucket) reduction — the last right payload of each
+    *     bucket (a hash aggregate, map-side combinable);
+    *  3. carry pass — a window over the BUCKET LIST per key (rows =
+    *     distinct buckets, bounded by timespan / bucketWidth, never by
+    *     row count) propagates the latest earlier-bucket payload;
+    *  4. rows with no within-bucket match coalesce to their bucket's
+    *     carry.
+    *
+    * Answer-identical to [[asofJoin]]; `bucketOf` must be a
+    * monotone-in-time bucket id (e.g. `floor(unix_micros(t) / width)`).
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String],
+                       bucketOf: Column => Column): DataFrame = {
+    val (unioned, payload) =
+      asofUnion(left, right, key, leftTs, rightTs, rightPayload)
+    val withB = unioned.withColumn("__b", bucketOf(col("__t")))
+    val wIn = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(withB)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn)))
+    // last right payload per (key, bucket) — over ALL buckets present,
+    // so left-only buckets still receive a carry row
+    val bucketLast = withB.filter(col("__side") === 0)
+      .groupBy(col(key), col("__b"))
+      .agg(max_by(struct(payload.map(col): _*),
+                  struct(col("__t"), col("__side"))).as("__last"))
+    val allBuckets = withB.select(col(key), col("__b")).distinct()
+    val wCarry = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets
+      .join(bucketLast, Seq(key, "__b"), "left")
+      .withColumn("__carry",
+                  last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__b"), col("__carry"))
+    val joined = filled.join(carry, Seq(key, "__b"))
+    val completed = payload.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col("__carry").getField(c))))
+    asofFinish(completed.drop("__t", "__b", "__carry"),
+               payload, rightPayload)
   }
 
   /** Top-k rows per group (SURVEY.md O3) — rank window + filter; partial

@@ -32,6 +32,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() === 3)
   }
 
+  test("asofJoinBucketed equals asofJoin: in-bucket fill plus " +
+       "cross-bucket carry, equal-ts ties preserved") {
+    // width 25: p0 (t=50, bucket 2) must match c1 (t=40, bucket 1) via
+    // the carry pass; p3/c5 tie at t=30 exercises <= inside one bucket
+    val bucketed = Relational.asofJoinBucketed(left, right, "user_id",
+        "t", "t", Seq("cid"), t => floor(t / lit(25L)))
+      .select("pid", "asof_cid").as[(String, String)].collect().toMap
+    assert(bucketed === Map("p1" -> "c2", "p0" -> "c1", "p3" -> "c5"))
+    // full-fixture equality with the single-window form (hourly buckets)
+    val e = Tables(spark, sf("events"), "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+    val plain = Relational.asofJoin(purchases, clicks, "user_id",
+        "ts", "ts", Seq("event_id"))
+      .select("user_id", "event_id", "asof_event_id")
+    val buck = Relational.asofJoinBucketed(purchases, clicks, "user_id",
+        "ts", "ts", Seq("event_id"),
+        t => floor(unix_micros(t) / lit(3600L * 1000000L)))
+      .select("user_id", "event_id", "asof_event_id")
+    assert(buck.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(buck).count() === 0)
+    // the fill window really partitions by (key, bucket)
+    val plan = buck.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"), plan.take(3000))
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val df = Seq((1, 10), (1, 30), (1, 20), (2, 5)).toDF("g", "v")
     val out = Relational.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
