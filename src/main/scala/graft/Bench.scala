@@ -29,7 +29,7 @@ object Bench {
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
     "q_agg_rollup", "q_agg_by_day", "q_agg_percentile",
-    "q_win_rownum", "q_win_running_sum", "q_win_range_frame",
+    "q_win_rownum", "q_win_running_sum", "q_win_range_frame", "q_win_ema",
     "q_global_rownum", "q_topk_per_group",
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",

@@ -84,6 +84,32 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // W8: exponential moving average per series (ClickHouse
+    // exponentialMovingAverage analog, α = 0.25) — EMA is recursive
+    // (each step weights the previous result), which no window frame
+    // expresses, so it runs as ONE hash aggregate per entity: collect
+    // the entity's (ts, event_id, value) history sorted, then a
+    // codegen'd HOF fold. Per-group state is one entity's history —
+    // the same bound every per-entity operator here carries; the fold
+    // arithmetic (0.25·v + 0.75·acc, left to right) is replicated
+    // step-for-step by the oracle's recursive CTE, so the doubles are
+    // bit-identical.
+    "q_win_ema" -> ((s, dir) => {
+      val arr = sort_array(collect_list(struct(col("ts"), col("event_id"),
+                                               col("value"))))
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(arr.as("h"))
+        .select(col("user_id"),
+                round(aggregate(
+                  slice(col("h"), lit(2),
+                        greatest(size(col("h")) - 1, lit(0))),
+                  element_at(col("h"), 1).getField("value"),
+                  (acc, x) => lit(0.25) * x.getField("value")
+                                + lit(0.75) * acc), 4).as("ema"))
+        .orderBy("user_id")
+    }),
+
     // W7: first/last value over the full partition frame.
     "q_win_first_last" -> ((s, dir) => {
       val full = byUserTs.rowsBetween(Window.unboundedPreceding,
@@ -145,6 +171,22 @@ object WindowQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS second_type
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_ema" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, value AS ema FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, 0.25 * e.value + 0.75 * r.ema
+        |  FROM ev e JOIN rec r
+        |    ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |lastrn AS (SELECT user_id, max(rn) AS mx FROM ev GROUP BY user_id)
+        |SELECT r.user_id, round(r.ema, 4) AS ema
+        |FROM rec r JOIN lastrn l ON r.user_id = l.user_id AND r.rn = l.mx
+        |ORDER BY r.user_id NULLS FIRST""".stripMargin,
 
     "q_win_first_last" ->
       """SELECT event_id,
