@@ -65,7 +65,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those keys
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
       .map(n => n -> SparkEntry.queries(n))
     // Warm-up pass at the target SF (codegen + JIT + file-listing caches).
     qs.foreach { case (_, fn) =>

@@ -732,17 +732,15 @@ object LlmOps {
   }
 
   // ---- Product quantization (PQ) ANN --------------------------------
+  // All vector arithmetic goes through the native codegen'd
+  // [[DotProduct]] — an interpreted HOF fold here cost 30+ s on the
+  // sf0.1 training pass (the same 20× trap the expression exists for).
 
   private def vdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def vdist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, x) => acc + x)
+    Functions.dotProduct(a, b)
 
   private def l2normalized(vec: Column): Column = {
-    val n = sqrt(aggregate(vec, lit(0.0),
-                           (a, x) => a + x.cast("double") * x.cast("double")))
+    val n = Functions.l2Norm(vec)
     when(n > 0, transform(vec, x => x.cast("double") / n))
       .otherwise(transform(vec, x => lit(0.0)))
   }
@@ -764,32 +762,56 @@ object LlmOps {
     * is a sample while assignment/scoring stay full-corpus.
     * Returns (sub, cid, c).
     */
-  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
-    val subs = embeddings
+  /** The shared PQ working set: one row per (vector, subspace) with the
+    * normalized sub-vector AND its precomputed squared norm, checkpointed
+    * once — train and compress both iterate over it, so normalization /
+    * explosion / self-dot run exactly once per vector.
+    */
+  private def pqSubs(embeddings: DataFrame, m: Int): DataFrame =
+    embeddings
       .select(col("vec_id"),
               posexplode(subVectors(l2normalized(col("embedding")), m))
                 .as(Seq("sub", "v")))
-      .localCheckpoint() // reused every round
-    var cents = subs.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").as("cid"), col("v").as("c"))
+      .withColumn("vv", Functions.dotProduct(col("v"), col("v")))
+      .localCheckpoint()
+
+  /** Nearest-centroid id per (vector, subspace):
+    * |v−c|² = vv + cc − 2 v·c with both squared norms precomputed —
+    * ONE native dot per candidate pair.
+    */
+  private def nearestCode(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), "sub")
+      .withColumn("d", col("vv") + col("cc") -
+                         lit(2.0) * vdot(col("v"), col("c")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+
+  private def withCc(cents: DataFrame): DataFrame =
+    cents.withColumn("cc", Functions.dotProduct(col("c"), col("c")))
+
+  private def pqTrainOnSubs(subs: DataFrame, k: Int,
+                            iters: Int): DataFrame = {
+    var cents = withCc(
+      subs.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").as("cid"), col("v").as("c")))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assigned = subs.join(broadcast(cents), "sub")
-        .withColumn("d", vdist2(col("v"), col("c")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("d"), col("cid"))).as("best"),
-             first(col("v")).as("v"))
-        .select(col("sub"), col("best.cid").as("cid"),
+      val recentered = nearestCode(subs, cents)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code").as("cid"),
                 posexplode(col("v")).as(Seq("i", "x")))
-      cents = assigned
         .groupBy("sub", "cid", "i").agg(avg("x").as("cx"))
         .groupBy("sub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
                        e => e.getField("cx")).as("c"))
-        .localCheckpoint()
+      cents = withCc(recentered).localCheckpoint()
     }
     cents
   }
+
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
+    pqTrainOnSubs(pqSubs(embeddings, m), k, iters).drop("cc")
 
   /** PQ compression: every vector → m small integer codes (nearest
     * centroid per subspace). The codes table is the ANN serving set —
@@ -799,15 +821,7 @@ object LlmOps {
     */
   def pqCodes(embeddings: DataFrame, codebooks: DataFrame,
               m: Int): DataFrame =
-    embeddings
-      .select(col("vec_id"),
-              posexplode(subVectors(l2normalized(col("embedding")), m))
-                .as(Seq("sub", "v")))
-      .join(broadcast(codebooks), "sub")
-      .withColumn("d", vdist2(col("v"), col("c")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+    nearestCode(pqSubs(embeddings, m), withCc(codebooks))
 
   /** PQ ANN top-k: asymmetric distance computation (ADC) + exact
     * refine, the FAISS IVFPQ-with-refinement shape. Stage 1 scores ONLY
@@ -823,8 +837,9 @@ object LlmOps {
     */
   def annPqTopK(embeddings: DataFrame, query: DataFrame, m: Int, k: Int,
                 iters: Int, topK: Int, refine: Int = 5): DataFrame = {
-    val books = pqTrain(embeddings, m, k, iters)
-    val codes = pqCodes(embeddings, books, m)
+    val subs = pqSubs(embeddings, m) // ONE normalize+explode pass total
+    val books = pqTrainOnSubs(subs, k, iters)
+    val codes = nearestCode(subs, books)
     val table = query
       .select(posexplode(subVectors(l2normalized(col("q_emb")), m))
                 .as(Seq("sub", "qv")))
