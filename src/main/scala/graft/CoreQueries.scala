@@ -187,10 +187,17 @@ object CoreQueries extends QueryPack {
     // same aggregate directly over the raw table — a hash match proves
     // the routed plan is answer-identical end-to-end, not just in the
     // spec. Measures chosen exact (count / long sum / double min-max)
-    // so partial re-aggregation is bit-stable.
-    val base = s"$dir/orders.parquet"
-    val proj = java.nio.file.Files
-      .createTempDirectory("graft-proj").toString + "/orders_by_priority"
+    // so partial re-aggregation is bit-stable. The base is a PRIVATE
+    // copy of orders under a deterministic per-dir temp path (reused,
+    // not leaked), so the registration can never reroute OTHER queries
+    // reading the shared orders.parquet in the same session.
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_projroute_${math.abs(dir.hashCode)}").toString
+    val base = s"$scratch/orders_base"
+    val proj = s"$scratch/orders_by_priority"
+    s.read.parquet(s"$dir/orders.parquet")
+      .write.mode("overwrite").parquet(base)
     ProjectionRouter.writeProjection(
       s.read.parquet(base), Seq("o_orderpriority"),
       Seq("o_custkey", "o_totalprice"), proj)

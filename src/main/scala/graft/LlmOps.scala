@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (SURVEY.md §2.10, L1-L7 + BASELINE.json
@@ -792,9 +793,18 @@ object LlmOps {
 
   private def pqTrainOnSubs(subs: DataFrame, k: Int,
                             iters: Int): DataFrame = {
+    // seed from the k smallest vec_ids PRESENT (a filter on vec_id < k
+    // trains few or zero centroids on any corpus whose ids don't start
+    // at 0 — a filtered slice, a resharded store); centroid id = seed
+    // rank so codebook ids are dense 0..k-1 regardless of the id space
+    val seedIds = subs.select("vec_id").distinct()
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+              (row_number().over(Window.orderBy("vec_id")) - 1)
+                .cast("long").as("cid"))
     var cents = withCc(
-      subs.filter(col("vec_id") < k)
-        .select(col("sub"), col("vec_id").as("cid"), col("v").as("c")))
+      subs.join(broadcast(seedIds), "vec_id")
+        .select(col("sub"), col("cid"), col("v").as("c")))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
       val recentered = nearestCode(subs, cents)

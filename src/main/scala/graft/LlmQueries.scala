@@ -186,11 +186,15 @@ object LlmQueries extends QueryPack {
       // tf is collision-small after the term filter but not PROVABLY
       // broadcastable at 100 TB (a stop-word query term reaches every
       // doc): pin a shuffled hash join so the plan never degrades to a
-      // sort-merge that globally sorts the per-doc length table. AQE may
-      // still upgrade to broadcast at runtime when tf really is tiny —
-      // both are hash joins; LlmSpec pins the no-sort-merge shape.
-      tf.hint("shuffle_hash")
-        .join(broadcast(dfreq), "token")
+      // sort-merge that globally sorts the per-doc length table. The
+      // hint attaches AFTER the dfreq join — a hint resolves at the
+      // nearest enclosing join of the hinted subtree, so hinting bare tf
+      // would be consumed by the tf⋈dfreq broadcast join and never reach
+      // the dl join. AQE may still upgrade to broadcast when tf really
+      // is tiny — both are hash joins; LlmSpec pins the no-sort-merge
+      // shape with broadcast disabled.
+      tf.join(broadcast(dfreq), "token")
+        .hint("shuffle_hash")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",

@@ -52,8 +52,15 @@ object ProjectionRouter extends Rule[LogicalPlan] {
   private val registry =
     new scala.collection.concurrent.TrieMap[String, Projection]()
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Fully-qualified path string (scheme + authority + path) — bare
+    * `toUri.getPath` would make `s3a://bucketA/x` and `file:/x` collide
+    * and route one table to another's partials.
+    */
+  private def normalize(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
 
   def register(p: Projection): Unit =
     registry.put(normalize(p.basePath), p)
@@ -77,9 +84,10 @@ object ProjectionRouter extends Rule[LogicalPlan] {
   private def projectionFor(plan: LogicalPlan): Option[Projection] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
-        case hfs: HadoopFsRelation =>
-          hfs.location.rootPaths.headOption
-            .flatMap(p => registry.get(p.toUri.getPath))
+        // single-root relations only: a multi-path read mixes other
+        // paths' rows the projection doesn't cover
+        case hfs: HadoopFsRelation if hfs.location.rootPaths.length == 1 =>
+          registry.get(normalize(hfs.location.rootPaths.head.toString))
         case _ => None
       }
       case p: Project
@@ -90,7 +98,10 @@ object ProjectionRouter extends Rule[LogicalPlan] {
 
   private def routableFn(fn: Expression, proj: Projection): Boolean =
     fn match {
-      case c: Count => c.children.forall(_.foldable)
+      // count of a NON-NULL literal only: count(lit(null)) is 0 per
+      // group, not the stored row count
+      case c: Count =>
+        c.children.forall(ch => ch.foldable && ch.eval() != null)
       case s: Sum => s.child match {
         case a: AttributeReference => proj.measures.contains(a.name)
         case _ => false

@@ -105,25 +105,34 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(withB)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn)))
-    // last right payload per (key, bucket) — over ALL buckets present,
-    // so left-only buckets still receive a carry row
+    // last NON-NULL right payload per (key, bucket, column) — each
+    // payload column independently, mirroring the single-window form's
+    // per-column last(ignoreNulls) (a struct-level "last right row"
+    // would carry a NULL field over an earlier non-null one). Aggregated
+    // over ALL buckets present so left-only buckets still get carry.
+    val lastCols = payload.map { c =>
+      max_by(col(c), when(col(c).isNotNull,
+                          struct(col("__t"), col("__side"))))
+        .as(s"__bl_$c")
+    }
     val bucketLast = withB.filter(col("__side") === 0)
       .groupBy(col(key), col("__b"))
-      .agg(max_by(struct(payload.map(col): _*),
-                  struct(col("__t"), col("__side"))).as("__last"))
+      .agg(lastCols.head, lastCols.tail: _*)
     val allBuckets = withB.select(col(key), col("__b")).distinct()
     val wCarry = Window.partitionBy(key).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = allBuckets
-      .join(bucketLast, Seq(key, "__b"), "left")
-      .withColumn("__carry",
-                  last(col("__last"), ignoreNulls = true).over(wCarry))
-      .select(col(key), col("__b"), col("__carry"))
+    val carry0 = allBuckets.join(bucketLast, Seq(key, "__b"), "left")
+    val carry = payload.foldLeft(carry0)((d, c) =>
+        d.withColumn(s"__cy_$c",
+                     last(col(s"__bl_$c"), ignoreNulls = true).over(wCarry)))
+      .select(col(key) +: col("__b") +:
+                payload.map(c => col(s"__cy_$c")): _*)
     val joined = filled.join(carry, Seq(key, "__b"))
     val completed = payload.foldLeft(joined)((d, c) =>
-      d.withColumn(c, coalesce(col(c), col("__carry").getField(c))))
-    asofFinish(completed.drop("__t", "__b", "__carry"),
-               payload, rightPayload)
+      d.withColumn(c, coalesce(col(c), col(s"__cy_$c"))))
+    asofFinish(
+      completed.drop("__t" +: "__b" +: payload.map(c => s"__cy_$c"): _*),
+      payload, rightPayload)
   }
 
   /** Top-k rows per group (SURVEY.md O3) — rank window + filter; partial

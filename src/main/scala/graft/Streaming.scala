@@ -162,6 +162,14 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, baseDir, batchId)) {
+          val hc = spark.sparkContext.hadoopConfiguration
+          val proj = new org.apache.hadoop.fs.Path(projDir)
+          val tmp = new org.apache.hadoop.fs.Path(projDir + ".tmp")
+          val fs = proj.getFileSystem(hc)
+          // crash recovery: the swap below can die between delete and
+          // rename — if only the complete tmp copy exists, promote it
+          // before reading state
+          if (!fs.exists(proj) && fs.exists(tmp)) fs.rename(tmp, proj)
           batch.write.mode("append").parquet(baseDir)
           val partials = batch.groupBy(keys.map(col): _*)
             .agg(count(lit(1)).as("cnt"),
@@ -173,7 +181,9 @@ object Streaming {
             (try spark.read.parquet(projDir).unionByName(partials)
              catch {
                case e: org.apache.spark.sql.AnalysisException
-                   if e.getCondition == "PATH_NOT_FOUND" => partials
+                   if e.getCondition == "PATH_NOT_FOUND" ||
+                      e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                 partials
              })
               .groupBy(keys.map(col): _*)
               .agg(sum(col("cnt")).as("cnt"),
@@ -181,8 +191,12 @@ object Streaming {
                      sum(col(s"sum_$m")).as(s"sum_$m"),
                      min(col(s"min_$m")).as(s"min_$m"),
                      max(col(s"max_$m")).as(s"max_$m"))): _*)
-              .localCheckpoint() // we overwrite the path we just read
-          merged.write.mode("overwrite").parquet(projDir)
+          // never overwrite the only copy in place: write the merged
+          // state BESIDE it, then swap — a crash leaves either the old
+          // projection or the promoted new one, never a half-deleted dir
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(proj)) fs.delete(proj, true)
+          fs.rename(tmp, proj)
           markCommitted(spark, baseDir, batchId)
         }
       }

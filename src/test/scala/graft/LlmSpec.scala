@@ -151,6 +151,19 @@ class LlmSpec extends SparkSpec {
     // (AQE upgrade when the filtered tf side really is tiny)
     assert(plan.contains("ShuffledHashJoin") ||
            plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // and with broadcast OFF (the 100 TB stand-in, where AQE can't bail
+    // the plan out) the hint must still hold the dl join at shuffled
+    // hash — this is what a mis-attached hint fails
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cold = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
+      cold.collect()
+      val coldPlan = cold.queryExecution.executedPlan.toString
+      assert(coldPlan.contains("ShuffledHashJoin"), coldPlan.take(3000))
+      assert(!coldPlan.contains("SortMergeJoin"), coldPlan.take(3000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("normalizing tokenizer lowercases, strips punctuation, drops " +

@@ -56,6 +56,23 @@ class RelationalSpec extends SparkSpec {
     // the fill window really partitions by (key, bucket)
     val plan = buck.queryExecution.executedPlan.toString
     assert(plan.contains("__b"), plan.take(3000))
+
+    // NULL right payloads: the carry must skip a bucket's trailing NULL
+    // and surface the earlier non-null value, exactly like the
+    // single-window last(ignoreNulls) — a struct-level "last right row"
+    // carry gets this wrong
+    val rNull = Seq((9L, 10L, Some("x")), (9L, 20L, None))
+      .toDF("user_id", "t", "cid")
+    val lNull = Seq((9L, 60L, "p9")).toDF("user_id", "t", "pid")
+    for (f <- Seq(
+           Relational.asofJoin(lNull, rNull, "user_id", "t", "t",
+                               Seq("cid")),
+           Relational.asofJoinBucketed(lNull, rNull, "user_id", "t", "t",
+                                       Seq("cid"),
+                                       t => floor(t / lit(25L))))) {
+      assert(f.select("pid", "asof_cid").as[(String, String)].collect()
+               .toSeq === Seq(("p9", "x")))
+    }
   }
 
   test("topKPerGroup returns k rows per group in order") {
