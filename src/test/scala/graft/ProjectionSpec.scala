@@ -95,6 +95,36 @@ class ProjectionSpec extends SparkSpec {
     } finally ProjectionRouter.clear()
   }
 
+  test("projectionSink crash recovery: an orphaned tmp state (crash " +
+       "between delete and rename) is promoted before the next merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcrash")
+      .toString
+    val base = s"$dir/base"
+    val proj = s"$dir/proj"
+    // simulate the crash window: the swap deleted proj and died before
+    // renaming the complete tmp copy into place
+    Seq(("a", 2L, 3L, 1L, 2L)).toDF("k", "cnt", "sum_v", "min_v", "max_v")
+      .write.parquet(proj + ".tmp")
+    val stream = MemoryStream[(String, Long)]
+    val q = Streaming.projectionSink(stream.toDS().toDF("k", "v"),
+                                     base, proj, s"$dir/ckpt",
+                                     Seq("k"), Seq("v")).start()
+    stream.addData(("a", 10L), ("b", 5L))
+    q.processAllAvailable()
+    q.stop()
+    // the orphaned state was recovered, then merged with the new batch
+    val partials = spark.read.parquet(proj)
+      .orderBy("k").as[(String, Long, Long, Long, Long)].collect()
+    assert(partials === Array(("a", 3L, 13L, 1L, 10L),
+                              ("b", 1L, 5L, 5L, 5L)))
+    // and the tmp dir was consumed by the swap, not left behind
+    val fs = new org.apache.hadoop.fs.Path(proj)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(proj + ".tmp")))
+  }
+
   test("the packaged q_projection_route really executes through the " +
        "projection files (the oracle alone can't tell)") {
     try {
