@@ -172,6 +172,27 @@ object AggQueries extends QueryPack {
     // partial-sketch table is what an AggregatingMergeTree target stores;
     // re-aggregation cost is O(days × sketch), not O(events). Sketch
     // binary → rows-only; SketchSpec pins merge(partials) == direct.
+    // ClickHouse groupBitmap analog — EXACT mergeable distinct state
+    // (the precise sibling of q_hll_rollup): per (event_type, day,
+    // bitmap-bucket) partials via Spark's native bitmap aggregates, then
+    // a re-aggregation that ORs bitmaps per bucket and sums bit counts —
+    // the daily state table re-rolls to any coarser grain without ever
+    // rescanning raw rows, and unlike the HLL form the answer is exact,
+    // so the oracle is a plain COUNT(DISTINCT) hash match.
+    "q_bitmap_rollup" -> ((s, dir) => {
+      val state = Tables(s, dir, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+                expr("bitmap_bucket_number(user_id)").as("bucket"),
+                expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      state.groupBy("event_type", "bucket")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n"))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_users"))
+        .orderBy("event_type")
+    }),
+
     "q_hll_rollup" -> ((s, dir) => {
       val daily = Tables(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -381,6 +402,12 @@ object AggQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bitmap_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty,

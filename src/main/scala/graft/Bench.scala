@@ -41,13 +41,13 @@ object Bench {
     "q_tpch_q13", "q_tpch_q12", "q_tpch_q14", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     // mergeable-sketch rollups (uniqState/topKState + merge analogs)
-    "q_hll_rollup", "q_topk_merge", "q_theta_segments",
+    "q_hll_rollup", "q_bitmap_rollup", "q_topk_merge", "q_theta_segments",
     // LLM-pipeline: dedup / similarity / text
     "q_dedup_exact", "q_dedup_chunks_skew", "q_dedup_cdc_chunks", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_components", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
-    "q_simsearch_pq",
+    "q_simsearch_pq", "q_simsearch_ivfpq",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_lang_id", "q_text_repetition",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",

@@ -866,6 +866,28 @@ object LlmOps {
                query, topK)
   }
 
+  /** IVF-PQ (the FAISS IVFPQ shape): coarse-quantize into cells, probe
+    * only the cell nearest the query, then PQ-score INSIDE that cell —
+    * the scan touches 1/#cells of the corpus and reads it through
+    * m×log₂(k)-bit codes, composing both scale levers (partition
+    * pruning × compressed residency). The PQ seed selection works on
+    * the cell's arbitrary id subset (k smallest PRESENT ids).
+    */
+  def annIvfPqTopK(embeddings: DataFrame, query: DataFrame, dim: Int,
+                   m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    val cent = udaf(new Udafs.VectorCentroid(dim))
+    val centroids = embeddings.groupBy("label")
+      .agg(cent(col("embedding")).as("c"))
+    val qDouble = transform(col("q_emb"), x => x.cast("double"))
+    val bestPartition = centroids.crossJoin(broadcast(query))
+      .withColumn("csim", Functions.cosine(col("c"), qDouble))
+      .orderBy(col("csim").desc_nulls_last, col("label"))
+      .limit(1)
+      .select("label")
+    annPqTopK(embeddings.join(broadcast(bestPartition), "label"),
+              query, m, k, iters, topK)
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, IPL 2006): each row draws a hash-uniform
     * u ∈ (0,1) from its id and scores key = ln(u)/w; the k rows with the

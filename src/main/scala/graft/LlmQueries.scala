@@ -306,6 +306,14 @@ object LlmQueries extends QueryPack {
                        8, 16, 2, 10)
         .orderBy("vec_id")),
 
+    // L4f: IVF-PQ composite (rows-only; LlmSpec pins cell confinement
+    // and intra-cell agreement with the direct PQ run) — partition
+    // pruning × compressed codes, the two scale levers stacked.
+    "q_simsearch_ivfpq" -> ((s, dir) =>
+      LlmOps.annIvfPqTopK(Tables(s, dir, "embeddings"), queryVec(s, dir),
+                          64, 8, 16, 2, 10)
+        .orderBy("vec_id")),
+
     // L4d: k-means assignment step — nearest of k deterministic seed
     // vectors per embedding. One broadcast of the seeds + one
     // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,

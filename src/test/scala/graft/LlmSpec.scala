@@ -141,6 +141,27 @@ class LlmSpec extends SparkSpec {
              .forall { case (_, n) => n == 16 })
   }
 
+  test("IVF-PQ probes exactly one cell and agrees with the direct PQ " +
+       "run inside it") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val ivfpq = LlmOps.annIvfPqTopK(embs, q, 64, 8, 16, 1, 10)
+    val ids = ivfpq.select("vec_id").as[Long].collect().toSet
+    assert(ids.size === 10)
+    // every result comes from ONE coarse cell (the probed partition) —
+    // which cell wins depends on the centroid geometry, not on where
+    // the query vector happens to be labeled (the fixture's labels are
+    // arbitrary, not k-means cells)
+    val labels = embs.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select("label").distinct().as[String].collect()
+    assert(labels.length === 1, labels.mkString(","))
+    // intra-cell agreement: IVF-PQ == PQ run directly on the probed cell
+    val direct = LlmOps.annPqTopK(
+        embs.filter(col("label") === labels.head), q, 8, 16, 1, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === direct)
+  }
+
   test("BM25 doc-length join is hash-based — no sort-merge that would " +
        "globally sort the per-doc length table") {
     val bm25 = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
