@@ -22,6 +22,7 @@ object Explain {
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_dedup_semantic",     // cross vs explicitly broadcast 8-seed set
     "q_simsearch_pq",       // exact-refine cosine vs broadcast 1-row query
+    "q_simsearch_ivfpq",    // centroid probe + refine vs broadcast query
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates

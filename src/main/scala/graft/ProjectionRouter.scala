@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Coalesce, Expression, Literal, NamedExpression}
+  Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Count, Max, Min, Sum}
+  AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -78,7 +78,9 @@ object ProjectionRouter extends Rule[LogicalPlan] {
            measures.flatMap(m => Seq(
              sum(col(m)).as(s"sum_$m"),
              min(col(m)).as(s"min_$m"),
-             max(col(m)).as(s"max_$m"))): _*)
+             max(col(m)).as(s"max_$m"),
+             // non-null count — avg() must divide by it, not by cnt
+             count(col(m)).as(s"nn_$m"))): _*)
       .write.mode("overwrite").parquet(path)
 
   private def projectionFor(plan: LogicalPlan): Option[Projection] =
@@ -104,6 +106,17 @@ object ProjectionRouter extends Rule[LogicalPlan] {
         c.children.forall(ch => ch.foldable && ch.eval() != null)
       case s: Sum => s.child match {
         case a: AttributeReference => proj.measures.contains(a.name)
+        case _ => false
+      }
+      // avg routes as sum_<m> / nn_<m>; restrict to double/integral
+      // measures — decimal avg has its own scale rules the ratio form
+      // wouldn't reproduce
+      case av: Average => av.child match {
+        case a: AttributeReference =>
+          proj.measures.contains(a.name) &&
+            (a.dataType == org.apache.spark.sql.types.DoubleType ||
+             a.dataType == LongType ||
+             a.dataType == org.apache.spark.sql.types.IntegerType)
         case _ => false
       }
       case m: Min => m.child match {
@@ -142,33 +155,42 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       case a: AttributeReference => out(a.name)
       case e => e
     }
+    def reAgg(ae: AggregateExpression, fn: Expression): AggregateExpression =
+      ae.copy(aggregateFunction = fn.asInstanceOf[AggregateFunction],
+              resultId = NamedExpression.newExprId)
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         Alias(out(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
-        val (newFn, postProcess): (Expression, Expression => Expression) =
-          ae.aggregateFunction match {
-            case _: Count =>
-              // count is non-null by contract; sum of counts over a
-              // non-empty group can't be null, but keep the type honest
-              (Sum(out("cnt")),
-               e => Coalesce(Seq(e, Literal(0L, LongType))))
-            case s: Sum =>
-              val m = s.child.asInstanceOf[AttributeReference].name
-              (s.withNewChildren(Seq(out(s"sum_$m"))), identity[Expression])
-            case m: Min =>
-              val c = m.child.asInstanceOf[AttributeReference].name
-              (Min(out(s"min_$c")), identity[Expression])
-            case m: Max =>
-              val c = m.child.asInstanceOf[AttributeReference].name
-              (Max(out(s"max_$c")), identity[Expression])
-            case other =>
-              throw new IllegalStateException(s"unroutable $other")
-          }
-        Alias(postProcess(ae.copy(aggregateFunction =
-          newFn.asInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.aggregate
-              .AggregateFunction])), name)(exprId = al.exprId)
+        val newChild: Expression = ae.aggregateFunction match {
+          case _: Count =>
+            // count is non-null by contract; sum of counts over a
+            // non-empty group can't be null, but keep the type honest
+            Coalesce(Seq(reAgg(ae, Sum(out("cnt"))),
+                         Literal(0L, LongType)))
+          case s: Sum =>
+            val m = s.child.asInstanceOf[AttributeReference].name
+            reAgg(ae, s.withNewChildren(Seq(out(s"sum_$m"))))
+          case av: Average =>
+            // avg = Σ(stored sums) / Σ(stored non-null counts) — two
+            // aggregate expressions under one alias, both in double to
+            // match Average's output type on the admitted measures
+            val m = av.child.asInstanceOf[AttributeReference].name
+            new Divide(
+              Cast(reAgg(ae, Sum(out(s"sum_$m"))),
+                   org.apache.spark.sql.types.DoubleType),
+              Cast(reAgg(ae, Sum(out(s"nn_$m"))),
+                   org.apache.spark.sql.types.DoubleType))
+          case m: Min =>
+            val c = m.child.asInstanceOf[AttributeReference].name
+            reAgg(ae, Min(out(s"min_$c")))
+          case m: Max =>
+            val c = m.child.asInstanceOf[AttributeReference].name
+            reAgg(ae, Max(out(s"max_$c")))
+          case other =>
+            throw new IllegalStateException(s"unroutable $other")
+        }
+        Alias(newChild, name)(exprId = al.exprId)
       case e => e
     }
     Aggregate(newGrouping, newAggs, projPlan)

@@ -176,7 +176,8 @@ object Streaming {
                  measures.flatMap(m => Seq(
                    sum(col(m)).as(s"sum_$m"),
                    min(col(m)).as(s"min_$m"),
-                   max(col(m)).as(s"max_$m"))): _*)
+                   max(col(m)).as(s"max_$m"),
+                   count(col(m)).as(s"nn_$m"))): _*)
           val merged =
             (try spark.read.parquet(projDir).unionByName(partials)
              catch {
@@ -190,7 +191,8 @@ object Streaming {
                    measures.flatMap(m => Seq(
                      sum(col(s"sum_$m")).as(s"sum_$m"),
                      min(col(s"min_$m")).as(s"min_$m"),
-                     max(col(s"max_$m")).as(s"max_$m"))): _*)
+                     max(col(s"max_$m")).as(s"max_$m"),
+                     sum(col(s"nn_$m")).as(s"nn_$m"))): _*)
           // never overwrite the only copy in place: write the merged
           // state BESIDE it, then swap — a crash leaves either the old
           // projection or the promoted new one, never a half-deleted dir

@@ -23,9 +23,12 @@ class ProjectionSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"),
            sum("user_id").as("s"),
            min("user_id").as("mn"),
-           max("user_id").as("mx"))
+           max("user_id").as("mx"),
+           // avg must divide by the NON-NULL count partial, not cnt
+           avg("user_id").as("av"))
       .orderBy("event_type")
-    val expected = query().as[(String, Long, Long, Long, Long)].collect()
+    val expected = query()
+      .as[(String, Long, Long, Long, Long, Double)].collect()
     try {
       ProjectionRouter.register(ProjectionRouter.Projection(
         basePath, projPath, Set("event_type"), Set("user_id")))
@@ -35,7 +38,7 @@ class ProjectionSpec extends SparkSpec {
       assert(plan.contains("events_by_type"), plan.take(3000))
       assert(!plan.contains("events_base"), plan.take(3000))
       // and re-aggregating the partials is answer-identical
-      assert(routed.as[(String, Long, Long, Long, Long)].collect()
+      assert(routed.as[(String, Long, Long, Long, Long, Double)].collect()
                === expected)
       // a DISTINCT aggregate cannot be answered from partials → no route
       val distinctQ = spark.read.parquet(basePath)
@@ -74,6 +77,7 @@ class ProjectionSpec extends SparkSpec {
     q.stop()
     // the maintained partials are exactly the raw-table aggregates
     val partials = spark.read.parquet(proj)
+      .select("k", "cnt", "sum_v", "min_v", "max_v")
       .orderBy("k").as[(String, Long, Long, Long, Long)].collect()
     assert(partials === Array(("a", 3L, 13L, 1L, 10L),
                               ("b", 1L, 5L, 5L, 5L),
@@ -105,7 +109,8 @@ class ProjectionSpec extends SparkSpec {
     val proj = s"$dir/proj"
     // simulate the crash window: the swap deleted proj and died before
     // renaming the complete tmp copy into place
-    Seq(("a", 2L, 3L, 1L, 2L)).toDF("k", "cnt", "sum_v", "min_v", "max_v")
+    Seq(("a", 2L, 3L, 1L, 2L, 2L))
+      .toDF("k", "cnt", "sum_v", "min_v", "max_v", "nn_v")
       .write.parquet(proj + ".tmp")
     val stream = MemoryStream[(String, Long)]
     val q = Streaming.projectionSink(stream.toDS().toDF("k", "v"),
@@ -116,6 +121,7 @@ class ProjectionSpec extends SparkSpec {
     q.stop()
     // the orphaned state was recovered, then merged with the new batch
     val partials = spark.read.parquet(proj)
+      .select("k", "cnt", "sum_v", "min_v", "max_v")
       .orderBy("k").as[(String, Long, Long, Long, Long)].collect()
     assert(partials === Array(("a", 3L, 13L, 1L, 10L),
                               ("b", 1L, 5L, 5L, 5L)))
