@@ -462,28 +462,41 @@ object Sources {
     * reads nothing.
     */
   def bloomPrunedRead(spark: SparkSession, path: String, indexCol: String,
-                      value: Any): DataFrame = {
-    val probes = spark.range(1)
-      .select(bloomPositions(lit(value)).zipWithIndex.map {
-        case (c, i) => c.as(s"p$i") }: _*)
-      .collect()(0)
-    val masks = (0 until BloomProbes).map(i => probes.getLong(i))
-      .groupBy(p => (p / 64).toInt)
-      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64).toInt)
-               .reduce(_ | _) }
+                      value: Any): DataFrame =
+    bloomPrunedReadIn(spark, path, indexCol, Seq(value))
+
+  /** IN-list form of the bloom-pruned read: candidate files = the UNION
+    * of each literal's qualifying set (a file survives if its bloom
+    * contains ALL probe bits of AT LEAST ONE value), then one scan of
+    * the candidates with the exact IN predicate. Probe-position hashing
+    * runs as one tiny local job per literal — driver-bounded by the
+    * IN-list length, like any IN-list partition pruning.
+    */
+  def bloomPrunedReadIn(spark: SparkSession, path: String,
+                        indexCol: String, values: Seq[Any]): DataFrame = {
     val idx = spark.read.parquet(path + "__bloomidx")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val byFile = idx.groupBy(_._1)
-    val candidates = byFile.collect {
-      case (file, rows)
-          if masks.forall { case (w, m) =>
-            rows.exists(r => r._2 == w && (r._3 & m) == m) } => file
-    }.toSeq
+    val candidates = values.flatMap { value =>
+      val probes = spark.range(1)
+        .select(bloomPositions(lit(value)).zipWithIndex.map {
+          case (c, i) => c.as(s"p$i") }: _*)
+        .collect()(0)
+      val masks = (0 until BloomProbes).map(i => probes.getLong(i))
+        .groupBy(p => (p / 64).toInt)
+        .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64).toInt)
+                 .reduce(_ | _) }
+      byFile.collect {
+        case (file, rows)
+            if masks.forall { case (w, m) =>
+              rows.exists(r => r._2 == w && (r._3 & m) == m) } => file
+      }
+    }.distinct
     if (candidates.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
       spark.read.parquet(candidates: _*)
-        .filter(col(indexCol) === lit(value))
+        .filter(col(indexCol).isin(values: _*))
   }
 
   /** Data files under `dir` (recursive, Hadoop FS API — works on any

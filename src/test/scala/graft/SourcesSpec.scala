@@ -295,6 +295,19 @@ class SourcesSpec extends SparkSpec {
     // an absent key prunes every file: zero rows without scanning data
     assert(Sources.bloomPrunedRead(
       spark, path, "source", "no-such-source-xyz").count() === 0)
+    // IN-list probe: union of per-value candidate sets, exact results
+    val probe2 = docs.select("source").distinct().orderBy("source")
+      .limit(2).as[String].collect()
+    val inPruned = Sources.bloomPrunedReadIn(
+      spark, path, "source", probe2.toSeq)
+    val inFiles = inPruned.select(col("_metadata.file_path"))
+      .distinct().count()
+    assert(inFiles <= 4, s"expected <= 4 files for 2 probes, read $inFiles")
+    val inExpected = spark.read.parquet(path)
+      .filter(col("source").isin(probe2.toSeq: _*))
+    assert(inPruned.exceptAll(inExpected).count() === 0)
+    assert(inExpected.exceptAll(inPruned).count() === 0)
+    assert(inExpected.count() > 0)
   }
 
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
