@@ -49,8 +49,10 @@ object ProjectionRouter extends Rule[LogicalPlan] {
   case class Projection(basePath: String, path: String, keys: Set[String],
                         measures: Set[String])
 
+  // several projections may serve one base (ClickHouse keeps a set and
+  // picks per query); the router chooses the cheapest qualifying one
   private val registry =
-    new scala.collection.concurrent.TrieMap[String, Projection]()
+    new scala.collection.concurrent.TrieMap[String, List[Projection]]()
 
   /** Fully-qualified path string (scheme + authority + path) — bare
     * `toUri.getPath` would make `s3a://bucketA/x` and `file:/x` collide
@@ -62,8 +64,11 @@ object ProjectionRouter extends Rule[LogicalPlan] {
     path.getFileSystem(conf).makeQualified(path).toString
   }
 
-  def register(p: Projection): Unit =
-    registry.put(normalize(p.basePath), p)
+  def register(p: Projection): Unit = {
+    val key = normalize(p.basePath)
+    registry.put(key,
+      p :: registry.getOrElse(key, Nil).filterNot(_.path == p.path))
+  }
 
   def clear(): Unit = registry.clear()
 
@@ -83,19 +88,20 @@ object ProjectionRouter extends Rule[LogicalPlan] {
              count(col(m)).as(s"nn_$m"))): _*)
       .write.mode("overwrite").parquet(path)
 
-  private def projectionFor(plan: LogicalPlan): Option[Projection] =
+  private def projectionsFor(plan: LogicalPlan): List[Projection] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
         // single-root relations only: a multi-path read mixes other
         // paths' rows the projection doesn't cover
         case hfs: HadoopFsRelation if hfs.location.rootPaths.length == 1 =>
-          registry.get(normalize(hfs.location.rootPaths.head.toString))
-        case _ => None
+          registry.getOrElse(
+            normalize(hfs.location.rootPaths.head.toString), Nil)
+        case _ => Nil
       }
       case p: Project
           if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        projectionFor(p.child)
-      case _ => None
+        projectionsFor(p.child)
+      case _ => Nil
     }
 
   private def routableFn(fn: Expression, proj: Projection): Boolean =
@@ -198,9 +204,13 @@ object ProjectionRouter extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
-      projectionFor(agg.child) match {
-        case Some(proj) if canRoute(agg, proj) => route(agg, proj)
-        case _ => agg
+      // cheapest qualifying projection wins: fewer keys = fewer stored
+      // partial rows to re-aggregate (the ClickHouse selection rule, by
+      // cardinality proxy)
+      projectionsFor(agg.child).filter(canRoute(agg, _))
+        .sortBy(_.keys.size).headOption match {
+        case Some(proj) => route(agg, proj)
+        case None => agg
       }
   }
 }

@@ -57,6 +57,51 @@ class ProjectionSpec extends SparkSpec {
     } finally ProjectionRouter.clear()
   }
 
+  test("with several registered projections the cheapest qualifying one " +
+       "serves each query (ClickHouse selection rule)") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-proj2")
+      .toString
+    val basePath = s"$dir/events_base"
+    Tables(spark, sf("events"), "events")
+      .select("event_id", "user_id", "event_type")
+      .withColumn("uid_bucket", pmod(col("user_id"), lit(10)))
+      .write.parquet(basePath)
+    val byType = s"$dir/by_type"
+    val byTypeBucket = s"$dir/by_type_bucket"
+    ProjectionRouter.writeProjection(spark.read.parquet(basePath),
+      Seq("event_type"), Seq("user_id"), byType)
+    ProjectionRouter.writeProjection(spark.read.parquet(basePath),
+      Seq("event_type", "uid_bucket"), Seq("user_id"), byTypeBucket)
+    try {
+      ProjectionRouter.register(ProjectionRouter.Projection(
+        basePath, byType, Set("event_type"), Set("user_id")))
+      ProjectionRouter.register(ProjectionRouter.Projection(
+        basePath, byTypeBucket, Set("event_type", "uid_bucket"),
+        Set("user_id")))
+      // a by-type query qualifies for BOTH; the 1-key projection wins
+      val q1 = spark.read.parquet(basePath).groupBy("event_type")
+        .agg(sum("user_id").as("s"))
+      assert(q1.queryExecution.executedPlan.toString.contains("by_type"))
+      assert(!q1.queryExecution.executedPlan.toString
+               .contains("by_type_bucket"))
+      // a (type, bucket) query only the 2-key projection can serve
+      val q2 = spark.read.parquet(basePath)
+        .groupBy("event_type", "uid_bucket")
+        .agg(sum("user_id").as("s"))
+      assert(q2.queryExecution.executedPlan.toString
+               .contains("by_type_bucket"))
+      // both are answer-identical to the raw aggregation
+      val raw2 = Tables(spark, sf("events"), "events")
+        .select("event_id", "user_id", "event_type")
+        .withColumn("uid_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy("event_type", "uid_bucket")
+        .agg(sum("user_id").as("s"))
+      assert(q2.exceptAll(raw2).count() === 0)
+      assert(raw2.exceptAll(q2).count() === 0)
+    } finally ProjectionRouter.clear()
+  }
+
   test("streaming projection maintenance: per-batch partial merge keeps " +
        "the routed read fresh and exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
