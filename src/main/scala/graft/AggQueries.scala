@@ -274,6 +274,21 @@ object AggQueries extends QueryPack {
              round(median(col("l_extendedprice")), 4).as("med_price"))
         .orderBy("l_returnflag")),
 
+    // ClickHouse quantiles(...) analog: the WHOLE quantile vector from
+    // ONE sort/aggregation pass — percentile over an array of fractions
+    // returns an array, emitted as a joined string for cross-engine
+    // hashing. At scale this is one pass over the group instead of one
+    // per requested quantile.
+    "q_agg_quantiles" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(array_join(transform(
+               percentile(col("l_quantity"),
+                          array(lit(0.1), lit(0.25), lit(0.5), lit(0.75),
+                                lit(0.9))),
+               q => round(q, 4).cast("string")), ",").as("quantiles"))
+        .orderBy("l_returnflag")),
+
     // Weighted exact percentile (ClickHouse quantileExactWeighted
     // analog): each value counts `frequency` times — the built-in
     // percentile's third argument, so no row expansion ever happens;
@@ -543,6 +558,14 @@ object AggQueries extends QueryPack {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_quantiles" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_transform(
+        |    quantile_cont(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9]),
+        |    q -> CAST(round(q, 4) AS VARCHAR)), ',') AS quantiles
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 

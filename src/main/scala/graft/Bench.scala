@@ -24,13 +24,13 @@ object Bench {
     // joins
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_asof", "q_join_asof_bucketed",
-    "q_join_asof_tol", "q_join_any",
+    "q_join_asof_fwd", "q_join_asof_tol", "q_join_any",
     "q_join_range_bucketed", "q_salted_join",
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
-    "q_agg_rollup", "q_agg_by_day", "q_agg_percentile",
+    "q_agg_rollup", "q_agg_by_day", "q_agg_percentile", "q_agg_quantiles",
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame", "q_win_ema",
-    "q_global_rownum", "q_topk_per_group",
+    "q_global_rownum", "q_topk_per_group", "q_limit_by",
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",

@@ -124,6 +124,19 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6d: FORWARD as-of — for each purchase, the EARLIEST click at or
+    // after it by the same user (pandas merge_asof direction='forward');
+    // same single-shuffle plan as q_join_asof with the window reversed.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoinForward(purchases, clicks, "user_id", "ts", "ts",
+                                 Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
     // J6c: the hot-key-safe as-of join — same result through the
     // time-bucketed three-pass plan (within-bucket fill + per-bucket
     // reduction + carry over the bucket list), so no task ever sorts a
@@ -265,6 +278,13 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
 
     "q_join_asof_bucketed" ->

@@ -33,6 +33,28 @@ object Relational {
     asofFinish(filled.drop("__t", "__side"), payload, rightPayload)
   }
 
+  /** Forward as-of join (pandas merge_asof direction='forward'): for
+    * each left row, the EARLIEST right row with the same key and
+    * `rightTs >= leftTs` — the "next event after" lookup (next fill
+    * after an order, next deploy after an alert). Same single-shuffle
+    * union+window mechanics as [[asofJoin]], with the window order
+    * REVERSED (descending time, rights before lefts at equal times so
+    * `>=` includes the simultaneous right): the running last(ignoreNulls)
+    * then carries the nearest FOLLOWING right payload backwards.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    val (unioned, payload) =
+      asofUnion(left, right, key, leftTs, rightTs, rightPayload)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    asofFinish(filled.drop("__t", "__side"), payload, rightPayload)
+  }
+
   /** Shared stage of the as-of joins: both sides unioned into one frame
     * with `__t` (event time), `__side` (0 = right, 1 = left; rights sort
     * first at equal times for `<=` semantics) and the right payload as

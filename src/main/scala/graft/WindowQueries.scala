@@ -84,6 +84,18 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // ClickHouse `LIMIT n OFFSET o BY key` analog: skip each entity's
+    // first event, keep its next two — per-key pagination as a ranking
+    // window + band filter (the same single hash exchange as every
+    // per-entity window here).
+    "q_limit_by" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("rn") > 1 && col("rn") <= 3)
+        .select("user_id", "event_id")
+        .orderBy("event_id")),
+
     // W8: exponential moving average per series (ClickHouse
     // exponentialMovingAverage analog, α = 0.25) — EMA is recursive
     // (each step weights the previous result), which no window frame
@@ -171,6 +183,14 @@ object WindowQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS second_type
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_limit_by" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn > 1 AND rn <= 3
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_win_ema" ->
       """WITH RECURSIVE ev AS (

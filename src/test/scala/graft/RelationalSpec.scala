@@ -26,6 +26,17 @@ class RelationalSpec extends SparkSpec {
     assert(out("p3") === "c5") // tie: <= includes equal timestamps
   }
 
+  test("asofJoinForward picks the earliest right row with rightTs >= " +
+       "leftTs, including the simultaneous one") {
+    val out = Relational.asofJoinForward(left, right, "user_id", "t", "t",
+                                         Seq("cid"))
+      .select("pid", "asof_cid").as[(String, String)].collect().toMap
+    assert(out("p1") === "c3") // 120 >= 100, not 90
+    assert(out("p0") === "c2") // 90 >= 50
+    assert(out("p2") === "c4") // 20 >= 10 (backward form drops p2)
+    assert(out("p3") === "c5") // tie: >= includes equal timestamps
+  }
+
   test("asofJoin drops left rows with no prior right match (inner)") {
     val out = Relational.asofJoin(left, right, "user_id", "t", "t", Seq("cid"))
     assert(!out.select("pid").as[String].collect().contains("p2"))
