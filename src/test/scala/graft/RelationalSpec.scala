@@ -122,6 +122,38 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(3000))
   }
 
+  test("topKPerGroupSalted equals the plain cap across a k × salts sweep " +
+       "(including k=1 and salts larger than any group)") {
+    val docs = spark.range(3000).select(
+      col("id").as("doc_id"),
+      pmod(xxhash64(col("id")), lit(7)).as("g"))
+    val order = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    for (k <- Seq(1, 3, 17); salts <- Seq(2, 5, 32)) {
+      val plain = Relational.topKPerGroup(docs, Seq("g"), order, k)
+      val salted = Relational.topKPerGroupSalted(
+        docs, Seq("g"), order, k, xxhash64(col("doc_id")), salts)
+      assert(salted.exceptAll(plain).count() === 0, s"k=$k salts=$salts")
+      assert(plain.exceptAll(salted).count() === 0, s"k=$k salts=$salts")
+    }
+  }
+
+  test("asofJoinForward is asofJoin under time negation (duality)") {
+    val e = Tables(spark, sf("events"), "events")
+      .withColumn("nts", -unix_micros(col("ts")))
+      .withColumn("pts", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+    val fwd = Relational.asofJoinForward(purchases, clicks, "user_id",
+        "pts", "pts", Seq("event_id"))
+      .select("user_id", "event_id", "asof_event_id")
+    val bwdNeg = Relational.asofJoin(purchases, clicks, "user_id",
+        "nts", "nts", Seq("event_id"))
+      .select("user_id", "event_id", "asof_event_id")
+    assert(fwd.exceptAll(bwdNeg).count() === 0)
+    assert(bwdNeg.exceptAll(fwd).count() === 0)
+    assert(fwd.count() > 0)
+  }
+
   test("globalRowNumber matches the single-task window formulation") {
     val e = Tables(spark, sf("events"), "events")
     val viaWindow = e.withColumn("rn",
