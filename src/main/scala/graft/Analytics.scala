@@ -73,31 +73,163 @@ object Analytics {
   /** ClickHouse `sequenceCount('(?1).*(?2)…')` analog: per entity, how
     * many NON-OVERLAPPING ordered occurrences of the step pattern exist
     * (gaps allowed). Greedy left-to-right matching is optimal for
-    * non-overlapping counting, and greedy matching is one integer fold
+    * non-overlapping counting, and greedy matching is an integer fold
     * over the entity's time-ordered event types: the accumulator counts
     * total matched steps (acc / n = completed sequences, acc % n = the
-    * step the automaton is waiting for). One hash aggregate builds the
-    * per-entity array (sorted in-memory per entity, never a global sort);
-    * the fold is a codegen'd higher-order function.
+    * step the automaton is waiting for).
+    *
+    * Delegates to [[sequenceCountBucketed]] with day buckets so no
+    * aggregation buffer ever holds more than one (entity, day) slice —
+    * a bot entity with 10⁸ events no longer funnels its whole history
+    * into a single buffer.
     */
   def sequenceCount(events: DataFrame, userCol: String, typeCol: String,
                     tsCol: String, orderCol: String,
-                    steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "sequenceCount needs at least one step")
+                    steps: Seq[String]): DataFrame =
+    sequenceCountBucketed(events, userCol, typeCol, tsCol, orderCol, steps,
+                          t => date_trunc("day", t))
+
+  /** Phase 1 of [[sequenceCountBucketed]]: per (entity, bucket), run the
+    * greedy automaton once for EVERY possible entry phase s ∈ [0, n) in a
+    * single pass (the accumulator is an n-track int array; track s starts
+    * at s, each event advances the tracks whose awaited step it matches).
+    * The automaton's transition depends only on `acc % n`, so these n
+    * exit values are a complete summary of the bucket: composing entry
+    * state `acc` across buckets is `acc - (acc % n) + track[acc % n]`.
+    * Package-private so the spec can assert the per-bucket buffer bound.
+    */
+  private[graft] def sequenceCountBucketSummaries(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      orderCol: String, steps: Seq[String],
+      bucketOf: Column => Column): DataFrame = {
     val n = steps.size
     val stepArr = array(steps.map(lit): _*)
     events
-      .groupBy(col(userCol))
+      .groupBy(col(userCol), bucketOf(col(tsCol)).as("__b"))
       .agg(transform(
         array_sort(collect_list(struct(col(tsCol), col(orderCol),
                                        col(typeCol).as("et")))),
         e => e.getField("et")).as("evs"))
+      .select(col(userCol), col("__b"), size(col("evs")).as("__n"),
+              aggregate(col("evs"), sequence(lit(0), lit(n - 1)),
+                (tracks, t) => transform(tracks,
+                  a => when(t === element_at(stepArr, pmod(a, lit(n)) + 1),
+                            a + 1).otherwise(a))).as("__tracks"))
+  }
+
+  /** Hot-entity-safe [[sequenceCount]]: the single-buffer form collects an
+    * entity's ENTIRE sorted history into one aggregation buffer before the
+    * fold — unbounded in entity size. This variant is the three-pass
+    * [[Relational.asofJoinBucketed]] shape: per (entity, time-bucket)
+    * automaton summaries first (buffer = one bucket's slice), then a
+    * carry fold over the BUCKET SUMMARIES per entity (rows per key
+    * bounded by timespan / bucketWidth, never by event count). Integer
+    * arithmetic throughout, so the composed count is bit-identical to the
+    * straight fold.
+    */
+  def sequenceCountBucketed(events: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String, orderCol: String,
+                            steps: Seq[String],
+                            bucketOf: Column => Column): DataFrame = {
+    require(steps.nonEmpty, "sequenceCount needs at least one step")
+    val n = steps.size
+    sequenceCountBucketSummaries(events, userCol, typeCol, tsCol, orderCol,
+                                 steps, bucketOf)
+      .groupBy(col(userCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__b"), col("__tracks")))),
+        b => b.getField("__tracks")).as("bs"))
       .select(col(userCol),
-              (aggregate(col("evs"), lit(0),
-                 (acc, t) => when(t === element_at(stepArr,
-                                    pmod(acc, lit(n)) + 1), acc + 1)
-                               .otherwise(acc)) / n).cast("long")
-                .as("n_matches"))
+              (aggregate(col("bs"), lit(0),
+                 (acc, tr) => acc - pmod(acc, lit(n))
+                   + element_at(tr, pmod(acc, lit(n)) + 1)) / n)
+                .cast("long").as("n_matches"))
+  }
+
+  /** Phase 1 of [[emaBucketed]]: per (entity, time-bucket), the bucket's
+    * sorted slice folds to a complete EMA summary. EMA with factor α is
+    * affine in the incoming accumulator: folding values v₁…vₙ onto entry
+    * state a yields `a·(1-α)ⁿ + Σ α·vᵢ·(1-α)ⁿ⁻ⁱ`, so each bucket reduces
+    * to `__d = (1-α)ⁿ` (decay) and `__p` (the zero-seeded left-to-right
+    * fold). `__ps` is the SEEDED fold (acc₀ = the bucket's first value,
+    * ClickHouse's seeding rule) — used only for an entity's first bucket,
+    * so single-bucket entities reproduce the straight recursion's exact
+    * operation order. Package-private so the spec can assert the
+    * per-bucket buffer bound.
+    */
+  private[graft] def emaBucketSummaries(events: DataFrame, keyCol: String,
+                                        tsCol: String, tieCol: String,
+                                        valCol: String, alpha: Double,
+                                        bucketOf: Column => Column)
+      : DataFrame = {
+    val h = sort_array(collect_list(struct(col(tsCol), col(tieCol),
+                                           col(valCol).as("v"))))
+    val fold = (zero: Column, over: Column) =>
+      aggregate(over, zero,
+        (acc, x) => lit(alpha) * x.getField("v") + lit(1 - alpha) * acc)
+    events
+      .groupBy(col(keyCol), bucketOf(col(tsCol)).as("__b"))
+      .agg(h.as("h"))
+      .select(col(keyCol), col("__b"), size(col("h")).as("__n"),
+              pow(lit(1 - alpha), size(col("h"))).as("__d"),
+              fold(lit(0.0), col("h")).as("__p"),
+              fold(element_at(col("h"), 1).getField("v"),
+                   slice(col("h"), lit(2),
+                         greatest(size(col("h")) - 1, lit(0)))).as("__ps"))
+  }
+
+  /** Hot-entity-safe per-series EMA (ClickHouse exponentialMovingAverage
+    * analog, final value per entity). The single-buffer form collects an
+    * entity's ENTIRE sorted history into one aggregation buffer — a bot
+    * entity with 10⁸ events puts 10⁸ structs in one buffer. This is the
+    * three-pass [[Relational.asofJoinBucketed]] shape instead: per
+    * (entity, time-bucket) affine summaries `(decay, partial)` first
+    * (buffer = one bucket's slice), then a carry fold over the BUCKET
+    * SUMMARIES per entity — rows per key bounded by timespan /
+    * bucketWidth, never by event count: `acc → acc·__d + __p`, seeded
+    * with the first bucket's `__ps`. Returns (keyCol, ema).
+    */
+  def emaBucketed(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valCol: String, alpha: Double,
+                  bucketOf: Column => Column): DataFrame =
+    emaBucketSummaries(events, keyCol, tsCol, tieCol, valCol, alpha, bucketOf)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__d"), col("__p"),
+                                          col("__ps")))).as("bs"))
+      .select(col(keyCol),
+              aggregate(
+                slice(col("bs"), lit(2),
+                      greatest(size(col("bs")) - 1, lit(0))),
+                element_at(col("bs"), 1).getField("__ps"),
+                (acc, b) => acc * b.getField("__d") + b.getField("__p"))
+                .as("ema"))
+
+  /** Time-weighted exponential decay average (ClickHouse
+    * `exponentialTimeDecayedAvg` analog, final value per entity) — the
+    * irregular-series form: each observation is weighted by how long ago
+    * it happened, `0.5^(age / halfLife)`, NOT by how many rows follow it,
+    * so a burst of 1000 events in one second doesn't drown the history
+    * the way row-weighted EMA does. Age is quantized to whole half-lives
+    * (`halfLifeSec` seconds), which keeps every
+    * weight an exact power of two in IEEE doubles — deterministic across
+    * engines, so the oracle can replicate it bit-for-bit.
+    *
+    * Unlike row-weighted EMA this is NOT recursive — it is a plain
+    * weighted mean anchored at the entity's latest timestamp — so the
+    * plan needs no history buffer at all: one aggregate for the anchor,
+    * a co-partitioned self-join, and a map-side-combinable weighted-sum
+    * aggregate. Already hot-entity-safe. Returns (keyCol, tdavg).
+    */
+  def timeDecayedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, halfLifeSec: Long): DataFrame = {
+    val anchors = events.groupBy(col(keyCol))
+      .agg(max(unix_timestamp(col(tsCol))).as("__t_last"))
+    val w = pow(lit(0.5),
+                floor((col("__t_last") - unix_timestamp(col(tsCol)))
+                        / halfLifeSec).cast("double"))
+    events.join(anchors, keyCol)
+      .groupBy(col(keyCol))
+      .agg((sum(col(valCol) * w) / sum(w)).as("tdavg"))
   }
 
   /** Cohort retention (ClickHouse retention analog): entities grouped by

@@ -99,28 +99,33 @@ object WindowQueries extends QueryPack {
     // W8: exponential moving average per series (ClickHouse
     // exponentialMovingAverage analog, α = 0.25) — EMA is recursive
     // (each step weights the previous result), which no window frame
-    // expresses, so it runs as ONE hash aggregate per entity: collect
-    // the entity's (ts, event_id, value) history sorted, then a
-    // codegen'd HOF fold. Per-group state is one entity's history —
-    // the same bound every per-entity operator here carries; the fold
-    // arithmetic (0.25·v + 0.75·acc, left to right) is replicated
-    // step-for-step by the oracle's recursive CTE, so the doubles are
-    // bit-identical.
-    "q_win_ema" -> ((s, dir) => {
-      val arr = sort_array(collect_list(struct(col("ts"), col("event_id"),
-                                               col("value"))))
-      Tables(s, dir, "events")
-        .groupBy("user_id")
-        .agg(arr.as("h"))
-        .select(col("user_id"),
-                round(aggregate(
-                  slice(col("h"), lit(2),
-                        greatest(size(col("h")) - 1, lit(0))),
-                  element_at(col("h"), 1).getField("value"),
-                  (acc, x) => lit(0.25) * x.getField("value")
-                                + lit(0.75) * acc), 4).as("ema"))
-        .orderBy("user_id")
-    }),
+    // expresses. Runs as [[Analytics.emaBucketed]]: per (entity, day)
+    // affine summaries (decay, partial) then a carry fold over the
+    // bucket summaries — no buffer ever holds more than one (entity,
+    // day) slice, so a bot entity can't blow a single aggregation
+    // buffer. The fold arithmetic (0.25·v + 0.75·acc, left to right)
+    // matches the oracle's recursive CTE; bucket composition
+    // reassociates only the cross-bucket carry term, well inside the
+    // round-4 grid.
+    "q_win_ema" -> ((s, dir) =>
+      Analytics.emaBucketed(Tables(s, dir, "events"), "user_id", "ts",
+                            "event_id", "value", 0.25,
+                            t => date_trunc("day", t))
+        .select(col("user_id"), round(col("ema"), 4).as("ema"))
+        .orderBy("user_id")),
+
+    // W8b: TIME-weighted exponential decay average (ClickHouse
+    // exponentialTimeDecayedAvg analog, half-life = 1 day) — the
+    // irregular-series sibling of q_win_ema: weights depend on event
+    // AGE, not row position. Plain weighted mean anchored at each
+    // entity's latest event; weights are exact powers of two (age
+    // quantized to whole half-lives) so Spark and DuckDB agree
+    // bit-for-bit on every term.
+    "q_win_time_decay" -> ((s, dir) =>
+      Analytics.timeDecayedAvg(Tables(s, dir, "events"), "user_id", "ts",
+                               "value", 86400L)
+        .select(col("user_id"), round(col("tdavg"), 4).as("tdavg"))
+        .orderBy("user_id")),
 
     // W7: first/last value over the full partition frame.
     "q_win_first_last" -> ((s, dir) => {
@@ -207,6 +212,17 @@ object WindowQueries extends QueryPack {
         |SELECT r.user_id, round(r.ema, 4) AS ema
         |FROM rec r JOIN lastrn l ON r.user_id = l.user_id AND r.rn = l.mx
         |ORDER BY r.user_id NULLS FIRST""".stripMargin,
+
+    "q_win_time_decay" ->
+      """WITH t AS (
+        |  SELECT user_id, value, (epoch_us(ts) // 1000000) AS s,
+        |         max(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+        |           AS t_last
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * power(0.5, floor((t_last - s) / 86400))) /
+        |        sum(power(0.5, floor((t_last - s) / 86400))), 4) AS tdavg
+        |FROM t GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_win_first_last" ->
       """SELECT event_id,

@@ -97,4 +97,70 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out === Array((1L, 2L), (2L, 1L), (3L, 0L), (4L, 1L)))
   }
+
+  // Planted hot entity for the bucketed folds: 20 000 events for one
+  // entity spread over 50 days (400 per day) — the shape where the old
+  // single-buffer form put all 20 000 structs in ONE aggregation buffer.
+  private def hotEntityEvents = spark.range(20000).select(
+    lit(1L).as("user_id"),
+    col("id").as("event_id"),
+    timestamp_seconds(lit(1704067200L) + pmod(col("id"), lit(50)) * 86400
+                        + floor(col("id") / 50)).as("ts"),
+    (pmod(xxhash64(col("id")), lit(1000)) / 10.0).as("value"),
+    element_at(array(lit("A"), lit("B"), lit("x")),
+               (pmod(xxhash64(col("id")), lit(3)) + 1).cast("int"))
+      .as("event_type"))
+
+  test("emaBucketed equals the straight recursive fold on a planted hot " +
+       "entity and never buffers more than one (entity, day) slice") {
+    val events = hotEntityEvents.unionByName(
+      spark.range(7).select(        // a normal entity alongside the hot one
+        lit(2L).as("user_id"), col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 3600).as("ts"),
+        (pmod(xxhash64(col("id") + 99), lit(1000)) / 10.0).as("value"),
+        lit("x").as("event_type")))
+    val out = Analytics.emaBucketed(events, "user_id", "ts", "event_id",
+                                    "value", 0.25, t => date_trunc("day", t))
+      .as[(Long, Double)].collect()
+    // driver-side reference: the straight seeded fold in time order
+    val expected = events.select("user_id", "ts", "event_id", "value")
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val vs = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4).toSeq
+        u -> vs.tail.foldLeft(vs.head)((acc, v) => 0.25 * v + 0.75 * acc)
+      }
+    assert(out.length === 2)
+    for ((u, got) <- out)
+      assert(math.abs(got - expected(u)) <=
+               1e-9 * math.max(1.0, math.abs(expected(u))), s"user $u")
+    // buffer bound: phase 1 holds one (entity, day) slice per buffer —
+    // 400 rows for the hot entity, never its full 20 000-row history
+    val sums = Analytics.emaBucketSummaries(events, "user_id", "ts",
+        "event_id", "value", 0.25, t => date_trunc("day", t))
+      .select("user_id", "__n").as[(Long, Int)].collect()
+    assert(sums.count(_._1 == 1L) === 50)
+    assert(sums.filter(_._1 == 1L).map(_._2).max === 400)
+  }
+
+  test("sequenceCountBucketed equals the straight greedy fold on a " +
+       "planted hot entity and never buffers more than one (entity, day) " +
+       "slice") {
+    val events = hotEntityEvents
+    val out = Analytics.sequenceCount(events, "user_id", "event_type", "ts",
+                                      "event_id", Seq("A", "B"))
+      .as[(Long, Long)].collect().toMap
+    // driver-side reference: the straight greedy automaton in time order
+    val seq = events.select("ts", "event_id", "event_type")
+      .as[(Timestamp, Long, String)].collect()
+      .sortBy(r => (r._1.getTime, r._2)).map(_._3)
+    var acc = 0L
+    for (t <- seq) if (t == (if (acc % 2 == 0) "A" else "B")) acc += 1
+    assert(acc / 2 > 0)             // the plant really contains matches
+    assert(out(1L) === acc / 2)
+    val sums = Analytics.sequenceCountBucketSummaries(events, "user_id",
+        "event_type", "ts", "event_id", Seq("A", "B"),
+        t => date_trunc("day", t))
+      .select("__n").as[Int].collect()
+    assert(sums.length === 50 && sums.max === 400)
+  }
 }
