@@ -23,6 +23,10 @@ object Explain {
     "q_dedup_semantic",     // cross vs explicitly broadcast 8-seed set
     "q_simsearch_pq",       // exact-refine cosine vs broadcast 1-row query
     "q_simsearch_ivfpq",    // centroid probe + refine vs broadcast query
+    "q_simsearch_ivf_recall",   // ANN + exact sides, both vs broadcast query
+    "q_simsearch_pq_recall",    // same: recall certificates re-run the ANN
+    "q_simsearch_ivfpq_recall", // paths, every cross side is the 1-row query
+    "q_simsearch_lsh_recall",   // or the bounded centroid/probe set
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates

@@ -791,24 +791,55 @@ object LlmOps {
   private def withCc(cents: DataFrame): DataFrame =
     cents.withColumn("cc", Functions.dotProduct(col("c"), col("c")))
 
-  private def pqTrainOnSubs(subs: DataFrame, k: Int,
-                            iters: Int): DataFrame = {
-    // seed from the k smallest vec_ids PRESENT (a filter on vec_id < k
-    // trains few or zero centroids on any corpus whose ids don't start
-    // at 0 — a filtered slice, a resharded store); centroid id = seed
-    // rank so codebook ids are dense 0..k-1 regardless of the id space
-    val seedIds = subs.select("vec_id").distinct()
-      .orderBy("vec_id").limit(k)
+  /** Default train-sample cap: Lloyd rounds converge on ~10⁵ vectors
+    * (FAISS-style practice trains codebooks on a bounded sample and
+    * encodes the rest) — at 10⁹ vectors this turns `iters` full-corpus
+    * passes into `iters` constant-size ones. The knob is per-call: raise
+    * it for huge codebooks (want ≳ 39·k sample points per centroid),
+    * lower it when even one corpus pass per round is too much.
+    */
+  val PqMaxTrainVectors = 100000L
+
+  private def pqTrainOnSubs(subs: DataFrame, k: Int, iters: Int,
+                            maxTrain: Long = PqMaxTrainVectors): DataFrame = {
+    // Bounded deterministic train sample (the q_sample_hash idiom: a
+    // 32-bit md5 prefix is hash-uniform on [0, 2³²), so thresholding it
+    // keeps ≈ maxTrain vectors of ANY id distribution — reproducible on
+    // every cluster, no RNG state). Only the Lloyd rounds see the
+    // sample; assignment/encoding stay full-corpus.
+    val corpus = subs.agg(approx_count_distinct("vec_id")).head().getLong(0)
+    val trainSubs =
+      if (corpus <= maxTrain) subs
+      else {
+        val thresh = (maxTrain.toDouble / corpus * 4294967296.0).toLong
+        subs.filter(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") < thresh)
+          .localCheckpoint() // iterated iters+1 times; never re-filter
+      }
+    // Forgy-style init: the k vectors with the smallest md5 hash — a
+    // deterministic pseudo-random spread over the corpus (k smallest
+    // IDS cluster at one end of the id space and seed near-identical
+    // centroids on id-correlated data; a hash order doesn't care how
+    // ids are distributed). Centroid id = seed rank so codebook ids
+    // are dense 0..k-1 regardless of the id space.
+    val seedHash =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    val seedIds = trainSubs.select("vec_id").distinct()
+      .withColumn("__h", seedHash)
+      .orderBy("__h", "vec_id").limit(k)
       .select(col("vec_id"),
-              (row_number().over(Window.orderBy("vec_id")) - 1)
+              (row_number().over(Window.orderBy("__h", "vec_id")) - 1)
                 .cast("long").as("cid"))
+      .drop("__h")
     var cents = withCc(
-      subs.join(broadcast(seedIds), "vec_id")
+      trainSubs.join(broadcast(seedIds), "vec_id")
         .select(col("sub"), col("cid"), col("v").as("c")))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val recentered = nearestCode(subs, cents)
-        .join(subs, Seq("vec_id", "sub"))
+      val recentered = nearestCode(trainSubs, cents)
+        .join(trainSubs, Seq("vec_id", "sub"))
         .select(col("sub"), col("code").as("cid"),
                 posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("sub", "cid", "i").agg(avg("x").as("cx"))
@@ -820,8 +851,9 @@ object LlmOps {
     cents
   }
 
-  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
-    pqTrainOnSubs(pqSubs(embeddings, m), k, iters).drop("cc")
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int, iters: Int,
+              maxTrain: Long = PqMaxTrainVectors): DataFrame =
+    pqTrainOnSubs(pqSubs(embeddings, m), k, iters, maxTrain).drop("cc")
 
   /** PQ compression: every vector → m small integer codes (nearest
     * centroid per subspace). The codes table is the ANN serving set —
@@ -846,9 +878,10 @@ object LlmOps {
     * is what lets a 10⁹-vector index live in memory.
     */
   def annPqTopK(embeddings: DataFrame, query: DataFrame, m: Int, k: Int,
-                iters: Int, topK: Int, refine: Int = 5): DataFrame = {
+                iters: Int, topK: Int, refine: Int = 5,
+                maxTrain: Long = PqMaxTrainVectors): DataFrame = {
     val subs = pqSubs(embeddings, m) // ONE normalize+explode pass total
-    val books = pqTrainOnSubs(subs, k, iters)
+    val books = pqTrainOnSubs(subs, k, iters, maxTrain)
     val codes = nearestCode(subs, books)
     val table = query
       .select(posexplode(subVectors(l2normalized(col("q_emb")), m))
@@ -874,7 +907,9 @@ object LlmOps {
     * the cell's arbitrary id subset (k smallest PRESENT ids).
     */
   def annIvfPqTopK(embeddings: DataFrame, query: DataFrame, dim: Int,
-                   m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+                   m: Int, k: Int, iters: Int, topK: Int,
+                   refine: Int = 5,
+                   maxTrain: Long = PqMaxTrainVectors): DataFrame = {
     val cent = udaf(new Udafs.VectorCentroid(dim))
     val centroids = embeddings.groupBy("label")
       .agg(cent(col("embedding")).as("c"))
@@ -885,7 +920,7 @@ object LlmOps {
       .limit(1)
       .select("label")
     annPqTopK(embeddings.join(broadcast(bestPartition), "label"),
-              query, m, k, iters, topK)
+              query, m, k, iters, topK, refine, maxTrain = maxTrain)
   }
 
   /** Deterministic weighted sampling without replacement

@@ -126,17 +126,39 @@ class LlmSpec extends SparkSpec {
       .select(col("embedding").as("q_emb"))
     val exact = LlmOps.cosineTopK(embs, q, 10)
       .select("vec_id").as[Long].collect().toSet
-    val pq = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10)
+    val pq = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10, refine = 10)
       .select("vec_id").as[Long].collect().toSet
     val recall = pq.intersect(exact).size.toDouble / exact.size
-    // ADC over 8×4-bit codes shortlists 5×k candidates, exact cosine
+    // ADC over 8×4-bit codes shortlists 10×k candidates, exact cosine
     // re-ranks them — the coarse quantizer only has to SURFACE the true
-    // neighborhood, the refine stage restores the ordering
+    // neighborhood, the refine stage restores the ordering (refine=10
+    // is the certified serving config of q_simsearch_pq_recall)
     assert(recall >= 0.7, s"PQ recall $recall; pq=$pq exact=$exact")
     // the query vector itself (sim 1.0) must always survive quantization
     assert(pq.contains(0L))
     // training really produced k centroids per subspace (no empty books)
     val books = LlmOps.pqTrain(embs, 8, 16, 2)
+    assert(books.groupBy("sub").count().as[(Int, Long)].collect()
+             .forall { case (_, n) => n == 16 })
+  }
+
+  test("PQ sample training (maxTrain below corpus) still recalls >= 0.7 " +
+       "and produces full codebooks") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = LlmOps.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // maxTrain=200 on a 500-vector corpus forces the md5-threshold
+    // sample path: Lloyd rounds see ~200 vectors, encoding sees all 500
+    val pq = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10, refine = 10,
+                              maxTrain = 200L)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"sampled-train PQ recall $recall")
+    assert(pq.contains(0L))
+    // sample-trained codebooks are still complete: k centroids per
+    // subspace (the sample keeps >= k distinct vectors)
+    val books = LlmOps.pqTrain(embs, 8, 16, 2, maxTrain = 200L)
     assert(books.groupBy("sub").count().as[(Int, Long)].collect()
              .forall { case (_, n) => n == 16 })
   }
