@@ -30,6 +30,7 @@ object Bench {
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
     "q_agg_rollup", "q_agg_by_day", "q_agg_percentile", "q_agg_quantiles",
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame", "q_win_ema",
+    "q_win_time_decay",
     "q_global_rownum", "q_topk_per_group", "q_limit_by",
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
@@ -49,7 +50,7 @@ object Bench {
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
     "q_simsearch_pq", "q_simsearch_ivfpq",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
-    "q_lang_id", "q_text_repetition",
+    "q_inverted_index_full", "q_lang_id", "q_text_repetition",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",

@@ -236,6 +236,30 @@ object LlmQueries extends QueryPack {
         .orderBy("token")
     }),
 
+    // Full-width inverted index: postings for the 1000 highest-df
+    // tokens (not a 3-token probe like q_inverted_index) — the benched
+    // form of the bounded-buffer shape: every posting list is capped at
+    // 50 doc_ids through the salted two-phase cap BEFORE any
+    // collect_list, so a stop-word token (df ≈ corpus size) still costs
+    // one 50-row buffer and its cap sort is spread over 16 salt slices.
+    "q_inverted_index_full" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(LlmOps.tokens(col("text"))).as("token"))
+        .distinct()
+      val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      val topTok = dfreq.orderBy(col("df").desc, col("token")).limit(1000)
+      val postings = Relational.topKPerGroupSalted(
+          pairs.join(broadcast(topTok.select("token")), "token"),
+          Seq("token"), Seq(col("doc_id")), 50, xxhash64(col("doc_id")), 16)
+        .groupBy("token")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+               .as("postings"))
+      topTok.join(postings, "token")
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy("token")
+    }),
+
     // L3: cosine similarity of every vector vs a broadcast query vector.
     "q_cosine_sim" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -1377,6 +1401,22 @@ object LlmQueries extends QueryPack {
         |      FROM documents)
         |WHERE t IN ('data', 'query', 'row')
         |GROUP BY t ORDER BY t NULLS FIRST""".stripMargin,
+
+    "q_inverted_index_full" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, token FROM tok),
+        |dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),
+        |topt AS (SELECT token, df FROM dfreq
+        |         ORDER BY df DESC, token LIMIT 1000)
+        |SELECT t.token, t.df,
+        |  array_to_string(
+        |    list_slice(list(p.doc_id ORDER BY p.doc_id), 1, 50),
+        |    ',') AS postings
+        |FROM topt t JOIN pairs p USING (token)
+        |GROUP BY t.token, t.df
+        |ORDER BY t.token NULLS FIRST""".stripMargin,
 
     "q_text_logprob" ->
       """WITH tok AS (

@@ -56,13 +56,23 @@ object ProjectionRouter extends Rule[LogicalPlan] {
 
   /** Fully-qualified path string (scheme + authority + path) — bare
     * `toUri.getPath` would make `s3a://bucketA/x` and `file:/x` collide
-    * and route one table to another's partials.
+    * and route one table to another's partials. Qualification goes
+    * through a driver-side Hadoop FileSystem lookup, so results are
+    * memoized per raw string: the router normalizes on every qualifying
+    * Aggregate of every query, and planning latency must not carry a
+    * filesystem round-trip each time. (Qualification of a given string
+    * is deterministic for a given default FS; [[clear]] drops the cache
+    * alongside the registry.)
     */
-  private def normalize(p: String): String = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    path.getFileSystem(conf).makeQualified(path).toString
-  }
+  private val normCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def normalize(p: String): String =
+    normCache.getOrElseUpdate(p, {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      path.getFileSystem(conf).makeQualified(path).toString
+    })
 
   def register(p: Projection): Unit = {
     val key = normalize(p.basePath)
@@ -70,7 +80,19 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       p :: registry.getOrElse(key, Nil).filterNot(_.path == p.path))
   }
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); normCache.clear() }
+
+  /** Measure types the partial-reaggregation rewrites are exact AND
+    * type-stable for: Sum/Average over these keep the original
+    * expression's dataType (sum(long)=long, sum(double)=double).
+    * DecimalType is excluded — re-summing a stored decimal sum widens
+    * precision a SECOND time (p+10 → p+20) under the original exprId,
+    * so downstream operators resolved against the old type would see a
+    * changed (and for p+10 ≤ 18, physically incompatible) attribute.
+    */
+  private val exactMeasureTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.DoubleType, LongType,
+        org.apache.spark.sql.types.IntegerType)
 
   /** Build + write the projection table for `base` (call after loads,
     * like ClickHouse's MATERIALIZE PROJECTION). One hash aggregate with
@@ -110,8 +132,12 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       // group, not the stored row count
       case c: Count =>
         c.children.forall(ch => ch.foldable && ch.eval() != null)
+      // sum routes as Sum(stored sum) — type-stable only for the
+      // integral/floating measures (see [[exactMeasureTypes]])
       case s: Sum => s.child match {
-        case a: AttributeReference => proj.measures.contains(a.name)
+        case a: AttributeReference =>
+          proj.measures.contains(a.name) &&
+            exactMeasureTypes.contains(a.dataType)
         case _ => false
       }
       // avg routes as sum_<m> / nn_<m>; restrict to double/integral
@@ -120,9 +146,7 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       case av: Average => av.child match {
         case a: AttributeReference =>
           proj.measures.contains(a.name) &&
-            (a.dataType == org.apache.spark.sql.types.DoubleType ||
-             a.dataType == LongType ||
-             a.dataType == org.apache.spark.sql.types.IntegerType)
+            exactMeasureTypes.contains(a.dataType)
         case _ => false
       }
       case m: Min => m.child match {
@@ -202,7 +226,11 @@ object ProjectionRouter extends Rule[LogicalPlan] {
     Aggregate(newGrouping, newAggs, projPlan)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // nothing registered → identity, with zero per-plan work: every
+    // session with the extension installed pays this rule on every
+    // query, so the empty-registry path must not touch the filesystem
+    if (registry.isEmpty) plan else plan.transform {
     case agg: Aggregate =>
       // cheapest qualifying projection wins: fewer keys = fewer stored
       // partial rows to re-aggregate (the ClickHouse selection rule, by

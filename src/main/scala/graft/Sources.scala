@@ -474,13 +474,19 @@ object Sources {
     */
   def bloomPrunedReadIn(spark: SparkSession, path: String,
                         indexCol: String, values: Seq[Any]): DataFrame = {
+    // Probe literals MUST hash at the indexed column's stored type:
+    // xxhash64 is type-sensitive, so an Int probe against a LongType
+    // index would light different bit positions and silently prune
+    // files that DO contain the value. The write side hashed the
+    // column at its native parquet type; cast every probe to match.
+    val indexedType = spark.read.parquet(path).schema(indexCol).dataType
     val idx = spark.read.parquet(path + "__bloomidx")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val byFile = idx.groupBy(_._1)
     val candidates = values.flatMap { value =>
       val probes = spark.range(1)
-        .select(bloomPositions(lit(value)).zipWithIndex.map {
-          case (c, i) => c.as(s"p$i") }: _*)
+        .select(bloomPositions(lit(value).cast(indexedType)).zipWithIndex
+          .map { case (c, i) => c.as(s"p$i") }: _*)
         .collect()(0)
       val masks = (0 until BloomProbes).map(i => probes.getLong(i))
         .groupBy(p => (p / 64).toInt)

@@ -160,48 +160,95 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!alreadyCommitted(spark, baseDir, batchId)) {
-          val hc = spark.sparkContext.hadoopConfiguration
-          val proj = new org.apache.hadoop.fs.Path(projDir)
-          val tmp = new org.apache.hadoop.fs.Path(projDir + ".tmp")
-          val fs = proj.getFileSystem(hc)
-          // crash recovery: the swap below can die between delete and
-          // rename — if only the complete tmp copy exists, promote it
-          // before reading state
-          if (!fs.exists(proj) && fs.exists(tmp)) fs.rename(tmp, proj)
-          batch.write.mode("append").parquet(baseDir)
-          val partials = batch.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("cnt"),
-                 measures.flatMap(m => Seq(
-                   sum(col(m)).as(s"sum_$m"),
-                   min(col(m)).as(s"min_$m"),
-                   max(col(m)).as(s"max_$m"),
-                   count(col(m)).as(s"nn_$m"))): _*)
-          val merged =
-            (try spark.read.parquet(projDir).unionByName(partials)
-             catch {
-               case e: org.apache.spark.sql.AnalysisException
-                   if e.getCondition == "PATH_NOT_FOUND" ||
-                      e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                 partials
-             })
-              .groupBy(keys.map(col): _*)
-              .agg(sum(col("cnt")).as("cnt"),
-                   measures.flatMap(m => Seq(
-                     sum(col(s"sum_$m")).as(s"sum_$m"),
-                     min(col(s"min_$m")).as(s"min_$m"),
-                     max(col(s"max_$m")).as(s"max_$m"),
-                     sum(col(s"nn_$m")).as(s"nn_$m"))): _*)
-          // never overwrite the only copy in place: write the merged
-          // state BESIDE it, then swap — a crash leaves either the old
-          // projection or the promoted new one, never a half-deleted dir
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(proj)) fs.delete(proj, true)
-          fs.rename(tmp, proj)
-          markCommitted(spark, baseDir, batchId)
-        }
+        projectionBatch(batch, baseDir, projDir, keys, measures, batchId)
       }
+
+  /** One [[projectionSink]] micro-batch, replay-safe at EVERY crash
+    * point (package-private so the spec can drive crash windows
+    * directly):
+    *
+    *  1. base append is IDEMPOTENT — the batch materializes beside the
+    *     store, then its files move in under deterministic
+    *     `batch<id>-<i>` names, a replay clearing its own prefix first;
+    *     a plain `mode("append")` writes fresh UUID part files, so a
+    *     crash between append and marker would double the batch's raw
+    *     rows while the projection merge counted them once;
+    *  2. the merge commit point is the atomic tmp→projDir rename, and a
+    *     `_merged_<id>` tag file INSIDE the projection rides that
+    *     rename — a replay that finds the tag skips the merge instead
+    *     of folding the same partials twice;
+    *  3. the batch marker commits last, making the replayed batch a
+    *     full no-op.
+    */
+  private[graft] def projectionBatch(batch: DataFrame, baseDir: String,
+                                     projDir: String, keys: Seq[String],
+                                     measures: Seq[String],
+                                     batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, baseDir, batchId)) return
+    val hc = spark.sparkContext.hadoopConfiguration
+    val proj = new org.apache.hadoop.fs.Path(projDir)
+    val tmp = new org.apache.hadoop.fs.Path(projDir + ".tmp")
+    val fs = proj.getFileSystem(hc)
+    // crash recovery: the swap below can die between delete and
+    // rename — if only the complete tmp copy exists, promote it
+    // before reading state
+    if (!fs.exists(proj) && fs.exists(tmp)) fs.rename(tmp, proj)
+    // (1) idempotent base append
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val baseTmp = new org.apache.hadoop.fs.Path(
+      baseDir + s".batch$batchId.tmp")
+    batch.write.mode("overwrite").parquet(baseTmp.toString)
+    fs.mkdirs(basePath)
+    val prefix = s"batch$batchId-"
+    fs.listStatus(basePath)
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(baseTmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex
+      .foreach { case (st, i) =>
+        fs.rename(st.getPath,
+                  new org.apache.hadoop.fs.Path(basePath, f"$prefix$i%05d.parquet"))
+      }
+    fs.delete(baseTmp, true)
+    // (2) merge partials — unless this batch's tag says it already did
+    val tag = s"_merged_$batchId"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(proj, tag))) {
+      val partials = batch.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+             measures.flatMap(m => Seq(
+               sum(col(m)).as(s"sum_$m"),
+               min(col(m)).as(s"min_$m"),
+               max(col(m)).as(s"max_$m"),
+               count(col(m)).as(s"nn_$m"))): _*)
+      val merged =
+        (try spark.read.parquet(projDir).unionByName(partials)
+         catch {
+           case e: org.apache.spark.sql.AnalysisException
+               if e.getCondition == "PATH_NOT_FOUND" ||
+                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+             partials
+         })
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"),
+               measures.flatMap(m => Seq(
+                 sum(col(s"sum_$m")).as(s"sum_$m"),
+                 min(col(s"min_$m")).as(s"min_$m"),
+                 max(col(s"max_$m")).as(s"max_$m"),
+                 sum(col(s"nn_$m")).as(s"nn_$m"))): _*)
+      // never overwrite the only copy in place: write the merged
+      // state BESIDE it (tag included), then swap — a crash leaves
+      // either the old projection or the promoted new one, never a
+      // half-deleted dir
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, tag), true).close()
+      if (fs.exists(proj)) fs.delete(proj, true)
+      fs.rename(tmp, proj)
+    }
+    // (3)
+    markCommitted(spark, baseDir, batchId)
+  }
 
   /** Read the current state maintained by [[upsertSink]] (hides the
     * internal bucketing column).
@@ -337,7 +384,8 @@ object Streaming {
     */
   def incrementalAggSink(df: DataFrame, stateDir: String, checkpoint: String,
                          partitionCol: String, keyCols: Seq[String],
-                         valueCol: String): DataStreamWriter[Row] =
+                         valueCol: String,
+                         compactEvery: Int = 0): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -371,6 +419,13 @@ object Streaming {
             .partitionBy(partitionCol)
             .parquet(stateDir)
           markCommitted(spark, stateDir, batchId)
+          // same lifecycle hygiene as dedupAgainstHistorySink: the
+          // shuffle scatters a hive partition's rows over many tasks,
+          // so each touched partition re-materializes as several small
+          // files per batch; every N-th batch folds each partition back
+          // to one file (identical content, single quiesced writer)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
         }
       }
 
@@ -387,8 +442,8 @@ object Streaming {
     */
   def incrementalDistinctSink(df: DataFrame, stateDir: String,
                               checkpoint: String, partitionCol: String,
-                              keyCols: Seq[String],
-                              distinctCol: String): DataStreamWriter[Row] =
+                              keyCols: Seq[String], distinctCol: String,
+                              compactEvery: Int = 0): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -419,6 +474,8 @@ object Streaming {
             .partitionBy(partitionCol)
             .parquet(stateDir)
           markCommitted(spark, stateDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
         }
       }
 
@@ -442,7 +499,8 @@ object Streaming {
   def incrementalTopKSink(df: DataFrame, stateDir: String,
                           checkpoint: String, partitionCol: String,
                           keyCols: Seq[String], itemCol: String,
-                          maxItemsTracked: Int = 1024): DataStreamWriter[Row] =
+                          maxItemsTracked: Int = 1024,
+                          compactEvery: Int = 0): DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -474,6 +532,8 @@ object Streaming {
             .partitionBy(partitionCol)
             .parquet(stateDir)
           markCommitted(spark, stateDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
         }
       }
 

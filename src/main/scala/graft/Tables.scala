@@ -45,7 +45,14 @@ object Tables {
     * it twice (main + threshold subquery) and the three partsupp shapes
     * share one materialization instead of re-deriving per branch.
     */
-  def partsupp(spark: SparkSession, dir: String): DataFrame =
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    // lazily evict entries pinned by STOPPED sessions — their checkpoint
+    // blocks died with the context, and the map must not keep dead
+    // sessions (plus their derived relations) reachable for the JVM's
+    // lifetime. Callers that REWRITE a source dir must call
+    // [[invalidatePartsupp]]: the cache intentionally serves the
+    // derivation as of first read, like any materialized relation.
+    psCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     psCache.computeIfAbsent((spark, dir), _ =>
       apply(spark, dir, "lineitem")
         .select(col("l_partkey").as("ps_partkey"),
@@ -59,6 +66,15 @@ object Tables {
              col("ps_partkey"))), 1, 8), 16, 10).cast("long") % 99900 + 100)
             .as("ps_supplycost_cents"))
         .localCheckpoint())
+  }
+
+  /** Drop the memoized partsupp derivation for (session, dir) — call
+    * after rewriting the underlying lineitem data.
+    */
+  def invalidatePartsupp(spark: SparkSession, dir: String): Unit =
+    psCache.remove((spark, dir))
+    // (the dropped entry's checkpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced)
 
   private val psCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),

@@ -184,6 +184,22 @@ class LlmSpec extends SparkSpec {
     assert(ids === direct)
   }
 
+  test("q_inverted_index_full caps every posting list at 50 and runs " +
+       "the cap through the salt slices") {
+    val df = LlmQueries.queries("q_inverted_index_full")(
+      spark, sf("documents"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(
+      _.getAs[String]("postings").split(",").length <= 50))
+    // stop-word-like tokens (df near corpus size) still emit 50 postings
+    assert(rows.exists(r => r.getAs[Long]("df") > 50 &&
+      r.getAs[String]("postings").split(",").length == 50))
+    // the executed plan caps per (token, salt) BEFORE any collect_list
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(3000))
+  }
+
   test("BM25 doc-length join is hash-based — no sort-merge that would " +
        "globally sort the per-doc length table") {
     val bm25 = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))

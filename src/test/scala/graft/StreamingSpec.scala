@@ -360,6 +360,87 @@ class StreamingSpec extends SparkSpec {
                          ("2024-01-02", "view", 1L)))
   }
 
+  test("incremental distinct sink compaction collapses every state " +
+       "partition to one file without changing estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    // AQE's partition coalescing hides the small-file problem at test
+    // size (it folds the tiny merge shuffle to one task → one file);
+    // disable it HERE so the fixture shows the real at-scale shape —
+    // several merge tasks each writing into the same hive partition
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    val state = Files.createTempDirectory("graft-hllc").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-hllc-ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val withDay = Streaming.mvTransform(toDfStream(stream), Seq.empty)
+      .withColumn("day", to_date(col("ts")))
+    val q = Streaming.incrementalDistinctSink(withDay, state, ckpt,
+      "day", Seq("event_type"), "user_id", compactEvery = 2).start()
+    // 8 event types on day 1 → the merge shuffle scatters the partition
+    // over several tasks, so the partition holds several part files
+    stream.addData((1 to 8).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 8}%02d:00:00"), s"t$i", 1.0)))
+    q.processAllAvailable()
+    def dayFileCount(d: String): Int = {
+      val dir = new java.io.File(s"$state/day=$d")
+      if (!dir.exists()) 0
+      else dir.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val before = dayFileCount("2024-01-01")
+    val estBefore = Streaming.distinctEstimates(spark, state)
+      .select(col("event_type"), col("approx_distinct"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    // batch 2 ((1+1) % compactEvery == 0) triggers the compaction
+    stream.addData(Seq((9L, ts("2024-01-01 09:00:00"), "t1", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(before > 1, s"fixture should scatter day 1 over >1 file, got $before")
+    assert(dayFileCount("2024-01-01") === 1)
+    // estimates survive the rewrite: t1 gained its second distinct user,
+    // everything else identical
+    val estAfter = Streaming.distinctEstimates(spark, state)
+      .select(col("event_type"), col("approx_distinct"))
+      .as[(String, Long)].collect().sortBy(_._1).toMap
+    estBefore.foreach { case (t, n) =>
+      assert(estAfter(t) === (if (t == "t1") n + 1 else n), t)
+    }
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+  }
+
+  test("projectionBatch replay after a crash before the commit marker " +
+       "neither double-appends base rows nor double-merges partials") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pbr").toString
+    val base = root + "/base"
+    val proj = root + "/proj"
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    Streaming.projectionBatch(b0, base, proj, Seq("k"), Seq("v"), 0L)
+    val baseRows = spark.read.parquet(base).count()
+    def projState() = spark.read.parquet(proj)
+      .select("k", "cnt", "sum_v").as[(String, Long, Long)]
+      .collect().toSet
+    val stateBefore = projState()
+    assert(stateBefore === Set(("a", 2L, 3L), ("b", 1L, 3L)))
+    // simulate the crash window: everything ran EXCEPT the marker —
+    // streaming re-delivers the same batch id on restart
+    val marker = new java.io.File(s"$base/_graft_commits/0")
+    assert(marker.exists)
+    marker.delete()
+    Streaming.projectionBatch(b0, base, proj, Seq("k"), Seq("v"), 0L)
+    // idempotent base append: the replay overwrote its own batch0-*
+    // files instead of appending fresh UUID parts
+    assert(spark.read.parquet(base).count() === baseRows)
+    // the _merged_0 tag rode the swap: partials did NOT fold in twice
+    assert(projState() === stateBefore)
+    // a genuinely new batch still flows
+    Streaming.projectionBatch(Seq(("b", 5L)).toDF("k", "v"),
+                              base, proj, Seq("k"), Seq("v"), 1L)
+    assert(projState() === Set(("a", 2L, 3L), ("b", 2L, 8L)))
+    assert(spark.read.parquet(base).count() === baseRows + 1)
+  }
+
   test("replay guard: a batch id already marked committed is skipped; " +
        "later batches process normally") {
     implicit val sqlCtx = spark.sqlContext
