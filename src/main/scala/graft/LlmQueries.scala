@@ -163,39 +163,39 @@ object LlmQueries extends QueryPack {
     }),
 
     // L6c: BM25 relevance of every document against a 3-term query — the
-    // retrieval scorer next to TF-IDF. Query terms are a broadcast-small
-    // literal set, so the term filter prunes the exploded postings BEFORE
-    // any shuffle; document-frequency and average-doc-length are one-row/
-    // per-term broadcast aggregates; docs never shuffle raw text. Sum of
-    // ≤3 per-term doubles, rounded for cross-engine float parity.
+    // retrieval scorer next to TF-IDF. The normalizing tokenizer (the
+    // regex pass that IS this query's measured cost) runs EXACTLY ONCE:
+    // one projection folds each doc to (doc_id, dl, query-term tokens),
+    // localCheckpoint-materialized so the stats branch and the scoring
+    // branch both read that narrow relation instead of re-tokenizing
+    // the corpus — and since dl rides the row into the tf aggregate,
+    // the per-doc-length join is gone entirely (one fewer shuffle
+    // join; r6 pinned it shuffle_hash, r7 removes it). Query terms are
+    // a broadcast-small literal set, so the term filter prunes tokens
+    // before any shuffle; document-frequency and average-doc-length
+    // are broadcast aggregates; raw text never shuffles. Sum of ≤3
+    // per-term doubles, rounded for cross-engine float parity.
     "q_text_bm25" -> ((s, dir) => {
       val terms = Seq("data", "query", "row")
       val k1 = 1.2; val b = 0.75
-      val docs = Tables(s, dir, "documents")
-      val dl = docs.select(col("doc_id"),
-        size(LlmOps.tokens(col("text"), normalize = true))
-          .cast("double").as("dl"))
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-                         avg("dl").as("avgdl"))
-      val tf = docs.select(col("doc_id"),
-          explode(LlmOps.tokens(col("text"), normalize = true)).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+      val termArr = array(terms.map(lit): _*)
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                LlmOps.tokens(col("text"), normalize = true).as("toks"))
+        .select(col("doc_id"),
+                size(col("toks")).cast("double").as("dl"),
+                filter(col("toks"),
+                       t => array_contains(termArr, t)).as("qtoks"))
+        .localCheckpoint() // O(docs) narrow rows, never the raw text
+      val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+                             avg("dl").as("avgdl"))
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(count(lit(1)).cast("double").as("tf"))
       val dfreq = tf.groupBy("token")
         .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      // tf is collision-small after the term filter but not PROVABLY
-      // broadcastable at 100 TB (a stop-word query term reaches every
-      // doc): pin a shuffled hash join so the plan never degrades to a
-      // sort-merge that globally sorts the per-doc length table. The
-      // hint attaches AFTER the dfreq join — a hint resolves at the
-      // nearest enclosing join of the hinted subtree, so hinting bare tf
-      // would be consumed by the tf⋈dfreq broadcast join and never reach
-      // the dl join. AQE may still upgrade to broadcast when tf really
-      // is tiny — both are hash joins; LlmSpec pins the no-sort-merge
-      // shape with broadcast disabled.
       tf.join(broadcast(dfreq), "token")
-        .hint("shuffle_hash")
-        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

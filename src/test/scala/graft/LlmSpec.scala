@@ -200,27 +200,27 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(3000))
   }
 
-  test("BM25 doc-length join is hash-based — no sort-merge that would " +
-       "globally sort the per-doc length table") {
+  test("BM25 plan has no doc-length join at all and never sort-merges — " +
+       "dl rides the tf rows off one shared tokenize pass") {
     val bm25 = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
     bm25.collect() // resolve AQE's final plan on this reference
     val plan = bm25.queryExecution.executedPlan.toString
+    // r6 pinned the per-doc-length join at shuffle_hash; r7 removes the
+    // join entirely (dl is carried as a tf groupBy key), so the only
+    // joins left are the explicit broadcasts of dfreq and stats
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
-    // the dl join is a hash join: shuffled (pinned hint) or broadcast
-    // (AQE upgrade when the filtered tf side really is tiny)
-    assert(plan.contains("ShuffledHashJoin") ||
-           plan.contains("BroadcastHashJoin"), plan.take(3000))
-    // and with broadcast OFF (the 100 TB stand-in, where AQE can't bail
-    // the plan out) the hint must still hold the dl join at shuffled
-    // hash — this is what a mis-attached hint fails
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // with broadcast auto-sizing OFF (the 100 TB stand-in) the explicit
+    // broadcast()s still hold — no sort-merge can sneak back in
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val cold = LlmQueries.queries("q_text_bm25")(spark, sf("documents"))
       cold.collect()
       val coldPlan = cold.queryExecution.executedPlan.toString
-      assert(coldPlan.contains("ShuffledHashJoin"), coldPlan.take(3000))
       assert(!coldPlan.contains("SortMergeJoin"), coldPlan.take(3000))
+      assert(coldPlan.contains("BroadcastHashJoin"), coldPlan.take(3000))
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
