@@ -232,6 +232,55 @@ object Analytics {
       .agg((sum(col(valCol) * w) / sum(w)).as("tdavg"))
   }
 
+  /** Linear-interpolation gap fill (ClickHouse `WITH FILL …
+    * INTERPOLATE` analog, time-weighted): one row per (entity, day)
+    * over the entity's active range; each day's end-of-day value is the
+    * time-weighted blend of the surrounding observations, edge days
+    * carry the nearest one. `obs` must hold ONE row per (entity, ts) —
+    * version-dedup first. The grid and the observations union into ONE
+    * per-entity window pass: a single hash shuffle on the key, two
+    * frames (running-last backward, running-first forward) over the
+    * same sort — no join at all. Returns (userCol, d, interp_value).
+    */
+  def interpolateDaily(obs: DataFrame, userCol: String, tsCol: String,
+                       valCol: String): DataFrame = {
+    val u = col(userCol)
+    val grid = obs.groupBy(userCol)
+      .agg(date_trunc("day", min(tsCol)).as("d_min"),
+           date_trunc("day", max(tsCol)).as("d_max"))
+      .select(u, explode(sequence(col("d_min"), col("d_max"),
+                                  expr("INTERVAL 1 DAY"))).as("d"))
+      .withColumn("__t", col("d") + expr("INTERVAL 1 DAY")
+                           - expr("INTERVAL 1 MICROSECOND"))
+      .withColumn("__isg", lit(1))
+      .withColumn("__v", lit(null).cast("double"))
+    val o = obs.select(u, col(tsCol).as("__t"), col(valCol).as("__v"))
+      .withColumn("d", lit(null).cast("timestamp"))
+      .withColumn("__isg", lit(0))
+    val cols = Seq(userCol, "d", "__t", "__isg", "__v").map(col)
+    // observations sort BEFORE a grid point at the same instant, so a
+    // simultaneous observation lands in the backward frame exactly once
+    val wB = Window.partitionBy(userCol).orderBy(col("__t"), col("__isg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(userCol).orderBy(col("__t"), col("__isg"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("__v").isNotNull, col("__t"))
+    grid.select(cols: _*).unionByName(o.select(cols: _*))
+      .withColumn("pv", last(col("__v"), ignoreNulls = true).over(wB))
+      .withColumn("pt", last(obsT, ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("__v"), ignoreNulls = true).over(wF))
+      .withColumn("nt", first(obsT, ignoreNulls = true).over(wF))
+      .filter(col("__isg") === 1)
+      .select(u, col("d"),
+              when(col("pv").isNull, col("nv"))
+                .when(col("nv").isNull, col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv")) *
+                  ((unix_micros(col("__t")) - unix_micros(col("pt"))) /
+                   (unix_micros(col("nt")) - unix_micros(col("pt")))
+                     .cast("double")))
+                .as("interp_value"))
+  }
+
   /** Cohort retention (ClickHouse retention analog): entities grouped by
     * the day of their first `cohortType` event; for each offset n in
     * `days`, how many were active exactly n days later. Returns

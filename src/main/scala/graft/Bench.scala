@@ -24,7 +24,7 @@ object Bench {
     // joins
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_asof", "q_join_asof_bucketed",
-    "q_join_asof_fwd", "q_join_asof_tol", "q_join_any",
+    "q_join_asof_fwd", "q_join_asof_left", "q_join_asof_tol", "q_join_any",
     "q_join_range_bucketed", "q_salted_join",
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
@@ -35,7 +35,7 @@ object Bench {
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",
-    "q_seq_match", "q_seq_count",
+    "q_seq_match", "q_seq_count", "q_ts_interpolate",
     // TPC-H composites (the full 22-shape sweep's heavy half)
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",

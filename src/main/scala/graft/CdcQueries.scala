@@ -97,6 +97,22 @@ object CdcQueries extends QueryPack {
         .orderBy("user_id", "d")
     }),
 
+    // D: LINEAR-interpolation gap fill (ClickHouse WITH FILL …
+    // INTERPOLATE analog) — q_ts_fill's carry becomes a time-weighted
+    // blend of the surrounding observations at each end-of-day point;
+    // edge days carry the nearest observation. One union + one
+    // per-entity window pass, no join ([[Analytics.interpolateDaily]]).
+    "q_ts_interpolate" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val dedup = Cdc.dedupVersions(e, Seq("user_id"), Seq("ts"),
+                                    col("event_id"))
+        .select("user_id", "ts", "value")
+      Analytics.interpolateDaily(dedup, "user_id", "ts", "value")
+        .select(col("user_id"), col("d"),
+                round(col("interp_value"), 4).as("interp_value"))
+        .orderBy("user_id", "d")
+    }),
+
     // U5: CollapsingMergeTree-analog latest-state read ([[Cdc.collapse]]):
     // the stream carries sign = +1 state / -1 cancel (synthesized
     // deterministically from event_id here); one hash aggregate yields the
@@ -188,6 +204,60 @@ object CdcQueries extends QueryPack {
         |   WHERE e.user_id = days.user_id AND e.ts < d + INTERVAL 1 DAY
         |   ORDER BY e.ts DESC LIMIT 1) AS fill_value
         |FROM days
+        |ORDER BY user_id NULLS FIRST, d NULLS FIRST""".stripMargin,
+
+    // Mirrors the Spark plan shape exactly (union + backward/forward
+    // IGNORE NULLS window frames + the same lerp expression), so the
+    // doubles agree bit-for-bit before the round.
+    "q_ts_interpolate" ->
+      """WITH dedup AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value, row_number() OVER (
+        |      PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC NULLS LAST) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |bounds AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS dmin,
+        |    CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS dmax
+        |  FROM dedup GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d
+        |  FROM bounds),
+        |uni AS (
+        |  SELECT user_id, d,
+        |    d + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS t,
+        |    1 AS isg, CAST(NULL AS DOUBLE) AS v
+        |  FROM grid
+        |  UNION ALL
+        |  SELECT user_id, CAST(NULL AS TIMESTAMP) AS d, ts AS t,
+        |    0 AS isg, value AS v
+        |  FROM dedup),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, isg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, isg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, isg
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, isg
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM uni)
+        |SELECT user_id, d,
+        |  round(CASE
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      ((epoch_us(t) - epoch_us(pt)) /
+        |       CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |  END, 4) AS interp_value
+        |FROM w WHERE isg = 1
         |ORDER BY user_id NULLS FIRST, d NULLS FIRST""".stripMargin,
 
     "q_scd2" ->

@@ -124,6 +124,20 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6e: LEFT OUTER as-of — purchases with no prior click SURVIVE
+    // with a NULL match (pandas merge_asof default / DuckDB ASOF LEFT
+    // JOIN), the enrichment form where "no state yet" is information.
+    // Same single-shuffle union+window plan as q_join_asof.
+    "q_join_asof_left" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoinLeft(purchases, clicks, "user_id", "ts", "ts",
+                              Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
     // J6d: FORWARD as-of — for each purchase, the EARLIEST click at or
     // after it by the same user (pandas merge_asof direction='forward');
     // same single-shuffle plan as q_join_asof with the window reversed.
@@ -277,6 +291,13 @@ object JoinQueries extends QueryPack {
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    "q_join_asof_left" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
 

@@ -86,13 +86,35 @@ object Relational {
     * `asof_*`.
     */
   private def asofFinish(filled: DataFrame, payload: Seq[String],
-                         rightPayload: Seq[String]): DataFrame = {
+                         rightPayload: Seq[String],
+                         keepUnmatched: Boolean = false): DataFrame = {
     val matched = filled.filter(col("__side") === 1).drop("__side")
-    val inner = payload.headOption.map(c => matched.filter(col(c).isNotNull))
-      .getOrElse(matched)
+    val inner =
+      if (keepUnmatched) matched
+      else payload.headOption.map(c => matched.filter(col(c).isNotNull))
+        .getOrElse(matched)
     payload.zip(rightPayload).foldLeft(inner) { case (d, (tmp, orig)) =>
       d.withColumnRenamed(tmp, s"asof_$orig")
     }
+  }
+
+  /** LEFT OUTER as-of join (pandas merge_asof's default, DuckDB
+    * `ASOF LEFT JOIN`): like [[asofJoin]] but left rows with no prior
+    * right match survive with NULL payload — the form enrichment
+    * pipelines want when "no state yet" is itself information. Same
+    * single-shuffle union + per-key window mechanics.
+    */
+  def asofJoinLeft(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightPayload: Seq[String]): DataFrame = {
+    val (unioned, payload) =
+      asofUnion(left, right, key, leftTs, rightTs, rightPayload)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    asofFinish(filled.drop("__t", "__side"), payload, rightPayload,
+               keepUnmatched = true)
   }
 
   /** Hot-key-safe as-of join. [[asofJoin]]'s per-key window sorts each

@@ -98,6 +98,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Array((1L, 2L), (2L, 1L), (3L, 0L), (4L, 1L)))
   }
 
+  test("interpolateDaily lerps interior days time-weighted and carries " +
+       "the nearest observation at the edges") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0.0),
+      (1L, ts("2024-01-05 00:00:00"), 96.0), // 4 days apart
+      (2L, ts("2024-01-02 12:00:00"), 7.0)   // single-obs entity
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.interpolateDaily(obs, "user_id", "ts", "value")
+      .select(col("user_id"), col("d").cast("string"), col("interp_value"))
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.sortBy(_._2).map(r => (r._2, r._3))
+      }
+    val u1 = out(1L)
+    assert(u1.map(_._1) === (1 to 5).map(i => s"2024-01-0$i 00:00:00"))
+    // end-of-day points climb linearly at 24/day (eod is 1µs shy of
+    // midnight, hence the tolerance); the day-5 point is past the last
+    // observation and carries it
+    Seq(24.0, 48.0, 72.0, 96.0).zip(u1.map(_._2)).foreach {
+      case (exp, got) => assert(math.abs(got - exp) < 0.001, s"$exp $got")
+    }
+    assert(u1.last._2 === 96.0)
+    // single observation: every day carries it (lerp never divides)
+    assert(out(2L).map(_._2) === Seq(7.0))
+  }
+
   // Planted hot entity for the bucketed folds: 20 000 events for one
   // entity spread over 50 days (400 per day) — the shape where the old
   // single-buffer form put all 20 000 structs in ONE aggregation buffer.

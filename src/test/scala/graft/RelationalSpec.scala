@@ -26,6 +26,17 @@ class RelationalSpec extends SparkSpec {
     assert(out("p3") === "c5") // tie: <= includes equal timestamps
   }
 
+  test("asofJoinLeft keeps unmatched left rows with a NULL payload") {
+    val out = Relational.asofJoinLeft(left, right, "user_id", "t", "t",
+                                      Seq("cid"))
+      .select("pid", "asof_cid").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("p1") === Some("c2")) // matched rows behave like asofJoin
+    assert(out("p0") === Some("c1"))
+    assert(out("p2") === None)       // purchase before any click SURVIVES
+    assert(out.size === 4)
+  }
+
   test("asofJoinForward picks the earliest right row with rightTs >= " +
        "leftTs, including the simultaneous one") {
     val out = Relational.asofJoinForward(left, right, "user_id", "t", "t",
