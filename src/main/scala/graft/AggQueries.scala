@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY.md §2.5, A1-A9). Grouping keys come from the
@@ -116,6 +117,32 @@ object AggQueries extends QueryPack {
     // engines, so it can't be oracle-checked). Two hash aggregates: the
     // value histogram, then max_by over (count, -value) — never a window
     // over raw rows.
+    // ClickHouse uniqUpTo(N) analog: the EXACT distinct count while it
+    // is <= N, the sentinel N+1 once it exceeds it — the "how many,
+    // unless many" cardinality probe. least() over the two-phase exact
+    // distinct (map-side partial dedup); day grid gives both regimes
+    // (some (type, day) groups under the cap, some over).
+    "q_agg_uniq_upto" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(least(countDistinct(col("user_id")), lit(11L)).cast("long")
+               .as("uniq_upto_10"))
+        .orderBy("event_type", "d")),
+
+    // ClickHouse deltaSum analog: per entity, the sum of POSITIVE
+    // steps between consecutive time-ordered values (counter-reset
+    // tolerant accumulation — the monotone-counter reading). One
+    // per-entity window pass + one hash aggregate.
+    "q_agg_delta_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("__d", col("value") - lag("value", 1).over(w))
+        .groupBy("user_id")
+        .agg(round(sum(when(col("__d") > 0, col("__d")).otherwise(0.0)), 4)
+               .as("delta_sum"))
+        .orderBy("user_id")
+    }),
+
     "q_agg_mode" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_quantity")
@@ -485,6 +512,21 @@ object AggQueries extends QueryPack {
         |  round(covar_samp(l_quantity, l_discount), 4) + 0 AS cov_qd
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_uniq_upto" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |  CAST(least(count(DISTINCT user_id), 11) AS BIGINT)
+        |    AS uniq_upto_10
+        |FROM events GROUP BY event_type, date_trunc('day', ts)
+        |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+
+    "q_agg_delta_sum" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4) AS delta_sum
+        |FROM (SELECT user_id, value - lag(value) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |      FROM events) t
+        |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, CAST(c AS BIGINT)

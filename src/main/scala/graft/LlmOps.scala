@@ -712,24 +712,26 @@ object LlmOps {
 
   /** IVF-style ANN: coarse-quantize with per-partition centroids
     * ([[Udafs.VectorCentroid]] — here the embedding `label` plays the
-    * cluster-assignment role a k-means pass would at 100 TB), probe only
-    * the centroid nearest the query, exact-search inside that partition.
-    * Scan cost drops to 1/#partitions of the data; centroids + query are
-    * broadcast, so the only full pass is the (prunable) partition scan.
+    * cluster-assignment role a k-means pass would at 100 TB), probe the
+    * `nprobe` centroids nearest the query (FAISS's recall knob —
+    * scan fraction nprobe/#cells, recall monotone in nprobe because the
+    * candidate set only grows), exact-search inside those partitions.
+    * Centroids + query are broadcast, so the only full pass is the
+    * (prunable) partition scan.
     */
   def annIvfTopK(embeddings: DataFrame, query: DataFrame, dim: Int,
-                 k: Int): DataFrame = {
+                 k: Int, nprobe: Int = 1): DataFrame = {
     val cent = udaf(new Udafs.VectorCentroid(dim))
     val centroids = embeddings.groupBy("label")
       .agg(cent(col("embedding")).as("c"))
     val qDouble = transform(col("q_emb"), x => x.cast("double"))
-    val bestPartition = centroids.crossJoin(broadcast(query))
+    val bestPartitions = centroids.crossJoin(broadcast(query))
       .withColumn("csim", Functions.cosine(col("c"), qDouble))
       .orderBy(col("csim").desc_nulls_last, col("label"))
-      .limit(1)
+      .limit(nprobe)
       .select("label")
     cosineTopK(
-      embeddings.join(broadcast(bestPartition), "label"), query, k)
+      embeddings.join(broadcast(bestPartitions), "label"), query, k)
   }
 
   // ---- Product quantization (PQ) ANN --------------------------------

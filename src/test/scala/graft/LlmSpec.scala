@@ -142,6 +142,24 @@ class LlmSpec extends SparkSpec {
              .forall { case (_, n) => n == 16 })
   }
 
+  test("IVF nprobe: recall is monotone in probed cells and full probing " +
+       "equals brute force") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = LlmOps.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallAt(nprobe: Int): Int =
+      LlmOps.annIvfTopK(embs, q, 64, 10, nprobe)
+        .select("vec_id").as[Long].collect().toSet
+        .intersect(exact).size
+    val nCells = embs.select("label").distinct().count().toInt
+    // candidate sets only grow with nprobe, and an exact-top-10 member
+    // present in any candidate set survives its top-10 — so recall is
+    // monotone, and probing every cell IS the exact scan
+    assert(recallAt(2) >= recallAt(1))
+    assert(recallAt(nCells) === 10)
+  }
+
   test("PQ sample training (maxTrain below corpus) still recalls >= 0.7 " +
        "and produces full codebooks") {
     val q = embs.filter(col("vec_id") === 0)
