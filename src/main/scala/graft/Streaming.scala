@@ -537,6 +537,78 @@ object Streaming {
         }
       }
 
+  /** Incrementally-maintained per-entity EMA — the streaming face of
+    * [[Analytics.emaBucketed]], and the reason its affine decomposition
+    * matters beyond hot-key safety: EMA with factor α folds a batch
+    * onto any prior accumulator as `acc' = acc·(1-α)ⁿ + partial`, so
+    * each micro-batch summarizes ITSELF per entity (one hash aggregate,
+    * the batch's own sorted slice) and composes onto the stored value —
+    * per-batch cost is O(batch + touched state), the event history is
+    * never rescanned. State = one row per entity in hash-bucketed hive
+    * partitions (same pruned-read + dynamic-overwrite mechanics as
+    * [[upsertSink]]); replay-guarded by commit markers because
+    * composition is NOT idempotent. Requires batches be time-ordered
+    * per entity (an event stream consumed in order): an event older
+    * than the stored accumulator cannot be folded retroactively.
+    * Read with [[readEmaState]].
+    */
+  def incrementalEmaSink(df: DataFrame, stateDir: String, checkpoint: String,
+                         keyCol: String, tsCol: String, tieCol: String,
+                         valCol: String, alpha: Double,
+                         numBuckets: Int = 16): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, stateDir, batchId)) {
+          val summaries = Analytics.emaBucketSummaries(
+              batch, keyCol, tsCol, tieCol, valCol, alpha, _ => lit(0))
+            .select(col(keyCol), col("__d"), col("__p"), col("__ps"))
+            .withColumn("__bucket",
+              pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+          val touched = summaries.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val current =
+            try spark.read.parquet(stateDir)
+              .filter(col("__bucket").isin(touched: _*))
+              .localCheckpoint() // cut the scan lineage before overwrite
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" ||
+                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    summaries.schema(keyCol),
+                    org.apache.spark.sql.types.StructField(
+                      "ema", org.apache.spark.sql.types.DoubleType),
+                    org.apache.spark.sql.types.StructField(
+                      "__bucket",
+                      org.apache.spark.sql.types.IntegerType))))
+            }
+          current.withColumnRenamed("__bucket", "__bc")
+            .join(summaries.withColumnRenamed("__bucket", "__bs"),
+                  Seq(keyCol), "full_outer")
+            .select(col(keyCol),
+                    when(col("__d").isNull, col("ema"))       // untouched
+                      .when(col("ema").isNull, col("__ps"))   // first seen
+                      .otherwise(col("ema") * col("__d") + col("__p"))
+                      .as("ema"),
+                    coalesce(col("__bc"), col("__bs")).as("__bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(stateDir)
+          markCommitted(spark, stateDir, batchId)
+        }
+      }
+
+  /** The read side of [[incrementalEmaSink]] (hides the bucketing
+    * column). */
+  def readEmaState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir).drop("__bucket")
+
   /** The read side of [[incrementalTopKSink]]: per-key top-k items with
     * accumulated counts from the stored sketch states — O(state rows),
     * raw events never touched. */

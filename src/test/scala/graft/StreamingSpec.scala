@@ -409,6 +409,49 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prevCoalesce)
   }
 
+  test("incremental EMA sink composes batches into the one-shot EMA and " +
+       "rewrites only touched buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-ema").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-ema-ckpt").toString
+    // pick a second user hashed into a DIFFERENT bucket than user 1
+    def bucket(u: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(u)), lit(4)).cast("int")).head.getInt(0)
+    val u2 = (2L to 20L).find(bucket(_) != bucket(1L)).get
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streaming.incrementalEmaSink(toDfStream(stream), state, ckpt,
+      "user_id", "ts", "event_type", "value", 0.25, numBuckets = 4).start()
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "e1", 10.0),
+      (1L, ts("2024-01-01 01:00:00"), "e2", 20.0),
+      (u2, ts("2024-01-01 00:30:00"), "e3", 7.0))
+    stream.addData(b1.map(r => (r._1, r._2, r._3, r._4)))
+    q.processAllAvailable()
+    def bucketFiles(b: Int): Set[String] = {
+      val dir = new java.io.File(s"$state/__bucket=$b")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val u2FilesBefore = bucketFiles(bucket(u2))
+    // batch 2: only user 1, strictly later events
+    val b2 = Seq(
+      (1L, ts("2024-01-01 02:00:00"), "e4", 40.0),
+      (1L, ts("2024-01-01 03:00:00"), "e5", 8.0))
+    stream.addData(b2.map(r => (r._1, r._2, r._3, r._4)))
+    q.processAllAvailable()
+    q.stop()
+    // untouched entity's bucket partition survives byte-identical
+    assert(bucketFiles(bucket(u2)) === u2FilesBefore)
+    val got = Streaming.readEmaState(spark, state)
+      .as[(Long, Double)].collect().toMap
+    // composed result == the straight seeded fold over ALL events
+    def fold(vs: Seq[Double]) =
+      vs.tail.foldLeft(vs.head)((acc, v) => 0.25 * v + 0.75 * acc)
+    val expect1 = fold(Seq(10.0, 20.0, 40.0, 8.0))
+    assert(math.abs(got(1L) - expect1) < 1e-9, s"${got(1L)} vs $expect1")
+    assert(got(u2) === 7.0)
+  }
+
   test("projectionBatch replay after a crash before the commit marker " +
        "neither double-appends base rows nor double-merges partials") {
     import spark.implicits._
