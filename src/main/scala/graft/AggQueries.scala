@@ -440,7 +440,97 @@ object AggQueries extends QueryPack {
         .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
                 (round(col("v"), 4) + lit(0.0)).as("v"))
         .orderBy("label", "dim")
-    })
+    }),
+
+    // ClickHouse entropy() analog: Shannon entropy (bits) of each event
+    // type's distribution over users. The identity
+    // H = log2(N) − (Σ c·log2 c)/N turns it into pure aggregate algebra
+    // over the (type, user) count table — two hash aggregates, no
+    // per-row probability column.
+    "q_agg_entropy" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg((round(log2(sum("c")) -
+                      sum(col("c") * log2(col("c"))) / sum("c"), 4)
+                + lit(0.0)).as("entropy"),
+             sum("c").cast("long").as("n"))
+        .orderBy("event_type")),
+
+    // Population skewness / excess kurtosis (ClickHouse skewPop /
+    // kurtPop): Spark's native CentralMomentAgg built-ins; the oracle
+    // reproduces the same population definitions from raw moments
+    // (c₂=E₂−E₁², c₃=E₃−3E₁E₂+2E₁³, c₄=E₄−4E₁E₃+6E₁²E₂−3E₁⁴).
+    "q_agg_moments" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg((round(skewness(col("l_quantity")), 4) + lit(0.0))
+               .as("skew_qty"),
+             (round(kurtosis(col("l_quantity")), 4) + lit(0.0))
+               .as("kurt_qty"))
+        .orderBy("l_returnflag")),
+
+    // Cramér's V association between two categoricals (ClickHouse
+    // cramersV). With e = rt·ct/N, χ² = N(Σ o²/(rt·ct) − 1), so
+    // V = sqrt((Σ o²/(rt·ct) − 1) / min(r−1, c−1)) — N cancels. Every
+    // relation after the first aggregate is contingency-cell sized;
+    // marginals broadcast.
+    "q_agg_cramers_v" -> ((s, dir) => {
+      val cells = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("obs"))
+      val rowTot = cells.groupBy("o_orderstatus").agg(sum("obs").as("rt"))
+      val colTot = cells.groupBy("o_orderpriority").agg(sum("obs").as("ct"))
+      cells.join(broadcast(rowTot), "o_orderstatus")
+        .join(broadcast(colTot), "o_orderpriority")
+        .agg(sum("obs").as("n"),
+             countDistinct("o_orderstatus").as("r"),
+             countDistinct("o_orderpriority").as("c"),
+             sum(col("obs") * col("obs") / (col("rt") * col("ct")))
+               .as("q"))
+        .select((round(sqrt((col("q") - 1) /
+                              least(col("r") - 1, col("c") - 1)), 6)
+                   + lit(0.0)).as("cramers_v"),
+                col("n").cast("long").as("n"))
+    }),
+
+    // Welch's unequal-variance t statistic + Welch–Satterthwaite df
+    // (ClickHouse welchTTest minus the p-value — no incomplete-beta in
+    // either engine; t and df are exact arithmetic over ONE conditional
+    // hash aggregate, the two samples never materialize separately).
+    "q_agg_welch_t" -> ((s, dir) => {
+      val isA = col("event_type") === "view"
+      val isB = col("event_type") === "purchase"
+      Tables(s, dir, "events")
+        .filter(isA || isB)
+        .agg(avg(when(isA, col("value"))).as("m1"),
+             var_samp(when(isA, col("value"))).as("v1"),
+             count(when(isA, lit(1))).cast("double").as("n1"),
+             avg(when(isB, col("value"))).as("m2"),
+             var_samp(when(isB, col("value"))).as("v2"),
+             count(when(isB, lit(1))).cast("double").as("n2"))
+        .select(
+          (round((col("m1") - col("m2")) /
+                   sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4)
+             + lit(0.0)).as("t"),
+          (round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+                   (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+                    pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2)
+             + lit(0.0)).as("df"),
+          col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"))
+    }),
+
+    // Mann–Whitney U statistic over the view-vs-purchase event values —
+    // see [[Analytics.mannWhitneyU]] for the hot-key-safe rank plan.
+    "q_agg_mannwhitney_u" -> ((s, dir) =>
+      Analytics.mannWhitneyU(
+          Tables(s, dir, "events")
+            .filter(col("event_type").isin("view", "purchase")),
+          "value", "event_type", "view")
+        .select((round(col("u1"), 4) + lit(0.0)).as("u1"),
+                (round(col("u2"), 4) + lit(0.0)).as("u2"),
+                col("n1"), col("n2")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -693,6 +783,82 @@ object AggQueries extends QueryPack {
         |             unnest(range(1, 65)) AS i
         |      FROM embeddings) t
         |GROUP BY label, i
-        |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
+        |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin,
+
+    "q_agg_entropy" ->
+      """SELECT event_type,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0
+        |    AS entropy,
+        |  CAST(sum(c) AS BIGINT) AS n
+        |FROM (SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS c
+        |      FROM events GROUP BY event_type, user_id) t
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q_agg_moments" ->
+      """SELECT l_returnflag,
+        |  round((e3 - 3*e1*e2 + 2*e1*e1*e1)
+        |        / pow(e2 - e1*e1, 1.5), 4) + 0 AS skew_qty,
+        |  round((e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*e1*e1*e1*e1)
+        |        / pow(e2 - e1*e1, 2) - 3, 4) + 0 AS kurt_qty
+        |FROM (SELECT l_returnflag, avg(q) AS e1, avg(q*q) AS e2,
+        |        avg(q*q*q) AS e3, avg(q*q*q*q) AS e4
+        |      FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+        |            FROM lineitem) r
+        |      GROUP BY l_returnflag) m
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p,
+        |    CAST(count(*) AS DOUBLE) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT obs, s, p,
+        |    sum(obs) OVER (PARTITION BY s) AS rt,
+        |    sum(obs) OVER (PARTITION BY p) AS ct
+        |  FROM cells)
+        |SELECT round(sqrt((sum(obs*obs/(rt*ct)) - 1) /
+        |         least(count(DISTINCT s) - 1, count(DISTINCT p) - 1)), 6)
+        |    + 0 AS cramers_v,
+        |  CAST(sum(obs) AS BIGINT) AS n
+        |FROM j""".stripMargin,
+
+    "q_agg_welch_t" ->
+      """WITH a AS (
+        |  SELECT
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m1,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v1,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS DOUBLE) AS n1,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m2,
+        |    var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+        |      AS v2,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS DOUBLE) AS n2
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) + 0 AS t,
+        |  round(pow(v1/n1 + v2/n2, 2) /
+        |        (pow(v1/n1, 2)/(n1 - 1) + pow(v2/n2, 2)/(n2 - 1)), 2)
+        |    + 0 AS df,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM a""".stripMargin,
+
+    "q_agg_mannwhitney_u" ->
+      """WITH r AS (
+        |  SELECT value, event_type,
+        |    row_number() OVER (ORDER BY value) AS rn
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (
+        |  SELECT value, avg(rn) AS ar,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM r GROUP BY value),
+        |t AS (SELECT sum(ar * c1) AS r1, sum(c1) AS n1, sum(c) AS n
+        |      FROM v)
+        |SELECT round(r1 - n1*(n1 + 1)/2, 4) + 0 AS u1,
+        |  round(n1*(n - n1) - (r1 - n1*(n1 + 1)/2), 4) + 0 AS u2,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2
+        |FROM t""".stripMargin
   )
 }

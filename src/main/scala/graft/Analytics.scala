@@ -319,4 +319,34 @@ object Analytics {
     df.withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
   }
+
+  /** Mann–Whitney U statistic (ClickHouse mannWhitneyUTest, statistic
+    * only) comparing `valueCol` between rows where `groupCol == label1`
+    * and the rest. Tie-averaged rank sums WITHOUT a single-task global
+    * window: [[Relational.globalRowNumber]] range-partitions the sort,
+    * then one hash aggregate per distinct value recovers the
+    * tie-averaged rank (the mean of the consecutive raw row numbers a
+    * tie run receives — independent of how the run was ordered) plus the
+    * per-sample counts. U₁ = R₁ − n₁(n₁+1)/2, U₂ = n₁n₂ − U₁. Returns
+    * one row (u1, u2, n1, n2).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   label1: String): DataFrame =
+    Relational.globalRowNumber(
+        df.select(col(valueCol).as("__v"), col(groupCol).as("__g"))
+          .filter(col("__v").isNotNull),
+        Seq(col("__v")), "__rn")
+      .groupBy("__v")
+      .agg(avg("__rn").as("ar"),
+           count(when(col("__g") === label1, lit(1)))
+             .cast("double").as("c1"),
+           count(lit(1)).cast("double").as("c"))
+      .agg(sum(col("ar") * col("c1")).as("r1"),
+           sum("c1").as("n1"), sum("c").as("n"))
+      .select(
+        (col("r1") - col("n1") * (col("n1") + 1) / 2).as("u1"),
+        (col("n1") * (col("n") - col("n1")) -
+           (col("r1") - col("n1") * (col("n1") + 1) / 2)).as("u2"),
+        col("n1").cast("long").as("n1"),
+        (col("n") - col("n1")).cast("long").as("n2"))
 }

@@ -189,4 +189,15 @@ class AnalyticsSpec extends SparkSpec {
       .select("__n").as[Int].collect()
     assert(sums.length === 50 && sums.max === 400)
   }
+
+  test("mannWhitneyU tie-averages ranks: hand-computed A={1,2,4} " +
+       "B={2,3} gives U1=2.5") {
+    // ranks: 1→1, {2,2}→2.5 each, 3→4, 4→5; R_A=8.5, U1=8.5−6=2.5,
+    // U2=n1·n2−U1=3.5 (cross-check: #(a>b) + ½#(a=b) = 2 + 0.5)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 4.0), ("B", 2.0),
+                 ("B", 3.0)).toDF("g", "v")
+    val out = Analytics.mannWhitneyU(df, "v", "g", "A")
+      .as[(Double, Double, Long, Long)].head()
+    assert(out === ((2.5, 3.5, 3L, 2L)))
+  }
 }
