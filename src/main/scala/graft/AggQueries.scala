@@ -530,6 +530,27 @@ object AggQueries extends QueryPack {
           "value", "event_type", "view")
         .select((round(col("u1"), 4) + lit(0.0)).as("u1"),
                 (round(col("u2"), 4) + lit(0.0)).as("u2"),
+                col("n1"), col("n2"))),
+
+    // Spearman rank correlation (ClickHouse rankCorr) between quantity
+    // and price — tie-averaged ranks WITHOUT a ranking window
+    // ([[Analytics.rankCorr]]: globalRowNumber ranks + exact DECIMAL
+    // moment sums; only the final statistic is floating point).
+    "q_agg_rank_corr" -> ((s, dir) =>
+      Analytics.rankCorr(Tables(s, dir, "lineitem"), "l_quantity",
+                         "l_extendedprice")
+        .select((round(col("rank_corr"), 4) + lit(0.0)).as("rank_corr"),
+                col("n"))),
+
+    // Two-sample Kolmogorov–Smirnov D (ClickHouse kolmogorovSmirnovTest,
+    // statistic only) comparing click vs view value distributions —
+    // cumulative CDFs via range-partitioned prefix sums over the
+    // distinct-value count table, max over the exact INTEGER
+    // cross-difference |c1·n2 − c2·n1| ([[Analytics.ksTest]]).
+    "q_agg_ks_test" -> ((s, dir) =>
+      Analytics.ksTest(Tables(s, dir, "events"), "value", "event_type",
+                       "click", "view")
+        .select((round(col("ks_d"), 4) + lit(0.0)).as("ks_d"),
                 col("n1"), col("n2")))
   )
 
@@ -859,6 +880,45 @@ object AggQueries extends QueryPack {
         |SELECT round(r1 - n1*(n1 + 1)/2, 4) + 0 AS u1,
         |  round(n1*(n - n1) - (r1 - n1*(n1 + 1)/2), 4) + 0 AS u2,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // Doubled tie-averaged ranks (2·rank() + equal-count − 1) are exact
+    // integers; DuckDB's BIGINT sums promote to HUGEINT, matching the
+    // Spark side's DECIMAL(38,0) moments exactly.
+    "q_agg_rank_corr" ->
+      """WITH d AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT
+        |    2*rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2*rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM d),
+        |m AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |        sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+        |      FROM r)
+        |SELECT round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) + 0 AS rank_corr,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m""".stripMargin,
+
+    "q_agg_ks_test" ->
+      """WITH s AS (
+        |  SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |g AS (SELECT v, sum(c1) AS a, sum(c2) AS b FROM s GROUP BY v),
+        |r AS (SELECT v, sum(a) OVER (ORDER BY v) AS ca,
+        |        sum(b) OVER (ORDER BY v) AS cb FROM g),
+        |t AS (SELECT max(ca) AS n1, max(cb) AS n2 FROM r)
+        |SELECT round(CAST(max(abs(ca*n2 - cb*n1)) AS DOUBLE) /
+        |    (CAST(n1 AS DOUBLE) * n2), 4) + 0 AS ks_d,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM r, t GROUP BY n1, n2""".stripMargin
   )
 }

@@ -349,4 +349,172 @@ object Analytics {
            (col("r1") - col("n1") * (col("n1") + 1) / 2)).as("u2"),
         col("n1").cast("long").as("n1"),
         (col("n") - col("n1")).cast("long").as("n2"))
+
+  /** Union length of per-entity intervals (ClickHouse `intervalLengthSum`
+    * analog) plus the merged-interval count: classic gaps-and-islands in
+    * ONE per-key window pass — the running max of interval ends over
+    * strictly earlier rows marks where a new island starts, a running sum
+    * of those marks numbers the islands, and two hash aggregates reduce
+    * islands to (union_len, n_islands). One shuffle on the key; no
+    * self-join, no explode, cost independent of overlap fan-out.
+    * `startCol`/`endCol` are numeric (e.g. epoch seconds); abutting
+    * intervals [a,b],[b,c] merge (`start > prevMax` is false at b).
+    */
+  def intervalUnionLength(df: DataFrame, keyCol: String, startCol: String,
+                          endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1).otherwise(0))
+      .withColumn("__isl",
+        sum(col("__new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg((max(col(endCol)) - min(col(startCol))).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(sum("__len").cast("long").as("union_len"),
+           count(lit(1)).cast("long").as("n_islands"))
+  }
+
+  /** Maximum number of simultaneously-open intervals per entity, and the
+    * earliest instant that maximum is reached (ClickHouse
+    * `maxIntersections` / `maxIntersectionsPosition`): every interval
+    * contributes +1 at its start and −1 at its end, one per-key window
+    * sweeps the boundary points in time order (ends sort BEFORE starts at
+    * the same instant — half-open [s, e) semantics, so abutting intervals
+    * never overlap), and the answer is the running sum's max plus the
+    * minimum time attaining it. Two window frames over the SAME sort (the
+    * running sum, then the per-key max) — one shuffle on the key total.
+    */
+  def maxConcurrentIntervals(df: DataFrame, keyCol: String,
+                             startCol: String, endCol: String): DataFrame = {
+    val pts = df
+      .select(col(keyCol), col(startCol).as("__t"), lit(1).as("__d"))
+      .unionByName(
+        df.select(col(keyCol), col(endCol).as("__t"), lit(-1).as("__d")))
+    val wRun = Window.partitionBy(keyCol).orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("__run", sum(col("__d")).over(wRun))
+      .withColumn("__mx", max(col("__run")).over(Window.partitionBy(keyCol)))
+      .filter(col("__run") === col("__mx"))
+      .groupBy(col(keyCol))
+      .agg(max("__mx").cast("long").as("max_concurrent"),
+           min("__t").cast("long").as("at_t"))
+  }
+
+  /** Spearman rank correlation (ClickHouse `rankCorr`), ties averaged —
+    * one row (rank_corr, n). No per-group ranking window anywhere: each
+    * variable is ranked by [[Relational.globalRowNumber]] (range-
+    * partitioned sort, never a single-task window), tie runs collapse to
+    * their mean row number by a hash aggregate (the mean of a run of
+    * consecutive integers is order-independent), and the data joins the
+    * two tiny (distinct-value → rank) tables back by value. Tie-averaged
+    * ranks are integer multiples of 1/2, so DOUBLED ranks are exact
+    * integers: the five Pearson moment sums run in DECIMAL(38,0) — exact
+    * — and the statistic is one deterministic double expression at the
+    * end, so a SQL oracle reproduces it bit-for-bit.
+    */
+  def rankCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def rank2(c: String): DataFrame =
+      Relational.globalRowNumber(
+          df.select(col(c).as("__v")).filter(col("__v").isNotNull),
+          Seq(col("__v")), "__rn")
+        .groupBy("__v")
+        .agg((avg("__rn") * 2).cast("decimal(38,0)").as("__r2"))
+    val rx = rank2(xCol).withColumnsRenamed(Map("__v" -> xCol,
+                                                "__r2" -> "__rx"))
+    val ry = rank2(yCol).withColumnsRenamed(Map("__v" -> yCol,
+                                                "__r2" -> "__ry"))
+    df.select(col(xCol), col(yCol))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(rx, xCol).join(ry, yCol)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum("__rx").as("sx"), sum("__ry").as("sy"),
+           sum(col("__rx") * col("__ry")).as("sxy"),
+           sum(col("__rx") * col("__rx")).as("sxx"),
+           sum(col("__ry") * col("__ry")).as("syy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                   .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                   .cast("double")))).as("rank_corr"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (ClickHouse
+    * `kolmogorovSmirnovTest`, statistic only): D = max over x of
+    * |F₁(x) − F₂(x)| between `valueCol` under `groupCol == label1` vs
+    * `label2`. The empirical CDFs need cumulative counts over the sorted
+    * value domain — done on the per-DISTINCT-VALUE count table via two
+    * [[Relational.globalPrefixSum]] passes (range-partitioned, never a
+    * single-task window), so the sort touches one row per distinct value,
+    * not per observation. The max runs over the INTEGER cross-difference
+    * |c₁·n₂ − c₂·n₁| (exact, order-independent); only the final division
+    * is floating point. Returns one row (ks_d, n1, n2).
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             label1: String, label2: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isin(label1, label2) &&
+                col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupCol) === label1, lit(1))).as("__a"),
+           count(when(col(groupCol) === label2, lit(1))).as("__b"))
+    val cum = Relational.globalPrefixSum(
+      Relational.globalPrefixSum(g, Seq(col("__v")), "__a", "__ca"),
+      Seq(col("__v")), "__b", "__cb")
+    // totals = the last cumulative row's values; one-row broadcast join
+    val tot = cum.agg(max("__ca").as("__n1"), max("__cb").as("__n2"))
+    cum.join(broadcast(tot))
+      .agg(max(abs(col("__ca") * col("__n2") - col("__cb") * col("__n1")))
+             .as("__dmax"),
+           max("__ca").as("__n1"), max("__cb").as("__n2"))
+      .select(
+        (col("__dmax").cast("double") /
+           (col("__n1").cast("double") * col("__n2"))).as("ks_d"),
+        col("__n1").cast("long").as("n1"),
+        col("__n2").cast("long").as("n2"))
+  }
+
+  /** Sliding-window funnel — the full ClickHouse `windowFunnel`
+    * semantics: the chain may start at ANY step-1 occurrence (the
+    * anchored [[funnel]] only tries the first one), each later step must
+    * land strictly after the previous step and within `window` of ITS
+    * OWN chain's start, and the level is the deepest any chain reaches.
+    * Greedy earliest-next chaining per start is exact (taking the
+    * earliest admissible next event only enlarges the feasible set for
+    * the steps after it), so each stage is one STRICT forward as-of join
+    * ([[Relational.asofJoinForward]]) from the surviving (start, t_prev)
+    * rows to that step's events — per-stage cost is one union + one
+    * per-key window pass, linear in events, never |starts| × |events|.
+    * Returns (userCol, funnel_level) for every entity in `events`.
+    */
+  def funnelSliding(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    window: String): DataFrame = {
+    require(steps.nonEmpty, "funnelSliding needs at least one step")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"))
+    val s1 = e.filter(col("et") === steps.head)
+      .select(col("u"), col("ts").as("t0"), col("ts").as("t_prev"))
+    val stages = steps.tail.scanLeft(s1) { (prev, step) =>
+      val r = e.filter(col("et") === step)
+        .select(col("u"), col("ts"), col("ts").as("tn"))
+      Relational.asofJoinForward(prev, r, "u", "t_prev", "ts", Seq("tn"),
+                                 strict = true)
+        .filter(col("asof_tn") <= col("t0") + expr(s"INTERVAL $window"))
+        .select(col("u"), col("t0"), col("asof_tn").as("t_prev"))
+    }
+    val base = e.select(col("u")).distinct()
+    stages.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      acc.join(st.select(col("u")).distinct()
+                 .withColumn(s"l_$i", lit(1)),
+               Seq("u"), "left")
+    }
+      .select(col("u").as(userCol),
+              stages.indices.map(i => coalesce(col(s"l_$i"), lit(0)))
+                .reduce(_ + _).cast("long").as("funnel_level"))
+  }
 }

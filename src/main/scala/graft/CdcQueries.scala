@@ -48,6 +48,50 @@ object CdcQueries extends QueryPack {
                        "ts", Seq("view", "click", "purchase"), "24 HOURS")
         .orderBy("user_id")),
 
+    // D: sliding-window funnel ([[Analytics.funnelSliding]] — the FULL
+    // ClickHouse windowFunnel semantics: a chain may start at ANY view,
+    // not just the first one): furthest step of view → click → purchase
+    // with every step strictly later than the previous and within 30 min
+    // of its own chain's start. Each stage is one strict forward as-of
+    // join — linear in events, never |starts| × |events|.
+    "q_funnel_window" -> ((s, dir) =>
+      Analytics.funnelSliding(Tables(s, dir, "events"), "user_id",
+                              "event_type", "ts",
+                              Seq("view", "click", "purchase"),
+                              "30 MINUTES")
+        .orderBy("user_id")),
+
+    // D: interval union length (ClickHouse intervalLengthSum analog) over
+    // per-event activity intervals synthesized deterministically from
+    // event_id (start = event time, length 60 s + up to 10 min): total
+    // covered micros + merged-interval count per user, one
+    // gaps-and-islands window pass ([[Analytics.intervalUnionLength]]).
+    "q_interval_union" -> ((s, dir) =>
+      Analytics.intervalUnionLength(
+          Tables(s, dir, "events").select(
+            col("user_id"),
+            unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) +
+               (lit(60) + pmod(col("event_id"), lit(600))) * lit(1000000L))
+              .as("e_us")),
+          "user_id", "s_us", "e_us")
+        .orderBy("user_id")),
+
+    // D: max simultaneously-open intervals + the earliest instant that
+    // maximum is reached (ClickHouse maxIntersections /
+    // maxIntersectionsPosition): ±1 boundary sweep over the same
+    // synthesized intervals ([[Analytics.maxConcurrentIntervals]]).
+    "q_interval_overlap" -> ((s, dir) =>
+      Analytics.maxConcurrentIntervals(
+          Tables(s, dir, "events").select(
+            col("user_id"),
+            unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) +
+               (lit(60) + pmod(col("event_id"), lit(600))) * lit(1000000L))
+              .as("e_us")),
+          "user_id", "s_us", "e_us")
+        .orderBy("user_id")),
+
     // D: event-sequence predicate ([[Analytics.sequenceMatch]] —
     // ClickHouse sequenceMatch analog): did view → click → purchase
     // happen in strict order, any gaps, no window bound.
@@ -294,6 +338,80 @@ object CdcQueries extends QueryPack {
         |LEFT JOIN s2 ON u.user_id = s2.user_id
         |LEFT JOIN s3 ON u.user_id = s3.user_id
         |ORDER BY u.user_id NULLS FIRST""".stripMargin,
+
+    // Greedy earliest-next chaining per start (min-then-window-check,
+    // mirroring the Spark stage exactly); a user's level is the deepest
+    // stage any of their chains survives to.
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, ts FROM events),
+        |s1 AS (SELECT u, ts AS t0, ts AS tp FROM e WHERE et = 'view'),
+        |s2 AS (
+        |  SELECT s1.u, s1.t0, min(e.ts) AS tp
+        |  FROM s1 JOIN e ON e.u = s1.u AND e.et = 'click' AND e.ts > s1.tp
+        |  GROUP BY s1.u, s1.t0
+        |  HAVING min(e.ts) <= s1.t0 + INTERVAL 30 MINUTE),
+        |s3 AS (
+        |  SELECT s2.u, s2.t0, min(e.ts) AS tp
+        |  FROM s2 JOIN e ON e.u = s2.u AND e.et = 'purchase'
+        |    AND e.ts > s2.tp
+        |  GROUP BY s2.u, s2.t0
+        |  HAVING min(e.ts) <= s2.t0 + INTERVAL 30 MINUTE)
+        |SELECT du.u AS user_id,
+        |  CAST(CASE WHEN s1x.u IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s2x.u IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s3x.u IS NULL THEN 0 ELSE 1 END
+        |       AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT u FROM e) du
+        |LEFT JOIN (SELECT DISTINCT u FROM s1) s1x ON du.u = s1x.u
+        |LEFT JOIN (SELECT DISTINCT u FROM s2) s2x ON du.u = s2x.u
+        |LEFT JOIN (SELECT DISTINCT u FROM s3) s3x ON du.u = s3x.u
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (60 + event_id % 600) * 1000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+        |      FROM m),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS isl
+        |  FROM f),
+        |i AS (SELECT user_id, isl, max(e) - min(s) AS len
+        |      FROM g GROUP BY user_id, isl)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS union_len,
+        |  CAST(count(*) AS BIGINT) AS n_islands
+        |FROM i GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (60 + event_id % 600) * 1000000 AS e
+        |  FROM events),
+        |p AS (SELECT user_id, s AS t, 1 AS d FROM iv
+        |      UNION ALL SELECT user_id, e AS t, -1 AS d FROM iv),
+        |r AS (
+        |  SELECT user_id, t,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS run
+        |  FROM p),
+        |x AS (SELECT user_id, t, run,
+        |        max(run) OVER (PARTITION BY user_id) AS mx FROM r)
+        |SELECT user_id, CAST(max(mx) AS BIGINT) AS max_concurrent,
+        |  CAST(min(t) AS BIGINT) AS at_t
+        |FROM x WHERE run = mx
+        |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_seq_match" ->
       """WITH s1 AS (

@@ -30,7 +30,8 @@ object Explain {
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates
-    "q_text_bm25")          // cross vs broadcast one-row (N, avgdl) stats
+    "q_text_bm25",          // cross vs broadcast one-row (N, avgdl) stats
+    "q_agg_ks_test")        // cross vs broadcast one-row (n1, n2) totals
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -52,7 +53,12 @@ object Explain {
                                // ApproxTopK state per day, never raw rows
     "q_theta_segments",        // two one-row theta-sketch aggregates
                                // crossed for the set algebra
-    "q_text_bm25")             // one-row corpus-stats aggregate (N, avgdl)
+    "q_text_bm25",             // one-row corpus-stats aggregate (N, avgdl)
+    // global one-row STATISTIC aggregates (q_agg_global shape): the
+    // exchange moves one pre-aggregated partial row per upstream
+    // partition, never raw data
+    "q_agg_welch_t", "q_agg_cramers_v", "q_agg_mannwhitney_u",
+    "q_agg_rank_corr", "q_agg_ks_test")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -41,14 +41,21 @@ object Relational {
     * REVERSED (descending time, rights before lefts at equal times so
     * `>=` includes the simultaneous right): the running last(ignoreNulls)
     * then carries the nearest FOLLOWING right payload backwards.
+    *
+    * `strict = true` flips the equal-time tiebreak (lefts before rights
+    * in the descending scan), so the match condition tightens to
+    * `rightTs > leftTs` — the form event-chain searches need when a row
+    * must not match itself ([[Analytics.funnelSliding]]).
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
-                      rightPayload: Seq[String]): DataFrame = {
+                      rightPayload: Seq[String],
+                      strict: Boolean = false): DataFrame = {
     val (unioned, payload) =
       asofUnion(left, right, key, leftTs, rightTs, rightPayload)
     val w = Window.partitionBy(key)
-      .orderBy(col("__t").desc, col("__side"))
+      .orderBy(col("__t").desc,
+               if (strict) col("__side").desc else col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

@@ -200,4 +200,82 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Double, Double, Long, Long)].head()
     assert(out === ((2.5, 3.5, 3L, 2L)))
   }
+
+  test("intervalUnionLength merges overlapping AND abutting intervals") {
+    // key a: [0,10] ∪ [5,20] ∪ [20,25] merge (overlap, then abut) → 25;
+    // [30,40] is its own island → union 35 over 2 islands.
+    // key b: disjoint [0,1], [2,3] → union 2 over 2 islands.
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L),
+                 ("a", 30L, 40L), ("b", 0L, 1L), ("b", 2L, 3L))
+      .toDF("k", "s", "e")
+    val out = Analytics.intervalUnionLength(df, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 35L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("maxConcurrentIntervals: half-open sweep, earliest argmax") {
+    // key a: [0,10],[5,20],[8,9],[15,30] → depth 3 first reached at t=8.
+    // key b: abutting [0,10],[10,20] never overlap (ends before starts
+    // at t=10) → depth 1 at t=0.
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 8L, 9L),
+                 ("a", 15L, 30L), ("b", 0L, 10L), ("b", 10L, 20L))
+      .toDF("k", "s", "e")
+    val out = Analytics.maxConcurrentIntervals(df, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 3L, 8L), ("b", 1L, 0L)))
+  }
+
+  test("rankCorr: hand-computed Spearman with and without ties") {
+    // x=[1,2,3], y=[30,10,20] → rank_y=[3,1,2]; ρ = −0.5 exactly.
+    val d1 = Seq((1.0, 30.0), (2.0, 10.0), (3.0, 20.0)).toDF("x", "y")
+    val r1 = Analytics.rankCorr(d1, "x", "y").as[(Double, Long)].head()
+    assert(math.abs(r1._1 - (-0.5)) < 1e-12 && r1._2 === 3L)
+    // aligned ties: x=[1,2,2,3], y=[10,20,20,40] → both rank vectors are
+    // [1, 2.5, 2.5, 4] → ρ = 1 exactly.
+    val d2 = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val r2 = Analytics.rankCorr(d2, "x", "y").as[(Double, Long)].head()
+    assert(math.abs(r2._1 - 1.0) < 1e-12 && r2._2 === 4L)
+  }
+
+  test("ksTest: D = max |F1 - F2| with ties, hand-computed 1/3") {
+    // A={1,2,3}, B={2,3,4}: at x=1 |1/3−0|, x=2 |2/3−1/3|, x=3 |1−2/3|,
+    // x=4 |1−1| → D = 1/3.
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+                 ("B", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val out = Analytics.ksTest(df, "v", "g", "A", "B")
+      .as[(Double, Long, Long)].head()
+    assert(math.abs(out._1 - 1.0 / 3) < 1e-12)
+    assert(out._2 === 3L && out._3 === 3L)
+  }
+
+  test("funnelSliding restarts the window at any step-1 event " +
+       "(windowFunnel semantics the anchored funnel can't reach)") {
+    val events = Seq(
+      // user 1: first view's window expires before its click, but a
+      // SECOND view at 00:15 chains click@00:16 → purchase@00:17 inside
+      // its own 10-minute window → level 3. Anchored funnel sees only
+      // the 00:00 view → level 1.
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:20:00")),
+      (1L, "view", ts("2024-01-01 00:15:00")),
+      (1L, "click", ts("2024-01-01 00:16:00")),
+      (1L, "purchase", ts("2024-01-01 00:17:00")),
+      // user 2: click at the SAME instant as the view — strict ordering
+      // rejects it → level 1
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      // user 3: no view → level 0
+      (3L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val sliding = Analytics.funnelSliding(events, "user_id", "event_type",
+                                          "ts", steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(sliding === Array((1L, 3L), (2L, 1L), (3L, 0L)))
+    val anchored = Analytics.funnel(events, "user_id", "event_type", "ts",
+                                    steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(anchored === Array((1L, 1L), (2L, 1L), (3L, 0L)))
+  }
 }

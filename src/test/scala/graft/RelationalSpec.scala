@@ -48,6 +48,17 @@ class RelationalSpec extends SparkSpec {
     assert(out("p3") === "c5") // tie: >= includes equal timestamps
   }
 
+  test("asofJoinForward strict=true skips the simultaneous right row " +
+       "(rightTs > leftTs)") {
+    val out = Relational.asofJoinForward(left, right, "user_id", "t", "t",
+                                         Seq("cid"), strict = true)
+      .select("pid", "asof_cid").as[(String, String)].collect().toMap
+    assert(out("p1") === "c3")   // unchanged where no tie is involved
+    assert(out("p0") === "c2")
+    assert(out("p2") === "c4")
+    assert(!out.contains("p3"))  // c5 is AT t=30, not after it → no match
+  }
+
   test("asofJoin drops left rows with no prior right match (inner)") {
     val out = Relational.asofJoin(left, right, "user_id", "t", "t", Seq("cid"))
     assert(!out.select("pid").as[String].collect().contains("p2"))
