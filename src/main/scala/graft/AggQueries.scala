@@ -551,7 +551,64 @@ object AggQueries extends QueryPack {
       Analytics.ksTest(Tables(s, dir, "events"), "value", "event_type",
                        "click", "view")
         .select((round(col("ks_d"), 4) + lit(0.0)).as("ks_d"),
-                col("n1"), col("n2")))
+                col("n1"), col("n2"))),
+
+    // Pooled-variance Student t + df (ClickHouse studentTTest minus the
+    // p-value, exactly as q_agg_welch_t): ONE conditional hash
+    // aggregate, sp² = ((n1−1)v1 + (n2−1)v2)/(n1+n2−2),
+    // t = (m1−m2)/sqrt(sp²(1/n1 + 1/n2)).
+    "q_agg_student_t" -> ((s, dir) => {
+      val isA = col("event_type") === "view"
+      val isB = col("event_type") === "purchase"
+      Tables(s, dir, "events")
+        .filter(isA || isB)
+        .agg(avg(when(isA, col("value"))).as("m1"),
+             var_samp(when(isA, col("value"))).as("v1"),
+             count(when(isA, lit(1))).cast("double").as("n1"),
+             avg(when(isB, col("value"))).as("m2"),
+             var_samp(when(isB, col("value"))).as("v2"),
+             count(when(isB, lit(1))).cast("double").as("n2"))
+        .select(
+          (round((col("m1") - col("m2")) /
+                   sqrt((((col("n1") - 1) * col("v1") +
+                          (col("n2") - 1) * col("v2")) /
+                           (col("n1") + col("n2") - 2)) *
+                        (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4)
+             + lit(0.0)).as("t"),
+          (col("n1") + col("n2") - 2).cast("long").as("df"),
+          col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"))
+    }),
+
+    // Theil's U (uncertainty coefficient U(status|priority), ClickHouse
+    // theilsU) + Pearson contingency coefficient — see
+    // [[Analytics.contingencyStats]] for the cell-sized plan.
+    "q_agg_theils_u" -> ((s, dir) =>
+      Analytics.contingencyStats(Tables(s, dir, "orders"),
+                                 "o_orderstatus", "o_orderpriority")
+        .select((round(col("theils_u"), 6) + lit(0.0)).as("theils_u"),
+                (round(col("contingency_c"), 6) + lit(0.0))
+                  .as("contingency_c"),
+                col("n"))),
+
+    // boundingRatio per event type (ClickHouse boundingRatio): the slope
+    // between the chronologically first and last points of each series.
+    // Simultaneous observations collapse to max(value) FIRST (hash
+    // aggregate — makes the endpoints deterministic), then max_by/min_by
+    // pick the endpoint values with no window anywhere.
+    "q_agg_bounding_ratio" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), unix_micros(col("ts")).as("x"))
+        .agg(max("value").as("y"))
+        .groupBy("event_type")
+        .agg(((max_by(col("y"), col("x")) - min_by(col("y"), col("x"))) /
+               ((max("x") - min("x")).cast("double") / 1000000.0))
+               .as("r"),
+             count(lit(1)).as("n_points"))
+        .select(col("event_type"),
+                (round(col("r"), 6) + lit(0.0)).as("slope_per_s"),
+                col("n_points").cast("long").as("n_points"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -919,6 +976,57 @@ object AggQueries extends QueryPack {
         |SELECT round(CAST(max(abs(ca*n2 - cb*n1)) AS DOUBLE) /
         |    (CAST(n1 AS DOUBLE) * n2), 4) + 0 AS ks_d,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
-        |FROM r, t GROUP BY n1, n2""".stripMargin
+        |FROM r, t GROUP BY n1, n2""".stripMargin,
+
+    "q_agg_student_t" ->
+      """WITH a AS (
+        |  SELECT
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m1,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v1,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS DOUBLE) AS n1,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m2,
+        |    var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+        |      AS v2,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS DOUBLE) AS n2
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT round((m1 - m2) /
+        |    sqrt((((n1 - 1)*v1 + (n2 - 1)*v2) / (n1 + n2 - 2)) *
+        |         (1.0/n1 + 1.0/n2)), 4) + 0 AS t,
+        |  CAST(n1 + n2 - 2 AS BIGINT) AS df,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM a""".stripMargin,
+
+    "q_agg_theils_u" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p,
+        |    CAST(count(*) AS DOUBLE) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT obs,
+        |    sum(obs) OVER (PARTITION BY s) AS rt,
+        |    sum(obs) OVER (PARTITION BY p) AS ct
+        |  FROM cells),
+        |m AS (SELECT sum(obs) AS n, sum(obs * ln(ct/obs)) AS hc,
+        |        sum(obs * ln(rt)) AS hx, sum(obs*obs/(rt*ct)) AS q
+        |      FROM j)
+        |SELECT round((ln(n) - hx/n - hc/n) / (ln(n) - hx/n), 6) + 0
+        |    AS theils_u,
+        |  round(sqrt(1.0 - 1.0/q), 6) + 0 AS contingency_c,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m""".stripMargin,
+
+    "q_agg_bounding_ratio" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) AS x, max(value) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round((arg_max(y, x) - arg_min(y, x)) /
+        |        (CAST(max(x) - min(x) AS DOUBLE) / 1000000.0), 6) + 0
+        |    AS slope_per_s,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

@@ -478,6 +478,37 @@ object Analytics {
         col("__n2").cast("long").as("n2"))
   }
 
+  /** Theil's uncertainty coefficient U(x|y) (ClickHouse `theilsU`) and
+    * the Pearson contingency coefficient between two categoricals — the
+    * same contingency-cell shapes as the `q_agg_cramers_v` plan: one
+    * hash aggregate to cells, tiny marginal aggregates broadcast back,
+    * then exact-count entropies with NO second marginal join:
+    * H(x) = ln N − (Σ_x rt·ln rt)/N where Σ_x rt·ln rt = Σ_cells o·ln rt,
+    * H(x|y) = (Σ_cells o·ln(ct/o))/N, U = (H(x) − H(x|y))/H(x);
+    * C = sqrt(χ²/(N+χ²)) collapses to sqrt(1 − 1/q) with
+    * q = Σ o²/(rt·ct) (N cancels). Returns one row
+    * (theils_u, contingency_c, n).
+    */
+  def contingencyStats(df: DataFrame, xCol: String,
+                       yCol: String): DataFrame = {
+    val cells = df.groupBy(xCol, yCol)
+      .agg(count(lit(1)).cast("double").as("obs"))
+    val rowTot = cells.groupBy(xCol).agg(sum("obs").as("rt"))
+    val colTot = cells.groupBy(yCol).agg(sum("obs").as("ct"))
+    cells.join(broadcast(rowTot), xCol)
+      .join(broadcast(colTot), yCol)
+      .agg(sum("obs").as("n"),
+           sum(col("obs") * log(col("ct") / col("obs"))).as("hc"),
+           sum(col("obs") * log(col("rt"))).as("hx"),
+           sum(col("obs") * col("obs") / (col("rt") * col("ct")))
+             .as("q"))
+      .select(
+        ((log(col("n")) - col("hx") / col("n") - col("hc") / col("n")) /
+           (log(col("n")) - col("hx") / col("n"))).as("theils_u"),
+        sqrt(lit(1.0) - lit(1.0) / col("q")).as("contingency_c"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Sliding-window funnel — the full ClickHouse `windowFunnel`
     * semantics: the chain may start at ANY step-1 occurrence (the
     * anchored [[funnel]] only tries the first one), each later step must

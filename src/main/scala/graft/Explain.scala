@@ -58,7 +58,8 @@ object Explain {
     // exchange moves one pre-aggregated partial row per upstream
     // partition, never raw data
     "q_agg_welch_t", "q_agg_cramers_v", "q_agg_mannwhitney_u",
-    "q_agg_rank_corr", "q_agg_ks_test")
+    "q_agg_rank_corr", "q_agg_ks_test", "q_agg_student_t",
+    "q_agg_theils_u")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

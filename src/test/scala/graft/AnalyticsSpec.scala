@@ -249,6 +249,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out._2 === 3L && out._3 === 3L)
   }
 
+  test("contingencyStats: U=1 when x is determined by y, U=0 when " +
+       "independent") {
+    // x = f(y) exactly → H(x|y) = 0 → U = 1.
+    val dep = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val d = Analytics.contingencyStats(dep, "x", "y")
+      .as[(Double, Double, Long)].head()
+    assert(math.abs(d._1 - 1.0) < 1e-12 && d._3 === 4L)
+    // uniform 2×2 → independence → U = 0, C = 0 (q = 1).
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val i = Analytics.contingencyStats(ind, "x", "y")
+      .as[(Double, Double, Long)].head()
+    assert(math.abs(i._1) < 1e-12 && math.abs(i._2) < 1e-12)
+  }
+
   test("funnelSliding restarts the window at any step-1 event " +
        "(windowFunnel semantics the anchored funnel can't reach)") {
     val events = Seq(
