@@ -478,6 +478,67 @@ object Analytics {
         col("__n2").cast("long").as("n2"))
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling per series (ClickHouse
+    * `largestTriangleThreeBuckets`), in the PARALLEL bucket-anchor
+    * variant: classic LTTB anchors each bucket's triangle on the
+    * previously SELECTED point (a sequential chain); anchoring on the
+    * neighboring non-empty buckets' MEAN points instead makes every
+    * bucket independent — three shuffles total (per-key span, per-bucket
+    * sums, per-bucket argmax), no iteration, no per-key sequential scan.
+    * The first/last bucket keep the series' first/last point exactly,
+    * as LTTB does. Ties (equal area) break to the earlier point.
+    *
+    * Determinism note: bucket sums are double accumulations — exact (so
+    * safe to hash-compare cross-engine) when `tCol`/`vCol` are
+    * integer-valued with per-bucket sums below 2⁵³; the area itself is
+    * then a fixed IEEE expression over identical operands. Feed epoch
+    * SECONDS and scaled-integer values for oracle-checkable output.
+    *
+    * Returns (keyCol, bucket, t, v) — at most `nBuckets` rows per key.
+    */
+  def lttbDownsample(df: DataFrame, keyCol: String, tCol: String,
+                     vCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 3, "lttbDownsample needs at least 3 buckets")
+    val span = df.groupBy(keyCol)
+      .agg(min(tCol).as("__tmin"), max(tCol).as("__tmax"))
+    val pts = df.join(span, keyCol)
+      .withColumn("__rt", (col(tCol) - col("__tmin")).cast("double"))
+      .withColumn("__v", col(vCol).cast("double"))
+      .withColumn("__b", least(lit(nBuckets - 1),
+        floor(col("__rt") * nBuckets /
+                (col("__tmax") - col("__tmin") + 1).cast("double"))
+          .cast("int")))
+    val sums = pts.groupBy(col(keyCol), col("__b"))
+      .agg(sum("__rt").as("__st"), sum("__v").as("__sv"),
+           count(lit(1)).cast("double").as("__n"))
+    val wb = Window.partitionBy(keyCol).orderBy("__b")
+    // neighbor = adjacent NON-EMPTY bucket (empty buckets are skipped by
+    // construction — they have no summary row)
+    val nbr = sums.select(col(keyCol), col("__b"),
+      (lag("__st", 1).over(wb) / lag("__n", 1).over(wb)).as("__pt"),
+      (lag("__sv", 1).over(wb) / lag("__n", 1).over(wb)).as("__pv"),
+      (lead("__st", 1).over(wb) / lead("__n", 1).over(wb)).as("__nt"),
+      (lead("__sv", 1).over(wb) / lead("__n", 1).over(wb)).as("__nv"))
+    val joined = pts.join(nbr, Seq(keyCol, "__b"))
+    val isFirst = col("__pt").isNull
+    val isLast = col("__nt").isNull
+    val area = abs((col("__pt") - col("__nt")) * (col("__v") - col("__pv"))
+                     - (col("__pt") - col("__rt")) *
+                       (col("__nv") - col("__pv")))
+    // lexicographic selection key: middle buckets maximize area then
+    // prefer the earlier/smaller point; the first bucket takes the
+    // series' first point (min t), the last bucket its last (max t)
+    val sel = struct(
+      when(isFirst || isLast, lit(0.0)).otherwise(area),
+      when(isLast, col("__rt")).otherwise(-col("__rt")),
+      when(isLast, col("__v")).otherwise(-col("__v")))
+    joined.groupBy(col(keyCol), col("__b").as("bucket"))
+      .agg(max_by(struct(col(tCol).as("t"), col(vCol).as("v")), sel)
+             .as("__sel"))
+      .select(col(keyCol), col("bucket").cast("long").as("bucket"),
+              col("__sel.t").as("t"), col("__sel.v").as("v"))
+  }
+
   /** Theil's uncertainty coefficient U(x|y) (ClickHouse `theilsU`) and
     * the Pearson contingency coefficient between two categoricals — the
     * same contingency-cell shapes as the `q_agg_cramers_v` plan: one

@@ -92,6 +92,20 @@ object CdcQueries extends QueryPack {
           "user_id", "s_us", "e_us")
         .orderBy("user_id")),
 
+    // D: LTTB downsampling to 12 visually-representative points per
+    // series (ClickHouse largestTriangleThreeBuckets, parallel
+    // bucket-anchor variant — [[Analytics.lttbDownsample]]). Inputs are
+    // integerized (epoch seconds, value×10⁴) so every bucket sum is an
+    // exact double and the selection hashes identically cross-engine.
+    "q_lttb" -> ((s, dir) =>
+      Analytics.lttbDownsample(
+          Tables(s, dir, "events").select(
+            col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("t_s"),
+            round(col("value") * 10000, 0).cast("long").as("v_i")),
+          "user_id", "t_s", "v_i", 12)
+        .orderBy("user_id", "bucket")),
+
     // D: event-sequence predicate ([[Analytics.sequenceMatch]] —
     // ClickHouse sequenceMatch analog): did view → click → purchase
     // happen in strict order, any gaps, no window bound.
@@ -412,6 +426,43 @@ object CdcQueries extends QueryPack {
         |  CAST(min(t) AS BIGINT) AS at_t
         |FROM x WHERE run = mx
         |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // Mirrors lttbDownsample clause by clause; the row_number ORDER BY
+    // is the lexicographic max_by selection key.
+    "q_lttb" ->
+      """WITH p AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 1000000 AS t,
+        |    CAST(round(value * 10000, 0) AS BIGINT) AS v
+        |  FROM events),
+        |s AS (SELECT k, min(t) AS tmin, max(t) AS tmax FROM p GROUP BY k),
+        |b AS (
+        |  SELECT p.k, t, v, CAST(t - tmin AS DOUBLE) AS rt,
+        |    least(11, CAST(floor(CAST((t - tmin) * 12 AS DOUBLE) /
+        |      CAST(tmax - tmin + 1 AS DOUBLE)) AS INT)) AS bk
+        |  FROM p JOIN s ON p.k = s.k),
+        |g AS (SELECT k, bk, sum(rt) AS st, sum(CAST(v AS DOUBLE)) AS sv,
+        |        CAST(count(*) AS DOUBLE) AS n
+        |      FROM b GROUP BY k, bk),
+        |nb AS (
+        |  SELECT k, bk,
+        |    lag(st) OVER w / lag(n) OVER w AS pt,
+        |    lag(sv) OVER w / lag(n) OVER w AS pv,
+        |    lead(st) OVER w / lead(n) OVER w AS nt,
+        |    lead(sv) OVER w / lead(n) OVER w AS nv
+        |  FROM g WINDOW w AS (PARTITION BY k ORDER BY bk)),
+        |r AS (
+        |  SELECT b.k, b.bk, b.t, b.v,
+        |    row_number() OVER (PARTITION BY b.k, b.bk ORDER BY
+        |      CASE WHEN pt IS NULL OR nt IS NULL THEN 0.0
+        |           ELSE abs((pt - nt) * (CAST(b.v AS DOUBLE) - pv)
+        |                    - (pt - b.rt) * (nv - pv)) END DESC,
+        |      CASE WHEN nt IS NULL THEN b.rt ELSE -b.rt END DESC,
+        |      CASE WHEN nt IS NULL THEN CAST(b.v AS DOUBLE)
+        |           ELSE -CAST(b.v AS DOUBLE) END DESC) AS rn
+        |  FROM b JOIN nb ON b.k = nb.k AND b.bk = nb.bk)
+        |SELECT k AS user_id, CAST(bk AS BIGINT) AS bucket, t, v
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, bucket""".stripMargin,
 
     "q_seq_match" ->
       """WITH s1 AS (

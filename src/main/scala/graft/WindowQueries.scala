@@ -127,6 +127,27 @@ object WindowQueries extends QueryPack {
         .select(col("user_id"), round(col("tdavg"), 4).as("tdavg"))
         .orderBy("user_id")),
 
+    // W2b: per-series derivative pair (ClickHouse runningDifference +
+    // nonNegativeDerivative): consecutive value delta, and the
+    // rate-per-second clamped at zero — counter-reset-safe rate of a
+    // monotone gauge. One lag window per series, ties broken by
+    // event_id so the neighbor is deterministic.
+    "q_win_derivative" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dv = col("value") - lag("value", 1).over(w)
+      val dt = (unix_micros(col("ts")) -
+                 lag(unix_micros(col("ts")), 1).over(w)).cast("double")
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                round(dv, 4).as("run_diff"),
+                // dt > 0 guard: simultaneous neighbors yield NULL, not a
+                // divide-by-zero artifact (engines disagree on x/0.0)
+                round(when(dt > 0, greatest(dv * lit(1000000.0) / dt,
+                                            lit(0.0))), 6)
+                  .as("nn_deriv"))
+        .orderBy("event_id")
+    }),
+
     // W7: first/last value over the full partition frame.
     "q_win_first_last" -> ((s, dir) => {
       val full = byUserTs.rowsBetween(Window.unboundedPreceding,
@@ -153,6 +174,19 @@ object WindowQueries extends QueryPack {
         |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts)
         |    AS next_type
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_win_derivative" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    value - lag(value, 1) OVER w AS dv,
+        |    CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS DOUBLE)
+        |      AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, round(dv, 4) AS run_diff,
+        |  round(CASE WHEN dt > 0
+        |    THEN greatest(dv * 1000000.0 / dt, 0.0) END, 6) AS nn_deriv
+        |FROM d ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_win_running_sum" ->
       """SELECT event_id,

@@ -249,6 +249,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out._2 === 3L && out._3 === 3L)
   }
 
+  test("lttbDownsample keeps endpoints and picks the max-area spike") {
+    // 9 points, 3 buckets of 3 (t 0-8, span 9): bucket 0 keeps the first
+    // point (0,0), bucket 2 the last (8,2); bucket 1 anchors on the
+    // neighbor bucket means (1,2) and (7,7/3) — the spike (4,9) has area
+    // 41 vs 0.67/4.67 for its neighbors.
+    val df = Seq((0, 0), (1, 5), (2, 1), (3, 2), (4, 9), (5, 3),
+                 (6, 1), (7, 4), (8, 2))
+      .map { case (t, v) => ("a", t.toLong, v.toLong) }
+      .toDF("k", "t", "v")
+    val out = Analytics.lttbDownsample(df, "k", "t", "v", 3)
+      .orderBy("bucket").as[(String, Long, Long, Long)].collect()
+    assert(out === Array(("a", 0L, 0L, 0L), ("a", 1L, 4L, 9L),
+                         ("a", 2L, 8L, 2L)))
+  }
+
   test("contingencyStats: U=1 when x is determined by y, U=0 when " +
        "independent") {
     // x = f(y) exactly → H(x|y) = 0 → U = 1.
