@@ -175,7 +175,33 @@ object FunctionQueries extends QueryPack {
         .select(col("doc_id"),
                 posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
         .withColumn("pos", col("pos").cast("long"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // F12: URL decomposition (the ClickHouse URL-function family —
+    // protocol/domain/domainWithoutWWW/topLevelDomain/path/queryString/
+    // extractURLParameter) via `parse_url` — a codegen'd built-in, one
+    // projection, no UDF. URLs are synthesized deterministically from
+    // the documents table (the per-domain-cap curation input shape).
+    "q_url_funcs" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                concat(lit("https://www."), col("source"),
+                       lit(".example.com/"), col("lang"), lit("/doc/"),
+                       col("doc_id"), lit("?page="),
+                       pmod(col("doc_id"), lit(10)), lit("&ref="),
+                       col("source")).as("url"))
+        .select(col("doc_id"),
+                parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+                parse_url(col("url"), lit("HOST")).as("host"),
+                regexp_replace(parse_url(col("url"), lit("HOST")),
+                               "^www\\.", "").as("domain_no_www"),
+                regexp_extract(parse_url(col("url"), lit("HOST")),
+                               "\\.([^.]+)$", 1).as("tld"),
+                parse_url(col("url"), lit("PATH")).as("path"),
+                parse_url(col("url"), lit("QUERY")).as("query"),
+                parse_url(col("url"), lit("QUERY"), lit("page"))
+                  .cast("long").as("page"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +304,28 @@ object FunctionQueries extends QueryPack {
       """SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 20
-        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    "q_url_funcs" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/' || lang ||
+        |    '/doc/' || CAST(doc_id AS VARCHAR) || '?page=' ||
+        |    CAST(doc_id % 10 AS VARCHAR) || '&ref=' || source AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+        |  FROM u)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  host,
+        |  regexp_replace(host, '^www\.', '') AS domain_no_www,
+        |  regexp_extract(host, '\.([^.]+)$', 1) AS tld,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  CAST(regexp_extract(url, '[?&]page=([^&#]*)', 1) AS BIGINT)
+        |    AS page
+        |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin
   )
 }
