@@ -31,7 +31,8 @@ object Explain {
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates
     "q_text_bm25",          // cross vs broadcast one-row (N, avgdl) stats
-    "q_agg_ks_test")        // cross vs broadcast one-row (n1, n2) totals
+    "q_agg_ks_test",        // cross vs broadcast one-row (n1, n2) totals
+    "q_text_ngram_lm")      // cross vs broadcast one-row vocabulary size
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -59,7 +60,8 @@ object Explain {
     // partition, never raw data
     "q_agg_welch_t", "q_agg_cramers_v", "q_agg_mannwhitney_u",
     "q_agg_rank_corr", "q_agg_ks_test", "q_agg_student_t",
-    "q_agg_theils_u")
+    "q_agg_theils_u",
+    "q_text_ngram_lm")         // one-row vocabulary-size aggregate
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -93,6 +93,49 @@ object LlmOps {
       .select("doc", "chunk")
   }
 
+  /** Self-trained bigram language-model cross-entropy per document — the
+    * KenLM-style quality signal (CCNet/RefinedWeb filter on LM
+    * perplexity) without an external model: train add-1-smoothed bigram
+    * statistics ON the corpus itself, score each document by the mean
+    * negative log-probability of its bigrams. Outlier documents
+    * (gibberish, boilerplate repetition) sit far from the corpus mode.
+    *
+    * Fully relational: one token explode (linear), two hash-aggregate
+    * count tables (unigram, bigram), shuffle joins back on `w1` /
+    * `(w1, w2)` — the count tables are corpus-vocabulary sized so they
+    * are NOT broadcast, and a hot bigram is a shuffled-join skew AQE
+    * can split. The vocabulary size is a one-row broadcast.
+    * P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V); c(w₁,w₂) ≤ c(w₁) and V ≥ 1 so
+    * every term is a true probability. Documents with < 2 tokens emit
+    * no bigrams and are dropped. Returns (idCol, xent, n_bigrams).
+    */
+  def ngramLmScore(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+                           tokens(col(textCol), normalize = true).as("tk"))
+    val bg = toks
+      .select(col(idCol), explode(
+        when(size(col("tk")) >= 2,
+             transform(sequence(lit(1), size(col("tk")) - 1),
+                       i => struct(element_at(col("tk"), i).as("w1"),
+                                   element_at(col("tk"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).cast("double").as("cu"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("vocab"))
+    val bgc = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("cb"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(avg(-log((col("cb") + 1) / (col("cu") + col("vocab"))))
+             .as("xent"),
+           count(lit(1)).cast("long").as("n_bigrams"))
+  }
+
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
     * shingle Jaccard — fully relational formulation:
     *

@@ -624,6 +624,18 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L5: self-trained bigram LM cross-entropy per document
+    // ([[LlmOps.ngramLmScore]] — the CCNet/KenLM perplexity-filter
+    // signal without an external model). Count tables join back
+    // SHUFFLED, not broadcast: at 100 TB the bigram vocabulary is
+    // far beyond driver memory.
+    "q_text_ngram_lm" -> ((s, dir) =>
+      LlmOps.ngramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+                (round(col("xent"), 4) + lit(0.0)).as("xent"),
+                col("n_bigrams"))
+        .orderBy("doc_id")),
+
     // L2: character-level edit distance behind a REAL blocking stage:
     // candidates must share a rare 3-token shingle (df <= 3) and sit
     // within 30 chars of each other in length; Levenshtein verifies the
@@ -1426,6 +1438,29 @@ object LlmQueries extends QueryPack {
         |tot AS (SELECT count(*) AS n_total FROM tok)
         |SELECT doc_id, round(avg(ln(c * 1.0 / n_total)), 4) AS avg_logprob
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // Aligned zipped unnests build the bigram stream; count tables and
+    // the add-1 probability mirror ngramLmScore term for term.
+    "q_text_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |    unnest(tk[2:len(tk)]) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS DOUBLE) AS cu
+        |  FROM (SELECT unnest(tk) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+        |        FROM bg GROUP BY w1, w2)
+        |SELECT doc_id,
+        |  round(avg(-ln((cb + 1) / (cu + vocab))), 4) + 0 AS xent,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_text_edit_distance" ->

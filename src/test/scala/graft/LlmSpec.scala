@@ -548,4 +548,21 @@ class LlmSpec extends SparkSpec {
     assert(out(0)._2 === "x y")
     assert(out(1)._2 === "x y z")
   }
+
+  test("ngramLmScore: hand-computed add-1 bigram cross-entropy") {
+    // corpus: "a b a", "b a", "x" → unigrams a:3 b:2 x:1, V=3
+    // (doc3's lone token joins the vocabulary even though the doc is
+    // too short to score); bigrams (a,b):1, (b,a):2.
+    // doc1 = avg(-ln((1+1)/(3+3)), -ln((2+1)/(2+3))) ≈ 0.8047
+    // doc2 = -ln(3/5) ≈ 0.5108; doc3 emits no bigram → dropped.
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = LlmOps.ngramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double, Long)].collect()
+    assert(out.map(_._1) === Array(1L, 2L))
+    assert(math.abs(out(0)._2 -
+      (-math.log(2.0 / 6) - math.log(3.0 / 5)) / 2) < 1e-12)
+    assert(out(0)._3 === 2L)
+    assert(math.abs(out(1)._2 - (-math.log(3.0 / 5))) < 1e-12)
+  }
 }
