@@ -193,6 +193,46 @@ object AggQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // ClickHouse minMap/maxMap analog (q_agg_summap's siblings): per
+    // entity, event_type → (min, max) of value as aligned sorted lists.
+    // Same two-hash-aggregate shape; extremes carried as exact integer
+    // ten-thousandths so the joined string is bit-portable.
+    "q_agg_minmax_map" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg((min(col("value").cast("decimal(18,4)")) * 10000)
+               .cast("long").as("mn"),
+             (max(col("value").cast("decimal(18,4)")) * 10000)
+               .cast("long").as("mx"))
+      def vals(c: String) = array_join(
+        transform(
+          array_sort(collect_list(struct(col("event_type").as("k"),
+                                         col(c).as("v")))),
+          e => e.getField("v").cast("string")), ",")
+      per.groupBy("user_id")
+        .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
+               .as("ks"),
+             vals("mn").as("mins"), vals("mx").as("maxs"))
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse topKWeighted analog, exact: top-5 suppliers per return
+    // flag by TOTAL shipped quantity. The weight aggregate is map-side
+    // combined; the per-group cap runs the two-phase salted shape
+    // ([[Relational.topKPerGroupSalted]]) so a hot group never funnels
+    // through one window task.
+    "q_agg_topk_weighted" -> ((s, dir) => {
+      val w = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(sum("l_quantity").cast("long").as("weight"))
+      Relational.topKPerGroupSalted(
+          w, Seq("l_returnflag"),
+          Seq(col("weight").desc, col("l_suppkey")), 5,
+          pmod(col("l_suppkey"), lit(16)))
+        .select(col("l_returnflag"), col("l_suppkey"), col("weight"))
+        .orderBy(col("l_returnflag"), desc("weight"), col("l_suppkey"))
+    }),
+
     // ClickHouse uniqState/uniqMerge analog: mergeable HLL sketch
     // partials — per-day sketches of the visitor set, rolled up to a
     // per-event-type estimate WITHOUT touching raw rows again. The
@@ -762,6 +802,36 @@ object AggQueries extends QueryPack {
         |  string_agg(event_type, ',' ORDER BY event_type) AS ks,
         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY event_type) AS vs
         |FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_minmax_map" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |    CAST(min(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      AS mn,
+        |    CAST(max(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      AS mx
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS ks,
+        |  string_agg(CAST(mn AS VARCHAR), ',' ORDER BY event_type)
+        |    AS mins,
+        |  string_agg(CAST(mx AS VARCHAR), ',' ORDER BY event_type)
+        |    AS maxs
+        |FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_topk_weighted" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS weight
+        |  FROM lineitem GROUP BY l_returnflag, l_suppkey),
+        |r AS (
+        |  SELECT l_returnflag, l_suppkey, weight,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY weight DESC, l_suppkey) AS rn
+        |  FROM w)
+        |SELECT l_returnflag, l_suppkey, weight
+        |FROM r WHERE rn <= 5
+        |ORDER BY l_returnflag NULLS FIRST, weight DESC, l_suppkey""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

@@ -124,6 +124,35 @@ object CdcQueries extends QueryPack {
                               Seq("view", "purchase"))
         .orderBy("user_id")),
 
+    // D: sequenceNextNode (ClickHouse, forward/head): after each user's
+    // first view → next click chain, which event type comes immediately
+    // next? Two strict forward as-of joins ([[Relational.asofJoinForward]]
+    // — one union + one per-key window pass each, linear in events); the
+    // candidate set is pre-reduced to one row per (user, instant) with a
+    // min_by(event_id) tiebreak so the simultaneous-event pick is
+    // deterministic. Users without a full chain keep a NULL next_type.
+    "q_seq_next_node" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("et"),
+                col("ts"), col("event_id"))
+      val s1 = e.filter(col("et") === "view")
+        .groupBy("u").agg(min("ts").as("t1"))
+      val clicks = e.filter(col("et") === "click")
+        .select(col("u"), col("ts"), col("ts").as("tc"))
+      val s2 = Relational.asofJoinForward(s1, clicks, "u", "t1", "ts",
+                                          Seq("tc"), strict = true)
+        .select(col("u"), col("asof_tc").as("t2"))
+      val nxt = e.groupBy(col("u"), col("ts"))
+        .agg(min_by(col("et"), col("event_id")).as("nt"))
+      val s3 = Relational.asofJoinForward(s2, nxt, "u", "t2", "ts",
+                                          Seq("nt"), strict = true)
+        .select(col("u"), col("asof_nt").as("next_type"))
+      e.select(col("u")).distinct()
+        .join(s3, Seq("u"), "left")
+        .select(col("u").as("user_id"), col("next_type"))
+        .orderBy("user_id")
+    }),
+
     // D: cohort retention ([[Analytics.retention]]) — users by signup day;
     // active exactly 1 and 7 days later.
     "q_retention" -> ((s, dir) =>
@@ -506,6 +535,29 @@ object CdcQueries extends QueryPack {
         |                       AND e.rn = w.rn + 1)
         |SELECT w.user_id, CAST(acc // 2 AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON w.user_id = n.u AND w.rn = n.mx
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // min(ts > prev) replicates each strict forward as-of stage;
+    // arg_min mirrors the min_by(event_id) simultaneous-event tiebreak.
+    "q_seq_next_node" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, ts, event_id FROM events),
+        |s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE et = 'view'
+        |       GROUP BY u),
+        |s2 AS (
+        |  SELECT s1.u, min(e.ts) AS t2
+        |  FROM s1 JOIN e ON e.u = s1.u AND e.et = 'click'
+        |    AND e.ts > s1.t1
+        |  GROUP BY s1.u),
+        |nxt AS (SELECT u, ts, arg_min(et, event_id) AS nt
+        |        FROM e GROUP BY u, ts),
+        |s3 AS (
+        |  SELECT s2.u, arg_min(n.nt, n.ts) AS next_type
+        |  FROM s2 JOIN nxt n ON n.u = s2.u AND n.ts > s2.t2
+        |  GROUP BY s2.u)
+        |SELECT du.u AS user_id, s3.next_type
+        |FROM (SELECT DISTINCT u FROM e) du
+        |LEFT JOIN s3 ON du.u = s3.u
         |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_retention" ->
