@@ -177,6 +177,47 @@ object FunctionQueries extends QueryPack {
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")),
 
+    // F13: IPv4 family (ClickHouse IPv4NumToString / IPv4StringToNum /
+    // isIPAddressInRange): shift/mask octet surgery, string round-trip,
+    // RFC-1918 predicate, /24 prefix — all codegen'd integer ops over a
+    // deterministically synthesized address per event.
+    "q_ip_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                pmod(col("event_id") * 2654435761L, lit(4294967296L))
+                  .as("ip_num"))
+        .select(col("event_id"), col("ip_num"),
+                Functions.ipv4NumToString(col("ip_num")).as("ip_str"),
+                Functions.ipv4StringToNum(
+                  Functions.ipv4NumToString(col("ip_num")))
+                  .as("roundtrip"),
+                Functions.ipv4IsPrivate(col("ip_num")).cast("long")
+                  .as("is_private"),
+                concat(Functions.ipv4NumToString(
+                         shiftleft(shiftright(col("ip_num"), 8), 8)),
+                       lit("/24")).as("cidr24"))
+        .orderBy("event_id")),
+
+    // F14: geo family — haversine great-circle distance
+    // ([[Functions.haversineKm]]) and an 8-character geohash
+    // ([[Functions.geohashEncode]]: 2×20-bit quantize → bit-interleave
+    // fold → base-32, exact power-of-two arithmetic so the SQL oracle
+    // matches bit-for-bit) over deterministic synthetic coordinates.
+    "q_geo_funcs" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                (pmod(col("event_id") * 37, lit(17000L)).cast("double")
+                   / 100.0 - 85.0).as("lat"),
+                (pmod(col("event_id") * 73, lit(35900L)).cast("double")
+                   / 100.0 - 179.5).as("lon"))
+        .select(col("event_id"), col("lat"), col("lon"),
+                round(Functions.haversineKm(col("lat"), col("lon"),
+                                            lit(48.85), lit(2.35)), 4)
+                  .as("dist_paris_km"),
+                Functions.geohashEncode(col("lat"), col("lon"))
+                  .as("geohash8"))
+        .orderBy("event_id")),
+
     // F12: URL decomposition (the ClickHouse URL-function family —
     // protocol/domain/domainWithoutWWW/topLevelDomain/path/queryString/
     // extractURLParameter) via `parse_url` — a codegen'd built-in, one
@@ -305,6 +346,69 @@ object FunctionQueries extends QueryPack {
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 20
         |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    "q_ip_funcs" ->
+      """WITH i AS (
+        |  SELECT event_id,
+        |    (event_id * 2654435761) % 4294967296 AS ip_num
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, ip_num,
+        |    CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+        |    CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+        |    CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+        |    CAST(ip_num & 255 AS VARCHAR) AS ip_str
+        |  FROM i)
+        |SELECT event_id, ip_num, ip_str,
+        |  CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+        |  CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+        |  CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+        |  CAST(string_split(ip_str, '.')[4] AS BIGINT) AS roundtrip,
+        |  CAST(((ip_num >> 24) & 255) = 10 OR
+        |    (((ip_num >> 24) & 255) = 172 AND
+        |     ((ip_num >> 16) & 255) BETWEEN 16 AND 31) OR
+        |    (((ip_num >> 24) & 255) = 192 AND
+        |     ((ip_num >> 16) & 255) = 168) AS BIGINT) AS is_private,
+        |  CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+        |  CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+        |  CAST((ip_num >> 8) & 255 AS VARCHAR) || '.0/24' AS cidr24
+        |FROM s ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    // Mirrors geohashEncode digit for digit: floor-division bit
+    // extraction over exact power-of-two divisors.
+    "q_geo_funcs" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 37) % 17000 AS DOUBLE) / 100.0 - 85.0
+        |      AS lat,
+        |    CAST((event_id * 73) % 35900 AS DOUBLE) / 100.0 - 179.5
+        |      AS lon
+        |  FROM events),
+        |q AS (
+        |  SELECT event_id, lat, lon,
+        |    least(1048575, CAST(floor((lat + 90.0) / 180.0 * 1048576.0)
+        |      AS BIGINT)) AS ilat,
+        |    least(1048575, CAST(floor((lon + 180.0) / 360.0 * 1048576.0)
+        |      AS BIGINT)) AS ilon
+        |  FROM c),
+        |h AS (
+        |  SELECT event_id, lat, lon,
+        |    CAST(list_sum(list_transform(range(0, 20), i ->
+        |      (CAST(floor(ilon / pow(2, 19 - i)) AS BIGINT) % 2)
+        |        * CAST(pow(2, 39 - 2*i) AS BIGINT) +
+        |      (CAST(floor(ilat / pow(2, 19 - i)) AS BIGINT) % 2)
+        |        * CAST(pow(2, 38 - 2*i) AS BIGINT))) AS BIGINT) AS hh
+        |  FROM q)
+        |SELECT event_id, lat, lon,
+        |  round(2.0 * 6371.0 * asin(sqrt(
+        |    pow(sin(radians(48.85 - lat) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(48.85)) *
+        |    pow(sin(radians(2.35 - lon) / 2), 2))), 4) AS dist_paris_km,
+        |  array_to_string(list_transform(range(0, 8), k ->
+        |    substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |      CAST(CAST(floor(hh / pow(2, 35 - 5*k)) AS BIGINT) % 32
+        |        + 1 AS INT), 1)), '') AS geohash8
+        |FROM h ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_url_funcs" ->
       """WITH u AS (

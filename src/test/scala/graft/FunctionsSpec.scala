@@ -121,4 +121,43 @@ class FunctionsSpec extends SparkSpec {
     assert(df.as[Double].collect().toSeq ===
            viaNative.as[Double].collect().toSeq)
   }
+
+  test("ipv4 functions: round-trip, edges, RFC-1918 ranges") {
+    val df = Seq(0L, 4294967295L, 167772161L /* 10.0.0.1 */,
+                 2886729728L /* 172.16.0.0 */, 3232235521L /* 192.168.0.1 */,
+                 134744072L /* 8.8.8.8 */)
+      .toDF("ip")
+    val out = df.select(
+        Functions.ipv4NumToString(col("ip")).as("s"),
+        Functions.ipv4StringToNum(Functions.ipv4NumToString(col("ip")))
+          .as("rt"),
+        Functions.ipv4IsPrivate(col("ip")).as("p"))
+      .as[(String, Long, Boolean)].collect()
+    assert(out(0) === (("0.0.0.0", 0L, false)))
+    assert(out(1) === (("255.255.255.255", 4294967295L, false)))
+    assert(out(2) === (("10.0.0.1", 167772161L, true)))
+    assert(out(3) === (("172.16.0.0", 2886729728L, true)))
+    assert(out(4) === (("192.168.0.1", 3232235521L, true)))
+    assert(out(5) === (("8.8.8.8", 134744072L, false)))
+  }
+
+  test("geohashEncode anchors and haversine identities") {
+    val df = Seq((0.0, 0.0), (89.999999, 179.999999), (-90.0, -180.0))
+      .toDF("lat", "lon")
+    val gh = df.select(Functions.geohashEncode(col("lat"), col("lon")))
+      .as[String].collect()
+    // (0,0) quantizes to the half cell: first interleaved bits 11000 =
+    // 's', everything after exact zero; the NE corner saturates to all
+    // ones ('z'×8), the SW corner to all zeros.
+    assert(gh === Array("s0000000", "zzzzzzzz", "00000000"))
+    val d = df.limit(1).select(
+        Functions.haversineKm(lit(48.85), lit(2.35), lit(48.85),
+                              lit(2.35)).as("zero"),
+        Functions.haversineKm(lit(0.0), lit(0.0), lit(0.0), lit(180.0))
+          .as("anti"))
+      .as[(Double, Double)].head()
+    assert(d._1 === 0.0)
+    // antipodal along the equator = half the circumference = π·6371
+    assert(math.abs(d._2 - math.Pi * 6371.0) < 1e-6)
+  }
 }
