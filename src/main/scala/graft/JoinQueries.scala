@@ -112,6 +112,24 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_close"))
         .orderBy("s_suppkey")),
 
+    // J5c: spatial radius self-join ([[Relational.geoRadiusPairs]]):
+    // event pairs within 300 km great-circle distance over deterministic
+    // synthetic coordinates (|lat| <= 60 so a 6° grid cell spans the
+    // radius in longitude everywhere). Grid-bucketed — constant 3×3
+    // probe replication + one equi-join shuffle, collision-linear,
+    // never all-pairs.
+    "q_geo_radius_join" -> ((s, dir) =>
+      Relational.geoRadiusPairs(
+          Tables(s, dir, "events")
+            .filter(pmod(col("event_id"), lit(4)) === 0)
+            .select(col("event_id"),
+                    (pmod(col("event_id") * 37, lit(12000L))
+                       .cast("double") / 100.0 - 60.0).as("lat"),
+                    (pmod(col("event_id") * 73, lit(35900L))
+                       .cast("double") / 100.0 - 179.5).as("lon")),
+          "event_id", "lat", "lon", 300.0, 6.0, maxAbsLat = 60.0)
+        .orderBy("id_a", "id_b")),
+
     // J6: as-of join — for each purchase, the latest prior click by the
     // same user (union + window; see Relational.asofJoin for scale notes).
     "q_join_asof" -> ((s, dir) => {
@@ -286,6 +304,39 @@ object JoinQueries extends QueryPack {
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
         |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    // Same grid construction clause by clause; the haversine is the
+    // fixed IEEE expression from q_geo_funcs.
+    "q_geo_radius_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS id,
+        |    CAST((event_id * 37) % 12000 AS DOUBLE) / 100.0 - 60.0
+        |      AS lat,
+        |    CAST((event_id * 73) % 35900 AS DOUBLE) / 100.0 - 179.5
+        |      AS lon
+        |  FROM events WHERE event_id % 4 = 0),
+        |c AS (
+        |  SELECT id, lat, lon,
+        |    CAST(floor(lat / 6.0) AS BIGINT) AS cy,
+        |    CAST(floor(lon / 6.0) AS BIGINT) AS cx
+        |  FROM p),
+        |pr AS (
+        |  SELECT id AS id_a, lat AS lat_a, lon AS lon_a,
+        |    c.cy + dy.d AS cy, c.cx + dx.d AS cx
+        |  FROM c,
+        |    (SELECT unnest(range(-1, 2)) AS d) dy,
+        |    (SELECT unnest(range(-1, 2)) AS d) dx),
+        |j AS (
+        |  SELECT id_a, c.id AS id_b,
+        |    2.0 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(c.lat - lat_a) / 2), 2) +
+        |      cos(radians(lat_a)) * cos(radians(c.lat)) *
+        |      pow(sin(radians(c.lon - lon_a) / 2), 2))) AS d
+        |  FROM pr JOIN c ON pr.cy = c.cy AND pr.cx = c.cx
+        |  WHERE id_a < c.id)
+        |SELECT id_a, id_b, round(d, 4) AS dist_km
+        |FROM j WHERE d <= 300.0
+        |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id

@@ -372,4 +372,46 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Spatial self-join: all point pairs within `radiusKm` great-circle
+    * distance, grid-bucketed so the candidate space is collision-linear,
+    * never all-pairs. Each point lands in a `cellDeg`-degree (lat, lon)
+    * grid cell; the probe side replicates into its 3×3 neighborhood
+    * (9 rows, a constant), the build side stays in its home cell, so
+    * every qualifying pair meets on EXACTLY one (cell, cell) key — one
+    * equi-join shuffle, exact haversine verification after. `id < id`
+    * keeps each unordered pair once.
+    *
+    * `cellDeg` must span `radiusKm` of longitude at the highest |lat|
+    * present (1° lon = 111.32·cos(lat) km — cells cover fewer km toward
+    * the poles), or boundary pairs are silently missed; the require
+    * enforces it for the caller-declared `maxAbsLat`.
+    */
+  def geoRadiusPairs(df: DataFrame, idCol: String, latCol: String,
+                     lonCol: String, radiusKm: Double, cellDeg: Double,
+                     maxAbsLat: Double = 85.0): DataFrame = {
+    require(cellDeg * 111.32 *
+              math.cos(math.toRadians(maxAbsLat)) >= radiusKm,
+            s"cellDeg=$cellDeg too small for radius=$radiusKm km at " +
+              s"|lat|<=$maxAbsLat")
+    require(cellDeg * 110.57 >= radiusKm, // latitude span, poles included
+            s"cellDeg=$cellDeg too small for radius=$radiusKm km of lat")
+    val base = df.select(col(idCol).as("id"), col(latCol).as("lat"),
+                         col(lonCol).as("lon"),
+                         floor(col(latCol) / cellDeg).cast("long").as("cy"),
+                         floor(col(lonCol) / cellDeg).cast("long").as("cx"))
+    val probes = base
+      .withColumn("__dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__dx", explode(sequence(lit(-1), lit(1))))
+      .select(col("id").as("id_a"), col("lat").as("lat_a"),
+              col("lon").as("lon_a"),
+              (col("cy") + col("__dy")).as("cy"),
+              (col("cx") + col("__dx")).as("cx"))
+    val dist = Functions.haversineKm(col("lat_a"), col("lon_a"),
+                                     col("lat"), col("lon"))
+    probes.join(base, Seq("cy", "cx"))
+      .filter(col("id_a") < col("id") && dist <= radiusKm)
+      .select(col("id_a"), col("id").as("id_b"),
+              round(dist, 4).as("dist_km"))
+  }
 }

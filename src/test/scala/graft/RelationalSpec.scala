@@ -59,6 +59,26 @@ class RelationalSpec extends SparkSpec {
     assert(!out.contains("p3"))  // c5 is AT t=30, not after it → no match
   }
 
+  test("geoRadiusPairs equals brute-force haversine, incl. pairs " +
+       "straddling a cell boundary") {
+    val pts = Seq((1L, 0.1, 0.1), (2L, -0.1, 0.2), (3L, 0.05, 5.99),
+                  (4L, 0.0, 6.01), (5L, 45.0, 100.0), (6L, 45.5, 100.5),
+                  (7L, -59.0, -179.0), (8L, -59.2, -178.5))
+      .toDF("id", "lat", "lon")
+    val fast = Relational.geoRadiusPairs(pts, "id", "lat", "lon",
+                                         300.0, 6.0, 60.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("ia"), col("lat").as("la"),
+                       col("lon").as("oa"))
+    val brute = a.crossJoin(pts)
+      .filter(col("ia") < col("id") &&
+        Functions.haversineKm(col("la"), col("oa"),
+                              col("lat"), col("lon")) <= 300.0)
+      .select(col("ia"), col("id")).as[(Long, Long)].collect().toSet
+    assert(brute.contains((3L, 4L))) // the boundary-straddling pair
+    assert(fast === brute)
+  }
+
   test("asofJoin drops left rows with no prior right match (inner)") {
     val out = Relational.asofJoin(left, right, "user_id", "t", "t", Seq("cid"))
     assert(!out.select("pid").as[String].collect().contains("p2"))
