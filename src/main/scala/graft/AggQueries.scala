@@ -193,6 +193,33 @@ object AggQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // ClickHouse histogram analog in its portable fixed-bin form
+    // (adaptive bin placement is merge-order-dependent, so the
+    // deterministic contract is equal-width bins over each group's
+    // range): 10 bins of value per event type as a "bin:count" list.
+    // Two hash aggregates + a broadcast of the tiny bounds table; the
+    // bin expression is one fixed IEEE computation.
+    "q_agg_histogram" -> ((s, dir) => {
+      val e = Tables(s, dir, "events").filter(col("value").isNotNull)
+      val bounds = e.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          when(col("mx") === col("mn"), 0)
+            .otherwise(least(lit(9),
+              floor((col("value") - col("mn")) /
+                      (col("mx") - col("mn")) * 10).cast("int"))))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("bin"), col("n")))),
+            x => concat_ws(":", x.getField("bin").cast("string"),
+                           x.getField("n").cast("string"))), ",")
+            .as("hist"))
+        .orderBy("event_type")
+    }),
+
     // ClickHouse minMap/maxMap analog (q_agg_summap's siblings): per
     // entity, event_type → (min, max) of value as aligned sorted lists.
     // Same two-hash-aggregate shape; extremes carried as exact integer
@@ -802,6 +829,24 @@ object AggQueries extends QueryPack {
         |  string_agg(event_type, ',' ORDER BY event_type) AS ks,
         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY event_type) AS vs
         |FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_histogram" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |      FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE least(9, CAST(floor((value - mn) / (mx - mn) * 10)
+        |                            AS INT)) END AS bin
+        |  FROM e JOIN b USING (event_type)),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM x GROUP BY 1, 2)
+        |SELECT event_type,
+        |  string_agg(CAST(bin AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+        |             ',' ORDER BY bin) AS hist
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_agg_minmax_map" ->
       """WITH per AS (

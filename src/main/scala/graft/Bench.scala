@@ -36,6 +36,7 @@ object Bench {
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",
     "q_seq_match", "q_seq_count", "q_ts_interpolate",
+    "q_funnel_window", "q_seq_next_node", "q_interval_union", "q_lttb",
     // TPC-H composites (the full 22-shape sweep's heavy half)
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
@@ -51,6 +52,7 @@ object Bench {
     "q_simsearch_pq", "q_simsearch_ivfpq",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",
+    "q_text_ngram_lm", "q_geo_radius_join",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
