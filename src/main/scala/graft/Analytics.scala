@@ -232,6 +232,28 @@ object Analytics {
       .agg((sum(col(valCol) * w) / sum(w)).as("tdavg"))
   }
 
+  /** The rest of the ClickHouse `exponentialTimeDecayed*` family in one
+    * pass — Sum (Σ vᵢ·wᵢ), Count (Σ wᵢ: the decayed event count), and
+    * Max (max vᵢ·wᵢ) share [[timeDecayedAvg]]'s anchor-and-weight plan:
+    * weights `0.5^floor(age/halfLife)` are exact powers of two anchored
+    * at each entity's latest event, so every product is a bit-portable
+    * IEEE double and a SQL oracle matches exactly. Two co-partitioned
+    * aggregates, no history buffer.
+    */
+  def timeDecayedStats(events: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, halfLifeSec: Long): DataFrame = {
+    val anchors = events.groupBy(col(keyCol))
+      .agg(max(unix_timestamp(col(tsCol))).as("__t_last"))
+    val w = pow(lit(0.5),
+                floor((col("__t_last") - unix_timestamp(col(tsCol)))
+                        / halfLifeSec).cast("double"))
+    events.join(anchors, keyCol)
+      .groupBy(col(keyCol))
+      .agg(sum(col(valCol) * w).as("tdsum"),
+           sum(w).as("tdcount"),
+           max(col(valCol) * w).as("tdmax"))
+  }
+
   /** Linear-interpolation gap fill (ClickHouse `WITH FILL …
     * INTERPOLATE` analog, time-weighted): one row per (entity, day)
     * over the entity's active range; each day's end-of-day value is the
@@ -537,6 +559,45 @@ object Analytics {
              .as("__sel"))
       .select(col(keyCol), col("bucket").cast("long").as("bucket"),
               col("__sel.t").as("t"), col("__sel.v").as("v"))
+  }
+
+  /** [[funnelSliding]] in ClickHouse `windowFunnel`'s 'strict_order'
+    * mode: a chain advances only when the expected step is the
+    * entity's IMMEDIATELY NEXT event — any intervening event kills
+    * that chain (later chain starts still restart it). Because the
+    * next event is unique, greedy matching is trivially exact: each
+    * stage is ONE strict forward as-of join to the per-instant-reduced
+    * event stream (min_by(event_id) decides simultaneous events — the
+    * deterministic contract) followed by a type check. Same linear
+    * cost and return shape as [[funnelSliding]].
+    */
+  def funnelStrictOrder(events: DataFrame, userCol: String,
+                        typeCol: String, tsCol: String, idCol: String,
+                        steps: Seq[String], window: String): DataFrame = {
+    require(steps.nonEmpty, "funnelStrictOrder needs at least one step")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"), col(idCol).as("eid"))
+    val nxt = e.groupBy(col("u"), col("ts"))
+      .agg(min_by(col("et"), col("eid")).as("nt"))
+      .withColumn("tn", col("ts"))
+    val s1 = e.filter(col("et") === steps.head)
+      .select(col("u"), col("ts").as("t0"), col("ts").as("t_prev"))
+    val stages = steps.tail.scanLeft(s1) { (prev, step) =>
+      Relational.asofJoinForward(prev, nxt, "u", "t_prev", "ts",
+                                 Seq("nt", "tn"), strict = true)
+        .filter(col("asof_nt") === step &&
+                  col("asof_tn") <= col("t0") + expr(s"INTERVAL $window"))
+        .select(col("u"), col("t0"), col("asof_tn").as("t_prev"))
+    }
+    val base = e.select(col("u")).distinct()
+    stages.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      acc.join(st.select(col("u")).distinct()
+                 .withColumn(s"l_$i", lit(1)),
+               Seq("u"), "left")
+    }
+      .select(col("u").as(userCol),
+              stages.indices.map(i => coalesce(col(s"l_$i"), lit(0)))
+                .reduce(_ + _).cast("long").as("funnel_level"))
   }
 
   /** Theil's uncertainty coefficient U(x|y) (ClickHouse `theilsU`) and

@@ -177,6 +177,24 @@ object FunctionQueries extends QueryPack {
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")),
 
+    // F15: JSON array extraction (ClickHouse JSONExtractArrayRaw +
+    // ARRAY JOIN): parse a synthesized JSON document once with
+    // from_json (schema'd, codegen'd — the parse-at-ingest discipline),
+    // then generate one row per array element with posexplode.
+    "q_json_array" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                concat(lit("{\"tags\":[\""), col("lang"), lit("\",\""),
+                       col("source"), lit("\"],\"n\":"), col("n_chars"),
+                       lit("}")).as("j"))
+        .select(col("doc_id"),
+                from_json(col("j"), lit("tags ARRAY<STRING>, n BIGINT"))
+                  .as("p"))
+        .select(col("doc_id"), col("p.n").as("n"),
+                posexplode(col("p.tags")).as(Seq("pos", "tag")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")),
+
     // F13: IPv4 family (ClickHouse IPv4NumToString / IPv4StringToNum /
     // isIPAddressInRange): shift/mask octet surgery, string round-trip,
     // RFC-1918 predicate, /24 prefix — all codegen'd integer ops over a
@@ -345,6 +363,19 @@ object FunctionQueries extends QueryPack {
       """SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    "q_json_array" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    '{"tags":["' || lang || '","' || source || '"],"n":' ||
+        |    CAST(n_chars AS VARCHAR) || '}' AS j
+        |  FROM documents)
+        |SELECT doc_id, CAST(json_extract(j, '$.n') AS BIGINT) AS n,
+        |  CAST(p AS BIGINT) AS pos,
+        |  json_extract_string(j, '$.tags[' || CAST(p AS VARCHAR) || ']')
+        |    AS tag
+        |FROM j, (SELECT unnest(range(0, 2)) AS p)
         |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
 
     "q_ip_funcs" ->

@@ -112,6 +112,24 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_close"))
         .orderBy("s_suppkey")),
 
+    // J9: positional paste join (ClickHouse PASTE JOIN): zip two
+    // relations row-by-row in their respective sort orders. Both sides
+    // get a range-partitioned global row number
+    // ([[Relational.globalRowNumber]] — never a single-task window),
+    // then one equi-join on the ordinal; inner semantics truncate to
+    // the shorter side.
+    "q_join_paste" -> ((s, dir) => {
+      val c = Relational.globalRowNumber(
+        Tables(s, dir, "customer").select("c_custkey"),
+        Seq(col("c_custkey")), "rn")
+      val p = Relational.globalRowNumber(
+        Tables(s, dir, "supplier").select("s_suppkey"),
+        Seq(col("s_suppkey")), "rn")
+      c.join(p, "rn")
+        .select(col("rn"), col("c_custkey"), col("s_suppkey"))
+        .orderBy("rn")
+    }),
+
     // J5c: spatial radius self-join ([[Relational.geoRadiusPairs]]):
     // event pairs within 300 km great-circle distance over deterministic
     // synthetic coordinates (|lat| <= 60 so a 6° grid cell spans the
@@ -304,6 +322,17 @@ object JoinQueries extends QueryPack {
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
         |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q_join_paste" ->
+      """WITH c AS (SELECT c_custkey,
+        |             row_number() OVER (ORDER BY c_custkey) AS rn
+        |           FROM customer),
+        |p AS (SELECT s_suppkey,
+        |        row_number() OVER (ORDER BY s_suppkey) AS rn
+        |      FROM supplier)
+        |SELECT CAST(rn AS BIGINT) AS rn, c_custkey, s_suppkey
+        |FROM c JOIN p USING (rn)
+        |ORDER BY rn NULLS FIRST""".stripMargin,
 
     // Same grid construction clause by clause; the haversine is the
     // fixed IEEE expression from q_geo_funcs.

@@ -148,6 +148,19 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // W8c: the rest of the exponentialTimeDecayed* family
+    // ([[Analytics.timeDecayedStats]]): decayed sum, decayed event
+    // count, and decayed max per series — same exact power-of-two
+    // weight plan as q_win_time_decay, one pass for all three.
+    "q_win_time_decay_family" -> ((s, dir) =>
+      Analytics.timeDecayedStats(Tables(s, dir, "events"), "user_id",
+                                 "ts", "value", 86400L)
+        .select(col("user_id"),
+                round(col("tdsum"), 4).as("tdsum"),
+                round(col("tdcount"), 4).as("tdcount"),
+                round(col("tdmax"), 4).as("tdmax"))
+        .orderBy("user_id")),
+
     // W7: first/last value over the full partition frame.
     "q_win_first_last" -> ((s, dir) => {
       val full = byUserTs.rowsBetween(Window.unboundedPreceding,
@@ -256,6 +269,21 @@ object WindowQueries extends QueryPack {
         |SELECT user_id,
         |  round(sum(value * power(0.5, floor((t_last - s) / 86400))) /
         |        sum(power(0.5, floor((t_last - s) / 86400))), 4) AS tdavg
+        |FROM t GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q_win_time_decay_family" ->
+      """WITH t AS (
+        |  SELECT user_id, value, (epoch_us(ts) // 1000000) AS s,
+        |         max(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+        |           AS t_last
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * power(0.5, floor((t_last - s) / 86400))), 4)
+        |    AS tdsum,
+        |  round(sum(power(0.5, floor((t_last - s) / 86400))), 4)
+        |    AS tdcount,
+        |  round(max(value * power(0.5, floor((t_last - s) / 86400))), 4)
+        |    AS tdmax
         |FROM t GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_win_first_last" ->

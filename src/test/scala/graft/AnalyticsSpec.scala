@@ -264,6 +264,35 @@ class AnalyticsSpec extends SparkSpec {
                          ("a", 2L, 8L, 2L)))
   }
 
+  test("funnelStrictOrder: an intervening event kills the chain; a " +
+       "later restart survives") {
+    val events = Seq(
+      // user 1: view → OTHER → click: strict chain from 00:00 dies at
+      // the intervening 'other'; no second view → level 1. The sliding
+      // funnel (gaps allowed) reaches 2.
+      (1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "other", ts("2024-01-01 00:01:00"), 2L),
+      (1L, "click", ts("2024-01-01 00:02:00"), 3L),
+      // user 2: view → other → VIEW → click: the second view's chain
+      // sees click as its immediate next event → level 2.
+      (2L, "view", ts("2024-01-01 00:00:00"), 4L),
+      (2L, "other", ts("2024-01-01 00:01:00"), 5L),
+      (2L, "view", ts("2024-01-01 00:02:00"), 6L),
+      (2L, "click", ts("2024-01-01 00:03:00"), 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val steps = Seq("view", "click")
+    val strict = Analytics.funnelStrictOrder(events, "user_id",
+                                             "event_type", "ts",
+                                             "event_id", steps,
+                                             "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(strict === Array((1L, 1L), (2L, 2L)))
+    val sliding = Analytics.funnelSliding(events, "user_id", "event_type",
+                                          "ts", steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(sliding === Array((1L, 2L), (2L, 2L)))
+  }
+
   test("contingencyStats: U=1 when x is determined by y, U=0 when " +
        "independent") {
     // x = f(y) exactly → H(x|y) = 0 → U = 1.
