@@ -112,6 +112,29 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_close"))
         .orderBy("s_suppkey")),
 
+    // J5d: interval-overlap join ([[Relational.intervalOverlapJoin]]):
+    // which click intervals overlap which purchase intervals of the
+    // SAME user — both sides explode to 600 s time buckets (fan-out
+    // <= 3 for these <= 660 s intervals), meet on one (user, bucket)
+    // equi-join, verify the exact predicate, and emit at each pair's
+    // FIRST shared bucket so no dedup shuffle is needed.
+    "q_join_interval" -> ((s, dir) => {
+      def iv(t: String) = Tables(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts) div 1000000").as("s"))
+        .withColumn("e", col("s") + lit(60) + pmod(col("event_id"),
+                                                   lit(600)))
+      Relational.intervalOverlapJoin(
+          iv("click"), col("s"), col("e"),
+          iv("purchase"), col("s"), col("e"), 600L,
+          leftKey = Some(col("user_id")),
+          rightKey = Some(col("user_id")))
+        .select(col("a_user_id").as("user_id"), col("a_event_id"),
+                col("b_event_id"))
+        .orderBy("user_id", "a_event_id", "b_event_id")
+    }),
+
     // J9: positional paste join (ClickHouse PASTE JOIN): zip two
     // relations row-by-row in their respective sort orders. Both sides
     // get a range-partitioned global row number
@@ -322,6 +345,22 @@ object JoinQueries extends QueryPack {
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
         |GROUP BY s_suppkey ORDER BY s_suppkey NULLS FIRST""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000 + 60 + event_id % 600 AS e
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000 + 60 + event_id % 600 AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, c.event_id AS a_event_id,
+        |  p.event_id AS b_event_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.s < p.e AND p.s < c.e
+        |ORDER BY c.user_id NULLS FIRST, a_event_id NULLS FIRST,
+        |  b_event_id NULLS FIRST""".stripMargin,
 
     "q_join_paste" ->
       """WITH c AS (SELECT c_custkey,

@@ -373,6 +373,54 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Interval-overlap join (`a.start < b.end AND b.start < a.end`)
+    * through bucket quantization — the two-sided sibling of
+    * [[bucketedBetweenJoin]]: each interval explodes to the
+    * `bucketWidth`-sized time buckets it touches (fan-out = interval
+    * length / width, the caller-tuned knob), the sides meet on an
+    * equi-join over the bucket id, and the exact predicate filters
+    * residually. Overlapping intervals share every bucket in
+    * `[max(firstA, firstB), min(lastA, lastB)]`; emitting only at
+    * `bucket == max(firstA, firstB)` — each pair's FIRST shared bucket
+    * — makes every pair appear exactly once with NO distinct/dedup
+    * shuffle afterwards. Columns from both sides survive prefixed
+    * `a_` / `b_`.
+    */
+  def intervalOverlapJoin(left: DataFrame, leftStart: Column,
+                          leftEnd: Column, right: DataFrame,
+                          rightStart: Column, rightEnd: Column,
+                          bucketWidth: Long,
+                          leftKey: Option[Column] = None,
+                          rightKey: Option[Column] = None): DataFrame = {
+    // evaluate the span against the caller's columns first, then
+    // prefix-rename the payload
+    val l = {
+      val base = left.withColumn("a__s", leftStart.cast("long"))
+        .withColumn("a__e", leftEnd.cast("long"))
+        .withColumn("__k", leftKey.getOrElse(lit(0)))
+      val renamed = left.columns.foldLeft(base)((d, c) =>
+        d.withColumnRenamed(c, s"a_$c"))
+      renamed.withColumn("__bk",
+        explode(sequence(floor(col("a__s") / bucketWidth),
+                         floor(col("a__e") / bucketWidth))))
+    }
+    val r = {
+      val base = right.withColumn("b__s", rightStart.cast("long"))
+        .withColumn("b__e", rightEnd.cast("long"))
+        .withColumn("__k", rightKey.getOrElse(lit(0)))
+      val renamed = right.columns.foldLeft(base)((d, c) =>
+        d.withColumnRenamed(c, s"b_$c"))
+      renamed.withColumn("__bk",
+        explode(sequence(floor(col("b__s") / bucketWidth),
+                         floor(col("b__e") / bucketWidth))))
+    }
+    l.join(r, Seq("__k", "__bk"))
+      .filter(col("a__s") < col("b__e") && col("b__s") < col("a__e") &&
+        col("__bk") === greatest(floor(col("a__s") / bucketWidth),
+                                 floor(col("b__s") / bucketWidth)))
+      .drop("__k", "__bk", "a__s", "a__e", "b__s", "b__e")
+  }
+
   /** Spatial self-join: all point pairs within `radiusKm` great-circle
     * distance, grid-bucketed so the candidate space is collision-linear,
     * never all-pairs. Each point lands in a `cellDeg`-degree (lat, lon)

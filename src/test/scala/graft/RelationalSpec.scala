@@ -59,6 +59,29 @@ class RelationalSpec extends SparkSpec {
     assert(!out.contains("p3"))  // c5 is AT t=30, not after it → no match
   }
 
+  test("intervalOverlapJoin: exactly-once pairs equal to brute force, " +
+       "incl. a pair sharing many buckets") {
+    // widths are bucket=10; interval (1, [0,95]) spans 10 buckets and
+    // overlaps (101, [50,60]) in several — must appear ONCE. Abutting
+    // [0,10) vs [10,20) must NOT match (half-open).
+    val a = Seq((1L, 0L, 95L), (2L, 0L, 10L), (3L, 40L, 45L))
+      .toDF("id", "s", "e")
+    val b = Seq((101L, 50L, 60L), (102L, 10L, 20L), (103L, 44L, 94L))
+      .toDF("id", "s", "e")
+    val fast = Relational.intervalOverlapJoin(
+        a, col("s"), col("e"), b, col("s"), col("e"), 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val brute = a.select(col("id").as("ia"), col("s").as("sa"),
+                         col("e").as("ea"))
+      .crossJoin(b)
+      .filter(col("sa") < col("e") && col("s") < col("ea"))
+      .select(col("ia"), col("id")).as[(Long, Long)].collect()
+    assert(fast.length === brute.length) // exactly-once: no dup rows
+    assert(fast.toSet === brute.toSet)
+    assert(!fast.toSet.contains((2L, 102L))) // abutting, half-open
+    assert(fast.toSet.contains((1L, 101L)))  // multi-bucket overlap
+  }
+
   test("geoRadiusPairs equals brute-force haversine, incl. pairs " +
        "straddling a cell boundary") {
     val pts = Seq((1L, 0.1, 0.1), (2L, -0.1, 0.2), (3L, 0.05, 5.99),
