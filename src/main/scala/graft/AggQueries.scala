@@ -84,6 +84,64 @@ object AggQueries extends QueryPack {
              countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    // Exact per-day segment overlap (the set algebra q_theta_segments
+    // approximates, here exact): click∩purchase visitor counts via
+    // inclusion-exclusion over THREE conditional count-distincts in one
+    // hash aggregate — no join, no bitmap materialization.
+    "q_agg_segment_overlap" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(when(col("event_type") === "click",
+                                col("user_id"))).as("n_click"),
+             countDistinct(when(col("event_type") === "purchase",
+                                col("user_id"))).as("n_buy"),
+             countDistinct(col("user_id")).as("n_union"))
+        .select(col("day"), col("n_click"), col("n_buy"),
+                (col("n_click") + col("n_buy") - col("n_union"))
+                  .as("n_both"),
+                col("n_union"))
+        .orderBy("day")),
+
+    // Rolling 7-day distinct users per day — exact sliding-window uniq
+    // WITHOUT a self-join: each (day, user) observation explodes to the
+    // <= 7 window-end days it can serve (bounded constant fan-out), one
+    // hash aggregate per day counts distinct users. The inner distinct
+    // pre-shrinks the explode input to one row per (day, user).
+    "q_agg_rolling_distinct" -> ((s, dir) => {
+      val du = Tables(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+        .distinct()
+      du.withColumn("gday",
+          explode(sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"),
+                           expr("INTERVAL 1 DAY"))))
+        .groupBy("gday")
+        .agg(countDistinct("user_id").as("u7"))
+        .join(du.select(col("d").as("gday")).distinct(), Seq("gday"))
+        .orderBy("gday")
+    }),
+
+    // User-journey paths: each user's first five event types as a
+    // ">"-joined path, counted by shape. The per-user "first 5" runs
+    // the two-phase salted cap ([[Relational.topKPerGroupSalted]]) so a
+    // bot entity never funnels its history through one window task;
+    // the collect after it holds <= 5 rows per user by construction.
+    "q_path_analysis" -> ((s, dir) => {
+      val first5 = Relational.topKPerGroupSalted(
+        Tables(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), 5,
+        pmod(col("event_id"), lit(16)))
+      first5.groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+                                           col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+    }),
+
     // A8: arg-max (value at max version — U1's aggregate form).
     "q_agg_max_by" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -729,6 +787,49 @@ object AggQueries extends QueryPack {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY day ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q_agg_segment_overlap" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    event_type, user_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        |  SELECT day,
+        |    count(DISTINCT CASE WHEN event_type = 'click'
+        |                        THEN user_id END) AS n_click,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                        THEN user_id END) AS n_buy,
+        |    count(DISTINCT user_id) AS n_union
+        |  FROM e GROUP BY day)
+        |SELECT day, n_click, n_buy,
+        |  n_click + n_buy - n_union AS n_both, n_union
+        |FROM a ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q_agg_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |x AS (
+        |  SELECT days.d AS gday, du.user_id
+        |  FROM du JOIN days ON du.d <= days.d
+        |    AND du.d > days.d - INTERVAL 7 DAY)
+        |SELECT gday, count(DISTINCT user_id) AS u7
+        |FROM x GROUP BY gday ORDER BY gday NULLS FIRST""".stripMargin,
+
+    "q_path_analysis" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |        AS path
+        |      FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path NULLS FIRST""".stripMargin,
 
     "q_agg_max_by" ->
       """SELECT user_id, arg_max(event_type, ts) AS last_type,
