@@ -158,7 +158,14 @@ object WindowQueries extends QueryPack {
         .select(col("user_id"),
                 round(col("tdsum"), 4).as("tdsum"),
                 round(col("tdcount"), 4).as("tdcount"),
-                round(col("tdmax"), 4).as("tdmax"))
+                // tdmax is ONE bit-identical product (2-dp value ×
+                // 2⁻ᵏ), which lands on .00005 decimal-round boundaries
+                // CONSTANTLY (…25/…75 tails); round() then diverges
+                // between engines (Spark rounds the shortest decimal
+                // rep, DuckDB the binary value). floor on the scaled
+                // BINARY double is engine-identical — no decimal
+                // conversion anywhere.
+                floor(col("tdmax") * 10000).cast("long").as("tdmax_e4"))
         .orderBy("user_id")),
 
     // W7: first/last value over the full partition frame.
@@ -282,8 +289,8 @@ object WindowQueries extends QueryPack {
         |    AS tdsum,
         |  round(sum(power(0.5, floor((t_last - s) / 86400))), 4)
         |    AS tdcount,
-        |  round(max(value * power(0.5, floor((t_last - s) / 86400))), 4)
-        |    AS tdmax
+        |  CAST(floor(max(value * power(0.5, floor((t_last - s) / 86400)))
+        |             * 10000) AS BIGINT) AS tdmax_e4
         |FROM t GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_win_first_last" ->
