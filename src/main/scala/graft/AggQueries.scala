@@ -84,6 +84,36 @@ object AggQueries extends QueryPack {
              countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    // ClickHouse corrMatrix analog: every pairwise Pearson correlation
+    // of four lineitem measures in ONE hash aggregate (six corr()
+    // states computed side by side — one pass, no joins).
+    "q_agg_corr_matrix" -> ((s, dir) => {
+      val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- m.indices; j <- m.indices if i < j
+      } yield round(corr(col(m(i)), col(m(j))), 4)
+        .as(s"c_${m(i).drop(2)}_${m(j).drop(2)}")
+      Tables(s, dir, "lineitem").agg(pairs.head, pairs.tail: _*)
+    }),
+
+    // ClickHouse retention(cond1, cond2, …) in its literal form: per
+    // user the flag vector (did c1, did c1∧c2, did c1∧c3, …), summed
+    // over users — one conditional hash aggregate per user, one tiny
+    // global rollup.
+    "q_retention_conditions" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "signup", 1).otherwise(0))
+               .as("r1"),
+             max(when(col("event_type") === "click", 1).otherwise(0))
+               .as("h2"),
+             max(when(col("event_type") === "purchase", 1).otherwise(0))
+               .as("h3"))
+        .agg(sum("r1").cast("long").as("n_signup"),
+             sum(col("r1") * col("h2")).cast("long").as("n_signup_click"),
+             sum(col("r1") * col("h3")).cast("long")
+               .as("n_signup_purchase"))),
+
     // Exact per-day segment overlap (the set algebra q_theta_segments
     // approximates, here exact): click∩purchase visitor counts via
     // inclusion-exclusion over THREE conditional count-distincts in one
@@ -787,6 +817,30 @@ object AggQueries extends QueryPack {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY day ORDER BY day NULLS FIRST""".stripMargin,
+
+    "q_agg_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4)
+        |    AS c_quantity_extendedprice,
+        |  round(corr(l_quantity, l_discount), 4) AS c_quantity_discount,
+        |  round(corr(l_quantity, l_tax), 4) AS c_quantity_tax,
+        |  round(corr(l_extendedprice, l_discount), 4)
+        |    AS c_extendedprice_discount,
+        |  round(corr(l_extendedprice, l_tax), 4) AS c_extendedprice_tax,
+        |  round(corr(l_discount, l_tax), 4) AS c_discount_tax
+        |FROM lineitem""".stripMargin,
+
+    "q_retention_conditions" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h2,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS h3
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(r1) AS BIGINT) AS n_signup,
+        |  CAST(sum(r1 * h2) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(r1 * h3) AS BIGINT) AS n_signup_purchase
+        |FROM u""".stripMargin,
 
     "q_agg_segment_overlap" ->
       """WITH e AS (

@@ -37,6 +37,7 @@ object Bench {
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",
     "q_seq_match", "q_seq_count", "q_ts_interpolate",
     "q_funnel_window", "q_seq_next_node", "q_interval_union", "q_lttb",
+    "q_join_interval", "q_path_analysis", "q_agg_rolling_distinct",
     // TPC-H composites (the full 22-shape sweep's heavy half)
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",

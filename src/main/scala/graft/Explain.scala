@@ -61,6 +61,8 @@ object Explain {
     "q_agg_welch_t", "q_agg_cramers_v", "q_agg_mannwhitney_u",
     "q_agg_rank_corr", "q_agg_ks_test", "q_agg_student_t",
     "q_agg_theils_u",
+    "q_agg_corr_matrix",       // one-row six-way corr aggregate
+    "q_retention_conditions",  // one-row flag-vector rollup
     "q_text_ngram_lm")         // one-row vocabulary-size aggregate
 
   def main(args: Array[String]): Unit = {
