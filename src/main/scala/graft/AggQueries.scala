@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   * aggregation (Spark default) — one shuffle of the (small) group-key
   * space, never of raw rows.
   */
+/** Shared Cramer's-rule formula text for `q_agg_ols`: the Spark query and
+  * the DuckDB oracle evaluate the IDENTICAL expression tree over the same
+  * exact decimal sums, so the double results are bit-identical (both
+  * engines parse the same left-associative arithmetic to the same IEEE
+  * operation sequence).
+  */
+private[graft] object OlsFormula {
+  /** Cast the nine exact DECIMAL(38,0) sums to double (all < 2^53, so the
+    * casts themselves are exact). */
+  val castDoubles: Seq[String] = Seq(
+    "n", "sq", "sd", "sp", "sqq", "sdd", "sqd", "sqp", "sdp")
+    .map(c => s"CAST($c AS DOUBLE) AS $c")
+
+  private val det =
+    "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+  private val det0 =
+    "(sp*(sqq*sdd - sqd*sqd) - sq*(sqp*sdd - sqd*sdp) + sd*(sqp*sqd - sqq*sdp))"
+  private val det1 =
+    "(n*(sqp*sdd - sqd*sdp) - sp*(sq*sdd - sqd*sd) + sd*(sq*sdp - sqp*sd))"
+  private val det2 =
+    "(n*(sqq*sdp - sqp*sqd) - sq*(sq*sdp - sqp*sd) + sp*(sq*sqd - sqq*sd))"
+
+  /** Coefficients as floor(b * 10^4) integers: b0 intercept (cents),
+    * b1 cents per quantity unit, b2 cents per discount percent. */
+  val outputs: Seq[String] = Seq(
+    s"CAST(floor($det0 / $det * 10000) AS BIGINT) AS b0_e4",
+    s"CAST(floor($det1 / $det * 10000) AS BIGINT) AS b1_e4",
+    s"CAST(floor($det2 / $det * 10000) AS BIGINT) AS b2_e4",
+    "CAST(n AS BIGINT) AS n")
+}
+
 object AggQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
@@ -95,6 +126,51 @@ object AggQueries extends QueryPack {
         .as(s"c_${m(i).drop(2)}_${m(j).drop(2)}")
       Tables(s, dir, "lineitem").agg(pairs.head, pairs.tail: _*)
     }),
+
+    // Closed-form multiple linear regression (the deterministic batch
+    // form of ClickHouse stochasticLinearRegression, and the multivariate
+    // generalization of q_agg_regr): y = extendedprice-cents on
+    // (quantity, discount-percent). ONE hash aggregate computes the nine
+    // normal-equation sums EXACTLY (integerized inputs, DECIMAL(38,0) —
+    // order-independent), then Cramer's rule solves the 3x3 system in
+    // double arithmetic over those exact sums; every double op is the
+    // same IEEE expression tree in both engines (the sums are < 2^53 so
+    // even the decimal->double casts are exact), so the coefficients are
+    // bit-identical and ship as floor(b*10^4) integers. Linear scan +
+    // map-side combine — the 100 TB shape for closed-form OLS.
+    "q_agg_ols" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+                expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+                expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                  .as("p"))
+        .agg(expr("CAST(count(*) AS DECIMAL(38,0))").as("n"),
+             expr("sum(CAST(q AS DECIMAL(38,0)))").as("sq"),
+             expr("sum(CAST(d AS DECIMAL(38,0)))").as("sd"),
+             expr("sum(CAST(p AS DECIMAL(38,0)))").as("sp"),
+             expr("sum(CAST(q * q AS DECIMAL(38,0)))").as("sqq"),
+             expr("sum(CAST(d * d AS DECIMAL(38,0)))").as("sdd"),
+             expr("sum(CAST(q * d AS DECIMAL(38,0)))").as("sqd"),
+             expr("sum(CAST(q * p AS DECIMAL(38,0)))").as("sqp"),
+             expr("sum(CAST(d * p AS DECIMAL(38,0)))").as("sdp"))
+        .select(OlsFormula.castDoubles.map(expr): _*)
+        .select(OlsFormula.outputs.map(expr): _*)),
+
+    // ClickHouse avgWeighted(x, w): quantity-weighted mean unit price per
+    // return flag. Both sums exact DECIMAL over integerized inputs; the
+    // single double division + floor is engine-identical.
+    "q_agg_avg_weighted" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)" +
+               " * CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)))")
+               .as("swx"),
+             expr("sum(CAST(CAST(round(l_quantity) AS BIGINT)" +
+               " AS DECIMAL(38,0)))").as("sw"))
+        .select(col("l_returnflag"),
+                expr("CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)" +
+                  " * 10000) AS BIGINT)").as("wavg_cents_e4"))
+        .orderBy("l_returnflag")),
 
     // ClickHouse retention(cond1, cond2, …) in its literal form: per
     // user the flag vector (did c1, did c1∧c2, did c1∧c3, …), summed
@@ -828,6 +904,48 @@ object AggQueries extends QueryPack {
         |  round(corr(l_extendedprice, l_tax), 4) AS c_extendedprice_tax,
         |  round(corr(l_discount, l_tax), 4) AS c_discount_tax
         |FROM lineitem""".stripMargin,
+
+    "q_agg_ols" -> {
+      val casts = OlsFormula.castDoubles.mkString(",\n    ")
+      val outs = OlsFormula.outputs.mkString(",\n  ")
+      s"""WITH r AS (
+         |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    sum(CAST(q AS DECIMAL(38,0))) AS sq,
+         |    sum(CAST(d AS DECIMAL(38,0))) AS sd,
+         |    sum(CAST(p AS DECIMAL(38,0))) AS sp,
+         |    sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+         |    sum(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+         |    sum(CAST(q * d AS DECIMAL(38,0))) AS sqd,
+         |    sum(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+         |    sum(CAST(d * p AS DECIMAL(38,0))) AS sdp
+         |  FROM r),
+         |f AS (
+         |  SELECT $casts
+         |  FROM s)
+         |SELECT $outs
+         |FROM f""".stripMargin
+    },
+
+    "q_agg_avg_weighted" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(p * q AS DECIMAL(38,0))) AS swx,
+        |    sum(CAST(q AS DECIMAL(38,0))) AS sw
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 10000)
+        |       AS BIGINT) AS wavg_cents_e4
+        |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q_retention_conditions" ->
       """WITH u AS (

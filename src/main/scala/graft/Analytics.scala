@@ -600,6 +600,50 @@ object Analytics {
                 .reduce(_ + _).cast("long").as("funnel_level"))
   }
 
+  /** [[funnelSliding]] in ClickHouse `windowFunnel`'s 'strict_dedup'
+    * mode: after steps 1..k have matched, a REPEAT of any already-matched
+    * condition arriving before step k+1 interrupts the chain. Greedy
+    * earliest-next is still exact, and the dedup check folds INTO the
+    * as-of lookup: per stage the candidate stream is the union of the
+    * already-matched types and the expected next type — if the earliest
+    * such event is the expected type the chain advances, otherwise a
+    * repeat got there first and the chain dies. One strict forward as-of
+    * join per stage against a per-instant-reduced (min_by event id)
+    * stream, so simultaneous events decide deterministically; linear in
+    * events like the other modes.
+    */
+  def funnelStrictDedup(events: DataFrame, userCol: String,
+                        typeCol: String, tsCol: String, idCol: String,
+                        steps: Seq[String], window: String): DataFrame = {
+    require(steps.nonEmpty, "funnelStrictDedup needs at least one step")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"), col(idCol).as("eid"))
+    val s1 = e.filter(col("et") === steps.head)
+      .select(col("u"), col("ts").as("t0"), col("ts").as("t_prev"))
+    val stages = steps.tail.zipWithIndex.scanLeft(s1) {
+      case (prev, (step, i)) =>
+        val relevant = steps.take(i + 1) :+ step
+        val nxt = e.filter(col("et").isin(relevant: _*))
+          .groupBy(col("u"), col("ts"))
+          .agg(min_by(col("et"), col("eid")).as("nt"))
+          .withColumn("tn", col("ts"))
+        Relational.asofJoinForward(prev, nxt, "u", "t_prev", "ts",
+                                   Seq("nt", "tn"), strict = true)
+          .filter(col("asof_nt") === step &&
+                    col("asof_tn") <= col("t0") + expr(s"INTERVAL $window"))
+          .select(col("u"), col("t0"), col("asof_tn").as("t_prev"))
+    }
+    val base = e.select(col("u")).distinct()
+    stages.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      acc.join(st.select(col("u")).distinct()
+                 .withColumn(s"l_$i", lit(1)),
+               Seq("u"), "left")
+    }
+      .select(col("u").as(userCol),
+              stages.indices.map(i => coalesce(col(s"l_$i"), lit(0)))
+                .reduce(_ + _).cast("long").as("funnel_level"))
+  }
+
   /** Theil's uncertainty coefficient U(x|y) (ClickHouse `theilsU`) and
     * the Pearson contingency coefficient between two categoricals — the
     * same contingency-cell shapes as the `q_agg_cramers_v` plan: one

@@ -72,6 +72,17 @@ object CdcQueries extends QueryPack {
                                   "30 MINUTES")
         .orderBy("user_id")),
 
+    // D: windowFunnel 'strict_dedup' mode ([[Analytics.funnelStrictDedup]]):
+    // a repeat of an already-matched step arriving before the next
+    // expected step interrupts the chain — the dedup check folds into the
+    // same strict forward as-of join (candidates = matched ∪ next types).
+    "q_funnel_dedup" -> ((s, dir) =>
+      Analytics.funnelStrictDedup(Tables(s, dir, "events"), "user_id",
+                                  "event_type", "ts", "event_id",
+                                  Seq("view", "click", "purchase"),
+                                  "30 MINUTES")
+        .orderBy("user_id")),
+
     // D: interval union length (ClickHouse intervalLengthSum analog) over
     // per-event activity intervals synthesized deterministically from
     // event_id (start = event time, length 60 s + up to 10 min): total
@@ -441,6 +452,43 @@ object CdcQueries extends QueryPack {
         |       GROUP BY s2.u, s2.t0),
         |s3 AS (SELECT b3.u, b3.t0, b3.tnext AS tp
         |       FROM b3 JOIN nxt n ON n.u = b3.u AND n.ts = b3.tnext
+        |       WHERE n.nt = 'purchase'
+        |         AND b3.tnext <= b3.t0 + INTERVAL 30 MINUTE)
+        |SELECT du.u AS user_id,
+        |  CAST(CASE WHEN s1x.u IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s2x.u IS NULL THEN 0 ELSE 1 END +
+        |       CASE WHEN s3x.u IS NULL THEN 0 ELSE 1 END
+        |       AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT u FROM e) du
+        |LEFT JOIN (SELECT DISTINCT u FROM s1) s1x ON du.u = s1x.u
+        |LEFT JOIN (SELECT DISTINCT u FROM s2) s2x ON du.u = s2x.u
+        |LEFT JOIN (SELECT DISTINCT u FROM s3) s3x ON du.u = s3x.u
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // Per stage: the earliest following event among (matched ∪ next)
+    // types must BE the expected next type (a repeat arriving first kills
+    // the chain), inside the window; arg_min over the same relevant set
+    // decides simultaneous events.
+    "q_funnel_dedup" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, ts, event_id
+        |           FROM events),
+        |n2 AS (SELECT u, ts, arg_min(et, event_id) AS nt FROM e
+        |       WHERE et IN ('view', 'click') GROUP BY u, ts),
+        |n3 AS (SELECT u, ts, arg_min(et, event_id) AS nt FROM e
+        |       WHERE et IN ('view', 'click', 'purchase') GROUP BY u, ts),
+        |s1 AS (SELECT u, ts AS t0, ts AS tp FROM e WHERE et = 'view'),
+        |b2 AS (SELECT s1.u, s1.t0, min(n.ts) AS tnext
+        |       FROM s1 JOIN n2 n ON n.u = s1.u AND n.ts > s1.tp
+        |       GROUP BY s1.u, s1.t0),
+        |s2 AS (SELECT b2.u, b2.t0, b2.tnext AS tp
+        |       FROM b2 JOIN n2 n ON n.u = b2.u AND n.ts = b2.tnext
+        |       WHERE n.nt = 'click'
+        |         AND b2.tnext <= b2.t0 + INTERVAL 30 MINUTE),
+        |b3 AS (SELECT s2.u, s2.t0, min(n.ts) AS tnext
+        |       FROM s2 JOIN n3 n ON n.u = s2.u AND n.ts > s2.tp
+        |       GROUP BY s2.u, s2.t0),
+        |s3 AS (SELECT b3.u, b3.t0, b3.tnext AS tp
+        |       FROM b3 JOIN n3 n ON n.u = b3.u AND n.ts = b3.tnext
         |       WHERE n.nt = 'purchase'
         |         AND b3.tnext <= b3.t0 + INTERVAL 30 MINUTE)
         |SELECT du.u AS user_id,

@@ -14,17 +14,27 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos and truncate to micro
-      // precision — the same truncation DuckDB applies when it reads the
-      // column as TIMESTAMP, so oracle comparisons stay bit-identical.
+    // Harness generators have shipped timestamps three ways across rounds:
+    // parquet TIMESTAMP(NANOS) (readable only via nanosAsLong=true),
+    // timezone-naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), and
+    // UTC-adjusted micros (plain TimestampType). Normalize all three to
+    // TimestampType at micro precision — the session TZ is pinned to UTC,
+    // so the NTZ→LTZ cast is an identity on the stored micros value and
+    // DuckDB (which reads every variant as naive TIMESTAMP) keeps seeing
+    // bit-identical instants.
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          // int64 nanos (legacy reader mode): truncate to micros, the same
+          // truncation DuckDB applies reading NANOS as TIMESTAMP.
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
     }
   }
 
