@@ -32,7 +32,8 @@ object Explain {
     "q_theta_segments",     // cross of two one-row sketch aggregates
     "q_text_bm25",          // cross vs broadcast one-row (N, avgdl) stats
     "q_agg_ks_test",        // cross vs broadcast one-row (n1, n2) totals
-    "q_text_ngram_lm")      // cross vs broadcast one-row vocabulary size
+    "q_text_ngram_lm",      // cross vs broadcast one-row vocabulary size
+    "q_dsir")               // cross vs broadcast one-row token totals
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -55,6 +56,10 @@ object Explain {
     "q_theta_segments",        // two one-row theta-sketch aggregates
                                // crossed for the set algebra
     "q_text_bm25",             // one-row corpus-stats aggregate (N, avgdl)
+    "q_agg_ols",               // one-row normal-equation sums: one
+                               // pre-aggregated partial row per partition
+    "q_dsir",                  // one-row corpus/target token totals over
+                               // the 4096-row bucket table
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream
     // partition, never raw data

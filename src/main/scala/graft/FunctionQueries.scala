@@ -260,10 +260,58 @@ object FunctionQueries extends QueryPack {
                 parse_url(col("url"), lit("QUERY")).as("query"),
                 parse_url(col("url"), lit("QUERY"), lit("page"))
                   .cast("long").as("page"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ClickHouse arrayCumSum / arrayDifference / arrayCompact over the
+    // per-order quantity sequence (ordered by line number; quantities
+    // pre-summed per (order, line) so the sequence key is unique and
+    // every derived list is deterministic). TPC-H bounds an order to 7
+    // lineitems, so the per-group buffer is constant-bounded — the HOFs
+    // run codegen'd over a tiny array. The DuckDB oracle rebuilds the
+    // same lists from window prefix sums instead of lambdas: two
+    // independent formulations, one hash-checked contract.
+    "q_array_seq" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                expr("CAST(round(l_quantity) AS BIGINT)").as("q0"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum("q0").as("q"))
+        .groupBy("l_orderkey")
+        .agg(expr("transform(array_sort(collect_list(" +
+               "struct(l_linenumber, q))), x -> x.q)").as("qs"))
+        .select(col("l_orderkey"), col("qs"),
+          expr("transform(qs, (x, i) -> aggregate(slice(qs, 1, i + 1), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b))").as("cum"),
+          expr("transform(qs, (x, i) -> x - coalesce(get(qs, i - 1), x))")
+            .as("diff"),
+          expr("filter(qs, (x, i) -> i = 0 OR x != get(qs, i - 1))")
+            .as("compact"))
+        .orderBy("l_orderkey"))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_array_seq" ->
+      """WITH s0 AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |    CAST(round(l_quantity) AS BIGINT) AS q0
+        |  FROM lineitem),
+        |s AS (SELECT k, ln, CAST(sum(q0) AS BIGINT) AS q
+        |      FROM s0 GROUP BY k, ln),
+        |w AS (
+        |  SELECT k, ln, q,
+        |    CAST(sum(q) OVER (PARTITION BY k ORDER BY ln
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) AS BIGINT) AS cs,
+        |    lag(q) OVER (PARTITION BY k ORDER BY ln) AS pq
+        |  FROM s)
+        |SELECT k AS l_orderkey,
+        |  list(q ORDER BY ln) AS qs,
+        |  list(cs ORDER BY ln) AS cum,
+        |  list(q - coalesce(pq, q) ORDER BY ln) AS diff,
+        |  list(q ORDER BY ln) FILTER (WHERE pq IS NULL OR q <> pq)
+        |    AS compact
+        |FROM w GROUP BY k ORDER BY l_orderkey NULLS FIRST""".stripMargin,
+
     "q_date_parts" ->
       """SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d,
         |  hour(ts) AS h, minute(ts) AS mi, quarter(ts) AS q,

@@ -136,6 +136,48 @@ object LlmOps {
            count(lit(1)).cast("long").as("n_bigrams"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log importance
+    * ln p_target(doc) − ln p_raw(doc) under two hashed-unigram bag models
+    * — the standard pass for re-weighting a raw crawl toward a target
+    * distribution (here: a caller-supplied target predicate over the
+    * corpus itself, e.g. the English slice).
+    *
+    * Fully relational and scale-shaped: ONE pass over the exploded tokens
+    * builds both bucket count tables simultaneously (conditional
+    * aggregate), the `buckets`-row table (fixed size, e.g. 4096) gets its
+    * add-1-smoothed log-ratio and is BROADCAST back onto the token
+    * stream, and the per-doc score is one hash aggregate. The log-ratio
+    * is floored to integer ten-thousandths per bucket BEFORE the per-doc
+    * sum, so the sum is exact integer arithmetic — order-independent and
+    * bit-portable across engines (docs never carry doubles).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetCond: Column, buckets: Int): DataFrame = {
+    val tok = docs.select(col(idCol), targetCond.as("__t"),
+                          explode(tokens(col(textCol), normalize = true))
+                            .as("w"))
+    val b = tok.select(col(idCol), col("__t"),
+      pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+           lit(buckets.toLong)).as("bk"))
+    val counts = b.groupBy("bk")
+      .agg(count(lit(1)).as("c_all"),
+           count(when(col("__t"), 1)).as("c_t"))
+    val tot = counts.agg(sum("c_all").as("t_all"), sum("c_t").as("t_t"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("bk"), expr(
+        s"""CAST(floor((ln((CAST(c_t AS DOUBLE) + 1) /
+           |              (CAST(t_t AS DOUBLE) + $buckets)) -
+           |           ln((CAST(c_all AS DOUBLE) + 1) /
+           |              (CAST(t_all AS DOUBLE) + $buckets))) * 10000)
+           |     AS BIGINT)""".stripMargin.replaceAll("\n\\s*", " "))
+        .as("lr_e4"))
+    b.join(broadcast(lr), Seq("bk"))
+      .groupBy(idCol)
+      .agg(sum("lr_e4").cast("long").as("dsir_e4"),
+           count(lit(1)).cast("long").as("n_tokens"))
+  }
+
   /** L2 near-duplicate candidate pairs via MinHash+LSH, verified with exact
     * shingle Jaccard — fully relational formulation:
     *

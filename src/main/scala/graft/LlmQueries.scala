@@ -510,6 +510,46 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // N: URL-canonicalization dedup — the crawl-frontier pass that runs
+    // BEFORE any content dedup: normalize scheme/host-case/www/tracking
+    // params away and keep the lowest doc_id per canonical URL. URLs are
+    // synthesized deterministically with duplicate-producing variation
+    // (scheme by parity, host case by mod-3, a utm_ tracking param by
+    // mod-5), so distinct raw strings collapse to shared canonicals.
+    // One projection + one hash aggregate — linear, map-side combinable.
+    "q_dedup_url" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("http://"))
+          .otherwise(lit("https://")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+             concat(lit("WWW."), upper(col("source"))))
+          .otherwise(concat(lit("www."), col("source"))),
+        lit(".example.com/"), col("lang"), lit("/item/"),
+        pmod(col("doc_id"), lit(40)),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+             concat(lit("?utm_source="), col("source")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          concat(regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+                                "^www\\.", ""),
+                 parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .groupBy("canonical")
+        .agg(min("doc_id").as("keep_doc"),
+             count(lit(1)).cast("long").as("n_variants"))
+        .orderBy("canonical")
+    }),
+
+    // N: DSIR importance weights ([[LlmOps.dsirWeights]]) — per-doc
+    // log importance toward the English slice under hashed-unigram bag
+    // models; the 4096-bucket log-ratio table broadcasts, the per-doc sum
+    // is exact integer arithmetic (floored ratio per bucket).
+    "q_dsir" -> ((s, dir) =>
+      LlmOps.dsirWeights(Tables(s, dir, "documents"), "doc_id", "text",
+                         col("lang") === "en", 4096)
+        .orderBy("doc_id")),
+
     // L1/F11: document fingerprints — whole-text and 8-token-prefix md5
     // over whitespace-normalized lowercase text.
     "q_fingerprint" -> ((s, dir) => {
@@ -1327,6 +1367,66 @@ object LlmQueries extends QueryPack {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // Same synthesized raw URLs; host/path recovered by the q_url_funcs
+    // regex idioms, then the identical canonicalization.
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source)
+        |             ELSE 'www.' || source END)
+        |    || '.example.com/' || lang || '/item/'
+        |    || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=' || source
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-z]+://([^/?#]+)', 1)), '^www\.', '')
+        |    || regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+        |      AS canonical
+        |  FROM u)
+        |SELECT canonical, min(doc_id) AS keep_doc,
+        |  count(*) AS n_variants
+        |FROM c GROUP BY canonical
+        |ORDER BY canonical NULLS FIRST""".stripMargin,
+
+    // Mirrors the Spark plan clause-for-clause: same normalized
+    // tokenizer, same md5-prefix bucket hash, same add-1-smoothed
+    // log-ratio floored to integer ten-thousandths per bucket before the
+    // per-doc sum (so only integers are summed — order-independent).
+    "q_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    unnest(list_filter(string_split(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> ''))
+        |      AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 4096
+        |      AS bk
+        |  FROM tok),
+        |c AS (
+        |  SELECT bk, count(*) AS c_all,
+        |    count(CASE WHEN t THEN 1 END) AS c_t
+        |  FROM b GROUP BY bk),
+        |tt AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+        |              CAST(sum(c_t) AS BIGINT) AS t_t FROM c),
+        |lr AS (
+        |  SELECT bk,
+        |    CAST(floor((ln((CAST(c_t AS DOUBLE) + 1) /
+        |                   (CAST(t_t AS DOUBLE) + 4096)) -
+        |                ln((CAST(c_all AS DOUBLE) + 1) /
+        |                   (CAST(t_all AS DOUBLE) + 4096))) * 10000)
+        |         AS BIGINT) AS lr_e4
+        |  FROM c, tt)
+        |SELECT doc_id, CAST(sum(lr_e4) AS BIGINT) AS dsir_e4,
+        |  count(*) AS n_tokens
+        |FROM b JOIN lr USING (bk)
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_fingerprint_rolling" ->
       """SELECT doc_id,

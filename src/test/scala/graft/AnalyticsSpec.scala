@@ -293,6 +293,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(sliding === Array((1L, 2L), (2L, 2L)))
   }
 
+  test("funnelStrictDedup: a repeated matched step kills the chain, " +
+       "unrelated types are ignored, restarts survive") {
+    val events = Seq(
+      // user 1: view→click matched, then a REPEAT view arrives before
+      // purchase → chain dies at 2 (sliding reaches 3). The repeat's own
+      // restart chain finds no later click.
+      (1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 00:01:00"), 2L),
+      (1L, "view", ts("2024-01-01 00:02:00"), 3L),
+      (1L, "purchase", ts("2024-01-01 00:03:00"), 4L),
+      // user 2: clean chain → 3 in every mode.
+      (2L, "view", ts("2024-01-01 00:00:00"), 5L),
+      (2L, "click", ts("2024-01-01 00:01:00"), 6L),
+      (2L, "purchase", ts("2024-01-01 00:02:00"), 7L),
+      // user 3: view view click purchase — the FIRST view's chain dies
+      // on the repeat, but the second view's chain completes → 3.
+      (3L, "view", ts("2024-01-01 00:00:00"), 8L),
+      (3L, "view", ts("2024-01-01 00:01:00"), 9L),
+      (3L, "click", ts("2024-01-01 00:02:00"), 10L),
+      (3L, "purchase", ts("2024-01-01 00:03:00"), 11L),
+      // user 4: an unrelated 'other' between steps does NOT interrupt
+      // (unlike strict_order, which would stop at 1).
+      (4L, "view", ts("2024-01-01 00:00:00"), 12L),
+      (4L, "other", ts("2024-01-01 00:01:00"), 13L),
+      (4L, "click", ts("2024-01-01 00:02:00"), 14L),
+      (4L, "purchase", ts("2024-01-01 00:03:00"), 15L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val steps = Seq("view", "click", "purchase")
+    val dedup = Analytics.funnelStrictDedup(events, "user_id",
+                                            "event_type", "ts", "event_id",
+                                            steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(dedup === Array((1L, 2L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val sliding = Analytics.funnelSliding(events, "user_id", "event_type",
+                                          "ts", steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(sliding === Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val strict = Analytics.funnelStrictOrder(events, "user_id",
+                                             "event_type", "ts", "event_id",
+                                             steps, "10 MINUTES")
+      .orderBy("user_id").as[(Long, Long)].collect()
+    assert(strict === Array((1L, 2L), (2L, 3L), (3L, 3L), (4L, 1L)))
+  }
+
   test("contingencyStats: U=1 when x is determined by y, U=0 when " +
        "independent") {
     // x = f(y) exactly → H(x|y) = 0 → U = 1.

@@ -565,4 +565,26 @@ class LlmSpec extends SparkSpec {
     assert(out(0)._3 === 2L)
     assert(math.abs(out(1)._2 - (-math.log(3.0 / 5))) < 1e-12)
   }
+
+  test("dsirWeights: target-distribution tokens score up, off-target " +
+       "down; identical docs score identically") {
+    // target = lang 'en'. 'alpha' lives (almost) only in the target
+    // slice, 'beta' only outside it, so an alpha-doc must outscore a
+    // beta-doc; two byte-identical docs must land on the same integer
+    // score (the per-bucket floor makes the per-doc sum exact).
+    val df = Seq(
+      (1L, "en", "alpha alpha alpha"),
+      (2L, "en", "alpha alpha alpha"),
+      (3L, "xx", "beta beta beta"),
+      (4L, "xx", "alpha beta beta")
+    ).toDF("doc_id", "lang", "text")
+    val out = LlmOps.dsirWeights(df, "doc_id", "text",
+                                 col("lang") === "en", 64)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val score = out.map(r => r._1 -> r._2).toMap
+    assert(out.map(_._3).toSeq === Seq(3L, 3L, 3L, 3L))
+    assert(score(1L) === score(2L))
+    assert(score(1L) > score(3L))
+    assert(score(4L) > score(3L) && score(4L) < score(1L))
+  }
 }
