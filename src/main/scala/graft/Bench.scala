@@ -55,6 +55,9 @@ object Bench {
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",
     "q_text_ngram_lm", "q_geo_radius_join",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
+    "q_dsir", "q_classify_nb", "q_dedup_url",
+    // closed-form stats + array sequence functions
+    "q_agg_ols", "q_array_seq",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",

@@ -45,6 +45,41 @@ object Udafs {
       ExpressionEncoder()
   }
 
+  /** Dim-wise mean of DOUBLE vectors with the dimension discovered from
+    * the first row (buffer starts empty and sizes itself) — the PQ
+    * sub-vector centroid, where the sub-dimension is dim/m and not known
+    * at call-site construction time. Same (sums, count) mergeable state
+    * as [[VectorCentroid]].
+    */
+  class VectorCentroidAny
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long),
+                        v: Seq[Double]): (Array[Double], Long) = {
+      val s = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < s.length && i < v.length) { s(i) += v(i); i += 1 }
+      (s, b._2 + 1)
+    }
+    override def merge(b1: (Array[Double], Long),
+                       b2: (Array[Double], Long)): (Array[Double], Long) = {
+      if (b1._1.isEmpty) (b2._1, b1._2 + b2._2)
+      else if (b2._1.isEmpty) (b1._1, b1._2 + b2._2)
+      else {
+        val (s1, s2) = (b1._1, b2._1)
+        var i = 0
+        while (i < s1.length && i < s2.length) { s1(i) += s2(i); i += 1 }
+        (s1, b1._2 + b2._2)
+      }
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExpressionEncoder[Array[Double]](),
+                     Encoders.scalaLong)
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
   /** Dim-wise mean of float vectors. Input the vector; buffer (sums,
     * count); output the centroid as doubles.
     */

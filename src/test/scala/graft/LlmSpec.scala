@@ -202,6 +202,33 @@ class LlmSpec extends SparkSpec {
     assert(ids === direct)
   }
 
+  test("pqIndex cache: cached serve equals the self-contained PQ run; " +
+       "the shared-codebook IVF-PQ stays inside the probed cell") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val plain = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10, refine = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val cached = LlmOps.annPqTopK(embs, q, 8, 16, 2, 10, refine = 10,
+                                  cacheKey = Some("spec-pq-cache"))
+      .select("vec_id").as[Long].collect().toSet
+    // the memoized index is the SAME deterministic computation, so the
+    // served top-k is identical, and a second lookup returns the same
+    // materialized instances (no retrain)
+    assert(cached === plain)
+    val (b1, c1) = LlmOps.pqIndex(embs, "spec-pq-cache", 8, 16, 2)
+    val (b2, c2) = LlmOps.pqIndex(embs, "spec-pq-cache", 8, 16, 2)
+    assert((b1 eq b2) && (c1 eq c2))
+    // deployment-shaped IVF-PQ (one stored codebook, cell-confined
+    // codes): every result still comes from exactly one coarse cell
+    val ivf = LlmOps.annIvfPqTopK(embs, q, 64, 8, 16, 2, 10, refine = 10,
+                                  cacheKey = Some("spec-pq-cache"))
+    val ids = ivf.select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    val labels = embs.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select("label").distinct().as[String].collect()
+    assert(labels.length === 1, labels.mkString(","))
+  }
+
   test("q_inverted_index_full caps every posting list at 50 and runs " +
        "the cap through the salt slices") {
     val df = LlmQueries.queries("q_inverted_index_full")(
@@ -564,6 +591,27 @@ class LlmSpec extends SparkSpec {
       (-math.log(2.0 / 6) - math.log(3.0 / 5)) / 2) < 1e-12)
     assert(out(0)._3 === 2L)
     assert(math.abs(out(1)._2 - (-math.log(3.0 / 5))) < 1e-12)
+  }
+
+  test("nbClassify: recovers separable classes; ties break to the " +
+       "earlier class") {
+    val df = Seq(
+      (1L, "en", "the cat and the dog"),
+      (2L, "en", "a dog of the house"),
+      (3L, "de", "der hund und die katze"),
+      (4L, "de", "die katze und der haus")
+    ).toDF("doc_id", "lang", "text")
+    val out = LlmOps.nbClassify(df, "doc_id", "text", "lang",
+                                Seq("de", "en"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out === Array((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de")))
+    // one shared token, equal priors → equal scores → first class wins
+    val tie = Seq((1L, "en", "x x"), (2L, "de", "x x"))
+      .toDF("doc_id", "lang", "text")
+    val t = LlmOps.nbClassify(tie, "doc_id", "text", "lang",
+                              Seq("de", "en"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(t === Array((1L, "de"), (2L, "de")))
   }
 
   test("dsirWeights: target-distribution tokens score up, off-target " +
