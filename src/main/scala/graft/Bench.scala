@@ -55,7 +55,8 @@ object Bench {
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",
     "q_text_ngram_lm", "q_geo_radius_join",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
-    "q_dsir", "q_classify_nb", "q_dedup_url",
+    "q_dsir", "q_classify_nb", "q_dedup_url", "q_mmr_rerank",
+    "q_join_asof_nearest",
     // closed-form stats + array sequence functions
     "q_agg_ols", "q_array_seq",
     // streaming batch-equivalents + semi-structured + sampling

@@ -34,7 +34,8 @@ object Explain {
     "q_agg_ks_test",        // cross vs broadcast one-row (n1, n2) totals
     "q_text_ngram_lm",      // cross vs broadcast one-row vocabulary size
     "q_dsir",               // cross vs broadcast one-row token totals
-    "q_classify_nb")        // cross vs broadcast one-row totals/priors
+    "q_classify_nb",        // cross vs broadcast one-row totals/priors
+    "q_mmr_rerank")         // cross vs broadcast <= 5-row selected set
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -62,6 +63,7 @@ object Explain {
     "q_dsir",                  // one-row corpus/target token totals over
                                // the 4096-row bucket table
     "q_classify_nb",           // one-row class-total and prior aggregates
+    "q_mmr_rerank",            // bounded shortlist top-1 argmax per step
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream
     // partition, never raw data

@@ -197,6 +197,20 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6g: NEAREST as-of — for each purchase, the click minimizing
+    // |click.ts − purchase.ts| for that user; backward wins distance
+    // ties (pandas direction='nearest'). One shuffle: backward and
+    // forward carries are two window passes over the same unioned frame.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoinNearest(purchases, clicks, "user_id", "ts", "ts",
+                                 Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
     // J6d: FORWARD as-of — for each purchase, the EARLIEST click at or
     // after it by the same user (pandas merge_asof direction='forward');
     // same single-shuffle plan as q_join_asof with the window reversed.
@@ -426,6 +440,29 @@ object JoinQueries extends QueryPack {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    // Both directional ASOF joins, then the same tie-to-backward CASE
+    // the Spark plan applies.
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |    c.event_id AS bid, c.ts AS bts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (
+        |  SELECT p.event_id, c.event_id AS fid, c.ts AS fts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT b.user_id, b.event_id,
+        |  CASE WHEN fid IS NULL THEN bid
+        |       WHEN bid IS NULL THEN fid
+        |       WHEN (b.ts - bts) <= (fts - b.ts) THEN bid
+        |       ELSE fid END AS asof_event_id
+        |FROM b JOIN f USING (event_id)
+        |WHERE bid IS NOT NULL OR fid IS NOT NULL
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_join_asof_bucketed" ->
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id

@@ -1139,6 +1139,53 @@ object LlmOps {
     }
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity pass a retrieval/serving stack runs AFTER
+    * ANN: from a bounded relevance shortlist, greedily pick items
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), ties to the
+    * smaller id. The shortlist (shortlistK rows) is localCheckpointed
+    * once; each greedy step is a bounded anti-join + cross-join against
+    * the ≤ outK selected rows — every stage is constant-size, so the
+    * whole rerank costs O(outK · shortlistK) similarity evaluations no
+    * matter the corpus size behind the shortlist. Results are
+    * deterministic end-to-end (cosines are fixed IEEE expression trees,
+    * argmax ties break by id), which is what lets a DuckDB recursive CTE
+    * hash-match the selection.
+    */
+  def mmrRerank(embeddings: DataFrame, query: DataFrame, shortlistK: Int,
+                outK: Int, lambda: Double): DataFrame = {
+    val short = embeddings.crossJoin(broadcast(query))
+      .withColumn("rel", Functions.cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("rel").desc_nulls_last, col("vec_id"))
+      .limit(shortlistK)
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .localCheckpoint()
+    var sel = short.orderBy(col("rel").desc_nulls_last, col("vec_id"))
+      .limit(1)
+      .select(col("vec_id"), col("embedding"), col("rel"),
+              lit(1L).as("mmr_rank"))
+      .localCheckpoint()
+    (2 to outK).foreach { step =>
+      val next = short
+        .join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sel.select(col("embedding").as("s_emb"))))
+        .withColumn("s_sim",
+                    Functions.cosine(col("embedding"), col("s_emb")))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+             first(col("rel")).as("rel"), max(col("s_sim")).as("max_sim"))
+        .withColumn("score",
+                    lit(lambda) * col("rel") -
+                      lit(1 - lambda) * col("max_sim"))
+        .orderBy(col("score").desc_nulls_last, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("embedding"), col("rel"),
+                lit(step.toLong).as("mmr_rank"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("vec_id"), col("mmr_rank"))
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, IPL 2006): each row draws a hash-uniform
     * u ∈ (0,1) from its id and scores key = ln(u)/w; the k rows with the

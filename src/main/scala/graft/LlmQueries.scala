@@ -417,6 +417,17 @@ object LlmQueries extends QueryPack {
                           cacheKey = Some(s"$dir/embeddings"))
         .orderBy("vec_id")),
 
+    // L4h: MMR diversity re-rank ([[LlmOps.mmrRerank]]) — the serving
+    // pass AFTER ANN: greedy λ-tradeoff between relevance and
+    // max-similarity-to-already-picked over a bounded top-20 shortlist,
+    // emitting 5 ranked picks. Every stage constant-size; the DuckDB
+    // oracle replays the greedy selection through a recursive CTE
+    // carrying the chosen list.
+    "q_mmr_rerank" -> ((s, dir) =>
+      LlmOps.mmrRerank(Tables(s, dir, "embeddings"), queryVec(s, dir),
+                       20, 5, 0.5)
+        .orderBy("mmr_rank")),
+
     // L4g: driver-visible ANN recall — recall@10 of each ANN family vs
     // the exact cosine top-10, computed entirely in-plan as integer
     // overlap counts (everything is deterministic: hash-derived planes,
@@ -1455,6 +1466,42 @@ object LlmQueries extends QueryPack {
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_classify_nb" -> nbOracleSql(NbClasses),
+
+    // Greedy MMR replay: the recursive CTE carries the chosen-id list;
+    // each step's LATERAL argmax mirrors the Spark stage (same 0.5
+    // λ-tradeoff, same id tiebreak) over the precomputed shortlist
+    // pairwise sims.
+    "q_mmr_rerank" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |short AS (
+         |  SELECT e.vec_id, e.embedding AS emb,
+         |    ${cosSql("e.embedding", "q.qe")} AS rel
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY rel DESC NULLS LAST, e.vec_id LIMIT 20),
+         |pairs AS (
+         |  SELECT a.vec_id AS av, b.vec_id AS bv,
+         |    ${cosSql("a.emb", "b.emb")} AS sim
+         |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+         |sel(step, chosen) AS (
+         |  SELECT 1,
+         |    [(SELECT vec_id FROM short ORDER BY rel DESC, vec_id
+         |      LIMIT 1)]
+         |  UNION ALL
+         |  SELECT step + 1, list_append(chosen, nxt)
+         |  FROM sel, LATERAL (
+         |    SELECT s.vec_id AS nxt
+         |    FROM short s JOIN pairs p ON p.av = s.vec_id
+         |      AND list_contains(sel.chosen, p.bv)
+         |    WHERE NOT list_contains(sel.chosen, s.vec_id)
+         |    GROUP BY s.vec_id, s.rel
+         |    ORDER BY 0.5 * s.rel - 0.5 * max(p.sim) DESC, s.vec_id
+         |    LIMIT 1) t
+         |  WHERE step < 5)
+         |SELECT unnest(chosen) AS vec_id,
+         |  CAST(generate_subscripts(chosen, 1) AS BIGINT) AS mmr_rank
+         |FROM sel WHERE step = 5
+         |ORDER BY mmr_rank NULLS FIRST""".stripMargin,
 
     // Same synthesized raw URLs; host/path recovered by the q_url_funcs
     // regex idioms, then the identical canonicalization.

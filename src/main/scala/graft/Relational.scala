@@ -62,6 +62,47 @@ object Relational {
     asofFinish(filled.drop("__t", "__side"), payload, rightPayload)
   }
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'): for
+    * each left row, the right row with the same key minimizing
+    * |rightTs − leftTs|; the BACKWARD candidate wins distance ties (the
+    * deterministic contract, matching pandas). Still ONE shuffle: both
+    * directions fill over the SAME unioned, key-partitioned frame — an
+    * ascending backward carry and a descending forward carry are two
+    * window passes over one exchange, never two joins plus a re-join.
+    * Inner semantics: left rows with no right row on either side drop.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    // carry the matched right timestamp as an extra payload so each left
+    // row can compare its backward and forward candidate distances
+    val rightPlus = right.withColumn("__rts", col(rightTs))
+    val (unioned, payload) =
+      asofUnion(left, rightPlus, key, leftTs, rightTs,
+                rightPayload :+ "__rts")
+    val wb = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key)
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wf)))
+    val bt = col("__b___r___rts")
+    val ft = col("__f___r___rts")
+    val useBack = ft.isNull ||
+      (bt.isNotNull && (col("__t") - bt) <= (ft - col("__t")))
+    val matched = filled.filter(col("__side") === 1)
+      .filter(bt.isNotNull || ft.isNotNull)
+    val withPicks = rightPayload.foldLeft(matched)((d, c) =>
+      d.withColumn(s"asof_$c",
+                   when(useBack, col(s"__b___r_$c"))
+                     .otherwise(col(s"__f___r_$c"))))
+    withPicks.drop(
+      (Seq("__t", "__side") ++ payload ++
+        payload.flatMap(c => Seq(s"__b_$c", s"__f_$c"))): _*)
+  }
+
   /** Shared stage of the as-of joins: both sides unioned into one frame
     * with `__t` (event time), `__side` (0 = right, 1 = left; rights sort
     * first at equal times for `<=` semantics) and the right payload as

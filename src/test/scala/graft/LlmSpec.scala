@@ -202,6 +202,26 @@ class LlmSpec extends SparkSpec {
     assert(ids === direct)
   }
 
+  test("mmrRerank: a near-duplicate of the top hit is deferred in " +
+       "favor of a diverse pick") {
+    // query OUTSIDE the corpus (else rel == max-sim-to-top-pick for
+    // every candidate and MMR degenerates to relevance order). v1 top
+    // by relevance; v2 is its near-duplicate and only marginally less
+    // relevant; v3/v4 clearly less relevant but diverse. Relevance
+    // order = (1, 2, 3); MMR at λ=0.5 defers the near-duplicate past
+    // both diverse picks.
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f), "a"),
+      (2L, Array(0.9f, 0.105f, 0f, 0f), "a"),
+      (3L, Array(0.6f, 0f, 0.8f, 0f), "a"),
+      (4L, Array(0.5f, 0f, 0f, 0.85f), "a")
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("q_emb")
+    val out = LlmOps.mmrRerank(vecs, q, 4, 3, 0.5)
+      .orderBy("mmr_rank").as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("pqIndex cache: cached serve equals the self-contained PQ run; " +
        "the shared-codebook IVF-PQ stays inside the probed cell") {
     val q = embs.filter(col("vec_id") === 0)

@@ -219,6 +219,27 @@ class RelationalSpec extends SparkSpec {
     assert(fwd.count() > 0)
   }
 
+  test("asofJoinNearest picks the closer side, ties break backward, " +
+       "one-sided rows still match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // backward at 90 (d=10) vs forward at 115 (d=15)
+      (1L, 200L, 11L), // tie: 190 (d=10) vs 210 (d=10) → backward
+      (2L, 50L, 12L),  // only a forward right exists (60)
+      (3L, 50L, 13L),  // only a backward right exists (40)
+      (4L, 50L, 14L)   // no right rows at all → dropped
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 90L, 100L), (1L, 115L, 101L), (1L, 190L, 102L),
+      (1L, 210L, 103L), (2L, 60L, 104L), (3L, 40L, 105L)
+    ).toDF("k", "t", "rid")
+    val out = Relational.asofJoinNearest(left, right, "k", "t", "t",
+                                         Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 100L, 11L -> 102L, 12L -> 104L,
+                       13L -> 105L))
+  }
+
   test("globalRowNumber matches the single-task window formulation") {
     val e = Tables(spark, sf("events"), "events")
     val viaWindow = e.withColumn("rn",
