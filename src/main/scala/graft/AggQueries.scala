@@ -172,6 +172,46 @@ object AggQueries extends QueryPack {
                   " * 10000) AS BIGINT)").as("wavg_cents_e4"))
         .orderBy("l_returnflag")),
 
+    // Per-group winsorization — the outlier-clipping pass of a metrics /
+    // curation pipeline: exact p05/p95 per event_type (on integer
+    // ten-thousandths), bounds INTEGERIZED (ceil lo / floor hi) so every
+    // clipped value is an exact integer and the winsorized sum is
+    // order-independent BIGINT arithmetic. The 5-row bounds table
+    // broadcasts back; values never shuffle twice.
+    "q_agg_winsorize" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"),
+                expr("CAST(round(value * 10000) AS BIGINT)").as("v"))
+      val bounds = e.groupBy("event_type")
+        .agg(expr("CAST(ceil(percentile(v, 0.05)) AS BIGINT)").as("lo"),
+             expr("CAST(floor(percentile(v, 0.95)) AS BIGINT)").as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(min("lo").as("lo"), min("hi").as("hi"),
+             count(when(col("v") < col("lo"), 1)).as("n_lo"),
+             count(when(col("v") > col("hi"), 1)).as("n_hi"),
+             sum(least(greatest(col("v"), col("lo")), col("hi")))
+               .cast("long").as("sum_winsorized"))
+        .orderBy("event_type")
+    }),
+
+    // ClickHouse groupArraySorted(N): the N smallest values per group as
+    // a sorted list. The cap runs BEFORE any collection through the
+    // salted two-phase top-k (a hot group crosses 16 salt slices, each
+    // bounded to N survivors), so no aggregation buffer ever holds more
+    // than N rows — the hot-key-safe form of a bounded collect.
+    "q_agg_group_array_sorted" -> ((s, dir) =>
+      Relational.topKPerGroupSalted(
+          Tables(s, dir, "events")
+            .select(col("event_type"), col("event_id"), col("value")),
+          Seq("event_type"),
+          Seq(col("value").asc, col("event_id").asc), 5,
+          xxhash64(col("event_id")))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(" +
+               "struct(value, event_id))), x -> x.value)").as("smallest5"))
+        .orderBy("event_type")),
+
     // ClickHouse retention(cond1, cond2, …) in its literal form: per
     // user the flag vector (did c1, did c1∧c2, did c1∧c3, …), summed
     // over users — one conditional hash aggregate per user, one tiny
@@ -946,6 +986,34 @@ object AggQueries extends QueryPack {
         |  CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 10000)
         |       AS BIGINT) AS wavg_cents_e4
         |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(ceil(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(v, 0.95)) AS BIGINT) AS hi
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, min(lo) AS lo, min(hi) AS hi,
+        |  count(CASE WHEN v < lo THEN 1 END) AS n_lo,
+        |  count(CASE WHEN v > hi THEN 1 END) AS n_hi,
+        |  CAST(sum(least(greatest(v, lo), hi)) AS BIGINT)
+        |    AS sum_winsorized
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""".stripMargin,
+
+    "q_agg_group_array_sorted" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  list(value ORDER BY value, event_id) AS smallest5
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q_retention_conditions" ->
       """WITH u AS (

@@ -57,8 +57,9 @@ object Bench {
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
     "q_dsir", "q_classify_nb", "q_dedup_url", "q_mmr_rerank",
     "q_join_asof_nearest",
+    "q_text_chunk",
     // closed-form stats + array sequence functions
-    "q_agg_ols", "q_array_seq",
+    "q_agg_ols", "q_array_seq", "q_agg_winsorize",
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",

@@ -597,6 +597,28 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // N: RAG-style sliding-window chunking — the embedding-prep pass:
+    // every document splits into 32-token windows at stride 24 (8-token
+    // overlap), emitting (doc_id, chunk_id, chunk, n_tok). Pure
+    // sequence+slice array ops; fan-out is n_tokens/stride per doc —
+    // linear, no shuffle at all before the output sort. Contract: every
+    // stride start <= n_tokens emits (trailing short chunk included).
+    "q_text_chunk" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                LlmOps.tokens(col("text"), normalize = true).as("tk"))
+        .select(col("doc_id"), col("tk"),
+                explode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+                                 lit(24))).as("s0"))
+        .select(col("doc_id"),
+                expr("CAST((s0 - 1) div 24 AS BIGINT)").as("chunk_id"),
+                array_join(slice(col("tk"), col("s0"), lit(32)), " ")
+                  .as("chunk"),
+                least(size(col("tk")) - col("s0") + 1, lit(32))
+                  .cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .orderBy("doc_id", "chunk_id")),
+
     // N: self-trained Naive Bayes language classifier
     // ([[LlmOps.nbClassify]]) — the fastText-style classifier pass of a
     // curation pipeline in its exactly-checkable form: training is pure
@@ -1464,6 +1486,27 @@ object LlmQueries extends QueryPack {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // Same tokenizer; DuckDB range() excludes its stop (so n+1), list
+    // slices are 1-based inclusive, // is integer division.
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+        |    AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk), 1) + 1, 24)) AS s0
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((s0 - 1) // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[s0 : least(s0 + 31, len(tk))], ' ')
+        |    AS chunk,
+        |  CAST(least(len(tk) - s0 + 1, 32) AS BIGINT) AS n_tok
+        |FROM st
+        |WHERE least(len(tk) - s0 + 1, 32) > 0
+        |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
 
     "q_classify_nb" -> nbOracleSql(NbClasses),
 
