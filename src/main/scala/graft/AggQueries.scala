@@ -179,12 +179,45 @@ object AggQueries extends QueryPack {
     // order-independent BIGINT arithmetic. The 5-row bounds table
     // broadcasts back; values never shuffle twice.
     "q_agg_winsorize" -> ((s, dir) => {
+      // The p05/p95 interpolation is computed in EXACT integer
+      // arithmetic over the two bracketing order statistics (p = 1/20
+      // and 19/20 make the interpolation fraction m/20 an exact
+      // rational), so both engines land on the identical integer bound —
+      // a built-in interpolated percentile would expose the
+      // ulp-straddles-the-ceil/floor-boundary divergence class the
+      // q_win_time_decay_family fix documented. Values are shifted
+      // non-negative first so `div` (truncation) IS floor division in
+      // both engines. The rank lookup runs over the DISTINCT-VALUE
+      // prefix counts (the q_agg_ks_test idiom) — the per-type window
+      // holds one row per distinct value (bounded domain), never one
+      // per event.
       val e = Tables(s, dir, "events")
         .select(col("event_type"),
                 expr("CAST(round(value * 10000) AS BIGINT)").as("v"))
-      val bounds = e.groupBy("event_type")
-        .agg(expr("CAST(ceil(percentile(v, 0.05)) AS BIGINT)").as("lo"),
-             expr("CAST(floor(percentile(v, 0.95)) AS BIGINT)").as("hi"))
+      val d = e.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val cum = d.withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("v")))
+      val tot = d.groupBy("event_type")
+        .agg(sum("c").as("n"), min("v").as("mn"))
+      val bounds = cum.join(broadcast(tot), "event_type")
+        .withColumn("w", col("v") - col("mn"))
+        .groupBy("event_type")
+        .agg(first("n").as("n"), first("mn").as("mn"),
+             min(when(col("cum") >= expr("(n - 1) div 20 + 1"),
+                      col("w"))).as("lo1"),
+             min(when(col("cum") >=
+                        expr("least((n - 1) div 20 + 2, n)"),
+                      col("w"))).as("lo2"),
+             min(when(col("cum") >= expr("(19 * (n - 1)) div 20 + 1"),
+                      col("w"))).as("hi1"),
+             min(when(col("cum") >=
+                        expr("least((19 * (n - 1)) div 20 + 2, n)"),
+                      col("w"))).as("hi2"))
+        .select(col("event_type"),
+          expr("(lo1 * (20 - (n - 1) % 20) + lo2 * ((n - 1) % 20)" +
+            " + 19) div 20 + mn").as("lo"),
+          expr("(hi1 * (20 - (19 * (n - 1)) % 20)" +
+            " + hi2 * ((19 * (n - 1)) % 20)) div 20 + mn").as("hi"))
       e.join(broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(min("lo").as("lo"), min("hi").as("hi"),
@@ -987,15 +1020,43 @@ object AggQueries extends QueryPack {
         |       AS BIGINT) AS wavg_cents_e4
         |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
+    // Same exact integer order-statistic interpolation as the Spark
+    // plan (shifted non-negative, m/20 rational fractions, ceil/floor
+    // via integer division) — no floating percentile anywhere.
     "q_agg_winsorize" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
         |  FROM events),
+        |d AS (SELECT event_type, v, count(*) AS c
+        |      FROM e GROUP BY event_type, v),
+        |cm AS (
+        |  SELECT event_type, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+        |         AS BIGINT) AS cum
+        |  FROM d),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |               min(v) AS mn
+        |        FROM d GROUP BY event_type),
+        |b0 AS (
+        |  SELECT cm.event_type, min(n) AS n, min(mn) AS mn,
+        |    min(CASE WHEN cum >= (n - 1) // 20 + 1
+        |             THEN v - mn END) AS lo1,
+        |    min(CASE WHEN cum >= least((n - 1) // 20 + 2, n)
+        |             THEN v - mn END) AS lo2,
+        |    min(CASE WHEN cum >= (19 * (n - 1)) // 20 + 1
+        |             THEN v - mn END) AS hi1,
+        |    min(CASE WHEN cum >= least((19 * (n - 1)) // 20 + 2, n)
+        |             THEN v - mn END) AS hi2
+        |  FROM cm JOIN tot USING (event_type)
+        |  GROUP BY cm.event_type),
         |b AS (
         |  SELECT event_type,
-        |    CAST(ceil(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
-        |    CAST(floor(quantile_cont(v, 0.95)) AS BIGINT) AS hi
-        |  FROM e GROUP BY event_type)
+        |    CAST((lo1 * (20 - (n - 1) % 20) + lo2 * ((n - 1) % 20)
+        |          + 19) // 20 + mn AS BIGINT) AS lo,
+        |    CAST((hi1 * (20 - (19 * (n - 1)) % 20)
+        |          + hi2 * ((19 * (n - 1)) % 20)) // 20 + mn AS BIGINT)
+        |      AS hi
+        |  FROM b0)
         |SELECT e.event_type, min(lo) AS lo, min(hi) AS hi,
         |  count(CASE WHEN v < lo THEN 1 END) AS n_lo,
         |  count(CASE WHEN v > hi THEN 1 END) AS n_hi,
@@ -1008,10 +1069,11 @@ object AggQueries extends QueryPack {
       """WITH r AS (
         |  SELECT event_type, value, event_id,
         |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value, event_id) AS rn
+        |                       ORDER BY value NULLS FIRST, event_id)
+        |      AS rn
         |  FROM events)
         |SELECT event_type,
-        |  list(value ORDER BY value, event_id) AS smallest5
+        |  list(value ORDER BY value NULLS FIRST, event_id) AS smallest5
         |FROM r WHERE rn <= 5
         |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 

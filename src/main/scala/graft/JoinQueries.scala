@@ -441,11 +441,15 @@ object JoinQueries extends QueryPack {
         |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
 
-    // Both directional ASOF joins, then the same tie-to-backward CASE
-    // the Spark plan applies.
+    // Both directional ASOF joins over the per-instant-reduced click
+    // stream (min event_id per (user, ts) — the same deterministic
+    // reduction the Spark helper applies), then the same
+    // tie-to-backward CASE.
     "q_join_asof_nearest" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, min(event_id) AS event_id
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, ts),
         |b AS (
         |  SELECT p.user_id, p.event_id, p.ts,
         |    c.event_id AS bid, c.ts AS bts

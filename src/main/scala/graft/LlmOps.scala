@@ -220,6 +220,9 @@ object LlmOps {
     val b = tok.select(col(idCol), col("__t"),
       pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
            lit(buckets.toLong)).as("bk"))
+      // feeds both the bucket-count aggregate and the per-doc scoring
+      // join — materialize so the corpus-wide tokenize + md5 runs once
+      .localCheckpoint()
     val counts = b.groupBy("bk")
       .agg(count(lit(1)).as("c_all"),
            count(when(col("__t"), 1)).as("c_t"))
@@ -1054,6 +1057,17 @@ object LlmOps {
       (books, codes)
     })
   }
+
+  /** Drop every memoized PQ index for `cacheKey` (all knob combinations)
+    * — callers that REWRITE the corpus behind a cache key must call this
+    * or keep serving the stale index, the same hazard
+    * [[Tables.invalidatePartsupp]] exists for. (The dropped entries'
+    * checkpoint blocks are reclaimed by the ContextCleaner once
+    * unreferenced.)
+    */
+  def invalidatePqIndex(spark: org.apache.spark.sql.SparkSession,
+                        cacheKey: String): Unit =
+    pqCache.keySet.removeIf(k => k._1 == spark && k._2 == cacheKey)
 
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Long),

@@ -1543,7 +1543,7 @@ object LlmQueries extends QueryPack {
          |  WHERE step < 5)
          |SELECT unnest(chosen) AS vec_id,
          |  CAST(generate_subscripts(chosen, 1) AS BIGINT) AS mmr_rank
-         |FROM sel WHERE step = 5
+         |FROM sel WHERE step = (SELECT max(step) FROM sel)
          |ORDER BY mmr_rank NULLS FIRST""".stripMargin,
 
     // Same synthesized raw URLs; host/path recovered by the q_url_funcs

@@ -74,9 +74,19 @@ object Relational {
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
                       rightPayload: Seq[String]): DataFrame = {
+    // pre-reduce the right side to ONE row per (key, instant) — the
+    // min-struct of the payload decides simultaneous right rows
+    // deterministically (the funnel family's min_by contract); without
+    // it the window's tie order is shuffle-dependent and the two
+    // directional carries could even pick DIFFERENT simultaneous rows
+    val rightOne = right
+      .groupBy(col(key), col(rightTs))
+      .agg(min(struct(rightPayload.map(col): _*)).as("__p"))
+      .select(col(key) +: col(rightTs) +:
+                rightPayload.map(c => col(s"__p.$c").as(c)): _*)
     // carry the matched right timestamp as an extra payload so each left
     // row can compare its backward and forward candidate distances
-    val rightPlus = right.withColumn("__rts", col(rightTs))
+    val rightPlus = rightOne.withColumn("__rts", col(rightTs))
     val (unioned, payload) =
       asofUnion(left, rightPlus, key, leftTs, rightTs,
                 rightPayload :+ "__rts")

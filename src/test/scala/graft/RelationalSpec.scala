@@ -231,12 +231,15 @@ class RelationalSpec extends SparkSpec {
     ).toDF("k", "t", "lid")
     val right = Seq(
       (1L, 90L, 100L), (1L, 115L, 101L), (1L, 190L, 102L),
-      (1L, 210L, 103L), (2L, 60L, 104L), (3L, 40L, 105L)
+      (1L, 210L, 103L), (2L, 60L, 104L), (3L, 40L, 105L),
+      // simultaneous right rows: the per-instant reduction must pick
+      // the min payload deterministically
+      (2L, 60L, 99L), (1L, 190L, 106L)
     ).toDF("k", "t", "rid")
     val out = Relational.asofJoinNearest(left, right, "k", "t", "t",
                                          Seq("rid"))
       .select("lid", "asof_rid").as[(Long, Long)].collect().toMap
-    assert(out === Map(10L -> 100L, 11L -> 102L, 12L -> 104L,
+    assert(out === Map(10L -> 100L, 11L -> 102L, 12L -> 99L,
                        13L -> 105L))
   }
 
