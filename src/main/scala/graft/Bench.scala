@@ -25,7 +25,7 @@ object Bench {
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_join_anti", "q_join_asof", "q_join_asof_bucketed",
     "q_join_asof_fwd", "q_join_asof_left", "q_join_asof_tol", "q_join_any",
-    "q_join_range_bucketed", "q_salted_join",
+    "q_join_range_bucketed", "q_salted_join", "q_join_asof_fwd_bucketed",
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
     "q_agg_rollup", "q_agg_by_day", "q_agg_percentile", "q_agg_quantiles",

@@ -240,6 +240,22 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // J6h: hot-key-safe FORWARD as-of — the bucketed three-pass plan
+    // under time negation ([[Relational.asofJoinForwardBucketed]]);
+    // same answer as q_join_asof_fwd, per-task rows bounded by bucket
+    // width instead of a hot user's event count.
+    "q_join_asof_fwd_bucketed" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      Relational.asofJoinForwardBucketed(purchases, clicks, "user_id",
+          "tus", "tus", Seq("event_id"),
+          t => floor(t / lit(3600.0 * 1000000)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
     // J6b: as-of join with a match TOLERANCE (pandas merge_asof /
     // kdb window-join shape): the latest prior click counts only if it
     // happened within 1 hour of the purchase; staler matches are nulled
@@ -435,6 +451,14 @@ object JoinQueries extends QueryPack {
         |ORDER BY p.event_id NULLS FIRST""".stripMargin,
 
     "q_join_asof_fwd" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+
+    // Same contract as the single-window forward form.
+    "q_join_asof_fwd_bucketed" ->
       """SELECT p.user_id, p.event_id, c.event_id AS asof_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c

@@ -62,6 +62,28 @@ object Relational {
     asofFinish(filled.drop("__t", "__side"), payload, rightPayload)
   }
 
+  /** Hot-key-safe FORWARD as-of join: [[asofJoinForward]] through the
+    * bucketed three-pass plan via time negation — forward(t) is
+    * backward(−t), the duality RelationalSpec pins for the single-window
+    * forms, so the negated stream reuses [[asofJoinBucketed]] verbatim
+    * and inherits its bound (per-task rows ∝ bucket width, never a hot
+    * key's event count). Timestamps must be NUMERIC (negatable);
+    * `bucketOf` sees the NEGATED time and only needs to stay monotone
+    * (floor/div bucketing is — the half-width bucket pair around zero
+    * is harmless, buckets only have to partition time monotonically).
+    */
+  def asofJoinForwardBucketed(left: DataFrame, right: DataFrame,
+                              key: String, leftTs: String,
+                              rightTs: String,
+                              rightPayload: Seq[String],
+                              bucketOf: Column => Column): DataFrame = {
+    val l = left.withColumn("__negt", -col(leftTs))
+    val r = right.withColumn("__negt", -col(rightTs))
+    asofJoinBucketed(l, r, key, "__negt", "__negt", rightPayload,
+                     bucketOf)
+      .drop("__negt")
+  }
+
   /** NEAREST as-of join (pandas merge_asof direction='nearest'): for
     * each left row, the right row with the same key minimizing
     * |rightTs − leftTs|; the BACKWARD candidate wins distance ties (the

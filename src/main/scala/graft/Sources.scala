@@ -552,4 +552,20 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
+
+  /** Training-shard export: JSON-lines files hive-partitioned by the
+    * shard column — the delivery format of a data-prep pipeline (each
+    * `shard=N/` directory is one training shard of newline-delimited
+    * JSON docs, the shape `q_pack_shards` assigns). `repartition` on the
+    * shard key gives one task — and hence one file — per shard;
+    * `sortCols` fixes the within-shard document order so re-exports are
+    * byte-stable.
+    */
+  def writeJsonlShards(df: DataFrame, path: String, shardCol: String,
+                       sortCols: Seq[String]): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(shardCol)
+      .json(path)
 }

@@ -219,6 +219,24 @@ class RelationalSpec extends SparkSpec {
     assert(fwd.count() > 0)
   }
 
+  test("asofJoinForwardBucketed equals asofJoinForward (negated-time " +
+       "duality through the bucketed plan)") {
+    val e = Tables(spark, sf("events"), "events")
+      .withColumn("tus", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+    val single = Relational.asofJoinForward(purchases, clicks, "user_id",
+        "tus", "tus", Seq("event_id"))
+      .select("user_id", "event_id", "asof_event_id")
+    val bucketed = Relational.asofJoinForwardBucketed(purchases, clicks,
+        "user_id", "tus", "tus", Seq("event_id"),
+        t => floor(t / lit(3600.0 * 1000000)).cast("long"))
+      .select("user_id", "event_id", "asof_event_id")
+    assert(single.exceptAll(bucketed).count() === 0)
+    assert(bucketed.exceptAll(single).count() === 0)
+    assert(single.count() > 0)
+  }
+
   test("asofJoinNearest picks the closer side, ties break backward, " +
        "one-sided rows still match") {
     import spark.implicits._

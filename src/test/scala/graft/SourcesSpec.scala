@@ -310,6 +310,40 @@ class SourcesSpec extends SparkSpec {
     assert(inExpected.count() > 0)
   }
 
+  test("writeJsonlShards: one JSONL file per shard dir, content " +
+       "round-trips, re-export is byte-stable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString
+    val docs = Seq(
+      (1L, "alpha text", 0L), (2L, "beta text", 0L),
+      (3L, "gamma text", 1L), (4L, "delta text", 1L),
+      (5L, "epsilon text", 2L)
+    ).toDF("doc_id", "text", "shard")
+    Sources.writeJsonlShards(docs, dir, "shard", Seq("doc_id"))
+    // one data file per shard=N dir
+    (0L to 2L).foreach { s =>
+      val files = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.length === 1, s"shard $s: ${files.length} files")
+    }
+    // round trip: same rows (shard comes back as the partition column)
+    val back = spark.read.json(dir)
+      .select(col("doc_id").cast("long"), col("text"),
+              col("shard").cast("long"))
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+    // byte-stable re-export (fixed within-shard order)
+    def bytes(p: String): Seq[String] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".json"))
+        .sortBy(_.getName)
+        .map(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+    val first = (0L to 2L).flatMap(s => bytes(s"$dir/shard=$s"))
+    Sources.writeJsonlShards(docs, dir, "shard", Seq("doc_id"))
+    val second = (0L to 2L).flatMap(s => bytes(s"$dir/shard=$s"))
+    assert(first === second)
+  }
+
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
       .toDF("timestamp", "offset", "value")
