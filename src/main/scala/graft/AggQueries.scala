@@ -172,6 +172,18 @@ object AggQueries extends QueryPack {
                   " * 10000) AS BIGINT)").as("wavg_cents_e4"))
         .orderBy("l_returnflag")),
 
+    // ClickHouse covarSampMatrix analog — corrMatrix's sibling: all six
+    // pairwise sample covariances of four measures in ONE hash
+    // aggregate (six covar states side by side, one pass, no joins).
+    "q_agg_covar_matrix" -> ((s, dir) => {
+      val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- m.indices; j <- m.indices if i < j
+      } yield (round(covar_samp(col(m(i)), col(m(j))), 4) + lit(0.0))
+        .as(s"cv_${m(i).drop(2)}_${m(j).drop(2)}")
+      Tables(s, dir, "lineitem").agg(pairs.head, pairs.tail: _*)
+    }),
+
     // Per-group winsorization — the outlier-clipping pass of a metrics /
     // curation pipeline: exact p05/p95 per event_type (on integer
     // ten-thousandths), bounds INTEGERIZED (ceil lo / floor hi) so every
@@ -1019,6 +1031,20 @@ object AggQueries extends QueryPack {
         |  CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 10000)
         |       AS BIGINT) AS wavg_cents_e4
         |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q_agg_covar_matrix" ->
+      """SELECT
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0
+        |    AS cv_quantity_extendedprice,
+        |  round(covar_samp(l_quantity, l_discount), 4) + 0
+        |    AS cv_quantity_discount,
+        |  round(covar_samp(l_quantity, l_tax), 4) + 0 AS cv_quantity_tax,
+        |  round(covar_samp(l_extendedprice, l_discount), 4) + 0
+        |    AS cv_extendedprice_discount,
+        |  round(covar_samp(l_extendedprice, l_tax), 4) + 0
+        |    AS cv_extendedprice_tax,
+        |  round(covar_samp(l_discount, l_tax), 4) + 0 AS cv_discount_tax
+        |FROM lineitem""".stripMargin,
 
     // Same exact integer order-statistic interpolation as the Spark
     // plan (shifted non-negative, m/20 rational fractions, ceil/floor

@@ -71,6 +71,7 @@ object Explain {
     "q_agg_rank_corr", "q_agg_ks_test", "q_agg_student_t",
     "q_agg_theils_u",
     "q_agg_corr_matrix",       // one-row six-way corr aggregate
+    "q_agg_covar_matrix",      // one-row six-way covar aggregate
     "q_retention_conditions",  // one-row flag-vector rollup
     "q_text_ngram_lm")         // one-row vocabulary-size aggregate
 

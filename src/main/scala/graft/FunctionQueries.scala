@@ -262,6 +262,27 @@ object FunctionQueries extends QueryPack {
                   .cast("long").as("page"))
         .orderBy("doc_id")),
 
+    // F8: array SET ops (arrayIntersect / arrayUnion-distinct /
+    // arrayExcept) between each order's odd-line and even-line quantity
+    // sets — one conditional-collect hash aggregate builds both bounded
+    // arrays, the set ops are codegen'd built-ins, every output sorted +
+    // distinct so collection order is irrelevant.
+    "q_array_set_ops" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy("l_orderkey")
+        .agg(collect_list(when(pmod(col("l_linenumber"), lit(2)) === 1,
+                               col("q"))).as("a"),
+             collect_list(when(pmod(col("l_linenumber"), lit(2)) === 0,
+                               col("q"))).as("b"))
+        .select(col("l_orderkey"),
+                array_sort(array_intersect(col("a"), col("b")))
+                  .as("inter"),
+                array_sort(array_union(col("a"), col("b"))).as("uni"),
+                array_sort(array_except(col("a"), col("b"))).as("exc"))
+        .orderBy("l_orderkey")),
+
     // ClickHouse arrayCumSum / arrayDifference / arrayCompact over the
     // per-order quantity sequence (ordered by line number; quantities
     // pre-summed per (order, line) so the sequence key is unique and
@@ -290,6 +311,24 @@ object FunctionQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // Explicit distinct/filter/sort formulations (portable across
+    // DuckDB versions without list_intersect/list_union).
+    "q_array_set_ops" ->
+      """WITH s AS (
+        |  SELECT l_orderkey AS k,
+        |    coalesce(list(CAST(round(l_quantity) AS BIGINT))
+        |      FILTER (WHERE l_linenumber % 2 = 1), []) AS a,
+        |    coalesce(list(CAST(round(l_quantity) AS BIGINT))
+        |      FILTER (WHERE l_linenumber % 2 = 0), []) AS b
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT k AS l_orderkey,
+        |  list_sort(list_filter(list_distinct(a),
+        |                        x -> list_contains(b, x))) AS inter,
+        |  list_sort(list_distinct(list_concat(a, b))) AS uni,
+        |  list_sort(list_filter(list_distinct(a),
+        |                        x -> NOT list_contains(b, x))) AS exc
+        |FROM s ORDER BY l_orderkey NULLS FIRST""".stripMargin,
+
     "q_array_seq" ->
       """WITH s0 AS (
         |  SELECT l_orderkey AS k, l_linenumber AS ln,
