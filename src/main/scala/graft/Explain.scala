@@ -35,7 +35,8 @@ object Explain {
     "q_text_ngram_lm",      // cross vs broadcast one-row vocabulary size
     "q_dsir",               // cross vs broadcast one-row token totals
     "q_classify_nb",        // cross vs broadcast one-row totals/priors
-    "q_mmr_rerank")         // cross vs broadcast <= 5-row selected set
+    "q_mmr_rerank",         // cross vs broadcast <= 5-row selected set
+    "q_curation_rag")       // inherits q_dsir's one-row totals cross
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -64,6 +65,7 @@ object Explain {
                                // the 4096-row bucket table
     "q_classify_nb",           // one-row class-total and prior aggregates
     "q_mmr_rerank",            // bounded shortlist top-1 argmax per step
+    "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream
     // partition, never raw data

@@ -597,6 +597,36 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // N: curation→RAG capstone — this round's ops composed in ONE plan:
+    // DSIR-weight every doc toward the English slice, keep the
+    // positive-importance docs, chunk the survivors into 32-token
+    // stride-24 windows, report per-source doc/chunk/token counts (all
+    // exact integers). The shapes compose: broadcast bucket table,
+    // integer per-doc sums, linear chunk fan-out, one final aggregate.
+    "q_curation_rag" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val w = LlmOps.dsirWeights(docs, "doc_id", "text",
+                                 col("lang") === "en", 4096)
+      val kept = docs.join(w.filter(col("dsir_e4") > 0)
+                             .select("doc_id"), "doc_id")
+      kept
+        .select(col("doc_id"), col("source"),
+                size(LlmOps.tokens(col("text"), normalize = true))
+                  .as("n"))
+        .select(col("doc_id"), col("source"), col("n"),
+                explode(sequence(lit(1), greatest(col("n"), lit(1)),
+                                 lit(24))).as("s0"))
+        .select(col("doc_id"), col("source"),
+                least(col("n") - col("s0") + 1, lit(32)).cast("long")
+                  .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+             count(lit(1)).cast("long").as("n_chunks"),
+             sum("n_tok").cast("long").as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // N: RAG-style sliding-window chunking — the embedding-prep pass:
     // every document splits into 32-token windows at stride 24 (8-token
     // overlap), emitting (doc_id, chunk_id, chunk, n_tok). Pure
@@ -1486,6 +1516,54 @@ object LlmQueries extends QueryPack {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3', '4', '5', '6', '7')
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // The q_dsir pipeline as CTEs, positive-importance gate, then the
+    // q_text_chunk window arithmetic, aggregated per source.
+    "q_curation_rag" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    unnest(list_filter(string_split(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> ''))
+        |      AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 4096
+        |      AS bk
+        |  FROM tok),
+        |c AS (
+        |  SELECT bk, count(*) AS c_all,
+        |    count(CASE WHEN t THEN 1 END) AS c_t
+        |  FROM b GROUP BY bk),
+        |tt AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+        |              CAST(sum(c_t) AS BIGINT) AS t_t FROM c),
+        |lr AS (
+        |  SELECT bk,
+        |    CAST(floor((ln((CAST(c_t AS DOUBLE) + 1) /
+        |                   (CAST(t_t AS DOUBLE) + 4096)) -
+        |                ln((CAST(c_all AS DOUBLE) + 1) /
+        |                   (CAST(t_all AS DOUBLE) + 4096))) * 10000)
+        |         AS BIGINT) AS lr_e4
+        |  FROM c, tt),
+        |ds AS (
+        |  SELECT doc_id, CAST(sum(lr_e4) AS BIGINT) AS dsir_e4
+        |  FROM b JOIN lr USING (bk) GROUP BY doc_id),
+        |kept AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(list_filter(string_split(regexp_replace(
+        |      lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      t -> t <> '')) AS n
+        |  FROM documents d JOIN ds USING (doc_id)
+        |  WHERE ds.dsir_e4 > 0),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    least(n - unnest(range(1, greatest(n, 1) + 1, 24)) + 1, 32)
+        |      AS n_tok
+        |  FROM kept)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM ch WHERE n_tok > 0
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
 
     // Same tokenizer; DuckDB range() excludes its stop (so n+1), list
     // slices are 1-based inclusive, // is integer division.
