@@ -174,14 +174,43 @@ object AggQueries extends QueryPack {
 
     // ClickHouse covarSampMatrix analog — corrMatrix's sibling: all six
     // pairwise sample covariances of four measures in ONE hash
-    // aggregate (six covar states side by side, one pass, no joins).
+    // aggregate. Built-in covar_samp's partial-merge order differs
+    // between engines, so its binary result carries engine-specific
+    // low-bit noise and NO rounding scheme is robust; instead the
+    // moments are EXACT DECIMAL sums over integerized (2-dp) inputs and
+    // cv = (Σxy − ΣxΣy/n)/(n−1) evaluates as the identical IEEE
+    // expression over those exact sums in both engines — the OlsFormula
+    // discipline. Emitted as floor(cv·10⁴) integers (input units are
+    // hundredths, so cv scales by 10⁴ already; the extra 10⁴ keeps four
+    // decimals of the natural-unit covariance).
     "q_agg_covar_matrix" -> ((s, dir) => {
       val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val pairs = for {
-        i <- m.indices; j <- m.indices if i < j
-      } yield (round(covar_samp(col(m(i)), col(m(j))), 4) + lit(0.0))
-        .as(s"cv_${m(i).drop(2)}_${m(j).drop(2)}")
-      Tables(s, dir, "lineitem").agg(pairs.head, pairs.tail: _*)
+      val ints = m.map(c =>
+        expr(s"CAST(round($c * 100) AS BIGINT)").as(c.drop(2)))
+      val names = m.map(_.drop(2))
+      val sums =
+        expr("CAST(count(*) AS DECIMAL(38,0))").as("n") +:
+        names.map(c => expr(s"sum(CAST($c AS DECIMAL(38,0)))")
+                         .as(s"s_$c")) ++:
+        (for { i <- names.indices; j <- names.indices if i < j }
+          yield expr(s"sum(CAST(${names(i)} * ${names(j)}" +
+                       s" AS DECIMAL(38,0)))")
+            .as(s"sp_${names(i)}_${names(j)}"))
+      val outs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield {
+        val (a, b) = (names(i), names(j))
+        // inputs are ×100 units, so this integer covariance equals the
+        // natural-unit covariance ×10⁴ — i.e. four decimals retained
+        expr(s"CAST(floor((CAST(sp_${a}_$b AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / " +
+          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) " +
+          s"AS BIGINT)").as(s"cv_${a}_$b")
+      }
+      Tables(s, dir, "lineitem")
+        .select(ints: _*)
+        .agg(sums.head, sums.tail: _*)
+        .select(outs: _*)
     }),
 
     // Per-group winsorization — the outlier-clipping pass of a metrics /
@@ -1032,19 +1061,40 @@ object AggQueries extends QueryPack {
         |       AS BIGINT) AS wavg_cents_e4
         |FROM s ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
-    "q_agg_covar_matrix" ->
-      """SELECT
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0
-        |    AS cv_quantity_extendedprice,
-        |  round(covar_samp(l_quantity, l_discount), 4) + 0
-        |    AS cv_quantity_discount,
-        |  round(covar_samp(l_quantity, l_tax), 4) + 0 AS cv_quantity_tax,
-        |  round(covar_samp(l_extendedprice, l_discount), 4) + 0
-        |    AS cv_extendedprice_discount,
-        |  round(covar_samp(l_extendedprice, l_tax), 4) + 0
-        |    AS cv_extendedprice_tax,
-        |  round(covar_samp(l_discount, l_tax), 4) + 0 AS cv_discount_tax
-        |FROM lineitem""".stripMargin,
+    // Exact DECIMAL moment sums + the identical closed-form expression
+    // the Spark plan evaluates — no engine-native covar_samp anywhere.
+    "q_agg_covar_matrix" -> {
+      val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val names = m.map(_.drop(2))
+      val ints = m.map(c =>
+        s"CAST(round($c * 100) AS BIGINT) AS ${c.drop(2)}")
+        .mkString(",\n    ")
+      val sums = (names.map(c =>
+        s"sum(CAST($c AS DECIMAL(38,0))) AS s_$c") ++
+        (for { i <- names.indices; j <- names.indices if i < j }
+          yield s"sum(CAST(${names(i)} * ${names(j)} AS DECIMAL(38,0)))" +
+            s" AS sp_${names(i)}_${names(j)}")).mkString(",\n    ")
+      val outs = (for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield {
+        val (a, b) = (names(i), names(j))
+        s"CAST(floor((CAST(sp_${a}_$b AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / " +
+          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) " +
+          s"AS BIGINT) AS cv_${a}_$b"
+      }).mkString(",\n  ")
+      s"""WITH r AS (
+         |  SELECT
+         |    $ints
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    $sums
+         |  FROM r)
+         |SELECT
+         |  $outs
+         |FROM s""".stripMargin
+    },
 
     // Same exact integer order-statistic interpolation as the Spark
     // plan (shifted non-negative, m/20 rational fractions, ceil/floor

@@ -607,12 +607,13 @@ object LlmQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val w = LlmOps.dsirWeights(docs, "doc_id", "text",
                                  col("lang") === "en", 4096)
-      val kept = docs.join(w.filter(col("dsir_e4") > 0)
-                             .select("doc_id"), "doc_id")
+      // dsirWeights already counted each doc's normalized tokens —
+      // reuse n_tokens instead of re-tokenizing the kept corpus
+      val kept = docs.select("doc_id", "source")
+        .join(w.filter(col("dsir_e4") > 0)
+                .select(col("doc_id"), col("n_tokens").as("n")),
+              "doc_id")
       kept
-        .select(col("doc_id"), col("source"),
-                size(LlmOps.tokens(col("text"), normalize = true))
-                  .as("n"))
         .select(col("doc_id"), col("source"), col("n"),
                 explode(sequence(lit(1), greatest(col("n"), lit(1)),
                                  lit(24))).as("s0"))
@@ -1546,13 +1547,11 @@ object LlmQueries extends QueryPack {
         |         AS BIGINT) AS lr_e4
         |  FROM c, tt),
         |ds AS (
-        |  SELECT doc_id, CAST(sum(lr_e4) AS BIGINT) AS dsir_e4
+        |  SELECT doc_id, CAST(sum(lr_e4) AS BIGINT) AS dsir_e4,
+        |    count(*) AS n
         |  FROM b JOIN lr USING (bk) GROUP BY doc_id),
         |kept AS (
-        |  SELECT d.doc_id, d.source,
-        |    len(list_filter(string_split(regexp_replace(
-        |      lower(d.text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |      t -> t <> '')) AS n
+        |  SELECT d.doc_id, d.source, ds.n
         |  FROM documents d JOIN ds USING (doc_id)
         |  WHERE ds.dsir_e4 > 0),
         |ch AS (

@@ -559,7 +559,10 @@ object Sources {
     * JSON docs, the shape `q_pack_shards` assigns). `repartition` on the
     * shard key gives one task — and hence one file — per shard;
     * `sortCols` fixes the within-shard document order so re-exports are
-    * byte-stable.
+    * byte-stable PROVIDED (shardCol ++ sortCols) orders rows uniquely —
+    * with ties (e.g. sorting by a non-unique quality score) the tie
+    * order is shuffle-arrival-dependent and stability is lost; include
+    * a unique id as the final sort column.
     */
   def writeJsonlShards(df: DataFrame, path: String, shardCol: String,
                        sortCols: Seq[String]): Unit =
