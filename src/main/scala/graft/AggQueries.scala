@@ -275,15 +275,22 @@ object AggQueries extends QueryPack {
     // bounded to N survivors), so no aggregation buffer ever holds more
     // than N rows — the hot-key-safe form of a bounded collect.
     "q_agg_group_array_sorted" -> ((s, dir) =>
+      // Values integerized to ten-thousandths (the q_agg_winsorize
+      // idiom) and the list serialized to a ","-joined string (the
+      // q_agg_collect convention) so the cross-engine comparator can
+      // sort and hash the output column.
       Relational.topKPerGroupSalted(
           Tables(s, dir, "events")
-            .select(col("event_type"), col("event_id"), col("value")),
+            .select(col("event_type"), col("event_id"),
+                    expr("CAST(round(value * 10000) AS BIGINT)").as("v")),
           Seq("event_type"),
-          Seq(col("value").asc, col("event_id").asc), 5,
+          Seq(col("v").asc, col("event_id").asc), 5,
           xxhash64(col("event_id")))
         .groupBy("event_type")
-        .agg(expr("transform(array_sort(collect_list(" +
-               "struct(value, event_id))), x -> x.value)").as("smallest5"))
+        .agg(array_join(
+               expr("transform(array_sort(collect_list(" +
+                 "struct(v, event_id))), x -> CAST(x.v AS STRING))"), ",")
+               .as("smallest5"))
         .orderBy("event_type")),
 
     // ClickHouse retention(cond1, cond2, …) in its literal form: per
@@ -1142,14 +1149,18 @@ object AggQueries extends QueryPack {
         |GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""".stripMargin,
 
     "q_agg_group_array_sorted" ->
-      """WITH r AS (
-        |  SELECT event_type, value, event_id,
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v, event_id,
         |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY value NULLS FIRST, event_id)
-        |      AS rn
-        |  FROM events)
+        |                       ORDER BY v NULLS FIRST, event_id) AS rn
+        |  FROM e)
         |SELECT event_type,
-        |  list(value ORDER BY value NULLS FIRST, event_id) AS smallest5
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY v, event_id)
+        |    AS smallest5
         |FROM r WHERE rn <= 5
         |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 

@@ -277,10 +277,17 @@ object FunctionQueries extends QueryPack {
              collect_list(when(pmod(col("l_linenumber"), lit(2)) === 0,
                                col("q"))).as("b"))
         .select(col("l_orderkey"),
-                array_sort(array_intersect(col("a"), col("b")))
+                // Serialized to ","-joined strings (the q_agg_collect
+                // convention) so the driver comparator can hash them.
+                expr("array_join(transform(array_sort(" +
+                  "array_intersect(a, b)), x -> CAST(x AS STRING)), ',')")
                   .as("inter"),
-                array_sort(array_union(col("a"), col("b"))).as("uni"),
-                array_sort(array_except(col("a"), col("b"))).as("exc"))
+                expr("array_join(transform(array_sort(" +
+                  "array_union(a, b)), x -> CAST(x AS STRING)), ',')")
+                  .as("uni"),
+                expr("array_join(transform(array_sort(" +
+                  "array_except(a, b)), x -> CAST(x AS STRING)), ',')")
+                  .as("exc"))
         .orderBy("l_orderkey")),
 
     // ClickHouse arrayCumSum / arrayDifference / arrayCompact over the
@@ -307,6 +314,17 @@ object FunctionQueries extends QueryPack {
             .as("diff"),
           expr("filter(qs, (x, i) -> i = 0 OR x != get(qs, i - 1))")
             .as("compact"))
+        // Serialized to ","-joined strings (the q_agg_collect
+        // convention) so the driver comparator can hash the columns.
+        .select(col("l_orderkey"),
+          expr("array_join(transform(qs, x -> CAST(x AS STRING)), ',')")
+            .as("qs"),
+          expr("array_join(transform(cum, x -> CAST(x AS STRING)), ',')")
+            .as("cum"),
+          expr("array_join(transform(diff, x -> CAST(x AS STRING)), ',')")
+            .as("diff"),
+          expr("array_join(transform(compact, x -> CAST(x AS STRING)), " +
+            "',')").as("compact"))
         .orderBy("l_orderkey"))
   )
 
@@ -322,11 +340,17 @@ object FunctionQueries extends QueryPack {
         |      FILTER (WHERE l_linenumber % 2 = 0), []) AS b
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT k AS l_orderkey,
-        |  list_sort(list_filter(list_distinct(a),
-        |                        x -> list_contains(b, x))) AS inter,
-        |  list_sort(list_distinct(list_concat(a, b))) AS uni,
-        |  list_sort(list_filter(list_distinct(a),
-        |                        x -> NOT list_contains(b, x))) AS exc
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list_filter(list_distinct(a),
+        |                          x -> list_contains(b, x))),
+        |    x -> CAST(x AS VARCHAR)), ','), '') AS inter,
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list_distinct(list_concat(a, b))),
+        |    x -> CAST(x AS VARCHAR)), ','), '') AS uni,
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list_filter(list_distinct(a),
+        |                          x -> NOT list_contains(b, x))),
+        |    x -> CAST(x AS VARCHAR)), ','), '') AS exc
         |FROM s ORDER BY l_orderkey NULLS FIRST""".stripMargin,
 
     "q_array_seq" ->
@@ -344,11 +368,12 @@ object FunctionQueries extends QueryPack {
         |    lag(q) OVER (PARTITION BY k ORDER BY ln) AS pq
         |  FROM s)
         |SELECT k AS l_orderkey,
-        |  list(q ORDER BY ln) AS qs,
-        |  list(cs ORDER BY ln) AS cum,
-        |  list(q - coalesce(pq, q) ORDER BY ln) AS diff,
-        |  list(q ORDER BY ln) FILTER (WHERE pq IS NULL OR q <> pq)
-        |    AS compact
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY ln) AS qs,
+        |  string_agg(CAST(cs AS VARCHAR), ',' ORDER BY ln) AS cum,
+        |  string_agg(CAST(q - coalesce(pq, q) AS VARCHAR), ','
+        |             ORDER BY ln) AS diff,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY ln)
+        |    FILTER (WHERE pq IS NULL OR q <> pq) AS compact
         |FROM w GROUP BY k ORDER BY l_orderkey NULLS FIRST""".stripMargin,
 
     "q_date_parts" ->
