@@ -24,6 +24,15 @@ object Tables {
     // bit-identical instants.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read timezone-naive micros DIRECTLY as TimestampType instead of
+    // TIMESTAMP_NTZ: with the session TZ pinned to UTC the reinterpretation
+    // is an identity on the stored micros, and it removes the NTZ→LTZ cast
+    // projection the fold below would otherwise insert between every
+    // date/ts filter and the parquet scan — that cast blocked predicate
+    // pushdown on o_orderdate/l_shipdate/ts after the fixture regen
+    // switched physical types (observed: q_tpch_q4 0.51→0.99 s at sf0.1
+    // until this line restored the pushdown).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
