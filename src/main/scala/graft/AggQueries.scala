@@ -572,14 +572,28 @@ object AggQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Mergeable HLL rollup, driver-oracled: per-day partial sketches are
+    // union-merged per type (the mergeability contract), and the merged
+    // ESTIMATE is certified against the exact distinct count with a
+    // bounded-relative-error flag — n_partials and n_exact are real
+    // cross-engine rows (DuckDB recomputes both), est_within_5pct pins
+    // the sketch's accuracy guarantee in-plan. The exact side is one
+    // extra hash aggregate over the same scan, certificate-only.
     "q_hll_rollup" -> ((s, dir) => {
-      val daily = Tables(s, dir, "events")
+      val e = Tables(s, dir, "events")
+      val daily = e
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-               .as("approx_users"),
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
              count(lit(1)).as("n_partials"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_partials"),
+                col("n_exact"),
+                (abs(col("est") - col("n_exact")) * lit(20)
+                   <= col("n_exact")).cast("long").as("est_within_5pct"))
         .orderBy("event_type")
     }),
 
@@ -967,6 +981,16 @@ object AggQueries extends QueryPack {
     "q_bitmap_rollup" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // n_partials (distinct days) and n_exact are recomputed exactly; the
+    // within-5% flag is the pinned estimate guarantee.
+    "q_hll_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partials,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS est_within_5pct
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 

@@ -18,6 +18,9 @@ object Explain {
     "q_join_range", "q_join_cross", "q_cosine_sim", "q_simsearch_topk",
     "q_simsearch_lsh", "q_simsearch_lsh_mp", "q_simsearch_ivf",
     "q_dedup_embed", "q_text_tfidf",
+    "q_dedup_embed_lsh",    // recall certificate: labeled quadratic
+                            // exact side (the q_dedup_embed shape) +
+                            // one-row count cross
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_dedup_semantic",     // cross vs explicitly broadcast 8-seed set
@@ -58,6 +61,8 @@ object Explain {
                                // ApproxTopK state per day, never raw rows
     "q_theta_segments",        // two one-row theta-sketch aggregates
                                // crossed for the set algebra
+    "q_dedup_embed_lsh",       // two one-row counts (n_lsh, n_exact)
+                               // crossed for the recall certificate
     "q_text_bm25",             // one-row corpus-stats aggregate (N, avgdl)
     "q_agg_ols",               // one-row normal-equation sums: one
                                // pre-aggregated partial row per partition

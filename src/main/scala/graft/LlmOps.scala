@@ -483,34 +483,45 @@ object LlmOps {
     pairs
   }
 
-  /** 64-bit SimHash, relationally: explode tokens, hash each once, then 64
+  /** 60-bit SimHash, relationally: explode tokens, hash each once, then 60
     * native `sum` aggregates (one per bit: ±1 by that bit of the token
     * hash) in a single hash-aggregate pass; bit k of the result is set
     * when its sum is positive.
+    *
+    * 60 bits (15 md5 hex digits) rather than 64: the md5-prefix hash is
+    * the repo's PORTABLE hash idiom ([[Tables.partsupp]]), so a SQL
+    * oracle reproduces the signature — and with it the whole near-dup
+    * pair list — bit-for-bit, where the previous xxhash64 form was
+    * Spark-only and left q_dedup_simhash rows-only-checkable. 15 hex
+    * digits keep every intermediate strictly below 2^60, inside BIGINT
+    * range in both engines with no sign games.
     */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val simhashBits = 60
+
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val th = docs.select(col(idCol).as("doc"),
                          explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map { k =>
+      .withColumn("h",
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitAggs = (0 until simhashBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"c_$k")
     }
     th.groupBy("doc").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc"),
-              (0 until 64).map { k =>
+              (0 until simhashBits).map { k =>
                 when(col(s"c_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
               }.reduce(_ bitwiseOR _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
+  /** SimHash near-dup pairs: band the 60-bit hash into 4×15-bit keys
     * (a pair within Hamming distance 3 must agree on ≥1 band), then filter
     * candidates by exact Hamming distance.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int): DataFrame = {
-    val hashed = simhash64(docs, idCol, textCol)
+    val hashed = simhash60(docs, idCol, textCol)
       .withColumn("bands", array((0 until 4).map { i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))
       }: _*))
       .select(col("doc"), col("simhash"),
               posexplode(col("bands")).as(Seq("band", "bk")))
