@@ -177,17 +177,26 @@ object AggQueries extends QueryPack {
     // aggregate. Built-in covar_samp's partial-merge order differs
     // between engines, so its binary result carries engine-specific
     // low-bit noise and NO rounding scheme is robust; instead the
-    // moments are EXACT DECIMAL sums over integerized (2-dp) inputs and
+    // moments are EXACT DECIMAL sums over integerized inputs and
     // cv = (Σxy − ΣxΣy/n)/(n−1) evaluates as the identical IEEE
     // expression over those exact sums in both engines — the OlsFormula
-    // discipline. Emitted as floor(cv·10⁴) integers (input units are
-    // hundredths, so cv scales by 10⁴ already; the extra 10⁴ keeps four
-    // decimals of the natural-unit covariance).
+    // discipline. Unit scales are PER MEASURE: quantity stays in its
+    // natural integral unit while the 2-dp measures take ×100, so every
+    // DECIMAL sum cast to double stays below 2^53 even at SF10 (the
+    // largest cross-moment, quantity×price-cents, is ~1e8/row) — above
+    // 2^53 DuckDB's two-step hugeint→double conversion is not
+    // guaranteed correctly rounded like BigDecimal.doubleValue, and a
+    // 1-ulp divergence could flip the floor. The output keeps the
+    // floor(cv·10⁴) contract: each pair's covariance is brought to ×10⁴
+    // natural units by one exact-power scale multiply BEFORE the floor
+    // (a single IEEE op, identical in both engines).
     "q_agg_covar_matrix" -> ((s, dir) => {
-      val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val ints = m.map(c =>
-        expr(s"CAST(round($c * 100) AS BIGINT)").as(c.drop(2)))
-      val names = m.map(_.drop(2))
+      val m = Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
+                  "l_discount" -> 100, "l_tax" -> 100)
+      val ints = m.map { case (c, u) =>
+        expr(s"CAST(round($c * $u) AS BIGINT)").as(c.drop(2)) }
+      val names = m.map(_._1.drop(2))
+      val units = m.map(_._2)
       val sums =
         expr("CAST(count(*) AS DECIMAL(38,0))").as("n") +:
         names.map(c => expr(s"sum(CAST($c AS DECIMAL(38,0)))")
@@ -200,11 +209,12 @@ object AggQueries extends QueryPack {
         i <- names.indices; j <- names.indices if i < j
       } yield {
         val (a, b) = (names(i), names(j))
-        // inputs are ×100 units, so this integer covariance equals the
-        // natural-unit covariance ×10⁴ — i.e. four decimals retained
-        expr(s"CAST(floor((CAST(sp_${a}_$b AS DOUBLE) - " +
+        // the pair's integer covariance is in (ua·ub) units; scale to
+        // the contract's ×10⁴ before flooring
+        val mult = 10000 / (units(i) * units(j))
+        expr(s"CAST(floor(((CAST(sp_${a}_$b AS DOUBLE) - " +
           s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / " +
-          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) " +
+          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * $mult) " +
           s"AS BIGINT)").as(s"cv_${a}_$b")
       }
       Tables(s, dir, "lineitem")
@@ -1095,10 +1105,15 @@ object AggQueries extends QueryPack {
     // Exact DECIMAL moment sums + the identical closed-form expression
     // the Spark plan evaluates — no engine-native covar_samp anywhere.
     "q_agg_covar_matrix" -> {
-      val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val names = m.map(_.drop(2))
-      val ints = m.map(c =>
-        s"CAST(round($c * 100) AS BIGINT) AS ${c.drop(2)}")
+      // mirrors the per-measure unit scales of the Spark plan (quantity
+      // natural, 2-dp measures ×100) so every hugeint→double cast
+      // operand stays below 2^53 — see the query comment
+      val m = Seq("l_quantity" -> 1, "l_extendedprice" -> 100,
+                  "l_discount" -> 100, "l_tax" -> 100)
+      val names = m.map(_._1.drop(2))
+      val units = m.map(_._2)
+      val ints = m.map { case (c, u) =>
+        s"CAST(round($c * $u) AS BIGINT) AS ${c.drop(2)}" }
         .mkString(",\n    ")
       val sums = (names.map(c =>
         s"sum(CAST($c AS DECIMAL(38,0))) AS s_$c") ++
@@ -1109,9 +1124,10 @@ object AggQueries extends QueryPack {
         i <- names.indices; j <- names.indices if i < j
       } yield {
         val (a, b) = (names(i), names(j))
-        s"CAST(floor((CAST(sp_${a}_$b AS DOUBLE) - " +
+        val mult = 10000 / (units(i) * units(j))
+        s"CAST(floor(((CAST(sp_${a}_$b AS DOUBLE) - " +
           s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / " +
-          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) " +
+          s"CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * $mult) " +
           s"AS BIGINT) AS cv_${a}_$b"
       }).mkString(",\n  ")
       s"""WITH r AS (

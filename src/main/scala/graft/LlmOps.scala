@@ -1055,12 +1055,34 @@ object LlmOps {
     * precedent applied to the index. Entries pinned by stopped sessions
     * are evicted lazily.
     */
+  /** Content fingerprint of a DataFrame's backing files (sorted
+    * path:length:mtime triples) — the part of the PQ memo key that
+    * changes when the corpus parquet is REGENERATED IN PLACE under the
+    * same path (the harness does this between rounds): a bare dir-path
+    * key would keep serving the stale index. Driver-side listing of the
+    * already-resolved input files only; empty (memo on the caller's key
+    * alone) for non-file sources such as in-memory test frames.
+    */
+  private def contentFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("|")
+    }
+  }
+
   def pqIndex(embeddings: DataFrame, cacheKey: String, m: Int, k: Int,
               iters: Int,
               maxTrain: Long = PqMaxTrainVectors): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    pqCache.computeIfAbsent((spark, cacheKey, m, k, iters, maxTrain), _ => {
+    val key = cacheKey + "#" + contentFingerprint(embeddings)
+    pqCache.computeIfAbsent((spark, key, m, k, iters, maxTrain), _ => {
       val subs = pqSubs(embeddings, m)
       val books = pqTrainOnSubs(subs, k, iters, maxTrain)
         .localCheckpoint()
@@ -1069,16 +1091,18 @@ object LlmOps {
     })
   }
 
-  /** Drop every memoized PQ index for `cacheKey` (all knob combinations)
-    * — callers that REWRITE the corpus behind a cache key must call this
-    * or keep serving the stale index, the same hazard
-    * [[Tables.invalidatePartsupp]] exists for. (The dropped entries'
-    * checkpoint blocks are reclaimed by the ContextCleaner once
-    * unreferenced.)
+  /** Drop every memoized PQ index for `cacheKey` (all knob combinations
+    * and content fingerprints) — an in-place corpus rewrite is already
+    * caught by the fingerprint in the memo key; this remains for
+    * explicit lifecycle control (freeing the checkpoint blocks without
+    * waiting for session end), the same hazard pairing as
+    * [[Tables.invalidatePartsupp]]. (The dropped entries' checkpoint
+    * blocks are reclaimed by the ContextCleaner once unreferenced.)
     */
   def invalidatePqIndex(spark: org.apache.spark.sql.SparkSession,
                         cacheKey: String): Unit =
-    pqCache.keySet.removeIf(k => k._1 == spark && k._2 == cacheKey)
+    pqCache.keySet.removeIf(k => k._1 == spark &&
+      (k._2 == cacheKey || k._2.startsWith(cacheKey + "#")))
 
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Long),

@@ -17,6 +17,14 @@ object LlmQueries extends QueryPack {
     * tie-break priority order both engines' CASE chains use). */
   private val NbClasses = Seq("de", "en", "es", "fr", "zh")
 
+  // q_mmr_rerank knobs — the oracle SQL interpolates these SAME
+  // constants (λ-tradeoff, shortlist size, output size), so a knob
+  // change breaks the compile-time string in one place instead of
+  // silently desynchronizing the two engines.
+  private val MmrLambda = 0.5
+  private val MmrShortlistK = 20
+  private val MmrOutK = 5
+
   /** DuckDB mirror of [[LlmOps.nbClassify]], generated from the same
     * class list so the conditional-count columns, floored score formulas,
     * and argmax CASE chain stay clause-identical with the Spark plan.
@@ -460,7 +468,7 @@ object LlmQueries extends QueryPack {
     // carrying the chosen list.
     "q_mmr_rerank" -> ((s, dir) =>
       LlmOps.mmrRerank(Tables(s, dir, "embeddings"), queryVec(s, dir),
-                       20, 5, 0.5)
+                       MmrShortlistK, MmrOutK, MmrLambda)
         .orderBy("mmr_rank")),
 
     // L4g: driver-visible ANN recall — recall@10 of each ANN family vs
@@ -1708,9 +1716,10 @@ object LlmQueries extends QueryPack {
     "q_classify_nb" -> nbOracleSql(NbClasses),
 
     // Greedy MMR replay: the recursive CTE carries the chosen-id list;
-    // each step's LATERAL argmax mirrors the Spark stage (same 0.5
-    // λ-tradeoff, same id tiebreak) over the precomputed shortlist
-    // pairwise sims.
+    // each step's LATERAL argmax mirrors the Spark stage (the SAME
+    // interpolated λ-tradeoff/shortlist/output constants the query
+    // passes, same id tiebreak) over the precomputed shortlist pairwise
+    // sims.
     "q_mmr_rerank" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1718,7 +1727,7 @@ object LlmQueries extends QueryPack {
          |  SELECT e.vec_id, e.embedding AS emb,
          |    ${cosSql("e.embedding", "q.qe")} AS rel
          |  FROM embeddings e CROSS JOIN q
-         |  ORDER BY rel DESC NULLS LAST, e.vec_id LIMIT 20),
+         |  ORDER BY rel DESC NULLS LAST, e.vec_id LIMIT $MmrShortlistK),
          |pairs AS (
          |  SELECT a.vec_id AS av, b.vec_id AS bv,
          |    ${cosSql("a.emb", "b.emb")} AS sim
@@ -1735,9 +1744,10 @@ object LlmQueries extends QueryPack {
          |      AND list_contains(sel.chosen, p.bv)
          |    WHERE NOT list_contains(sel.chosen, s.vec_id)
          |    GROUP BY s.vec_id, s.rel
-         |    ORDER BY 0.5 * s.rel - 0.5 * max(p.sim) DESC, s.vec_id
+         |    ORDER BY $MmrLambda * s.rel
+         |      - ${1 - MmrLambda} * max(p.sim) DESC, s.vec_id
          |    LIMIT 1) t
-         |  WHERE step < 5)
+         |  WHERE step < $MmrOutK)
          |SELECT unnest(chosen) AS vec_id,
          |  CAST(generate_subscripts(chosen, 1) AS BIGINT) AS mmr_rank
          |FROM sel WHERE step = (SELECT max(step) FROM sel)

@@ -83,12 +83,13 @@ object ProjectionRouter extends Rule[LogicalPlan] {
   def clear(): Unit = { registry.clear(); normCache.clear() }
 
   /** Measure types the partial-reaggregation rewrites are exact AND
-    * type-stable for: Sum/Average over these keep the original
-    * expression's dataType (sum(long)=long, sum(double)=double).
-    * DecimalType is excluded — re-summing a stored decimal sum widens
-    * precision a SECOND time (p+10 → p+20) under the original exprId,
-    * so downstream operators resolved against the old type would see a
-    * changed (and for p+10 ≤ 18, physically incompatible) attribute.
+    * type-stable for WITHOUT any cast: Sum/Average over these keep the
+    * original expression's dataType (sum(long)=long,
+    * sum(double)=double). DecimalType routes for Sum only, through an
+    * explicit cast back to the original dataType in [[route]] (the
+    * re-sum widens precision a second time, p+10 → p+20); Average over
+    * decimal keeps its own scale rules the ratio form wouldn't
+    * reproduce, so it stays unrouted.
     */
   private val exactMeasureTypes: Set[org.apache.spark.sql.types.DataType] =
     Set(org.apache.spark.sql.types.DoubleType, LongType,
@@ -132,12 +133,19 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       // group, not the stored row count
       case c: Count =>
         c.children.forall(ch => ch.foldable && ch.eval() != null)
-      // sum routes as Sum(stored sum) — type-stable only for the
-      // integral/floating measures (see [[exactMeasureTypes]])
+      // sum routes as Sum(stored sum): type-stable directly for the
+      // integral/floating measures (see [[exactMeasureTypes]]); for
+      // DECIMAL measures the re-sum widens precision a second time
+      // (p+10 → p+20), so [[route]] casts the result back to the
+      // original Sum's dataType — exact whenever the original query
+      // itself wouldn't overflow, and null on overflow exactly where
+      // the original Sum is null
       case s: Sum => s.child match {
         case a: AttributeReference =>
           proj.measures.contains(a.name) &&
-            exactMeasureTypes.contains(a.dataType)
+            (exactMeasureTypes.contains(a.dataType) ||
+             a.dataType.isInstanceOf[
+               org.apache.spark.sql.types.DecimalType])
         case _ => false
       }
       // avg routes as sum_<m> / nn_<m>; restrict to double/integral
@@ -200,7 +208,12 @@ object ProjectionRouter extends Rule[LogicalPlan] {
                          Literal(0L, LongType)))
           case s: Sum =>
             val m = s.child.asInstanceOf[AttributeReference].name
-            reAgg(ae, s.withNewChildren(Seq(out(s"sum_$m"))))
+            val re = reAgg(ae, s.withNewChildren(Seq(out(s"sum_$m"))))
+            // decimal re-sum widened precision again — restore the
+            // alias's original type so downstream operators resolved
+            // against it keep seeing the attribute they bound to
+            if (re.dataType == ae.dataType) re
+            else Cast(re, ae.dataType)
           case av: Average =>
             // avg = Σ(stored sums) / Σ(stored non-null counts) — two
             // aggregate expressions under one alias, both in double to

@@ -57,6 +57,45 @@ class ProjectionSpec extends SparkSpec {
     } finally ProjectionRouter.clear()
   }
 
+  test("a DECIMAL measure routes: sum re-aggregates the stored decimal " +
+       "partials and casts back to the original aggregate's type") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-projdec")
+      .toString
+    val basePath = s"$dir/lineitem_base"
+    val projPath = s"$dir/li_by_flag"
+    Tables(spark, sf("lineitem"), "lineitem")
+      .select(col("l_returnflag"),
+              col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      .write.parquet(basePath)
+    ProjectionRouter.writeProjection(
+      spark.read.parquet(basePath), Seq("l_returnflag"), Seq("price"),
+      projPath)
+    def query() = spark.read.parquet(basePath)
+      .groupBy("l_returnflag")
+      .agg(sum("price").as("s"), min("price").as("mn"),
+           max("price").as("mx"))
+      .orderBy("l_returnflag")
+    val expected = query().collect()
+    // sum(decimal(12,2)) = decimal(22,2) — the routed plan must keep it
+    val expectedType = query().schema("s").dataType
+    try {
+      ProjectionRouter.register(ProjectionRouter.Projection(
+        basePath, projPath, Set("l_returnflag"), Set("price")))
+      val routed = query()
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("li_by_flag"), plan.take(3000))
+      assert(!plan.contains("lineitem_base"), plan.take(3000))
+      assert(routed.schema("s").dataType === expectedType)
+      assert(routed.collect() === expected)
+      // decimal AVG must stay on the base (scale rules differ)
+      val avgQ = spark.read.parquet(basePath)
+        .groupBy("l_returnflag").agg(avg("price").as("a"))
+      assert(avgQ.queryExecution.executedPlan.toString
+               .contains("lineitem_base"))
+    } finally ProjectionRouter.clear()
+  }
+
   test("with several registered projections the cheapest qualifying one " +
        "serves each query (ClickHouse selection rule)") {
     GraftExtensions.register(spark)

@@ -344,6 +344,40 @@ class SourcesSpec extends SparkSpec {
     assert(first === second)
   }
 
+  test("writeJsonlShards under skew: a planted hot shard still lands in " +
+       "ONE file with byte-deterministic content ordering") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl-skew").toString
+    // hot shard 0 carries 20k rows — orders of magnitude more than the
+    // others — and rows arrive in a scrambled, partition-spread order
+    val hot = (0 until 20000).map(i => ((i * 7919L) % 20000L,
+                                        s"doc-${(i * 7919L) % 20000L}", 0L))
+    val cold = (20000 until 20040).map(i => (i.toLong, s"doc-$i",
+                                             1L + i % 3))
+    val rng = new scala.util.Random(42)
+    val docs = spark.createDataFrame(
+      rng.shuffle(hot ++ cold)).toDF("doc_id", "text", "shard")
+      .repartition(16)
+    Sources.writeJsonlShards(docs, dir, "shard", Seq("doc_id"))
+    // exactly one data file per shard dir, hot or cold
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} files")
+    }
+    // the hot shard's single file is sorted by doc_id (the declared
+    // within-shard order) — byte-level determinism, not just set equality
+    val hotFile = new java.io.File(s"$dir/shard=0")
+      .listFiles().filter(_.getName.endsWith(".json")).head
+    val ids = scala.io.Source.fromFile(hotFile).getLines()
+      .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      .toSeq
+    assert(ids.length === 20000)
+    assert(ids === ids.sorted)
+  }
+
   test("withKafkaMeta projects stream metadata as real columns (P3)") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 17L, "x"))
       .toDF("timestamp", "offset", "value")
