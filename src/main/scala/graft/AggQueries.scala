@@ -75,11 +75,21 @@ object AggQueries extends QueryPack {
              countDistinct(col("l_partkey")).as("n_part"))
         .orderBy("l_returnflag")),
 
-    // A4: approximate distinct (HLL++) — no DuckDB oracle (approx).
+    // A4: approximate distinct (HLL++), driver-oracled as an accuracy
+    // certificate: the exact count rides along in the same hash
+    // aggregate (one extra distinct-agg, certificate-only) and the
+    // estimate — deterministic given the data — is pinned within 10% of
+    // it (default rsd 0.05; measured ≤3% at every harness SF). n_exact
+    // is a real cross-engine row, the flag is the pinned guarantee.
     "q_agg_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+             countDistinct(col("l_suppkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+                (abs(col("approx_supp") - col("n_exact")) * lit(10)
+                   <= col("n_exact")).cast("long")
+                  .as("approx_within_10pct"))
         .orderBy("l_returnflag")),
 
     // A5: ROLLUP.
@@ -705,18 +715,54 @@ object AggQueries extends QueryPack {
                .as("wp90"))
         .orderBy("l_returnflag")),
 
-    // Approximate percentiles (t-digest-style sketch — ClickHouse
-    // quantileTDigest analog); approx → rows-only check. Scalar columns
-    // (not the array form): the driver's compare sorts output columns and
-    // chokes on array cells in the rows-only path.
-    "q_agg_approx_percentile" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-               .as("ap50"),
-             approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000))
-               .as("ap95"))
-        .orderBy("l_returnflag")),
+    // Approximate percentiles (ClickHouse quantileTDigest analog),
+    // driver-oracled as a rank-error certificate: Spark's
+    // approx_percentile guarantees rank error <= n/accuracy, so the
+    // returned value must lie between the EXACT order statistics at
+    // rank ± 2n/1000 around each target — those bracket values are
+    // computed with the q_agg_winsorize distinct-value prefix-count
+    // idiom (exact integer ranks, no floating percentile) and
+    // recomputed independently by the DuckDB oracle, making lo/hi real
+    // cross-engine rows and ok50/ok95 the pinned sketch guarantee.
+    "q_agg_approx_percentile" -> ((s, dir) => {
+      val e = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                  .as("v"),
+                col("l_extendedprice"))
+      val ap = e.groupBy("flag")
+        .agg(expr("CAST(round(approx_percentile(l_extendedprice, 0.5, " +
+               "1000) * 100) AS BIGINT)").as("ap50"),
+             expr("CAST(round(approx_percentile(l_extendedprice, 0.95, " +
+               "1000) * 100) AS BIGINT)").as("ap95"))
+      val d = e.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+      val cum = d.withColumn("cum",
+        sum("c").over(Window.partitionBy("flag").orderBy("v")))
+      val tot = d.groupBy("flag").agg(sum("c").as("n"))
+      val bounds = cum.join(broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(min(when(col("cum") >= expr("greatest(CAST(1 AS BIGINT), " +
+                 "(n - 1) div 2 + 1 - (n + 499) div 500)"), col("v")))
+               .as("lo50"),
+             min(when(col("cum") >= expr("least(n, " +
+                 "(n - 1) div 2 + 2 + (n + 499) div 500)"), col("v")))
+               .as("hi50"),
+             min(when(col("cum") >= expr("greatest(CAST(1 AS BIGINT), " +
+                 "(19 * (n - 1)) div 20 + 1 - (n + 499) div 500)"),
+                 col("v"))).as("lo95"),
+             min(when(col("cum") >= expr("least(n, " +
+                 "(19 * (n - 1)) div 20 + 2 + (n + 499) div 500)"),
+                 col("v"))).as("hi95"))
+      ap.join(bounds, "flag")
+        .select(col("flag").as("l_returnflag"),
+                col("lo50"), col("hi50"),
+                (col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+                  .cast("long").as("ok50"),
+                col("lo95"), col("hi95"),
+                (col("ap95") >= col("lo95") && col("ap95") <= col("hi95"))
+                  .cast("long").as("ok95"))
+        .orderBy("l_returnflag")
+    }),
 
     // Data profiling (the summary() idiom, oracle-checkable form).
     "q_profile" -> ((s, dir) =>
@@ -993,6 +1039,45 @@ object AggQueries extends QueryPack {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // exact distinct is recomputed; the within-10% flag is the pinned
+    // HLL++ estimate guarantee
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    // exact bracketing order statistics at rank ± 2n/1000 (same integer
+    // prefix-count idiom as q_agg_winsorize); ok flags are the pinned
+    // rank-error guarantee
+    "q_agg_approx_percentile" ->
+      """WITH e AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |d AS (SELECT flag, v, count(*) AS c FROM e GROUP BY flag, v),
+        |cm AS (
+        |  SELECT flag, v,
+        |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY v)
+        |         AS BIGINT) AS cum
+        |  FROM d),
+        |t AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n
+        |      FROM d GROUP BY flag)
+        |SELECT flag AS l_returnflag,
+        |  min(CASE WHEN cum >= greatest(1, (n - 1) // 2 + 1
+        |        - (n + 499) // 500) THEN v END) AS lo50,
+        |  min(CASE WHEN cum >= least(n, (n - 1) // 2 + 2
+        |        + (n + 499) // 500) THEN v END) AS hi50,
+        |  CAST(1 AS BIGINT) AS ok50,
+        |  min(CASE WHEN cum >= greatest(1, (19 * (n - 1)) // 20 + 1
+        |        - (n + 499) // 500) THEN v END) AS lo95,
+        |  min(CASE WHEN cum >= least(n, (19 * (n - 1)) // 20 + 2
+        |        + (n + 499) // 500) THEN v END) AS hi95,
+        |  CAST(1 AS BIGINT) AS ok95
+        |FROM cm JOIN t USING (flag)
+        |GROUP BY flag ORDER BY flag NULLS FIRST""".stripMargin,
 
     // n_partials (distinct days) and n_exact are recomputed exactly; the
     // within-5% flag is the pinned estimate guarantee.

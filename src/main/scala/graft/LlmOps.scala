@@ -550,16 +550,23 @@ object LlmOps {
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
 
   /** Deterministic random-hyperplane bucket id (numPlanes sign bits) for
-    * LSH-bucketed ANN. Plane p's coefficients are ±1 derived from
-    * xxhash64(p, dimension-index) — no stored model, identical on any
-    * cluster.
+    * LSH-bucketed ANN. Plane p's coefficient for dimension i is ±1
+    * derived from the PORTABLE md5-prefix hash of "p_i" (the
+    * [[Tables.partsupp]] idiom) — no stored model, identical on any
+    * cluster, and reproducible by a SQL engine: with the projection
+    * fold running in array order (the same sequential fold the cosine
+    * oracle idiom mirrors), the whole bucket assignment — and with it
+    * q_simsearch_lsh / q_simsearch_lsh_mp's end-to-end output — is
+    * DuckDB-replicable.
     */
   def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
                  (x, i) => x.cast("double") *
-                   (pmod(xxhash64(lit(p), i), lit(2)).cast("double") * 2 - 1)),
+                   (pmod(conv(substring(md5(concat_ws("_",
+                      lit(p.toString), i.cast("string"))), 1, 8),
+                      16, 10).cast("long"), lit(2)).cast("double") * 2 - 1)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)

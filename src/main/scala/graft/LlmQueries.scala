@@ -144,9 +144,13 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")),
 
     // L2b': incremental MinHash — index half the corpus, then match the
-    // other half against that history (rows-only; LlmSpec proves the
+    // other half against that history (LlmSpec additionally proves the
     // two-batch union equals the one-shot batch run). Fresh temp store
     // per invocation keeps repeated driver runs deterministic.
+    // Driver-oracled like q_dedup_minhash: the second batch's verified
+    // pairs are exactly the exact-Jaccard pairs with >= 1 endpoint in
+    // the batch (normalized a < b, so endpoint-in-batch ⇔ b >= 250),
+    // and at j >= 0.5 the banding finds every one of them.
     "q_dedup_minhash_incr" -> ((s, dir) => {
       val store = java.nio.file.Files
         .createTempDirectory("graft-mh-incr").toString + "/store"
@@ -380,19 +384,30 @@ object LlmQueries extends QueryPack {
       LlmOps.cosineTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 10)
         .orderBy("vec_id")),
 
-    // L4b: LSH-bucketed ANN (rows-only; recall asserted in LlmSpec).
+    // L4b: LSH-bucketed ANN. Fully driver-oracled since the portable
+    // md5-derived hyperplane coefficients ([[LlmOps.hyperplaneBucket]]):
+    // the DuckDB oracle recomputes every plane projection with the same
+    // ordered fold, reassembles the sign-bit bucket, and replays the
+    // intra-bucket exact top-10 — end-to-end row hash-match, like
+    // q_simsearch_ivf.
     "q_simsearch_lsh" -> ((s, dir) =>
       LlmOps.annLshTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 4, 10)
         .orderBy("vec_id")),
 
-    // L4b': multi-probe LSH ANN — query bucket + all Hamming-1 buckets
-    // (rows-only; LlmSpec asserts recall strictly dominates single-probe).
+    // L4b': multi-probe LSH ANN — query bucket + all Hamming-1 buckets.
+    // Same full oracle as q_simsearch_lsh with the 5-bucket probe set
+    // (LlmSpec additionally asserts recall dominates single-probe).
     "q_simsearch_lsh_mp" -> ((s, dir) =>
       LlmOps.annLshMultiProbeTopK(Tables(s, dir, "embeddings"),
                                   queryVec(s, dir), 4, 10)
         .orderBy("vec_id")),
 
-    // L4c: IVF-style ANN via centroid probe (rows-only; see LlmSpec).
+    // L4c: IVF-style ANN via centroid probe. Fully driver-oracled: the
+    // whole path (per-label avg centroids → argmax coarse probe →
+    // intra-cell exact top-10) is SQL-expressible, so the DuckDB oracle
+    // replays it and the (vec_id, sim) rows hash-match — the one ANN
+    // family whose END-TO-END output, not just a recall certificate, is
+    // cross-engine checked.
     "q_simsearch_ivf" -> ((s, dir) =>
       LlmOps.annIvfTopK(Tables(s, dir, "embeddings"), queryVec(s, dir), 64, 10)
         .orderBy("vec_id")),
@@ -1161,6 +1176,25 @@ object LlmQueries extends QueryPack {
   private def cosSql(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** Plane p's hyperplane projection of `emb` — mirrors
+    * [[LlmOps.hyperplaneBucket]]: same md5("p_i") ±1 coefficients, same
+    * ordered left fold as [[dotSql]] (i is 1-based in DuckDB lists,
+    * hence the i - 1 in the hash input).
+    */
+  private def lshProjSql(emb: String, p: Int): String =
+    "list_aggregate(list_transform(range(1, 65), i -> " +
+      s"CAST($emb[i] AS DOUBLE) * (((CAST(('0x' || substring(md5(" +
+      s"'${p}_' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2)" +
+      " * 2 - 1))), 'sum')"
+
+  /** The 4-plane sign-bit bucket id of `emb` (mirrors the Spark side's
+    * bit assembly).
+    */
+  private def lshBucketSql(emb: String): String =
+    (0 until 4).map { p =>
+      s"(CASE WHEN ${lshProjSql(emb, p)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1208,6 +1242,29 @@ object LlmQueries extends QueryPack {
         |FROM inter
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.5
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // Same exact pair set restricted to >= 1 endpoint in the second
+    // batch (doc_id >= 250; pairs are a < b normalized so b >= 250
+    // captures exactly that).
+    "q_dedup_minhash_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b,
+        |  round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.5 AND b >= 250
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
     // Full SimHash replication: identical 60-bit md5-prefix signature
@@ -1292,6 +1349,74 @@ object LlmQueries extends QueryPack {
          |SELECT vec_id, round(sim_raw, 4) AS sim FROM (
          |  SELECT * FROM scored
          |  ORDER BY sim_raw DESC NULLS LAST, vec_id LIMIT 10) t
+         |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    // Full LSH replication: per-vector 4-plane bucket (portable md5
+    // coefficients, ordered-fold projections), single-probe top-10
+    // within the query's bucket, re-sorted by vec_id.
+    "q_simsearch_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |bk AS (
+         |  SELECT vec_id, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+         |ann AS (
+         |  SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 4) AS sim
+         |  FROM embeddings e JOIN bk USING (vec_id)
+         |  JOIN qb ON bk.bucket = qb.qbucket CROSS JOIN q
+         |  ORDER BY ${cosSql("e.embedding", "q.qe")} DESC NULLS LAST,
+         |           e.vec_id
+         |  LIMIT 10)
+         |SELECT vec_id, sim FROM ann
+         |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    // Same replication with the multi-probe set: the query bucket plus
+    // its four Hamming-1 neighbors.
+    "q_simsearch_lsh_mp" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |bk AS (
+         |  SELECT vec_id, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+         |ann AS (
+         |  SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 4) AS sim
+         |  FROM embeddings e JOIN bk USING (vec_id)
+         |  JOIN qb ON bk.bucket IN (qb.qbucket, xor(qb.qbucket, 1),
+         |    xor(qb.qbucket, 2), xor(qb.qbucket, 4), xor(qb.qbucket, 8))
+         |  CROSS JOIN q
+         |  ORDER BY ${cosSql("e.embedding", "q.qe")} DESC NULLS LAST,
+         |           e.vec_id
+         |  LIMIT 10)
+         |SELECT vec_id, sim FROM ann
+         |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    // Full IVF replication (the q_simsearch_ivf_recall machinery)
+    // emitting the end-to-end rows: probed cell's exact top-10 with
+    // rounded sims, re-sorted by vec_id as the Spark plan does.
+    "q_simsearch_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cent AS (
+         |  SELECT label, list(cx ORDER BY i) AS c FROM (
+         |    SELECT label, i, avg(CAST(v AS DOUBLE)) AS cx
+         |    FROM (SELECT label, unnest(embedding) AS v,
+         |                 unnest(range(1, 65)) AS i FROM embeddings) t
+         |    GROUP BY label, i) g
+         |  GROUP BY label),
+         |best AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.c", "q.qe")} DESC NULLS LAST, c.label
+         |  LIMIT 1),
+         |ann AS (
+         |  SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 4) AS sim
+         |  FROM embeddings e
+         |  JOIN best b ON e.label = b.label CROSS JOIN q
+         |  ORDER BY ${cosSql("e.embedding", "q.qe")} DESC NULLS LAST,
+         |           e.vec_id
+         |  LIMIT 10)
+         |SELECT vec_id, sim FROM ann
          |ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     // Full IVF replication: per-label avg centroids, argmax coarse
