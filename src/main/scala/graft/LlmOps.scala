@@ -549,26 +549,38 @@ object LlmOps {
       .limit(k)
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
 
-  /** Deterministic random-hyperplane bucket id (numPlanes sign bits) for
-    * LSH-bucketed ANN. Plane p's coefficient for dimension i is ±1
-    * derived from the PORTABLE md5-prefix hash of "p_i" (the
-    * [[Tables.partsupp]] idiom) — no stored model, identical on any
-    * cluster, and reproducible by a SQL engine: with the projection
-    * fold running in array order (the same sequential fold the cosine
-    * oracle idiom mirrors), the whole bucket assignment — and with it
-    * q_simsearch_lsh / q_simsearch_lsh_mp's end-to-end output — is
-    * DuckDB-replicable.
+  /** ±1 hyperplane coefficient for (plane, dimension) — the low bit of
+    * the PORTABLE md5-prefix hash of "p_i" (the [[Tables.partsupp]]
+    * idiom), computed DRIVER-SIDE with MessageDigest: byte-identical to
+    * Spark's and DuckDB's md5 of the same string, so the plan embeds
+    * the coefficients as literals while a SQL oracle re-derives them
+    * from the formula.
     */
-  def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
+  private def md5Sign(p: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2).toInt * 2 - 1
+  }
+
+  /** Deterministic random-hyperplane bucket id (numPlanes sign bits) for
+    * LSH-bucketed ANN. Plane p's coefficients are the [[md5Sign]] ±1
+    * values — no stored/fitted model, identical on any cluster, and
+    * reproducible by a SQL engine from the md5 formula alone. The
+    * coefficient vectors are CONSTANT, so they're hoisted into array
+    * literals at plan build and each projection is one native codegen'd
+    * [[DotProduct]] (deterministic left-to-right accumulation — the
+    * same fold order the cosine oracle idiom mirrors) instead of an
+    * interpreted per-element HOF fold with a hash per element
+    * (0.9 s → 0.3 s for q_simsearch_lsh at sf0.1). Float literals to
+    * match the float embedding arrays; ±1 is exact in either width.
+    */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int = 64): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-                 (x, i) => x.cast("double") *
-                   (pmod(conv(substring(md5(concat_ws("_",
-                      lit(p.toString), i.cast("string"))), 1, 8),
-                      16, 10).cast("long"), lit(2)).cast("double") * 2 - 1)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val coeffs = array((0 until dim).map(i =>
+        lit(md5Sign(p, i).toFloat)): _*)
+      when(Functions.dotProduct(vec, coeffs) > 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
   /** LSH-bucketed ANN: restrict the scan to the query's hyperplane bucket,
