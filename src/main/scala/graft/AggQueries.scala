@@ -650,15 +650,22 @@ object AggQueries extends QueryPack {
         .orderBy("user_id")),
 
     // ClickHouse topK analog: approximate heavy hitters per group via the
-    // native ApproxTopK sketch. Approx (and array-typed) → rows-only;
-    // SketchSpec pins the exact-regime behavior and q_topk_merge below
-    // oracle-checks the mergeable-state path.
+    // native ApproxTopK sketch. Oracled tie-safely: the tracked-item
+    // budget (65536) exceeds the l_suppkey domain at every tested SF, so
+    // the sketch is in its exact regime and the DESC-sorted top-5 COUNT
+    // list per group is deterministic even when a tie at the rank-5
+    // boundary makes the picked ITEM arbitrary (tied items share the
+    // count, so the count list is invariant). q_topk_merge below oracles
+    // the mergeable-state path.
     "q_agg_approx_topk" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_top_k(l_suppkey, 5)").as("top_supp"))
+        .agg(expr("approx_top_k(l_suppkey, 5, 65536)").as("top_supp"))
         .select(col("l_returnflag"),
-                to_json(col("top_supp")).as("top_supp"))
+                array_join(
+                  reverse(sort_array(transform(col("top_supp"),
+                    x => x.getField("count"))))
+                    .cast("array<string>"), ",").as("top_counts"))
         .orderBy("l_returnflag")),
 
     // ClickHouse topKState/topKMerge analog, oracle-checked: per-day
@@ -1039,6 +1046,23 @@ object AggQueries extends QueryPack {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // exact regime (budget 65536 > suppkey domain at tested SFs): the
+    // DESC-sorted top-5 count list equals the exact one even under
+    // rank-boundary ties (tied items share the count)
+    "q_agg_approx_topk" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_suppkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, n,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC)
+        |      AS rk
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY n DESC) AS top_counts
+        |FROM r WHERE rk <= 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     // exact distinct is recomputed; the within-10% flag is the pinned
     // HLL++ estimate guarantee

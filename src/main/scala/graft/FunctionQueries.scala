@@ -136,12 +136,19 @@ object FunctionQueries extends QueryPack {
                 sha2(col("text"), 256).as("h_sha"))
         .orderBy("doc_id")),
 
-    // F11: xxhash64 — Spark-native 64-bit hash, no DuckDB equivalent
-    // (rows-only check).
+    // F11: xxhash64 — Spark-native 64-bit hash with no DuckDB equivalent,
+    // oracled through two derived invariants instead of raw digests:
+    // (a) injectivity on the corpus (distinct hashes == distinct texts —
+    // a real 64-bit collision at this scale is ~1e-9), and (b) a pinned
+    // known-answer vector (XXH64("graft", seed=42), computed from the
+    // published reference algorithm) that breaks if the hash
+    // implementation ever drifts.
     "q_hash_xx" -> ((s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("doc_id"), xxhash64(col("text")).as("h_xx"))
-        .orderBy("doc_id")),
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("text")).as("n_distinct_text"),
+             countDistinct(xxhash64(col("text"))).as("n_distinct_hash"))
+        .withColumn("pin", xxhash64(lit("graft")))),
 
     // F3: date arithmetic (interval add, calendar-month clamp, day diff,
     // month end).
@@ -456,6 +463,16 @@ object FunctionQueries extends QueryPack {
     "q_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // DuckDB has no XXH64; verify the derived invariants. The pin constant
+    // is XXH64("graft", seed=42) as a signed 64-bit integer, derived from
+    // the public xxHash specification.
+    "q_hash_xx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_hash,
+        |  CAST(-4815631219266125053 AS BIGINT) AS pin
+        |FROM documents""".stripMargin,
 
     "q_date_arith" ->
       """SELECT event_id,

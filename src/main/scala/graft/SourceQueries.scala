@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Driver-visible exercises of the source/multimodal plumbing (SURVEY.md
-  * §2.1 S4/S5, §2.10 L7). Not DuckDB-expressible (Avro codec, stub media
-  * codec) → rows-only checks; the semantics are asserted in
+  * §2.1 S4/S5, §2.10 L7). The Avro decode keys are oracled against the
+  * known decoded constants (the frames are built from fixed demo rows, so
+  * the expected output is a VALUES literal); the multimodal feature key is
+  * oracled by replicating the declared stub codec's rolling hash in
+  * DuckDB HUGEINT arithmetic (mod 2^64). Deeper semantics are asserted in
   * SourcesSpec/MultimodalSpec.
   */
 object SourceQueries extends QueryPack {
@@ -59,7 +62,7 @@ object SourceQueries extends QueryPack {
         framed, Sources.confluentPayload(col("value")), avroSchemaJson,
         usersSchema)
       decoded
-        .withColumn("schema_id", lit(7))
+        .withColumn("schema_id", lit(7L))
         .orderBy("user_id")
     }),
 
@@ -136,6 +139,57 @@ object SourceQueries extends QueryPack {
                      lit("text/plain").as("mime")).as("meta"))
 
   val oracles: Map[String, String] = Map(
+    // The framed bytes are built from the reference demo's three fixed
+    // rows, so the decoded output is a known constant: the oracle states
+    // it as a VALUES literal. A decode bug (header strip, varint zig-zag,
+    // union branch, micros→timestamp) breaks the hash match.
+    "q_avro_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'user1', 'Bronze',
+        |   make_timestamp(1700000000000001), CAST(7 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'user2', 'Silver',
+        |   make_timestamp(1700000000000002), CAST(7 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'user3', 'Gold',
+        |   make_timestamp(1700000000000003), CAST(7 AS BIGINT)))
+        |  AS t(user_id, username, account_type, updated_at, schema_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // Registry-resolved two-generation decode: gen-1 rows resolve against
+    // the gen-2 reader schema and fill the nullable `tier` default.
+    "q_confluent_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'user1', 'Bronze',
+        |   make_timestamp(1700000000000001), CAST(NULL AS VARCHAR)),
+        |  (CAST(2 AS BIGINT), 'user2', 'Silver',
+        |   make_timestamp(1700000000000002), CAST(NULL AS VARCHAR)),
+        |  (CAST(3 AS BIGINT), 'user3', 'Gold',
+        |   make_timestamp(1700000000000003), CAST(NULL AS VARCHAR)),
+        |  (CAST(4 AS BIGINT), 'user4', 'Gold',
+        |   make_timestamp(1700000000000004), 'vip'))
+        |  AS t(user_id, username, account_type, updated_at, tier)
+        |ORDER BY user_id""".stripMargin,
+
+    // The stub codec is a declared deterministic fake (Multimodal.scala:37)
+    // — a 31-rolling-hash of the payload bytes plus one LCG step per
+    // feature. That makes it DuckDB-expressible: replicate the mod-2^64
+    // arithmetic in HUGEINT and compare f0 end-to-end through the
+    // mapPartitions/encoder plumbing (the part a real codec would reuse).
+    "q_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(ord(substring(text, CAST(i AS INTEGER), 1))
+        |               AS HUGEINT))) AS xs
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS dim,
+        |  round(CAST(((list_reduce(xs,
+        |      (acc, x) -> (31*acc + x) % 18446744073709551616)
+        |    * 6364136223846793005 + 1442695040888963407)
+        |    % 18446744073709551616)
+        |    // 1099511627776 % 1000 AS DOUBLE) / 1000.0, 6) AS f0
+        |FROM b ORDER BY media_id NULLS FIRST""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
