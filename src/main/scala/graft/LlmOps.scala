@@ -340,6 +340,66 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** ExactSubstr-style duplicated-span coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a window position is DUPLICATED when its W-char
+    * window occurs anywhere else in the corpus — another document, or
+    * another offset of the same document. Per document this returns the
+    * count of duplicated positions and the length of the UNION of their
+    * [pos, pos+W) intervals: the "how much of this doc is copied text"
+    * signal the paper cuts on (their suffix-array finds spans ≥ W; the
+    * stride-s shingle form detects every such span, over-counting cover
+    * by < W+s at each span boundary — exact at stride 1).
+    *
+    * Relational plan (what a Spark cluster does well instead of a
+    * distributed suffix array): stride-s character shingles (fan-out
+    * L/s per doc), occurrences counted by a HASH AGGREGATE on the
+    * 64-bit window hash (map-side combine; a boilerplate span shared by
+    * N docs costs N rows, never N² pairs), a join back to mark
+    * duplicated positions (hot hashes are shuffle-join skew — AQE
+    * splittable, which is why this is groupBy+join and NOT a
+    * count-over-window that would buffer a hot hash's group in one
+    * task), then a per-doc gaps-and-islands window pass for the
+    * interval union. At 100 TB: token shingles and stride > 1 shrink
+    * the fan-out constant; everything else is the same two hash
+    * shuffles + one per-doc window.
+    *
+    * Collision note: duplication is decided on xxhash64(window); a
+    * collision could mark a unique position duplicated (~1e-7 odds at
+    * 3M windows). The oracle groups by the window STRING — three-SF
+    * agreement is the observed no-collision evidence.
+    */
+  def exactSubstrCoverage(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int, stride: Int = 1): DataFrame = {
+    val sh = docs
+      .filter(length(col(textCol)) >= w)
+      .select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"), col("t"),
+              explode(expr(s"sequence(0, length(t) - $w, $stride)"))
+                .as("pos"))
+      .select(col("doc"), col("pos"),
+              xxhash64(expr(s"substring(t, pos + 1, $w)")).as("h"))
+    val occ = sh.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val dup = sh.join(occ, "h").select(col("doc"), col("pos"))
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val islands = dup
+      .withColumn("prev_end",
+        max(col("pos") + lit(w)).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      // merge overlapping AND abutting windows into one covered island
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("prev_end") < col("pos"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy("doc", "island")
+      .agg(count(lit(1)).as("n"),
+           (max(col("pos")) + lit(w) - min(col("pos"))).as("cover"))
+    islands.groupBy("doc")
+      .agg(sum(col("n")).as("n_dup_spans"),
+           sum(col("cover")).as("dup_cover_chars"))
+  }
+
   /** Incremental MinHash-LSH near-dup: match a NEW batch of documents
     * against the accumulated corpus without recomputing history — the
     * production flow for a growing corpus (today's shard vs years of

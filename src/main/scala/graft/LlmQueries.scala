@@ -128,6 +128,26 @@ object LlmQueries extends QueryPack {
                                "lang", 3, 0.2)
         .orderBy("a", "b")),
 
+    // L1e: ExactSubstr duplicated-span coverage (Lee et al. 2022) — per
+    // doc, how many 40-char window positions recur anywhere in the corpus
+    // and how many characters their interval UNION covers. Docs with no
+    // duplicated span are kept at 0 so the output is a full per-doc
+    // curation signal; the per-mille ratio stays in integer arithmetic.
+    "q_dedup_exact_substr" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), length(col("text")).as("len"))
+        .join(LlmOps.exactSubstrCoverage(docs, "doc_id", "text", 40)
+                .withColumnRenamed("doc", "doc_id"),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+                coalesce(col("dup_cover_chars"), lit(0L))
+                  .as("dup_cover_chars"),
+                expr("1000 * coalesce(dup_cover_chars, 0) div len")
+                  .as("dup_permille"))
+        .orderBy("doc_id")
+    }),
+
     // L2b: MinHash + banded LSH candidates, exact-Jaccard verified.
     // Driver-oracled at threshold 0.5: the LSH path's output is a SUBSET
     // of the exact pair set by construction (every candidate is verified
@@ -1220,6 +1240,44 @@ object LlmQueries extends QueryPack {
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // Duplication decided on the window STRING here (Spark side uses
+    // xxhash64 — three-SF agreement doubles as collision evidence);
+    // islands replayed with the same merge-on-abut rule.
+    "q_dedup_exact_substr" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substring(text, CAST(i + 1 AS INTEGER), 40) AS span
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40) t),
+        |occ AS (SELECT span FROM sh GROUP BY span HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM sh
+        |        WHERE span IN (SELECT span FROM occ)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+        |         THEN 0 ELSE 1 END AS new_i
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |agg AS (
+        |  SELECT doc_id, island, count(*) AS n,
+        |         max(pos) + 40 - min(pos) AS cover
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup_spans,
+        |         CAST(sum(cover) AS BIGINT) AS dup_cover_chars
+        |  FROM agg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(p.dup_cover_chars, 0) AS dup_cover_chars,
+        |  1000 * COALESCE(p.dup_cover_chars, 0) // length(d.text)
+        |    AS dup_permille
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // Exact Jaccard pairs at j >= 0.5, NO language blocking (the LSH path
     // compares across the whole corpus) — clause-mirrors the

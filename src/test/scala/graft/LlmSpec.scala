@@ -655,4 +655,31 @@ class LlmSpec extends SparkSpec {
     assert(score(1L) > score(3L))
     assert(score(4L) > score(3L) && score(4L) < score(1L))
   }
+
+  test("exactSubstrCoverage: cross-doc passage, within-doc repeat, " +
+       "interval union") {
+    val uA = "qwertyuiopasdfghjklzxcvbnm0123456789QWERTYUIOPASDF" // 50
+    val uB = "ZXCVBNMLKJHGFDSAPOIUYTREWQ9876543210zxcvbnmlkjhgfd" // 50
+    val P = "The quick brown fox jumps over a lazy dog -- padded to 60 ch" // 60
+    val Q = "Repeated block of forty-five characters 12345" // 45
+    val filler = "##@@!!%%^^&&**(())__++==--[[]]" // 30
+    require(uA.length == 50 && uB.length == 50 && P.length == 60 &&
+            Q.length == 45 && filler.length == 30)
+    val df = Seq(
+      (1L, uA + P),          // shares P with doc 2
+      (2L, uB + P),
+      (3L, Q + filler + Q),  // within-doc repeat of Q
+      (4L, "a unique line long enough to clear the window size")
+    ).toDF("doc_id", "text")
+    val out = LlmOps.exactSubstrCoverage(df, "doc_id", "text", 40)
+      .orderBy("doc")
+      .as[(Long, Long, Long)].collect()
+    // Docs 1/2: the 40-char windows fully inside the shared 60-char P
+    // start at offsets 50..70 → 21 duplicated positions whose union is
+    // exactly P's 60 chars. Doc 3: windows inside either copy of the
+    // 45-char Q → 6 + 6 positions, union 45 + 45 = 90 chars across two
+    // islands. Doc 4: no duplicated window → absent from the op output
+    // (the query layer re-joins zeros).
+    assert(out === Array((1L, 21L, 60L), (2L, 21L, 60L), (3L, 12L, 90L)))
+  }
 }
