@@ -371,7 +371,17 @@ object LlmOps {
     */
   def exactSubstrCoverage(docs: DataFrame, idCol: String, textCol: String,
                           w: Int, stride: Int = 1): DataFrame = {
-    val sh = docs
+    val sh = substrShingles(docs, idCol, textCol, w, stride)
+    val occ = sh.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    spanCoverage(sh.join(occ, "h").select(col("doc"), col("pos")), w)
+  }
+
+  /** Stride-s W-char window hashes of a corpus: (doc, pos, h). */
+  private def substrShingles(docs: DataFrame, idCol: String,
+                             textCol: String, w: Int,
+                             stride: Int): DataFrame =
+    docs
       .filter(length(col(textCol)) >= w)
       .select(col(idCol).as("doc"), col(textCol).as("t"))
       .select(col("doc"), col("t"),
@@ -379,15 +389,17 @@ object LlmOps {
                 .as("pos"))
       .select(col("doc"), col("pos"),
               xxhash64(expr(s"substring(t, pos + 1, $w)")).as("h"))
-    val occ = sh.groupBy("h").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-    val dup = sh.join(occ, "h").select(col("doc"), col("pos"))
+
+  /** Per-doc interval-union stats over duplicated (doc, pos) window
+    * starts: one gaps-and-islands window pass, overlapping AND abutting
+    * windows merged into one covered island.
+    */
+  private def spanCoverage(dup: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc").orderBy("pos")
-    val islands = dup
+    dup
       .withColumn("prev_end",
         max(col("pos") + lit(w)).over(
           byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      // merge overlapping AND abutting windows into one covered island
       .withColumn("new_island",
         when(col("prev_end").isNull || col("prev_end") < col("pos"), 1L)
           .otherwise(0L))
@@ -395,9 +407,77 @@ object LlmOps {
       .groupBy("doc", "island")
       .agg(count(lit(1)).as("n"),
            (max(col("pos")) + lit(w) - min(col("pos"))).as("cover"))
-    islands.groupBy("doc")
+      .groupBy("doc")
       .agg(sum(col("n")).as("n_dup_spans"),
            sum(col("cover")).as("dup_cover_chars"))
+  }
+
+  /** Incremental ExactSubstr: score a NEW batch of documents against the
+    * accumulated window-hash count store without re-shingling history —
+    * the growing-corpus flow, same store discipline as
+    * [[minhashIncremental]]. Store contract: parquet (h, n, hb) DELTA
+    * rows under `storeDir` — append-only writes, counts aggregated on
+    * read, `hb = pmod(h, numBuckets)` hive-partitions the store so the
+    * history lookup reads only the batch's touched buckets, and the dir
+    * is compacted in-lifecycle once its data-file count passes
+    * `compactFileThreshold` (single-writer, the compactor rule).
+    *
+    * A batch position is DUPLICATED iff its window's TOTAL occurrence
+    * count — history plus this batch — exceeds 1: exactly the one-shot
+    * corpus-wide rule, so the batch's coverage rows equal the one-shot
+    * [[exactSubstrCoverage]] over the full corpus restricted to the
+    * batch's docs, and the accumulated store equals the one-shot shingle
+    * counts (LlmSpec pins both). Like every incremental dedup, history
+    * docs are NOT re-scored when a later batch duplicates them.
+    */
+  def exactSubstrIncremental(newDocs: DataFrame, idCol: String,
+                             textCol: String, storeDir: String, w: Int,
+                             stride: Int = 1, numBuckets: Int = 16,
+                             compactFileThreshold: Int = 0): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sh = substrShingles(newDocs, idCol, textCol, w, stride)
+      .localCheckpoint() // reused: batch counts + dup marking
+    val batchCounts = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: history join + store append
+    val touchedHb = batchCounts
+      .select(pmod(col("h"), lit(numBuckets)).cast("int").as("hb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hb",
+        org.apache.spark.sql.types.IntegerType)))
+    val hist =
+      (if (touchedHb.isEmpty)
+         spark.createDataFrame(
+           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+           storeSchema)
+       else
+         (try spark.read.parquet(storeDir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                storeSchema)
+          }).filter(col("hb").isin(touchedHb: _*))) // partition-pruned
+        .groupBy("h").agg(sum(col("n")).as("n_hist"))
+    val dupHashes = batchCounts.join(hist, Seq("h"), "left")
+      .filter(coalesce(col("n_hist"), lit(0L)) + col("n") > 1)
+      .select("h")
+    val out =
+      spanCoverage(sh.join(dupHashes, "h").select(col("doc"), col("pos")), w)
+        .localCheckpoint() // materialize BEFORE the append mutates the store
+    batchCounts
+      .withColumn("hb", pmod(col("h"), lit(numBuckets)).cast("int"))
+      .write.mode("append").partitionBy("hb").parquet(storeDir)
+    if (compactFileThreshold > 0 &&
+        Sources.dataFileCount(spark, storeDir) > compactFileThreshold)
+      Sources.compactPartitionedDir(spark, storeDir, "hb")
+    out
   }
 
   /** Incremental MinHash-LSH near-dup: match a NEW batch of documents

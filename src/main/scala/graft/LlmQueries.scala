@@ -148,6 +148,36 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1f: incremental ExactSubstr — first half of the corpus indexes the
+    // window-hash store, second half scores against history + itself.
+    // Because the duplication rule is the corpus-wide total count, the
+    // batch output equals the one-shot run restricted to the batch docs,
+    // which is what the oracle states. Fresh temp store per invocation.
+    "q_dedup_substr_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val split = docs.selectExpr("(max(doc_id) + 1) div 2 AS s")
+        .collect()(0).getLong(0)
+      val store = java.nio.file.Files.createTempDirectory("graft-ssq")
+        .toString + "/store"
+      // batch 1 only populates the store (results eagerly materialized
+      // inside the op; its coverage frame is deliberately unused)
+      LlmOps.exactSubstrIncremental(
+        docs.filter(col("doc_id") < split), "doc_id", "text", store, 40)
+      val cov = LlmOps.exactSubstrIncremental(
+        docs.filter(col("doc_id") >= split), "doc_id", "text", store, 40)
+        .withColumnRenamed("doc", "doc_id")
+      docs.filter(col("doc_id") >= split)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+                coalesce(col("dup_cover_chars"), lit(0L))
+                  .as("dup_cover_chars"),
+                expr("1000 * coalesce(dup_cover_chars, 0) div len")
+                  .as("dup_permille"))
+        .orderBy("doc_id")
+    }),
+
     // L2b: MinHash + banded LSH candidates, exact-Jaccard verified.
     // Driver-oracled at threshold 0.5: the LSH path's output is a SUBSET
     // of the exact pair set by construction (every candidate is verified
@@ -1277,6 +1307,46 @@ object LlmQueries extends QueryPack {
         |  1000 * COALESCE(p.dup_cover_chars, 0) // length(d.text)
         |    AS dup_permille
         |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // The incremental total-count rule == the one-shot corpus-wide rule,
+    // so the oracle is the q_dedup_exact_substr computation restricted to
+    // the second-half docs.
+    "q_dedup_substr_incr" ->
+      """WITH split AS (SELECT (max(doc_id) + 1) // 2 AS s FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substring(text, CAST(i + 1 AS INTEGER), 40) AS span
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 39)) AS i
+        |        FROM documents WHERE length(text) >= 40) t),
+        |occ AS (SELECT span FROM sh GROUP BY span HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM sh
+        |        WHERE span IN (SELECT span FROM occ)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+        |         THEN 0 ELSE 1 END AS new_i
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |agg AS (
+        |  SELECT doc_id, island, count(*) AS n,
+        |         max(pos) + 40 - min(pos) AS cover
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup_spans,
+        |         CAST(sum(cover) AS BIGINT) AS dup_cover_chars
+        |  FROM agg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(p.dup_cover_chars, 0) AS dup_cover_chars,
+        |  1000 * COALESCE(p.dup_cover_chars, 0) // length(d.text)
+        |    AS dup_permille
+        |FROM documents d LEFT JOIN per p USING (doc_id), split
+        |WHERE d.doc_id >= split.s
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // Exact Jaccard pairs at j >= 0.5, NO language blocking (the LSH path

@@ -682,4 +682,43 @@ class LlmSpec extends SparkSpec {
     // (the query layer re-joins zeros).
     assert(out === Array((1L, 21L, 60L), (2L, 21L, 60L), (3L, 12L, 90L)))
   }
+
+  test("incremental ExactSubstr: batch-2 coverage equals the one-shot " +
+       "run; compaction changes nothing") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val batch1 = docs.filter(col("doc_id") < 250)
+    val batch2 = docs.filter(col("doc_id") >= 250)
+    val oneShot = rows(LlmOps.exactSubstrCoverage(docs, "doc_id", "text", 40))
+    def run(thr: Int) = {
+      val store = java.nio.file.Files.createTempDirectory("graft-ss")
+        .toString + "/store"
+      val c1 = rows(LlmOps.exactSubstrIncremental(
+        batch1, "doc_id", "text", store, 40, compactFileThreshold = thr))
+      val c2 = rows(LlmOps.exactSubstrIncremental(
+        batch2, "doc_id", "text", store, 40, compactFileThreshold = thr))
+      (c1, c2, store)
+    }
+    val (c1, c2, store) = run(0)
+    // batch 1 ran against an empty store → its coverage is the one-shot
+    // rule applied to batch 1 alone
+    assert(c1 === rows(LlmOps.exactSubstrCoverage(batch1, "doc_id", "text",
+                                                  40)))
+    // batch 2 sees history + itself → EXACTLY the one-shot full-corpus
+    // rows restricted to batch-2 docs
+    assert(c2 === oneShot.filter(_._1 >= 250))
+    // the history path must have fired (some batch-2 span duplicated only
+    // against batch 1)
+    assert(c2 !== rows(LlmOps.exactSubstrCoverage(batch2, "doc_id", "text",
+                                                  40)))
+    // accumulated store = the full corpus's window count
+    val totalWindows = docs
+      .selectExpr("sum(greatest(length(text) - 39, 0)) AS n")
+      .as[Long].head()
+    assert(spark.read.parquet(store).selectExpr("sum(n)").as[Long].head()
+             === totalWindows)
+    // in-lifecycle compaction must not change either batch's rows
+    val (a1, a2, _) = run(1)
+    assert(a1 === c1 && a2 === c2)
+  }
 }
