@@ -49,11 +49,11 @@ object Bench {
     "q_hll_rollup", "q_bitmap_rollup", "q_topk_merge", "q_theta_segments",
     // LLM-pipeline: dedup / similarity / text
     "q_dedup_exact", "q_dedup_chunks_skew", "q_dedup_cdc_chunks", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_exact_substr", "q_dedup_components",
-    "q_dedup_embed",
+    "q_dedup_ngram_jaccard", "q_dedup_exact_substr", "q_dedup_substr_incr",
+    "q_dedup_components", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
-    "q_simsearch_pq", "q_simsearch_ivfpq",
+    "q_simsearch_pq", "q_simsearch_ivfpq", "q_sq8_quantize",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",
     "q_text_ngram_lm", "q_geo_radius_join",

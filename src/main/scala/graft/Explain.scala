@@ -30,6 +30,8 @@ object Explain {
     "q_simsearch_pq_recall",    // same: recall certificates re-run the ANN
     "q_simsearch_ivfpq_recall", // paths, every cross side is the 1-row query
     "q_simsearch_lsh_recall",   // or the bounded centroid/probe set
+    "q_simsearch_lsh_mp_recall", // multi-probe recall certificate: same
+                                 // 1-row broadcast query crosses
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates
@@ -80,7 +82,8 @@ object Explain {
     "q_agg_corr_matrix",       // one-row six-way corr aggregate
     "q_agg_covar_matrix",      // one-row six-way covar aggregate
     "q_retention_conditions",  // one-row flag-vector rollup
-    "q_text_ngram_lm")         // one-row vocabulary-size aggregate
+    "q_text_ngram_lm",         // one-row vocabulary-size aggregate
+    "q_hash_xx")               // one-row hash-invariant aggregate
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

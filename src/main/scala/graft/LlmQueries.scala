@@ -631,6 +631,37 @@ object LlmQueries extends QueryPack {
                .as("recall10_floor4"))
     }),
 
+    // L4g: SQ8 scalar quantization of the embedding corpus — the stored
+    // int8 index a serving deployment reads instead of raw floats.
+    // ORACLED exactly: the quantize chain is one shared IEEE double
+    // expression, so per-vector code sum / extremes hash-match DuckDB
+    // bit-for-bit.
+    "q_sq8_quantize" -> ((s, dir) =>
+      LlmOps.sq8Codes(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"),
+                size(col("codes")).cast("long").as("n_dims"),
+                expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + x)")
+                  .as("code_sum"),
+                array_max(col("codes")).cast("long").as("code_max"),
+                array_min(col("codes")).cast("long").as("code_min"))
+        .orderBy("vec_id")),
+
+    // L4g recall certificate: SQ8-scored top-10 vs exact cosine top-10.
+    // Scalar codes are high-fidelity (±1/254 of maxabs per axis), so
+    // unlike the PQ/LSH floors this one certifies ≥ 9/10 — measured
+    // recall@10 is 10 at sf0.001, 9 at sf0.01 (one boundary pair inside
+    // a quantization step), 10 at sf0.1.
+    "q_simsearch_sq8_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      LlmOps.annSq8TopK(e, q, 10)
+        .join(LlmOps.cosineTopK(e, q, 10).select("vec_id"), "vec_id")
+        .agg(least(count(lit(1)), lit(9L)).cast("long")
+               .as("recall10_floor9"),
+             max(when(col("vec_id") === 0, 1).otherwise(0)).cast("long")
+               .as("self_hit"))
+    }),
+
     // L4d: k-means assignment step — nearest of k deterministic seed
     // vectors per embedding. One broadcast of the seeds + one
     // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,
@@ -1590,6 +1621,28 @@ object LlmQueries extends QueryPack {
         |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
     "q_simsearch_lsh_mp_recall" ->
       "SELECT CAST(4 AS BIGINT) AS recall10_floor4",
+
+    // Same fixed quantize expression as the Spark plan: x·127/mx, +0.5,
+    // floor — IEEE-identical doubles, exact integer outputs.
+    "q_sq8_quantize" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+        |      AS codes
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings) t)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min
+        |FROM c ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "q_simsearch_sq8_recall" ->
+      """SELECT CAST(9 AS BIGINT) AS recall10_floor9,
+        |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

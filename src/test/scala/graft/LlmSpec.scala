@@ -721,4 +721,30 @@ class LlmSpec extends SparkSpec {
     val (a1, a2, _) = run(1)
     assert(a1 === c1 && a2 === c2)
   }
+
+  test("sq8Codes: code range, max-axis saturation, reconstruction bound; " +
+       "annSq8TopK self-hit") {
+    val coded = LlmOps.sq8Codes(embs)
+    // every code in [-127, 127], and the max-abs axis saturates to ±127
+    assert(coded
+      .withColumn("cmax", expr("aggregate(codes, 0, " +
+                               "(a, x) -> greatest(a, abs(x)))"))
+      .filter(col("cmax") =!= 127 ||
+              expr("exists(codes, x -> abs(x) > 127)"))
+      .count() === 0)
+    // dequantize bound: |x - c·maxabs/127| <= maxabs/254 per axis
+    assert(coded
+      .withColumn("err", expr(
+        "aggregate(zip_with(embedding, codes, " +
+        "(x, c) -> abs(cast(x as double) - c * maxabs / 127.0)), " +
+        "cast(0.0 as double), (a, e) -> greatest(a, e))"))
+      .filter(col("err") > col("maxabs") / 254.0 + 1e-9)
+      .count() === 0)
+    // the query vector must retrieve itself first among its own corpus
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val top = LlmOps.annSq8TopK(embs, q, 10).as[Long].collect()
+    assert(top.length === 10)
+    assert(top.head === 0L)
+  }
 }
