@@ -694,6 +694,30 @@ object AggQueries extends QueryPack {
              round(median(col("l_extendedprice")), 4).as("med_price"))
         .orderBy("l_returnflag")),
 
+    // ClickHouse medianAbsoluteDeviation analog, exact and
+    // order-independent: prices go to integer CENTS, the interpolated
+    // median is carried DOUBLED (lower + upper order statistic — an
+    // exact integer in double), deviations are exact integers, and the
+    // final MAD ships ×4 (doubled twice). Two hash aggregates + one
+    // broadcast join of the 3-row median table; the exact-sort group
+    // buffer is the same declared cost as q_agg_percentile (at 100 TB
+    // the approx sibling takes over).
+    "q_agg_mad" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                  .as("c"))
+      val med = li.groupBy("l_returnflag")
+        .agg((percentile(col("c"), lit(0.5)) * 2).cast("long").as("med2"))
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+                abs(lit(2) * col("c") - col("med2")).as("d2"))
+        .groupBy("l_returnflag")
+        .agg((percentile(col("d2"), lit(0.5)) * 2).cast("long").as("mad4"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ClickHouse quantiles(...) analog: the WHOLE quantile vector from
     // ONE sort/aggregation pass — percentile over an array of fractions
     // returns an array, emitted as a joined string for cross-engine
@@ -1046,6 +1070,26 @@ object AggQueries extends QueryPack {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // same doubled-order-statistic discipline as the Spark plan:
+    // quantile_cont on integer cents ×2 is an exact integer
+    "q_agg_mad" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM li GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT li.l_returnflag, abs(2 * c - med2) AS d2
+        |  FROM li JOIN med USING (l_returnflag))
+        |SELECT l_returnflag,
+        |  CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad4,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM dev GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     // exact regime (budget 65536 > suppkey domain at tested SFs): the
     // DESC-sorted top-5 count list equals the exact one even under

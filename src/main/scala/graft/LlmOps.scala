@@ -378,7 +378,7 @@ object LlmOps {
   }
 
   /** Stride-s W-char window hashes of a corpus: (doc, pos, h). */
-  private def substrShingles(docs: DataFrame, idCol: String,
+  private[graft] def substrShingles(docs: DataFrame, idCol: String,
                              textCol: String, w: Int,
                              stride: Int): DataFrame =
     docs
@@ -394,7 +394,7 @@ object LlmOps {
     * starts: one gaps-and-islands window pass, overlapping AND abutting
     * windows merged into one covered island.
     */
-  private def spanCoverage(dup: DataFrame, w: Int): DataFrame = {
+  private[graft] def spanCoverage(dup: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc").orderBy("pos")
     dup
       .withColumn("prev_end",

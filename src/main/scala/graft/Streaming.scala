@@ -373,6 +373,121 @@ object Streaming {
         }
       }
 
+  /** Streaming ExactSubstr coverage sink: every micro-batch of documents
+    * is scored against the accumulated window-hash store — history PLUS
+    * the batch itself, the [[LlmOps.exactSubstrIncremental]] rule — and
+    * its per-doc coverage rows append to `outDir`; the batch's window
+    * counts then enter the store under a `batch=<id>` hive partition
+    * (with `hb` sub-partitions pruning history lookups).
+    *
+    * Replay safety WITHOUT double counting: the store write is an
+    * OVERWRITE of the batch's own partition dir (idempotent on replay),
+    * and the scoring read EXCLUDES the batch's own partition — so a
+    * replay that crashed after the store write still scores against
+    * exactly the pre-batch history. The outDir append stays
+    * at-least-once inside the crash window (the dedupAgainstHistorySink
+    * contract); the batch marker commits last and makes a fully
+    * committed replay a no-op.
+    *
+    * `compactEvery` > 0: at the START of every Nth batch, all prior
+    * partitions consolidate into one merged `batch=-1` history partition
+    * through a tmp→rename swap (crash recovery promotes a complete tmp
+    * on the next batch — the projectionSink discipline). Compacting
+    * before the batch's own write keeps the no-double-count invariant:
+    * a crashed attempt's leftover own partition is explicitly excluded
+    * from the consolidation, then rewritten by this attempt.
+    */
+  def substrCoverageSink(df: DataFrame, idCol: String, textCol: String,
+                         outDir: String, storeDir: String,
+                         checkpoint: String, w: Int, stride: Int = 1,
+                         numBuckets: Int = 16,
+                         compactEvery: Int = 0): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substrCoverageBatch(batch, idCol, textCol, outDir, storeDir, w,
+                            stride, numBuckets, compactEvery, batchId)
+      }
+
+  /** One [[substrCoverageSink]] micro-batch (package-private so the spec
+    * can drive crash windows directly).
+    */
+  private[graft] def substrCoverageBatch(batch: DataFrame, idCol: String,
+                                         textCol: String, outDir: String,
+                                         storeDir: String, w: Int,
+                                         stride: Int, numBuckets: Int,
+                                         compactEvery: Int,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, outDir, batchId)) return
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".tmp")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: the compaction swap can die between delete and
+    // rename — promote a complete tmp before reading state
+    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        fs.exists(store)) {
+      try {
+        val merged = spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId) // a crashed attempt's leftover
+          .groupBy("h").agg(sum(col("n")).as("n"))
+          .withColumn("hb", pmod(col("h"), lit(numBuckets)).cast("int"))
+          .localCheckpoint() // sever lineage: we replace the source below
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.mode("overwrite").partitionBy("hb")
+          .parquet(s"${storeDir}.tmp/batch=-1")
+        fs.delete(store, true)
+        fs.rename(tmp, store)
+      } catch {
+        // a store of only empty partition dirs has no readable schema —
+        // nothing to compact
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
+    }
+    val sh = LlmOps.substrShingles(batch, idCol, textCol, w, stride)
+      .localCheckpoint() // reused: counts + dup marking
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: history join + store write
+    val touchedHb = counts
+      .select(pmod(col("h"), lit(numBuckets)).cast("int").as("hb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    val hist =
+      (if (touchedHb.isEmpty || !fs.exists(store))
+         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                               storeSchema)
+       else
+         (try spark.read.parquet(storeDir)
+            .filter(col("batch") =!= batchId) // pre-batch history only
+            .filter(col("hb").isin(touchedHb: _*)) // partition-pruned
+            .select("h", "n")
+          catch {
+            // only empty partition dirs → no schema → no history
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                                    storeSchema)
+          }))
+        .groupBy("h").agg(sum(col("n")).as("n_hist"))
+    val dupHashes = counts.join(hist, Seq("h"), "left")
+      .filter(coalesce(col("n_hist"), lit(0L)) + col("n") > 1)
+      .select("h")
+    val cov = LlmOps.spanCoverage(
+        sh.join(dupHashes, "h").select(col("doc"), col("pos")), w)
+      .withColumnRenamed("doc", idCol)
+      .localCheckpoint() // materialize BEFORE any store mutation
+    cov.write.mode("append").parquet(outDir)
+    counts.withColumn("hb", pmod(col("h"), lit(numBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("hb")
+      .parquet(s"$storeDir/batch=$batchId")
+    markCommitted(spark, outDir, batchId)
+  }
+
   /** T1+A7: incrementally-maintained aggregate table — the reference's MV
     * writing into an aggregating target (SummingMergeTree's role), made
     * deterministic: each micro-batch partially aggregates ITSELF (count +

@@ -587,4 +587,63 @@ class StreamingSpec extends SparkSpec {
       .select(col("updated_at").cast("long")).as[Long].head()
     assert(out === 1L) // truncated, not rounded (README.md:226-227)
   }
+
+  test("substrCoverageSink: streaming batches equal the incremental run; " +
+       "replay is duplicate-only; compaction changes nothing") {
+    def docs = Tables(spark, sf("documents"), "documents")
+    val batch1 = docs.filter(col("doc_id") < 250)
+    val batch2 = docs.filter(col("doc_id") >= 250)
+    def covRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_dup_spans", "dup_cover_chars")
+        .as[(Long, Long, Long)].collect().toSet
+    // reference: the batch incremental op over the same two batches
+    val refStore = Files.createTempDirectory("graft-scs").toString + "/s"
+    val r1 = LlmOps.exactSubstrIncremental(batch1, "doc_id", "text",
+                                           refStore, 40)
+      .withColumnRenamed("doc", "doc_id")
+    val r2 = LlmOps.exactSubstrIncremental(batch2, "doc_id", "text",
+                                           refStore, 40)
+      .withColumnRenamed("doc", "doc_id")
+    val expected = covRows(r1) ++ covRows(r2)
+    // streaming sink, driven batch-at-a-time through the package-private
+    // batch function
+    val base = Files.createTempDirectory("graft-scs2").toString
+    val out = base + "/out"
+    val store = base + "/store"
+    Streaming.substrCoverageBatch(batch1, "doc_id", "text", out, store,
+                                  40, 1, 16, 0, 0L)
+    Streaming.substrCoverageBatch(batch2, "doc_id", "text", out, store,
+                                  40, 1, 16, 0, 1L)
+    assert(covRows(spark.read.parquet(out)) === expected)
+    // crash-window replay of batch 1 (marker cleared): output rows may
+    // duplicate (at-least-once) but the distinct set must not change —
+    // the own-partition exclusion keeps the history it scores against
+    // identical even though its store partition already exists
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_graft_commits/1"),
+              false)
+    Streaming.substrCoverageBatch(batch2, "doc_id", "text", out, store,
+                                  40, 1, 16, 0, 1L)
+    assert(covRows(spark.read.parquet(out)) === expected)
+    // store totals = full-corpus window count, batch partitions intact
+    val totalWindows = docs
+      .selectExpr("sum(greatest(length(text) - 39, 0)) AS n")
+      .as[Long].head()
+    assert(spark.read.parquet(store).selectExpr("sum(n)").as[Long].head()
+             === totalWindows)
+    // compacting run (every 2nd batch): same rows, store consolidated
+    val cbase = Files.createTempDirectory("graft-scs3").toString
+    Streaming.substrCoverageBatch(batch1, "doc_id", "text", cbase + "/o",
+                                  cbase + "/s", 40, 1, 16, 2, 0L)
+    Streaming.substrCoverageBatch(batch2, "doc_id", "text", cbase + "/o",
+                                  cbase + "/s", 40, 1, 16, 2, 2L)
+    assert(covRows(spark.read.parquet(cbase + "/o")) === expected)
+    assert(spark.read.parquet(cbase + "/s")
+             .selectExpr("sum(n)").as[Long].head() === totalWindows)
+    // batch 2 ran the compaction first: history consolidated to batch=-1
+    assert(spark.read.parquet(cbase + "/s")
+             .select("batch").distinct().as[Int].collect().toSet
+             === Set(-1, 2))
+  }
 }
