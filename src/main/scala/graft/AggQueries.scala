@@ -649,6 +649,19 @@ object AggQueries extends QueryPack {
                .as("types"))
         .orderBy("user_id")),
 
+    // ClickHouse groupBitAnd/groupBitOr/groupBitXor analog: native bit
+    // aggregates per group (one hash aggregate, map-side combinable —
+    // AND/OR/XOR partials merge associatively, so re-aggregation over
+    // stored partials works like any other mergeable state).
+    "q_agg_bit" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(bit_and(col("user_id")).as("b_and"),
+             bit_or(col("user_id")).as("b_or"),
+             bit_xor(col("user_id")).as("b_xor"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // ClickHouse topK analog: approximate heavy hitters per group via the
     // native ApproxTopK sketch. Oracled tie-safely: the tracked-item
     // budget (65536) exceeds the l_suppkey domain at every tested SF, so
@@ -1068,6 +1081,13 @@ object AggQueries extends QueryPack {
     "q_bitmap_rollup" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q_agg_bit" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
+        |  bit_xor(user_id) AS b_xor, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 

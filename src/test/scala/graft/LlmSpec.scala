@@ -722,6 +722,46 @@ class LlmSpec extends SparkSpec {
     assert(a1 === c1 && a2 === c2)
   }
 
+  test("exactSubstrCoverage: seeded random low-alphabet corpus matches a " +
+       "brute-force reference (islands, abutments, whole-doc dups)") {
+    // 3-letter alphabet + short windows force heavy window collisions,
+    // multi-island docs, abutting/overlapping merges, and whole-doc
+    // duplication — the edge space the planted fixture can't cover.
+    val w = 8
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 25L).map { id =>
+      val len = rnd.nextInt(121)
+      (id, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    def brute: Map[Long, (Long, Long)] = {
+      val wins = for {
+        (id, t) <- corpus; if t.length >= w
+        p <- 0 to t.length - w
+      } yield (id, p, t.substring(p, p + w))
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      wins.filter(x => counts(x._3) > 1).groupBy(_._1).map {
+        case (id, xs) =>
+          val ps = xs.map(_._2).sorted
+          var cover = 0L
+          var curStart = -1; var curEnd = -1
+          ps.foreach { p =>
+            if (curEnd < 0 || p > curEnd) {
+              if (curEnd >= 0) cover += curEnd - curStart
+              curStart = p; curEnd = p + w
+            } else curEnd = p + w
+          }
+          if (curEnd >= 0) cover += curEnd - curStart
+          id -> (xs.size.toLong, cover)
+      }
+    }
+    val got = LlmOps.exactSubstrCoverage(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "low-alphabet corpus must collide")
+  }
+
   test("sq8Codes: code range, max-axis saturation, reconstruction bound; " +
        "annSq8TopK self-hit") {
     val coded = LlmOps.sq8Codes(embs)
