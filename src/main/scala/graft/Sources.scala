@@ -553,6 +553,22 @@ object Sources {
       .parquet(path)
   }
 
+  /** S7 schema evolution on the sink side — the ClickHouse
+    * `ALTER TABLE ... ADD COLUMN` analog for a parquet destination: when
+    * an upstream schema generation adds a nullable column (the registry
+    * evolution [[decodeConfluent]] already handles on the DECODE side),
+    * newer appends simply carry the extra column and the unified read
+    * merges every file footer (`mergeSchema`), back-filling NULL for
+    * pre-evolution rows. Spark's default read takes ONE footer as the
+    * schema — correct and cheap for a stable schema, silently dropping
+    * new columns after an evolution — so evolved tables must read
+    * through this entry point. At 100 TB keep using it only until the
+    * next compaction rewrites old partitions to the current schema:
+    * footer-merging lists every file's metadata.
+    */
+  def readColumnarEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Training-shard export: JSON-lines files hive-partitioned by the
     * shard column — the delivery format of a data-prep pipeline (each
     * `shard=N/` directory is one training shard of newline-delimited

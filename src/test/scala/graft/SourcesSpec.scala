@@ -385,4 +385,22 @@ class SourcesSpec extends SparkSpec {
     assert(out.columns.toSet.contains("kafka_time"))
     assert(out.select("kafka_offset").as[Long].head() === 17L)
   }
+
+  test("sink-side schema evolution: a later append's added column " +
+       "back-fills NULL for old rows through readColumnarEvolved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo")
+      .toString + "/t"
+    Sources.appendColumnar(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    // generation 2 arrives with a new nullable column (the decode side
+    // already resolved it via the registry; the sink just appends)
+    Sources.appendColumnar(
+      Seq((3L, "c", "vip")).toDF("id", "v", "tier"), dir, Seq("id"))
+    val evolved = Sources.readColumnarEvolved(spark, dir)
+      .orderBy("id")
+      .select("id", "v", "tier")
+      .as[(Long, String, Option[String])].collect()
+    assert(evolved === Array((1L, "a", None), (2L, "b", None),
+                             (3L, "c", Some("vip"))))
+  }
 }
