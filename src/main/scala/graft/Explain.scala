@@ -36,6 +36,8 @@ object Explain {
                                  // sides both cross the 1-row query
     "q_simsearch_hamming_recall", // binary-ANN certificate: Hamming
                                   // shortlist + rerank vs 1-row query
+    "q_simsearch_cascade_recall", // cascade certificate: every stage
+                                  // crosses the same 1-row query
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates

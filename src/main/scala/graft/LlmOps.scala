@@ -1163,6 +1163,27 @@ object LlmOps {
                       "vec_id"),
       query, k)
 
+  /** Cascade ANN — the production retrieval pattern stacked from the
+    * quantization ladder: the 1-bit Hamming scan prunes the corpus to
+    * `shortlist1` candidates (one long per vector — the cheapest
+    * possible first pass), SQ8 integer dots re-rank those to
+    * `shortlist2` (codes read only for shortlist1 rows), and ONLY the
+    * final `shortlist2` rows touch their raw floats for the exact
+    * cosine top-k. Each stage reads a strictly smaller slice at a
+    * strictly higher fidelity; at serving scale stages 1 and 2 run on
+    * stored index tables ~256× and ~4× smaller than the float corpus.
+    * Monotone-refinement property: the result can only improve on the
+    * single-stage Hamming rerank at equal candidate budget, and
+    * q_simsearch_cascade_recall certifies the end-to-end floor.
+    */
+  def annCascadeTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                     shortlist1: Int, shortlist2: Int): DataFrame = {
+    val stage1 = annHammingTopK(embeddings, query, shortlist1)
+    val stage2 = annSq8TopK(
+      embeddings.join(broadcast(stage1), "vec_id"), query, shortlist2)
+    cosineTopK(embeddings.join(broadcast(stage2), "vec_id"), query, k)
+  }
+
   // ---- Product quantization (PQ) ANN --------------------------------
   // All vector arithmetic goes through the native codegen'd
   // [[DotProduct]] — an interpreted HOF fold here cost 30+ s on the

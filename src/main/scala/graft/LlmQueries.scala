@@ -686,6 +686,21 @@ object LlmQueries extends QueryPack {
                .as("self_hit"))
     }),
 
+    // L4i: cascade retrieval certificate — binary Hamming prefilter
+    // (200) → SQ8 integer-dot re-rank (50) → exact cosine top-10.
+    // Measured recall@10: 10 at sf0.001/sf0.01, 9 at sf0.1 → floor 9,
+    // with exact self-retrieval (distance 0 survives every stage).
+    "q_simsearch_cascade_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      LlmOps.annCascadeTopK(e, q, 10, 200, 50).select("vec_id")
+        .join(LlmOps.cosineTopK(e, q, 10).select("vec_id"), "vec_id")
+        .agg(least(count(lit(1)), lit(9L)).cast("long")
+               .as("recall10_floor9"),
+             max(when(col("vec_id") === 0, 1).otherwise(0)).cast("long")
+               .as("self_hit"))
+    }),
+
     // L4d: k-means assignment step — nearest of k deterministic seed
     // vectors per embedding. One broadcast of the seeds + one
     // hash-aggregate (max of a (sim, -id) struct → argmax with tie-break,
@@ -1685,6 +1700,10 @@ object LlmQueries extends QueryPack {
         |ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     "q_simsearch_hamming_recall" ->
+      """SELECT CAST(9 AS BIGINT) AS recall10_floor9,
+        |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
+
+    "q_simsearch_cascade_recall" ->
       """SELECT CAST(9 AS BIGINT) AS recall10_floor9,
         |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
 

@@ -811,4 +811,21 @@ class LlmSpec extends SparkSpec {
     assert(rr.intersect(exact).size >= 9)
     assert(rr.contains(0L))
   }
+
+  test("annCascadeTopK: stage containment, self-retrieval, recall floor") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val stage1 = LlmOps.annHammingTopK(embs, q, 200)
+      .as[Long].collect().toSet
+    val cascade = LlmOps.annCascadeTopK(embs, q, 10, 200, 50)
+      .select("vec_id").as[Long].collect()
+    // every survivor came through the binary prefilter
+    assert(cascade.toSet.subsetOf(stage1))
+    assert(cascade.length === 10)
+    // exact self-retrieval survives all three stages, ranked first
+    assert(cascade.head === 0L)
+    val exact = LlmOps.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cascade.toSet.intersect(exact).size >= 9)
+  }
 }
