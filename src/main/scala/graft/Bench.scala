@@ -31,6 +31,7 @@ object Bench {
     // aggregations / windows
     "q_agg_basic", "q_agg_count_distinct", "q_agg_approx_distinct",
     "q_agg_rollup", "q_agg_by_day", "q_agg_percentile", "q_agg_quantiles",
+    "q_agg_mad",
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame", "q_win_ema",
     "q_win_time_decay",
     "q_global_rownum", "q_topk_per_group", "q_limit_by",

@@ -1118,6 +1118,11 @@ object LlmOps {
     * arithmetically (Σ 2^i, bit 63 wrapping to the sign bit), which a
     * DuckDB oracle reproduces exactly in HUGEINT then wraps to signed
     * 64-bit — so the codes hash-match cross-engine.
+    *
+    * CONTRACT: dim ≤ 64. Beyond that, `shiftleft(1L, i)` wraps its
+    * shift amount mod 64 (JVM semantics) and silently ALIASES bit
+    * i mod 64 — a >64-dim corpus needs the array-of-longs form (one
+    * long per 64 dims), not a wider integer.
     */
   def binaryCodes(embeddings: DataFrame,
                   vecCol: String = "embedding"): DataFrame =
