@@ -480,6 +480,47 @@ object LlmOps {
     out
   }
 
+  /** C4/RefinedWeb-style dedup REWRITE: the corpus with duplicated
+    * chunk units REMOVED, keeping each chunk's corpus-wide FIRST
+    * occurrence (smallest (doc, pos)). Where [[exactSubstrCoverage]]
+    * and q_dedup_chunks only SCORE duplication, this emits the cleaned
+    * text — the pass that actually shrinks a crawl.
+    *
+    * Relational plan: position-indexed fixed-size token chunks
+    * (INCLUDING the trailing partial — a rewrite must preserve tails,
+    * unlike the scoring form's chunksOf), first occurrence per chunk by
+    * min over an integer (doc·10⁶ + pos) order key — ONE hash
+    * aggregate, map-side combinable, never a per-chunk window (a
+    * boilerplate chunk shared by 10⁶ docs is a hot aggregation KEY, not
+    * a hot window partition) — then a join-back keeps instances equal
+    * to their chunk's minimum and a per-doc sorted collect reassembles
+    * the surviving text (buffer bounded by the doc's own chunk count).
+    */
+  def chunkDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int): DataFrame = {
+    val k = chunkTokens
+    val inst = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / $k.0) as int) - 1), " +
+        s"i -> array_join(slice(t, i * $k + 1, $k), ' '))")))
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("ok", col("doc") * lit(1000000L) + col("pos"))
+    val firsts = inst.groupBy("chunk").agg(min(col("ok")).as("fk"))
+    val kept = inst.join(firsts, "chunk").filter(col("ok") === col("fk"))
+    val reassembled = kept.groupBy("doc")
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(transform(
+             array_sort(collect_list(struct(col("pos"), col("chunk")))),
+             s => s.getField("chunk")), " ").as("clean_text"))
+    inst.groupBy("doc").agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq("doc"), "left")
+      .select(col("doc"), col("n_chunks"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Incremental MinHash-LSH near-dup: match a NEW batch of documents
     * against the accumulated corpus without recomputing history — the
     * production flow for a growing corpus (today's shard vs years of

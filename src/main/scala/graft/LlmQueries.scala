@@ -1137,6 +1137,19 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L1g: dedup REWRITE — the cleaned corpus after removing every
+    // duplicated 8-token chunk except its corpus-wide first occurrence
+    // (C4's "remove all but one of any three-sentence span" pass, chunk
+    // units standing in for sentences on this newline-free corpus). The
+    // reassembled text ships as an md5 so the oracle hash-checks the
+    // REWRITE itself, not just counts.
+    "q_dedup_rewrite" -> ((s, dir) =>
+      LlmOps.chunkDedupRewrite(Tables(s, dir, "documents"), "doc_id",
+                               "text", 8)
+        .select(col("doc").as("doc_id"), col("n_chunks"), col("n_kept"),
+                md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // L1: corpus-wide chunk-level exact dedup (the C4 "line dedup" shape
     // on a corpus without newlines): 8-token chunks, a chunk is duplicate
     // when it appears in more than one document; per-doc duplicate-chunk
@@ -1340,6 +1353,39 @@ object LlmQueries extends QueryPack {
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // Same chunking (incl. trailing partial), same integer order key,
+    // reassembly replayed via string_agg ORDER BY pos.
+    "q_dedup_rewrite" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')
+        |      AS chunk
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(ceil(len(t) / 8.0) AS INTEGER)))
+        |            AS i
+        |        FROM tk) x),
+        |f AS (
+        |  SELECT chunk, min(doc_id * 1000000 + pos) AS fk
+        |  FROM ch GROUP BY chunk),
+        |kept AS (
+        |  SELECT ch.doc_id, ch.pos, ch.chunk
+        |  FROM ch JOIN f USING (chunk)
+        |  WHERE ch.doc_id * 1000000 + ch.pos = f.fk),
+        |re AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_md5, md5('')) AS clean_md5
+        |FROM tot t LEFT JOIN re r USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // Duplication decided on the window STRING here (Spark side uses
     // xxhash64 — three-SF agreement doubles as collision evidence);

@@ -812,6 +812,24 @@ class LlmSpec extends SparkSpec {
     assert(rr.contains(0L))
   }
 
+  test("chunkDedupRewrite: first occurrence survives, later copies " +
+       "(cross- and within-doc) excised, trailing partial kept") {
+    def words(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val A = words("a"); val B = words("b"); val C = words("c")
+    val df = Seq(
+      (1L, s"$A $B"),      // both chunks are corpus-first here
+      (2L, s"$A $C"),      // A is a later copy → only C survives
+      (3L, s"$B $B d1 d2") // B twice (doc-1 owns it) + a partial tail
+    ).toDF("doc_id", "text")
+    val out = LlmOps.chunkDedupRewrite(df, "doc_id", "text", 8)
+      .orderBy("doc")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 2L, 2L, s"$A $B"),
+      (2L, 2L, 1L, C),
+      (3L, 3L, 1L, "d1 d2")))
+  }
+
   test("annCascadeTopK: stage containment, self-retrieval, recall floor") {
     val q = embs.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
