@@ -47,6 +47,8 @@ object Explain {
     "q_dsir",               // cross vs broadcast one-row token totals
     "q_classify_nb",        // cross vs broadcast one-row totals/priors
     "q_mmr_rerank",         // cross vs broadcast <= 5-row selected set
+    "q_rrf_fusion",         // lexical leg's one-row (N, avgdl) stats
+                            // cross + dense leg's 1-row query cross
     "q_curation_rag")       // inherits q_dsir's one-row totals cross
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
@@ -78,6 +80,9 @@ object Explain {
                                // the 4096-row bucket table
     "q_classify_nb",           // one-row class-total and prior aggregates
     "q_mmr_rerank",            // bounded shortlist top-1 argmax per step
+    "q_rrf_fusion",            // one-row corpus stats + two bounded
+                               // top-RrfLegK TakeOrdered legs, rank
+                               // windows over <= 20 rows
     "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream

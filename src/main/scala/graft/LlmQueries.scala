@@ -25,6 +25,14 @@ object LlmQueries extends QueryPack {
   private val MmrShortlistK = 20
   private val MmrOutK = 5
 
+  // q_rrf_fusion knobs — interpolated into the oracle SQL from the same
+  // constants (the MMR discipline above): per-leg shortlist size, RRF
+  // dampening constant (the canonical 60 from the original RRF paper),
+  // fused output size.
+  private val RrfLegK = 20
+  private val RrfK = 60
+  private val RrfOutK = 10
+
   /** DuckDB mirror of [[LlmOps.nbClassify]], generated from the same
     * class list so the conditional-count columns, floored score formulas,
     * and argmax CASE chain stay clause-identical with the Spark plan.
@@ -535,6 +543,85 @@ object LlmQueries extends QueryPack {
       LlmOps.mmrRerank(Tables(s, dir, "embeddings"), queryVec(s, dir),
                        MmrShortlistK, MmrOutK, MmrLambda)
         .orderBy("mmr_rank")),
+
+    // L4i: hybrid retrieval via reciprocal-rank fusion — the standard
+    // two-leg serving pattern (lexical BM25 + dense cosine), fused by
+    // rank rather than score so the legs' incomparable scales never
+    // meet: rrf = Σ 1/(60 + rank_leg). Each leg is the repo's existing
+    // bounded shape (the q_text_bm25 aggregate pipeline; the
+    // q_simsearch_topk broadcast-query scan), cut to a top-[[RrfLegK]]
+    // shortlist by TakeOrderedAndProject BEFORE the single-partition
+    // rank window, so the window only ever sees [[RrfLegK]] rows. The
+    // lexical rank key is floor(bm25 × 10⁴) — the q_classify_nb
+    // integerization discipline — so cross-engine ln ulp drift can't
+    // flip an ordering; the dense key is the cosSql-replicated raw
+    // cosine (mul/add/sqrt only, correctly rounded in both engines).
+    // Doc and vector ids coincide in the harness corpus (FIXTURES.md:
+    // doc_id = vec_id = 0..N-1), standing in for the doc→embedding
+    // id mapping a production pipeline carries.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("data", "query", "row")
+      val k1 = 1.2; val b = 0.75
+      val termArr = array(terms.map(lit): _*)
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                LlmOps.tokens(col("text"), normalize = true).as("toks"))
+        .select(col("doc_id"),
+                size(col("toks")).cast("double").as("dl"),
+                filter(col("toks"),
+                       t => array_contains(termArr, t)).as("qtoks"))
+        .localCheckpoint() // O(docs) narrow rows, never the raw text
+      val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+                             avg("dl").as("avgdl"))
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"),
+                explode(col("qtoks")).as("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("token")
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val lexTop = tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0))
+        .withColumn("tscore",
+          col("idf") * col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(expr("CAST(floor(sum(tscore) * 10000) AS BIGINT)").as("ls"))
+        .orderBy(col("ls").desc, col("doc_id")).limit(RrfLegK)
+        .withColumn("lex_rank",
+          row_number().over(
+            Window.orderBy(col("ls").desc, col("doc_id"))))
+      val vecTop = Tables(s, dir, "embeddings")
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id").as("doc_id"),
+                Functions.cosine(col("embedding"), col("q_emb"))
+                  .as("sim"))
+        .orderBy(col("sim").desc_nulls_last, col("doc_id"))
+        .limit(RrfLegK)
+        .withColumn("vec_rank",
+          row_number().over(
+            Window.orderBy(col("sim").desc_nulls_last, col("doc_id"))))
+      lexTop.select("doc_id", "lex_rank")
+        .join(vecTop.select("doc_id", "vec_rank"), Seq("doc_id"),
+              "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).cast("long").as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).cast("long").as("vec_rank"),
+          round(
+            when(col("lex_rank").isNotNull,
+                 lit(1.0) / (lit(RrfK) + col("lex_rank")))
+              .otherwise(lit(0.0)) +
+            when(col("vec_rank").isNotNull,
+                 lit(1.0) / (lit(RrfK) + col("vec_rank")))
+              .otherwise(lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(RrfOutK)
+        .orderBy("doc_id")
+    }),
 
     // L4g: driver-visible ANN recall — recall@10 of each ANN family vs
     // the exact cosine top-10, computed entirely in-plan as integer
@@ -2302,6 +2389,67 @@ object LlmQueries extends QueryPack {
         |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
         |CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY tf.doc_id NULLS FIRST""".stripMargin,
+
+    // Full two-leg replication: the q_text_bm25 pipeline integerized to
+    // floor(×10⁴) for the rank key, the cosSql dense leg, both cut to
+    // top-RrfLegK, ranks fused with CAST-to-DOUBLE reciprocal sums so
+    // DuckDB's DECIMAL division never enters.
+    "q_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+         |    AS tk
+         |  FROM documents),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+         |  WHERE t IN ('data', 'query', 'row')
+         |  GROUP BY doc_id, t),
+         |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
+         |            AS df
+         |          FROM tf GROUP BY token),
+         |lex AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * tf * 2.2
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+         |      * 10000) AS BIGINT) AS ls
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats GROUP BY tf.doc_id),
+         |lex_top AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY ls DESC, doc_id) AS lex_rank
+         |  FROM lex ORDER BY ls DESC, doc_id LIMIT $RrfLegK),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    ${cosSql("e.embedding", "q.qe")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |vec_top AS (
+         |  SELECT doc_id, row_number()
+         |      OVER (ORDER BY sim DESC NULLS LAST, doc_id) AS vec_rank
+         |  FROM vec ORDER BY sim DESC NULLS LAST, doc_id
+         |  LIMIT $RrfLegK),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(l.lex_rank, 0) AS lex_rank,
+         |    coalesce(v.vec_rank, 0) AS vec_rank,
+         |    round(
+         |      coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + l.lex_rank),
+         |               CAST(0.0 AS DOUBLE)) +
+         |      coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + v.vec_rank),
+         |               CAST(0.0 AS DOUBLE)), 6) AS rrf
+         |  FROM lex_top l FULL OUTER JOIN vec_top v
+         |  ON l.doc_id = v.doc_id)
+         |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(vec_rank AS BIGINT) AS vec_rank, rrf
+         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id
+         |      LIMIT $RrfOutK) t
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_inverted_index" ->
       """SELECT t AS token,
