@@ -125,7 +125,37 @@ object SourceQueries extends QueryPack {
       Multimodal.samplePayload(syntheticMedia(s, dir), 4)
         .select(col("media_id"), col("sample_idx").cast("long"),
                 col("byte"))
-        .orderBy("media_id", "sample_idx"))
+        .orderBy("media_id", "sample_idx")),
+
+    // S7 round-trip: export the documents table as hash-sharded JSONL
+    // ([[Sources.writeJsonlShards]] — the training-shard interchange
+    // format), read the shards back with an EXPLICIT schema (schema
+    // inference is a second full pass over the corpus at 100 TB — never
+    // pay it), and aggregate per language. The oracle computes the same
+    // aggregates from the parquet source directly, so a hash match
+    // certifies the export→parse loop is lossless (JSON string escaping,
+    // long round-trip, partition-column recovery) through the driver's
+    // cross-engine gate — not just the SourcesSpec unit contract.
+    "q_scan_jsonl" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_jsonl_scan_${Integer.toHexString(dir.hashCode)}"
+      Sources.writeJsonlShards(
+        Tables(s, dir, "documents")
+          .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(8))),
+        out, "shard", Seq("doc_id"))
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, " +
+                "source STRING, n_chars LONG")
+        .json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"),
+             sum(length(col("text"))).cast("long").as("sum_text_len"),
+             sum("doc_id").as("id_sum"),
+             min("doc_id").as("id_min"),
+             max("doc_id").as("id_max"))
+        .orderBy("lang")
+    })
   )
 
   private def syntheticMedia(s: org.apache.spark.sql.SparkSession,
@@ -203,6 +233,17 @@ object SourceQueries extends QueryPack {
         |    AS byte
         |FROM (SELECT doc_id, text, unnest(range(0, 4)) AS i
         |      FROM documents) t
-        |ORDER BY media_id NULLS FIRST, sample_idx NULLS FIRST""".stripMargin
+        |ORDER BY media_id NULLS FIRST, sample_idx NULLS FIRST""".stripMargin,
+
+    // Aggregates straight off the parquet source — a match proves the
+    // Spark side's JSONL export→read round-trip dropped/garbled nothing.
+    "q_scan_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM documents GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin
   )
 }

@@ -177,6 +177,36 @@ object WindowQueries extends QueryPack {
                 first("event_type").over(full).as("first_type"),
                 last("event_type").over(full).as("last_type"))
         .orderBy("event_id")
+    }),
+
+    // W9: rolling z-score anomaly detection — each event tested against
+    // the trailing-100 window of its own user series (per-entity partitions — bounded, high-cardinality, never a 5-way skew key) (the streaming-metrics
+    // outlier shape). |z| > 3 is evaluated as the EXACT integer
+    // predicate (v·n − s1)² > 9·(n·s2 − s1²) over cent-scaled values
+    // (multiply the definition through by n²), so no mean/variance
+    // double ever exists and cross-engine summation-order drift cannot
+    // flip a boundary case. The frame is ≤ 100 rows (bounded window
+    // state per series); cent values ≤ 10⁵, so every product stays
+    // under 2⁶³ regardless of SF. Rows with under 30 predecessors are
+    // reported but not tested (warm-up guard).
+    "q_win_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .select(col("user_id"), col("v"),
+                count(col("v")).over(w).as("n"),
+                sum(col("v")).over(w).as("s1"),
+                sum(col("v") * col("v")).over(w).as("s2"))
+        .groupBy("user_id")
+        .agg(count(when(col("n") >= 30, 1)).as("n_checked"),
+             count(when(col("n") >= 30 &&
+               (col("v") * col("n") - col("s1")) *
+               (col("v") * col("n") - col("s1")) >
+               lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")),
+               1)).as("n_anomalies"))
+        .orderBy("user_id")
     })
   )
 
@@ -301,6 +331,29 @@ object WindowQueries extends QueryPack {
         |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS last_type
-        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    // Same integer predicate; DuckDB's HUGEINT products are exact, so
+    // the comparison matches Spark's in-range BIGINT arithmetic.
+    "q_win_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, v,
+        |    count(v) OVER win AS n,
+        |    sum(v) OVER win AS s1,
+        |    sum(v * v) OVER win AS s2
+        |  FROM e WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id,
+        |  count(CASE WHEN n >= 30 THEN 1 END) AS n_checked,
+        |  count(CASE WHEN n >= 30 AND
+        |    (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1)
+        |    THEN 1 END) AS n_anomalies
+        |FROM w GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }
