@@ -49,6 +49,8 @@ object Explain {
     "q_mmr_rerank",         // cross vs broadcast <= 5-row selected set
     "q_rrf_fusion",         // lexical leg's one-row (N, avgdl) stats
                             // cross + dense leg's 1-row query cross
+    "q_graph_pagerank",     // cross vs broadcast one-row node count
+                            // (edge-target modulus)
     "q_curation_rag")       // inherits q_dsir's one-row totals cross
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
@@ -83,6 +85,8 @@ object Explain {
     "q_rrf_fusion",            // one-row corpus stats + two bounded
                                // top-RrfLegK TakeOrdered legs, rank
                                // windows over <= 20 rows
+    "q_graph_pagerank",        // one-row node-count aggregate; the
+                               // final top-20 is TakeOrdered
     "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream

@@ -33,6 +33,43 @@ object LlmQueries extends QueryPack {
   private val RrfK = 60
   private val RrfOutK = 10
 
+  // q_graph_pagerank knobs (same interpolate-into-oracle discipline):
+  // out-degree of the synthesized link graph, iteration count.
+  private val PrOutDeg = 3
+  private val PrIters = 5
+
+  /** DuckDB mirror of q_graph_pagerank: the same md5-derived edge set
+    * and [[PrIters]] chained fixed-point iterations, generated from the
+    * same constants so both engines run the identical integer recurrence.
+    */
+  private def pagerankOracleSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum((p.pr * 85) // 300) AS cin
+         |  FROM edges e JOIN pr${k - 1} p ON e.src = p.id
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST(150000000 + coalesce(cin, 0) AS BIGINT) AS pr
+         |  FROM documents d LEFT JOIN c$k ON c$k.id = d.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |edges AS (
+       |  SELECT d.doc_id AS src,
+       |    CAST(('0x' || substring(md5(
+       |      CAST(d.doc_id AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % nn.n AS dst
+       |  FROM documents d CROSS JOIN nn
+       |  CROSS JOIN (SELECT unnest(range(0, $PrOutDeg)) AS j) j),
+       |pr0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS pr
+       |        FROM documents),
+       |$iters
+       |SELECT id AS doc_id, pr FROM (
+       |  SELECT * FROM pr$PrIters ORDER BY pr DESC, id LIMIT 20) t
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   /** DuckDB mirror of [[LlmOps.nbClassify]], generated from the same
     * class list so the conditional-count columns, floored score formulas,
     * and argmax CASE chain stay clause-identical with the Spark plan.
@@ -620,6 +657,55 @@ object LlmQueries extends QueryPack {
                  lit(1.0) / (lit(RrfK) + col("vec_rank")))
               .otherwise(lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(RrfOutK)
+        .orderBy("doc_id")
+    }),
+
+    // L8: link-graph authority scoring — PageRank, the classic
+    // curation-quality prior over a web graph (harvested link structure
+    // stands behind most production crawl-quality scores). The graph is
+    // synthesized deterministically from the corpus (each doc emits
+    // [[PrOutDeg]] out-links to md5-derived targets — the portable-hash
+    // idiom of [[LlmOps.hyperplaneBucket]]), standing in for a crawl's
+    // href edges. The interesting part is the arithmetic: scores are
+    // FIXED-POINT integers (1.0 ≡ 10⁹), every per-edge contribution is
+    // floor(pr·85/300) in exact integer division, so the per-target sum
+    // is summation-order-invariant — float PageRank cannot hash-match
+    // across engines (or across its own shuffles); integer PageRank
+    // can, and is how determinism-critical production graph jobs run.
+    // Each of the [[PrIters]] iterations is one hash join (edges ⋈ pr
+    // on src) + one hash aggregate (sum per dst) — the textbook
+    // distributed PageRank shape, localCheckpoint-ed per round (the
+    // q_dedup_components lineage discipline). Mass bound: a node's
+    // score ≤ total mass = N·10⁹ ≤ 5·10¹⁴ at SF1, ×85 well under 2⁶³.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val nDf = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(nDf))
+        .select(col("doc_id").as("src"),
+                explode(array((0 until PrOutDeg).map(lit): _*)).as("j"),
+                col("n_nodes"))
+        .select(col("src"),
+                pmod(conv(substring(md5(concat(
+                         col("src").cast("string"), lit("_"),
+                         col("j").cast("string"))), 1, 8), 16, 10)
+                       .cast("long"),
+                     col("n_nodes")).as("dst"))
+        .localCheckpoint()
+      var pr = docs.select(col("doc_id").as("id"),
+                           lit(1000000000L).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges.join(pr, col("src") === col("id"))
+          .select(col("dst"), expr("(pr * 85) div 300").as("c"))
+          .groupBy("dst").agg(sum("c").as("cin"))
+        pr = docs.select(col("doc_id").as("id"))
+          .join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+                  (lit(150000000L) + coalesce(col("cin"), lit(0L)))
+                    .as("pr"))
+          .localCheckpoint()
+      }
+      pr.orderBy(col("pr").desc, col("id")).limit(20)
+        .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
     }),
 
@@ -2389,6 +2475,8 @@ object LlmQueries extends QueryPack {
         |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
         |CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY tf.doc_id NULLS FIRST""".stripMargin,
+
+    "q_graph_pagerank" -> pagerankOracleSql,
 
     // Full two-leg replication: the q_text_bm25 pipeline integerized to
     // floor(×10⁴) for the rank key, the cosSql dense leg, both cut to

@@ -846,4 +846,19 @@ class LlmSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(cascade.toSet.intersect(exact).size >= 9)
   }
+
+  test("q_graph_pagerank: fixed-point scores respect the teleport floor " +
+       "and total-mass ceiling, and some node beats the no-inlink score") {
+    val out = SparkEntry.queries("q_graph_pagerank")(spark, sf("documents"))
+      .select("pr").as[Long].collect()
+    assert(out.length === 20)
+    // every score >= the teleport base (0.15 in fixed-point)...
+    assert(out.forall(_ >= 150000000L))
+    // ...and bounded by the initial total mass (floor losses only shrink)
+    val n = docs.count()
+    assert(out.forall(_ <= n * 1000000000L))
+    // the top-20 of a 500-node graph must contain genuinely linked-to
+    // nodes: strictly above the score of a node with zero in-links
+    assert(out.max > 150000000L)
+  }
 }
