@@ -72,7 +72,9 @@ object Bench {
     // streaming batch-equivalents + semi-structured + sampling
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
-    "q_projection_route", "q_pipeline_shard")
+    "q_projection_route", "q_pipeline_shard",
+    // hybrid serving, link-graph scoring, rolling anomaly detection
+    "q_rrf_fusion", "q_graph_pagerank", "q_win_zscore")
 
   /** Deterministic CPU calibration: `threads` concurrent 2·10⁸-step LCG
     * folds, wall-clock in ms. The harness VM's per-core speed shifts
