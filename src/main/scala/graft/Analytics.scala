@@ -714,4 +714,38 @@ object Analytics {
               stages.indices.map(i => coalesce(col(s"l_$i"), lit(0)))
                 .reduce(_ + _).cast("long").as("funnel_level"))
   }
+
+  /** Rolling z-score anomaly flags: each row tested against the trailing
+    * `lookback` rows of its own `keyCol` series (ordered by `tsCol`,
+    * ties broken by `tieCol`). |z| > `sigma` is evaluated as the EXACT
+    * integer predicate (v·n − s1)² > sigma²·(n·s2 − s1²) over the
+    * pre-integerized `valueCol` (multiply the z definition through by
+    * n²), so no mean/variance double ever exists and summation-order
+    * drift cannot flip a boundary case — the property that lets
+    * `q_win_zscore` hash-match DuckDB. Rows with fewer than `minN`
+    * predecessors get `checked = false` (warm-up guard). Frame state is
+    * bounded at `lookback` rows per series; with integer values ≤ 10⁵
+    * and lookback ≤ 100 every product stays under 2⁶³.
+    *
+    * Input `valueCol` must already be an integer column (cent-scale
+    * upstream). Output: input columns + `checked`, `anomaly`.
+    */
+  def rollingZscoreFlags(df: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, valueCol: String,
+                         lookback: Int = 100, minN: Int = 30,
+                         sigma: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    df.withColumn("__n", count(v).over(w))
+      .withColumn("__s1", sum(v).over(w))
+      .withColumn("__s2", sum(v * v).over(w))
+      .withColumn("checked", col("__n") >= minN)
+      .withColumn("anomaly",
+        col("checked") &&
+          (v * col("__n") - col("__s1")) * (v * col("__n") - col("__s1"))
+            > lit(sigma.toLong * sigma) *
+                (col("__n") * col("__s2") - col("__s1") * col("__s1")))
+      .drop("__n", "__s1", "__s2")
+  }
 }

@@ -189,25 +189,16 @@ object WindowQueries extends QueryPack {
     // state per series); cent values ≤ 10⁵, so every product stays
     // under 2⁶³ regardless of SF. Rows with under 30 predecessors are
     // reported but not tested (warm-up guard).
-    "q_win_zscore" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-      Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-                expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        .select(col("user_id"), col("v"),
-                count(col("v")).over(w).as("n"),
-                sum(col("v")).over(w).as("s1"),
-                sum(col("v") * col("v")).over(w).as("s2"))
+    "q_win_zscore" -> ((s, dir) =>
+      Analytics.rollingZscoreFlags(
+          Tables(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+                    expr("CAST(round(value * 100) AS BIGINT)").as("v")),
+          "user_id", "ts", "event_id", "v")
         .groupBy("user_id")
-        .agg(count(when(col("n") >= 30, 1)).as("n_checked"),
-             count(when(col("n") >= 30 &&
-               (col("v") * col("n") - col("s1")) *
-               (col("v") * col("n") - col("s1")) >
-               lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")),
-               1)).as("n_anomalies"))
-        .orderBy("user_id")
-    })
+        .agg(count(when(col("checked"), 1)).as("n_checked"),
+             count(when(col("anomaly"), 1)).as("n_anomalies"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -382,4 +382,33 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("user_id").as[(Long, Long)].collect()
     assert(anchored === Array((1L, 1L), (2L, 1L), (3L, 0L)))
   }
+
+  test("rollingZscoreFlags: planted spike flagged, steady tail not, " +
+       "warm-up rows unchecked, constant series never divides by zero") {
+    // series 1: 40 near-steady values (100 ± 1 alternating), then a 10x
+    // spike, then steady again — only the spike row is anomalous
+    val steady = (0 until 40).map(i =>
+      (1L, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), i.toLong,
+       if (i % 2 == 0) 100L else 101L))
+    val spike = Seq(
+      (1L, ts("2024-01-01 00:00:40"), 40L, 1000L),
+      (1L, ts("2024-01-01 00:00:41"), 41L, 100L))
+    // series 2: CONSTANT values — variance 0, predicate must stay exact
+    // (0 > 0 false), no float division anywhere
+    val flat = (0 until 35).map(i =>
+      (2L, ts(f"2024-01-01 00:00:${i % 60}%02d"), (100 + i).toLong, 7L))
+    val df = (steady ++ spike ++ flat)
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = Analytics.rollingZscoreFlags(df, "user_id", "ts",
+                                           "event_id", "v")
+      .select("user_id", "event_id", "checked", "anomaly")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    val s1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // first 30 rows unchecked (warm-up), the rest checked
+    assert(s1.take(30).forall(!_._3) && s1.drop(30).forall(_._3))
+    // exactly the spike row flagged
+    assert(s1.filter(_._4).map(_._2).toSeq === Seq(40L))
+    val s2 = out.filter(_._1 == 2L)
+    assert(s2.count(_._3) === 5 && s2.forall(!_._4))
+  }
 }
