@@ -488,6 +488,108 @@ object Streaming {
     markCommitted(spark, outDir, batchId)
   }
 
+  /** Streaming rolling z-score anomaly alerts — the incremental form of
+    * [[Analytics.rollingZscoreFlags]]: each arriving row is tested
+    * against the trailing `lookback` rows of its own key's history
+    * across ALL prior batches, using the same exact-integer |z| > sigma
+    * predicate (so incremental flags equal the one-shot batch run under
+    * ordered arrival — spec-pinned). The history store is append-only
+    * per-batch hive dirs (`batch=N/__bucket=B`, the
+    * [[substrCoverageBatch]] discipline): a batch reads only its keys'
+    * hash buckets, excludes its own partition (crash-replay sees
+    * pre-batch history), and in-lifecycle compaction folds the store to
+    * each key's latest `lookback` rows — the bound that makes state
+    * O(keys × lookback), never O(stream). Alerts append at-least-once
+    * to `outDir` (replay is duplicate-only, marker-gated).
+    */
+  def zscoreAlertSink(df: DataFrame, outDir: String, storeDir: String,
+                      checkpoint: String, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String, lookback: Int = 100,
+                      minN: Int = 30, sigma: Int = 3, numBuckets: Int = 16,
+                      compactEvery: Int = 0): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        zscoreAlertBatch(batch, outDir, storeDir, keyCol, tsCol, tieCol,
+                         valCol, lookback, minN, sigma, numBuckets,
+                         compactEvery, batchId)
+      }
+
+  /** One [[zscoreAlertSink]] micro-batch (package-private so the spec can
+    * drive crash windows directly).
+    */
+  private[graft] def zscoreAlertBatch(batch: DataFrame, outDir: String,
+                                      storeDir: String, keyCol: String,
+                                      tsCol: String, tieCol: String,
+                                      valCol: String, lookback: Int,
+                                      minN: Int, sigma: Int,
+                                      numBuckets: Int, compactEvery: Int,
+                                      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, outDir, batchId)) return
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".tmp")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: promote a complete tmp left by a died compaction
+    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        fs.exists(store)) {
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol)
+          .orderBy(col(tsCol).desc, col(tieCol).desc)
+        val folded = spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId) // a crashed attempt's leftover
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= lookback) // each key's latest tail only
+          .drop("__rn")
+          .localCheckpoint() // sever lineage: we replace the source below
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        folded.write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"${storeDir}.tmp/batch=-1")
+        fs.delete(store, true)
+        fs.rename(tmp, store)
+      } catch {
+        // a store of only empty partition dirs has no readable schema
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
+    }
+    val b = batch
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("__bucket",
+        pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+      .localCheckpoint() // reused: flags + store write
+    val touched = b.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val hist =
+      (if (touched.isEmpty || !fs.exists(store))
+         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], b.schema)
+       else
+         (try spark.read.parquet(storeDir)
+            .filter(col("batch") =!= batchId) // pre-batch history only
+            .filter(col("__bucket").isin(touched: _*)) // pruned read
+            .select(b.columns.map(col): _*)
+          catch {
+            // only empty partition dirs → no schema → no history
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                                    b.schema)
+          }))
+    val flags = Analytics.rollingZscoreFlags(
+        hist.withColumn("__isNew", lit(false))
+          .unionByName(b.withColumn("__isNew", lit(true))),
+        keyCol, tsCol, tieCol, valCol, lookback, minN, sigma)
+      .filter(col("__isNew"))
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
+              col("checked"), col("anomaly"))
+      .localCheckpoint() // materialize BEFORE any store mutation
+    flags.write.mode("append").parquet(outDir)
+    b.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$storeDir/batch=$batchId")
+    markCommitted(spark, outDir, batchId)
+  }
+
   /** T1+A7: incrementally-maintained aggregate table — the reference's MV
     * writing into an aggregating target (SummingMergeTree's role), made
     * deterministic: each micro-batch partially aggregates ITSELF (count +

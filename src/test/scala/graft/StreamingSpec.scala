@@ -646,4 +646,57 @@ class StreamingSpec extends SparkSpec {
              .select("batch").distinct().as[Int].collect().toSet
              === Set(-1, 2))
   }
+
+  test("zscoreAlertSink: incremental flags equal the one-shot run; " +
+       "replay is duplicate-only; compaction bounds the store") {
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // series 1: 40 near-steady values, a 10x spike at tie 40, steady
+    // after; series 2: constant (variance 0 — predicate must stay exact)
+    val rows = (0 until 40).map(i =>
+        (1L, t(i), i.toLong, if (i % 2 == 0) 100L else 101L)) ++
+      Seq((1L, t(40), 40L, 1000L), (1L, t(41), 41L, 100L)) ++
+      (0 until 35).map(i => (2L, t(i), (100 + i).toLong, 7L))
+    val df = rows.toDF("k", "ts", "tie", "v")
+    def flagSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "tie", "checked", "anomaly")
+        .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    val oneShot = flagSet(
+      Analytics.rollingZscoreFlags(df, "k", "ts", "tie", "v"))
+    assert(oneShot.count(_._4) === 1) // exactly the planted spike
+    // time-split batches (ordered arrival per key, spike's trailing
+    // window spans the batch boundary)
+    val b1 = df.filter(col("ts") < lit(t(30)))
+    val b2 = df.filter(col("ts") >= lit(t(30)))
+    val base = Files.createTempDirectory("graft-zs").toString
+    Streaming.zscoreAlertBatch(b1, base + "/o", base + "/s", "k", "ts",
+                               "tie", "v", 100, 30, 3, 16, 0, 0L)
+    Streaming.zscoreAlertBatch(b2, base + "/o", base + "/s", "k", "ts",
+                               "tie", "v", 100, 30, 3, 16, 0, 1L)
+    assert(flagSet(spark.read.parquet(base + "/o")) === oneShot)
+    // crash-window replay of batch 2 (marker cleared): rows may
+    // duplicate (at-least-once) but the distinct set must not change —
+    // own-partition exclusion keeps the scoring history identical
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$base/o/_graft_commits/1"), false)
+    Streaming.zscoreAlertBatch(b2, base + "/o", base + "/s", "k", "ts",
+                               "tie", "v", 100, 30, 3, 16, 0, 1L)
+    assert(flagSet(spark.read.parquet(base + "/o")) === oneShot)
+    // compacting run with a tight lookback: the fold keeps each key's
+    // latest 10 rows only, and the output still equals the one-shot run
+    // at the same (lookback, minN)
+    val oneShot10 = flagSet(
+      Analytics.rollingZscoreFlags(df, "k", "ts", "tie", "v", 10, 5))
+    val cb = Files.createTempDirectory("graft-zs2").toString
+    Streaming.zscoreAlertBatch(b1, cb + "/o", cb + "/s", "k", "ts",
+                               "tie", "v", 10, 5, 3, 16, 2, 0L)
+    Streaming.zscoreAlertBatch(b2, cb + "/o", cb + "/s", "k", "ts",
+                               "tie", "v", 10, 5, 3, 16, 2, 2L)
+    assert(flagSet(spark.read.parquet(cb + "/o")) === oneShot10)
+    val folded = spark.read.parquet(cb + "/s")
+      .filter(col("batch") === -1).groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(folded.nonEmpty && folded.values.forall(_ <= 10))
+  }
 }
