@@ -74,7 +74,8 @@ object Bench {
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
     "q_projection_route", "q_pipeline_shard",
     // hybrid serving, link-graph scoring, rolling anomaly detection
-    "q_rrf_fusion", "q_graph_pagerank", "q_win_zscore")
+    "q_rrf_fusion", "q_graph_pagerank", "q_graph_trustrank",
+    "q_win_zscore")
 
   /** Deterministic CPU calibration: `threads` concurrent 2·10⁸-step LCG
     * folds, wall-clock in ms. The harness VM's per-core speed shifts

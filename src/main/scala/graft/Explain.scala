@@ -51,6 +51,7 @@ object Explain {
                             // cross + dense leg's 1-row query cross
     "q_graph_pagerank",     // cross vs broadcast one-row node count
                             // (edge-target modulus)
+    "q_graph_trustrank",    // same one-row count cross (seed split)
     "q_curation_rag")       // inherits q_dsir's one-row totals cross
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
@@ -87,6 +88,7 @@ object Explain {
                                // windows over <= 20 rows
     "q_graph_pagerank",        // one-row node-count aggregate; the
                                // final top-20 is TakeOrdered
+    "q_graph_trustrank",       // same shape, seed-personalized
     "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream

@@ -1618,4 +1618,47 @@ object LlmOps {
        when(s > bestS, s).otherwise(bestS))
     }._1
   }
+
+  /** Deterministic synthetic link graph: each id in `ids` (single column
+    * `id`) emits `outDeg` edges to md5-derived targets in [0, n) — the
+    * portable-hash idiom of [[hyperplaneBucket]], standing in for a
+    * crawl's href edges. `nDf` is a broadcastable one-row (n) frame so no
+    * driver action runs at plan time.
+    */
+  def md5LinkEdges(ids: DataFrame, nDf: DataFrame, outDeg: Int): DataFrame =
+    ids.crossJoin(broadcast(nDf.toDF("__n")))
+      .select(col("id").as("src"),
+              explode(array((0 until outDeg).map(lit): _*)).as("j"),
+              col("__n"))
+      .select(col("src"),
+              pmod(conv(substring(md5(concat(
+                       col("src").cast("string"), lit("_"),
+                       col("j").cast("string"))), 1, 8), 16, 10)
+                     .cast("long"),
+                   col("__n")).as("dst"))
+
+  /** Fixed-point link-mass propagation shared by PageRank and TrustRank:
+    * `iters` rounds of pr'(j) = base(j) + Σ_{i→j} (pr(i)·85) div 300
+    * in EXACT integer arithmetic (1.0 ≡ 10⁹), so the per-target sum is
+    * summation-order-invariant and the recurrence hash-matches a SQL
+    * replay — float propagation cannot (shuffle order). One hash join +
+    * one hash aggregate per round, localCheckpoint-ed (the
+    * connected-components lineage discipline). `base` must carry every
+    * node id: (id, b); `pr0` is the initial score (id, pr).
+    */
+  def fixedPointPropagate(base: DataFrame, pr0: DataFrame,
+                          edges: DataFrame, iters: Int): DataFrame = {
+    var pr = pr0
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(pr, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85) div 300").as("c"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+      pr = base
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+                (col("b") + coalesce(col("cin"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

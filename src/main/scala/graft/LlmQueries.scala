@@ -33,25 +33,29 @@ object LlmQueries extends QueryPack {
   private val RrfK = 60
   private val RrfOutK = 10
 
-  // q_graph_pagerank knobs (same interpolate-into-oracle discipline):
-  // out-degree of the synthesized link graph, iteration count.
+  // q_graph_pagerank / q_graph_trustrank knobs (same
+  // interpolate-into-oracle discipline): out-degree of the synthesized
+  // link graph, iteration count, TrustRank's vetted seed sources.
   private val PrOutDeg = 3
   private val PrIters = 5
+  private val TrSeedSources = Seq("src0", "src1")
 
-  /** DuckDB mirror of q_graph_pagerank: the same md5-derived edge set
-    * and [[PrIters]] chained fixed-point iterations, generated from the
-    * same constants so both engines run the identical integer recurrence.
+  /** DuckDB mirror of the fixed-point propagation queries: the same
+    * md5-derived edge set and [[PrIters]] chained integer iterations,
+    * generated from the same constants so both engines run the identical
+    * recurrence. `baseCte`/`pr0Cte` supply the teleport profile: uniform
+    * (PageRank) or seed-only (TrustRank).
     */
-  private def pagerankOracleSql: String = {
+  private def propagateOracleSql(baseCte: String, pr0Cte: String): String = {
     val iters = (1 to PrIters).map { k =>
       s"""c$k AS (
          |  SELECT e.dst AS id, sum((p.pr * 85) // 300) AS cin
          |  FROM edges e JOIN pr${k - 1} p ON e.src = p.id
          |  GROUP BY e.dst),
          |pr$k AS (
-         |  SELECT d.doc_id AS id,
-         |    CAST(150000000 + coalesce(cin, 0) AS BIGINT) AS pr
-         |  FROM documents d LEFT JOIN c$k ON c$k.id = d.doc_id)"""
+         |  SELECT bs.id,
+         |    CAST(bs.b + coalesce(cin, 0) AS BIGINT) AS pr
+         |  FROM base bs LEFT JOIN c$k ON c$k.id = bs.id)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -62,12 +66,37 @@ object LlmQueries extends QueryPack {
        |      1, 8)) AS BIGINT) % nn.n AS dst
        |  FROM documents d CROSS JOIN nn
        |  CROSS JOIN (SELECT unnest(range(0, $PrOutDeg)) AS j) j),
-       |pr0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS pr
-       |        FROM documents),
+       |$baseCte,
+       |$pr0Cte,
        |$iters
        |SELECT id AS doc_id, pr FROM (
        |  SELECT * FROM pr$PrIters ORDER BY pr DESC, id LIMIT 20) t
        |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  private def pagerankOracleSql: String = propagateOracleSql(
+    """base AS (SELECT doc_id AS id, CAST(150000000 AS BIGINT) AS b
+      |        FROM documents)""".stripMargin,
+    """pr0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS pr
+      |        FROM documents)""".stripMargin)
+
+  private def trustrankOracleSql: String = {
+    val seedIn = TrSeedSources.map(s => s"'$s'").mkString(", ")
+    propagateOracleSql(
+      s"""ns AS (SELECT count(*) AS nseed FROM documents
+         |       WHERE source IN ($seedIn)),
+         |base AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN source IN ($seedIn)
+         |      THEN (15 * n * 1000000000) // (100 * nseed)
+         |      ELSE 0 END AS b
+         |  FROM documents CROSS JOIN nn CROSS JOIN ns)""".stripMargin,
+      s"""pr0 AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN source IN ($seedIn)
+         |      THEN (n * 1000000000) // nseed
+         |      ELSE 0 END AS pr
+         |  FROM documents CROSS JOIN nn CROSS JOIN ns)""".stripMargin)
   }
 
   /** DuckDB mirror of [[LlmOps.nbClassify]], generated from the same
@@ -678,33 +707,46 @@ object LlmQueries extends QueryPack {
     // q_dedup_components lineage discipline). Mass bound: a node's
     // score ≤ total mass = N·10⁹ ≤ 5·10¹⁴ at SF1, ×85 well under 2⁶³.
     "q_graph_pagerank" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      val nDf = docs.agg(count(lit(1)).as("n_nodes"))
-      val edges = docs.crossJoin(broadcast(nDf))
-        .select(col("doc_id").as("src"),
-                explode(array((0 until PrOutDeg).map(lit): _*)).as("j"),
-                col("n_nodes"))
-        .select(col("src"),
-                pmod(conv(substring(md5(concat(
-                         col("src").cast("string"), lit("_"),
-                         col("j").cast("string"))), 1, 8), 16, 10)
-                       .cast("long"),
-                     col("n_nodes")).as("dst"))
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"))
+      val edges = LlmOps.md5LinkEdges(
+          ids, ids.agg(count(lit(1))), PrOutDeg)
         .localCheckpoint()
-      var pr = docs.select(col("doc_id").as("id"),
-                           lit(1000000000L).as("pr"))
-      for (_ <- 1 to PrIters) {
-        val contrib = edges.join(pr, col("src") === col("id"))
-          .select(col("dst"), expr("(pr * 85) div 300").as("c"))
-          .groupBy("dst").agg(sum("c").as("cin"))
-        pr = docs.select(col("doc_id").as("id"))
-          .join(contrib, col("id") === col("dst"), "left")
-          .select(col("id"),
-                  (lit(150000000L) + coalesce(col("cin"), lit(0L)))
-                    .as("pr"))
-          .localCheckpoint()
-      }
-      pr.orderBy(col("pr").desc, col("id")).limit(20)
+      LlmOps.fixedPointPropagate(
+          ids.withColumn("b", lit(150000000L)),
+          ids.select(col("id"), lit(1000000000L).as("pr")),
+          edges, PrIters)
+        .orderBy(col("pr").desc, col("id")).limit(20)
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy("doc_id")
+    }),
+
+    // L8b: TrustRank — the seed-personalized variant actually used for
+    // crawl curation (trust propagates outward from a vetted source
+    // list; a page unreachable from any seed scores zero, however many
+    // spam pages link it). Same [[LlmOps.fixedPointPropagate]] integer
+    // recurrence; only the teleport changes: all initial mass and all
+    // per-iteration base lands on the seed set (sources
+    // [[TrSeedSources]]), split evenly in exact integer division. The
+    // zero-score property is itself spec-pinned.
+    "q_graph_trustrank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val seed = col("source").isin(TrSeedSources: _*)
+      val nDf = docs.agg(count(lit(1)).as("n_nodes"),
+                         count(when(seed, 1)).as("n_seed"))
+      val withN = docs.crossJoin(broadcast(nDf))
+      val base = withN.select(col("id"),
+        when(seed, expr("(15 * n_nodes * 1000000000) div (100 * n_seed)"))
+          .otherwise(lit(0L)).as("b"))
+      val pr0 = withN.select(col("id"),
+        when(seed, expr("(n_nodes * 1000000000) div n_seed"))
+          .otherwise(lit(0L)).as("pr"))
+      val edges = LlmOps.md5LinkEdges(
+          docs.select("id"), docs.agg(count(lit(1))), PrOutDeg)
+        .localCheckpoint()
+      LlmOps.fixedPointPropagate(base, pr0, edges, PrIters)
+        .orderBy(col("pr").desc, col("id")).limit(20)
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
     }),
@@ -2477,6 +2519,7 @@ object LlmQueries extends QueryPack {
         |GROUP BY tf.doc_id ORDER BY tf.doc_id NULLS FIRST""".stripMargin,
 
     "q_graph_pagerank" -> pagerankOracleSql,
+    "q_graph_trustrank" -> trustrankOracleSql,
 
     // Full two-leg replication: the q_text_bm25 pipeline integerized to
     // floor(×10⁴) for the rank key, the cosSql dense leg, both cut to

@@ -861,4 +861,23 @@ class LlmSpec extends SparkSpec {
     // nodes: strictly above the score of a node with zero in-links
     assert(out.max > 150000000L)
   }
+
+  test("fixedPointPropagate with seed teleport (TrustRank): nodes " +
+       "unreachable from any seed score exactly zero, seed mass bounded") {
+    import org.apache.spark.sql.DataFrame
+    // 0 is the only seed; 0→1→2 chain; 3 links 0 and 4 links 3 but
+    // nothing reaches 3 or 4 from the seed → both must score 0
+    val base: DataFrame = Seq((0L, 100L), (1L, 0L), (2L, 0L), (3L, 0L),
+                              (4L, 0L)).toDF("id", "b")
+    val pr0 = Seq((0L, 1000L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("id", "pr")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 0L), (4L, 3L))
+      .toDF("src", "dst")
+    val out = LlmOps.fixedPointPropagate(base, pr0, edges, 5)
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    assert(out(3L) === 0L && out(4L) === 0L)
+    assert(out(0L) >= 100L && out(1L) > 0L && out(2L) > 0L)
+    // floor losses only shrink: total ≤ initial mass + 5 rounds of base
+    assert(out.values.sum <= 1000L + 5 * 100L)
+  }
 }
