@@ -411,4 +411,29 @@ class AnalyticsSpec extends SparkSpec {
     val s2 = out.filter(_._1 == 2L)
     assert(s2.count(_._3) === 5 && s2.forall(!_._4))
   }
+
+  test("rollingZscoreFlags: flags exactly invariant under per-series " +
+       "integer scale and translation (the integer predicate's algebra)") {
+    // (v·n − s1)² > σ²·(n·s2 − s1²) maps v → c·v + d to both sides × c²
+    // EXACTLY in integer arithmetic — no float analog survives this.
+    // 50 seeded random series, one Spark job for all of them.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).flatMap { k =>
+      val c = rnd.nextInt(5) + 1L
+      val d = (rnd.nextInt(1001) - 500).toLong
+      (0 until 40 + rnd.nextInt(41)).map { i =>
+        val v = (rnd.nextInt(2001) - 1000).toLong
+        (k.toLong, i.toLong, v, c * v + d)
+      }
+    }
+    val df = rows.toDF("k", "tie", "v", "vt").withColumn("ts", col("tie"))
+    def flags(valCol: String) =
+      Analytics.rollingZscoreFlags(
+          df.select(col("k"), col("ts"), col("tie"),
+                    col(valCol).as("val")),
+          "k", "ts", "tie", "val", 20, 10)
+        .select("k", "tie", "checked", "anomaly")
+        .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(flags("v") === flags("vt"))
+  }
 }
