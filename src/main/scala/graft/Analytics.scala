@@ -70,6 +70,52 @@ object Analytics {
               coalesce(col("m"), lit(false)).as("matched"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<G)(?2)(?t<G)(?3)')` — the
+    * time-CONDITIONED pattern match [[sequenceMatch]] can't express:
+    * every consecutive matched pair must be under `maxGapSeconds`
+    * apart, exists-subsequence semantics. Greedy earliest-first is
+    * incomplete under gap bounds (an early step-1 can strand a later
+    * viable chain), so this runs the latest-feasible-prefix DP
+    * relationally: F₀ = step-0 events; Fᵢ = step-i events whose LATEST
+    * strictly-earlier Fᵢ₋₁ end is within the gap — and "latest prior
+    * within gap exists" ⟺ "ANY prior within gap exists", so keeping
+    * every feasible end makes the DP exact. Each step is ONE strict
+    * backward as-of join ([[Relational.asofJoin]] on micros shifted by
+    * −1 µs), i.e. k−1 shuffles total, per-task state bounded by the
+    * window machinery — no per-entity event buffer anywhere.
+    */
+  def sequenceMatchTime(events: DataFrame, userCol: String,
+                        typeCol: String, tsCol: String,
+                        steps: Seq[String],
+                        maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "sequenceMatchTime needs at least one step")
+    val gapMicros = maxGapSeconds * 1000000L
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+                          col(tsCol).as("ts"))
+    val first = e.filter(col("et") === steps.head)
+      .select(col("u"), col("ts"))
+    val lastF = steps.tail.foldLeft(first) { (prev, step) =>
+      val li = e.filter(col("et") === step)
+        .select(col("u"), col("ts"),
+                (unix_micros(col("ts")) - 1).as("__tq"))
+      val ri = prev.select(col("u"),
+                           unix_micros(col("ts")).as("__tr"),
+                           unix_micros(col("ts")).as("__fp"))
+      Relational.asofJoin(li, ri, "u", "__tq", "__tr", Seq("__fp"))
+        // asof picked f = max {f : f <= ts - 1µs}; the (?t<G) bound
+        // is strict: ts - f < G
+        .filter(col("asof___fp").isNotNull &&
+                col("__tq") + 1 - col("asof___fp") < gapMicros)
+        .select(col("u"), col("ts"))
+    }
+    e.select(col("u")).distinct()
+      .join(lastF.select(col("u")).distinct()
+              .withColumn("m", lit(true)),
+            Seq("u"), "left")
+      .select(col("u").as(userCol),
+              coalesce(col("m"), lit(false)).as("matched"))
+  }
+
   /** ClickHouse `sequenceCount('(?1).*(?2)…')` analog: per entity, how
     * many NON-OVERLAPPING ordered occurrences of the step pattern exist
     * (gaps allowed). Greedy left-to-right matching is optimal for

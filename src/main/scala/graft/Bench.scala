@@ -38,7 +38,7 @@ object Bench {
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",
-    "q_seq_match", "q_seq_count", "q_ts_interpolate",
+    "q_seq_match", "q_seq_match_time", "q_seq_count", "q_ts_interpolate",
     "q_funnel_window", "q_seq_next_node", "q_interval_union", "q_lttb",
     "q_join_interval", "q_path_analysis", "q_agg_rolling_distinct",
     // TPC-H composites (the full 22-shape sweep's heavy half)

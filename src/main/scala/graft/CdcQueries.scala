@@ -137,6 +137,19 @@ object CdcQueries extends QueryPack {
                               Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // D: time-conditioned sequence match ([[Analytics.sequenceMatchTime]]
+    // — ClickHouse sequenceMatch with (?t<86400) gap conditions): did
+    // signup → click → purchase happen with every consecutive gap under
+    // a day — exists-subsequence semantics via the latest-feasible-
+    // prefix DP (greedy earliest-first is incomplete under gap bounds),
+    // one strict backward as-of join per step.
+    "q_seq_match_time" -> ((s, dir) =>
+      Analytics.sequenceMatchTime(Tables(s, dir, "events"), "user_id",
+                                  "event_type", "ts",
+                                  Seq("signup", "click", "purchase"),
+                                  86400L)
+        .orderBy("user_id")),
+
     // D: non-overlapping sequence occurrences ([[Analytics.sequenceCount]]
     // — ClickHouse sequenceCount analog): how many view → purchase
     // chains per user, greedy matching as one per-entity integer fold.
@@ -603,6 +616,27 @@ object CdcQueries extends QueryPack {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN s3 ON u.user_id = s3.user_id
         |ORDER BY u.user_id NULLS FIRST""".stripMargin,
+
+    // The DP's "latest prior within gap" test is EXISTS-equivalent, so
+    // the oracle states each feasible-end set as an EXISTS filter —
+    // two independent formulations of the same reachability relation.
+    "q_seq_match_time" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        |  FROM events),
+        |f1 AS (SELECT u, t FROM e WHERE et = 'signup'),
+        |f2 AS (
+        |  SELECT c.u, c.t FROM e c WHERE c.et = 'click' AND EXISTS (
+        |    SELECT 1 FROM f1 p WHERE p.u = c.u AND p.t < c.t
+        |      AND c.t - p.t < 86400000000)),
+        |f3 AS (
+        |  SELECT c.u, c.t FROM e c WHERE c.et = 'purchase' AND EXISTS (
+        |    SELECT 1 FROM f2 p WHERE p.u = c.u AND p.t < c.t
+        |      AND c.t - p.t < 86400000000))
+        |SELECT d.u AS user_id, m.u IS NOT NULL AS matched
+        |FROM (SELECT DISTINCT u FROM e) d
+        |LEFT JOIN (SELECT DISTINCT u FROM f3) m ON d.u = m.u
+        |ORDER BY d.u NULLS FIRST""".stripMargin,
 
     // Recursive-CTE automaton rather than a DuckDB list_reduce fold: this
     // harness's DuckDB (1.0.0) mis-evaluates list_reduce over grouped

@@ -412,6 +412,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(s2.count(_._3) === 5 && s2.forall(!_._4))
   }
 
+  test("sequenceMatchTime: gap bound enforced; a late viable chain " +
+       "matches where greedy earliest-first would strand it") {
+    val events = Seq(
+      // user 1: greedy trap — earliest A at 00:00 has no B within the
+      // 10s gap, but A at 00:50 → B at 00:55 is a viable chain
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "a", ts("2024-01-01 00:00:50")),
+      (1L, "b", ts("2024-01-01 00:00:55")),
+      // user 2: gap exactly AT the bound (strict <) → no match
+      (2L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:10")),
+      // user 3: simultaneous a and b — strict order rejects
+      (3L, "a", ts("2024-01-01 00:00:00")),
+      (3L, "b", ts("2024-01-01 00:00:00")),
+      // user 4: three-step chain, each gap inside the bound
+      (4L, "a", ts("2024-01-01 00:00:00")),
+      (4L, "b", ts("2024-01-01 00:00:05")),
+      (4L, "c", ts("2024-01-01 00:00:12"))
+    ).toDF("user_id", "event_type", "ts")
+    val two = Analytics.sequenceMatchTime(events, "user_id", "event_type",
+                                          "ts", Seq("a", "b"), 10L)
+      .orderBy("user_id").as[(Long, Boolean)].collect()
+    assert(two === Array((1L, true), (2L, false), (3L, false),
+                         (4L, true)))
+    val three = Analytics.sequenceMatchTime(events, "user_id",
+                                            "event_type", "ts",
+                                            Seq("a", "b", "c"), 10L)
+      .orderBy("user_id").as[(Long, Boolean)].collect()
+    assert(three.map(_._2).toSeq === Seq(false, false, false, true))
+  }
+
   test("rollingZscoreFlags: flags exactly invariant under per-series " +
        "integer scale and translation (the integer predicate's algebra)") {
     // (v·n − s1)² > σ²·(n·s2 − s1²) maps v → c·v + d to both sides × c²
