@@ -158,11 +158,11 @@ object LlmQueries extends QueryPack {
        |FROM ds, pr ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
-  /** Shared oracle for both connected-components formulations (min-label
-    * propagation and alternating-star): DuckDB recursive-CTE reachability,
-    * min reachable id per node.
+  /** Shared recursive-reachability CTE prefix for the
+    * connected-components oracles: `comp` holds (node, component =
+    * min reachable id).
     */
-  private val componentsOracleSql: String =
+  private val componentsCtePrefix: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
       |sh AS (
@@ -184,9 +184,39 @@ object LlmQueries extends QueryPack {
       |reach(x, y) AS (
       |  SELECT a, a FROM edges
       |  UNION
-      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
-      |SELECT x AS node, min(y) AS component FROM reach GROUP BY x
-      |ORDER BY node NULLS FIRST""".stripMargin
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |comp AS (SELECT x AS node, min(y) AS component FROM reach
+      |         GROUP BY x)""".stripMargin
+
+  /** Shared oracle for both connected-components formulations (min-label
+    * propagation and alternating-star). */
+  private val componentsOracleSql: String =
+    s"""$componentsCtePrefix
+       |SELECT node, component FROM comp
+       |ORDER BY node NULLS FIRST""".stripMargin
+
+  /** Oracle for the keep-best-per-cluster dedup: singletons cluster with
+    * themselves; the survivor is the longest member, ties to the lowest
+    * id — the same (n_chars DESC, doc_id) rule the Spark argmax uses.
+    */
+  private val clusterKeepOracleSql: String =
+    s"""$componentsCtePrefix,
+       |alldocs AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(c.component, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |ranked AS (
+       |  SELECT cluster, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS n_members,
+       |    sum(n_chars) OVER (PARTITION BY cluster) AS tot
+       |  FROM alldocs)
+       |SELECT cluster, doc_id AS keep_id,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(tot - n_chars AS BIGINT) AS dropped_chars
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster NULLS FIRST""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content hash — keep the lowest doc_id per hash.
@@ -375,6 +405,32 @@ object LlmQueries extends QueryPack {
         LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
                                  "text", "lang", 3, 0.2))
         .orderBy("node")),
+
+    // L2f: keep-best-per-cluster dedup — what production near-dup
+    // pipelines actually DO with the clusters (FineWeb/CCNet keep one
+    // survivor per duplicate group, not "drop all but first seen"):
+    // connected components over the exact-Jaccard pair graph, singleton
+    // docs clustering with themselves, then ONE hash aggregate per
+    // cluster picks the argmax survivor by (n_chars, lowest id) —
+    // max_by over a struct, no per-cluster window sort, hot-cluster
+    // safe. Emits the audit columns a curation run reports: survivor,
+    // member count, characters dropped.
+    "q_dedup_cluster_keep" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val comp = LlmOps.connectedComponentsStar(
+        LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.2))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), col("n_chars"),
+                coalesce(col("component"), col("doc_id")).as("cluster"))
+        .groupBy("cluster")
+        .agg(max_by(col("doc_id"),
+                    struct(col("n_chars"), -col("doc_id"))).as("keep_id"),
+             count(lit(1)).as("n_members"),
+             (sum("n_chars") - max("n_chars")).cast("long")
+               .as("dropped_chars"))
+        .orderBy("cluster")
+    }),
 
     // L6b: TF-IDF over a deterministic doc slice.
     "q_text_tfidf" -> ((s, dir) => {
@@ -1760,6 +1816,7 @@ object LlmQueries extends QueryPack {
 
     // identical clustering contract, different distributed algorithm
     "q_dedup_components_star" -> componentsOracleSql,
+    "q_dedup_cluster_keep" -> clusterKeepOracleSql,
 
     "q_text_tfidf" ->
       """WITH tf AS (
