@@ -52,6 +52,9 @@ object Explain {
     "q_graph_pagerank",     // cross vs broadcast one-row node count
                             // (edge-target modulus)
     "q_graph_trustrank",    // same one-row count cross (seed split)
+    "q_bitext_mine",        // labeled-quadratic exact margin baseline:
+                            // cross vs the explicitly broadcast smaller
+                            // language shard (banded path = embed-LSH)
     "q_curation_rag")       // inherits q_dsir's one-row totals cross
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream

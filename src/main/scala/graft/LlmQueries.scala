@@ -745,6 +745,57 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L9: margin-based bitext mining (the CCMatrix/LASER parallel-corpus
+    // op): for each English doc, its best French counterpart scored by
+    // the MARGIN criterion — cosine normalized by both sides' mean
+    // 4-NN cosine — which suppresses hubness that raw cosine ranking
+    // can't. Exact cross-lingual all-pairs with the smaller language
+    // shard broadcast (the labeled-quadratic baseline, like
+    // q_dedup_embed; the banded production path is the existing
+    // embed-LSH machinery). Determinism: the 4-NN mean is an ORDERED
+    // rank-ascending fold (the dotSql discipline) so both engines sum
+    // identical doubles in the same order; the margin integerizes to
+    // floor(×10⁶) before any ranking.
+    "q_bitext_mine" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val base = Tables(s, dir, "embeddings")
+        .join(docs, col("vec_id") === col("doc_id"))
+        .filter(col("lang").isin("en", "fr"))
+        .select(col("vec_id"), col("lang"), col("embedding"))
+      val en = base.filter(col("lang") === "en")
+        .select(col("vec_id").as("x"), col("embedding").as("ex"))
+      val fr = base.filter(col("lang") === "fr")
+        .select(col("vec_id").as("y"), col("embedding").as("ey"))
+      val scored = en.crossJoin(broadcast(fr))
+        .select(col("x"), col("y"),
+                Functions.cosine(col("ex"), col("ey")).as("c"))
+        .localCheckpoint() // reused by both kNN sides + the margin join
+      def knnAvg(key: String, other: String, out: String) = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(key)
+            .orderBy(col("c").desc_nulls_last, col(other))))
+        .filter(col("rn") <= 4)
+        .groupBy(key)
+        .agg(expr("aggregate(transform(array_sort(" +
+               "collect_list(struct(rn, c))), s -> s.c), " +
+               "CAST(0.0 AS DOUBLE), (a, b) -> a + b) / 4").as(out))
+      val m = scored
+        .join(knnAvg("x", "y", "ax"), "x")
+        .join(knnAvg("y", "x", "ay"), "y")
+        .select(col("x"), col("y"),
+                expr("CAST(floor(2.0 * c * 1000000.0 / (ax + ay)) " +
+                     "AS BIGINT)").as("margin_e6"))
+      m.withColumn("rn", row_number().over(
+          Window.partitionBy("x")
+            .orderBy(col("margin_e6").desc, col("y"))))
+        .filter(col("rn") === 1 && col("margin_e6") >= 1000000)
+        .select(col("x").as("en_id"), col("y").as("fr_id"),
+                col("margin_e6"))
+        .orderBy("en_id")
+    }),
+
     // L8: link-graph authority scoring — PageRank, the classic
     // curation-quality prior over a web graph (harvested link structure
     // stands behind most production crawl-quality scores). The graph is
@@ -2577,6 +2628,40 @@ object LlmQueries extends QueryPack {
 
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
+
+    // Full margin replication: same cosSql pairs, same rank-ordered
+    // 4-NN list fold, same floor(×10⁶) integerization.
+    "q_bitext_mine" ->
+      s"""WITH base AS (
+         |  SELECT e.vec_id AS id, d.lang, e.embedding
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang IN ('en', 'fr')),
+         |en AS (SELECT id AS x, embedding AS ex FROM base
+         |       WHERE lang = 'en'),
+         |fr AS (SELECT id AS y, embedding AS ey FROM base
+         |       WHERE lang = 'fr'),
+         |sc AS (SELECT x, y, ${cosSql("ex", "ey")} AS c
+         |       FROM en CROSS JOIN fr),
+         |rx AS (SELECT x, y, c, row_number() OVER (PARTITION BY x
+         |         ORDER BY c DESC NULLS LAST, y) AS rn FROM sc),
+         |ax AS (SELECT x, list_aggregate(list(c ORDER BY rn), 'sum') / 4
+         |         AS ax
+         |       FROM rx WHERE rn <= 4 GROUP BY x),
+         |ry AS (SELECT x, y, c, row_number() OVER (PARTITION BY y
+         |         ORDER BY c DESC NULLS LAST, x) AS rn FROM sc),
+         |ay AS (SELECT y, list_aggregate(list(c ORDER BY rn), 'sum') / 4
+         |         AS ay
+         |       FROM ry WHERE rn <= 4 GROUP BY y),
+         |m AS (SELECT sc.x, sc.y,
+         |        CAST(floor(2.0 * c * 1000000.0 / (ax + ay)) AS BIGINT)
+         |          AS margin_e6
+         |      FROM sc JOIN ax USING (x) JOIN ay USING (y)),
+         |top AS (SELECT x, y, margin_e6, row_number() OVER (
+         |          PARTITION BY x ORDER BY margin_e6 DESC, y) AS rn
+         |        FROM m)
+         |SELECT x AS en_id, y AS fr_id, margin_e6 FROM top
+         |WHERE rn = 1 AND margin_e6 >= 1000000
+         |ORDER BY en_id NULLS FIRST""".stripMargin,
 
     // Full two-leg replication: the q_text_bm25 pipeline integerized to
     // floor(×10⁴) for the rank key, the cosSql dense leg, both cut to
