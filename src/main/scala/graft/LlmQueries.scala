@@ -1408,6 +1408,39 @@ object LlmQueries extends QueryPack {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // L5c: distinct-n diversity ratios per language — the corpus-level
+    // diversity diagnostic synthetic-data evals report (collapsed
+    // distinct-2/distinct-3 flags mode collapse long before loss does).
+    // Pure integer counts: per lang, total and distinct 1/2/3-gram
+    // counts plus the per-mille distinct ratio — three explode + hash
+    // aggregate passes over the normalized token stream, no floats
+    // anywhere.
+    "q_text_distinct_n" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"),
+                LlmOps.tokens(col("text"), normalize = true).as("tk"))
+        .localCheckpoint() // narrow (lang, tokens) rows, reused 3x
+      def grams(n: Int) = {
+        val g =
+          if (n == 1) toks.select(col("lang"), explode(col("tk")).as("g"))
+          else toks.select(col("lang"),
+            explode(expr(s"transform(slice(tk, 1, " +
+              s"greatest(size(tk) - ${n - 1}, 0))," +
+              s" (x, i) -> array_join(slice(tk, i + 1, $n), ' '))"))
+              .as("g"))
+        g.groupBy("lang")
+          .agg(count(lit(1)).as(s"total_$n"),
+               countDistinct(col("g")).as(s"uniq_$n"))
+          .withColumn(s"dist${n}_pm",
+            expr(s"(uniq_$n * 1000) div total_$n"))
+      }
+      grams(1).join(grams(2), "lang").join(grams(3), "lang")
+        .select(col("lang"), col("total_1"), col("uniq_1"),
+                col("dist1_pm"), col("uniq_2"), col("dist2_pm"),
+                col("uniq_3"), col("dist3_pm"))
+        .orderBy("lang")
+    }),
+
     // L1: deterministic weighted sampling (Efraimidis–Spirakis) — 50 docs
     // drawn proportional to token count, no RNG state, reproducible on
     // any partitioning. Per-partition top-k, never a global sort.
@@ -2834,6 +2867,41 @@ object LlmQueries extends QueryPack {
         |GROUP BY token
         |ORDER BY n DESC NULLS LAST, token NULLS FIRST
         |LIMIT 50""".stripMargin,
+
+    // Same integer counts from DuckDB's list machinery; the per-mille
+    // ratio stays in integer division on both sides.
+    "q_text_distinct_n" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+        |    AS tk
+        |  FROM documents),
+        |g1 AS (
+        |  SELECT lang, count(*) AS total_1, count(DISTINCT g) AS uniq_1
+        |  FROM (SELECT lang, unnest(tk) AS g FROM toks) t
+        |  GROUP BY lang),
+        |g2 AS (
+        |  SELECT lang, count(*) AS total_2, count(DISTINCT g) AS uniq_2
+        |  FROM (SELECT lang, unnest(list_transform(
+        |          range(1, len(tk)),
+        |          i -> array_to_string(list_slice(tk, i, i + 1), ' ')))
+        |          AS g
+        |        FROM toks) t
+        |  GROUP BY lang),
+        |g3 AS (
+        |  SELECT lang, count(*) AS total_3, count(DISTINCT g) AS uniq_3
+        |  FROM (SELECT lang, unnest(list_transform(
+        |          range(1, len(tk) - 1),
+        |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        |          AS g
+        |        FROM toks) t
+        |  GROUP BY lang)
+        |SELECT lang, total_1, uniq_1,
+        |  (uniq_1 * 1000) // total_1 AS dist1_pm,
+        |  uniq_2, (uniq_2 * 1000) // total_2 AS dist2_pm,
+        |  uniq_3, (uniq_3 * 1000) // total_3 AS dist3_pm
+        |FROM g1 JOIN g2 USING (lang) JOIN g3 USING (lang)
+        |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM (
