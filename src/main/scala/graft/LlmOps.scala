@@ -1619,6 +1619,37 @@ object LlmOps {
     }._1
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): the
+    * minimum (ties → rightmost) k-gram hash of every w-window, distinct
+    * per doc — any shared run of ≥ w+k−1 tokens between two docs yields
+    * a shared (h) fingerprint (the local guarantee a stride sample
+    * lacks). Portable md5 gram hashes; bounded ≤ w fan-out per gram;
+    * one hash aggregate per window. Returns (idCol, pos, h).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .select(col(idCol),
+              tokens(col(textCol), normalize = true).as("tk"))
+      .select(col(idCol),
+              expr(s"greatest(size(tk) - ${k - 1}, 0)").as("m"),
+              posexplode(expr(
+                s"transform(slice(tk, 1, greatest(size(tk) - ${k - 1}, 0)), " +
+                "(x, i) -> conv(substring(md5(" +
+                s"array_join(slice(tk, i + 1, $k), ' ')), 1, 8), 16, 10)" +
+                ")")).as(Seq("pos", "hs")))
+      .select(col(idCol), col("pos"), col("m"),
+              col("hs").cast("long").as("h"))
+      .withColumn("lo", greatest(col("pos") - (w - 1), lit(0)))
+      .withColumn("hi", least(col("pos"), col("m") - w))
+      .withColumn("j", explode(when(col("lo") <= col("hi"),
+                                    sequence(col("lo"), col("hi")))))
+      .groupBy(idCol, "j")
+      .agg(max_by(struct(col("pos"), col("h")),
+                  struct((-col("h")).as("nh"), col("pos"))).as("sel"))
+      .select(col(idCol), col("sel.pos").as("pos"), col("sel.h").as("h"))
+      .distinct()
+
   /** Deterministic synthetic link graph: each id in `ids` (single column
     * `id`) emits `outDeg` edges to md5-derived targets in [0, n) — the
     * portable-hash idiom of [[hyperplaneBucket]], standing in for a

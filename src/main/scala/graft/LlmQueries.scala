@@ -1408,6 +1408,31 @@ object LlmQueries extends QueryPack {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // L1f: winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // scheme): from each sliding window of 4 consecutive 3-gram hashes,
+    // select the minimum (ties → rightmost) — guaranteeing any shared
+    // run of ≥ 6 tokens yields a shared fingerprint at ~2/(w+1)
+    // density, the local-fingerprint property a plain stride sample
+    // lacks. Relational form: each gram hash fans out to the ≤ 4
+    // windows containing it (bounded explode, the rolling-distinct
+    // shape), one hash aggregate per window picks the argmin via
+    // max_by over (−h, pos), distinct selections collapse, and the
+    // per-doc rollup emits count + an order-free sum(DISTINCT h)
+    // signature — exact integers end to end.
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      val sel = LlmOps.winnowFingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(sel.groupBy("doc_id")
+                .agg(count(lit(1)).as("n_fp"),
+                     sum_distinct(col("h")).as("sig")),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+                coalesce(col("sig"), lit(0L)).cast("long").as("sig"))
+        .orderBy("doc_id")
+    }),
+
     // L5c: distinct-n diversity ratios per language — the corpus-level
     // diversity diagnostic synthetic-data evals report (collapsed
     // distinct-2/distinct-3 flags mode collapse long before loss does).
@@ -2867,6 +2892,44 @@ object LlmQueries extends QueryPack {
         |GROUP BY token
         |ORDER BY n DESC NULLS LAST, token NULLS FIRST
         |LIMIT 50""".stripMargin,
+
+    // Same min-of-window selection replayed through DuckDB list
+    // machinery; the (h ASC, pos DESC) rank mirrors the Spark argmax
+    // over (−h, pos).
+    "q_winnow_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+        |    AS tk
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, tk, greatest(len(tk) - 2, 0) AS m,
+        |    unnest(range(0, greatest(len(tk) - 2, 0))) AS pos
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, m, pos,
+        |    CAST(('0x' || substring(md5(array_to_string(
+        |      list_slice(tk, pos + 1, pos + 3), ' ')), 1, 8)) AS BIGINT)
+        |      AS h
+        |  FROM g0),
+        |wins AS (
+        |  SELECT doc_id, pos, h,
+        |    unnest(range(greatest(pos - 3, 0), least(pos, m - 4) + 1))
+        |      AS j
+        |  FROM grams),
+        |ranked AS (
+        |  SELECT doc_id, j, pos, h, row_number() OVER (
+        |    PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+        |  FROM wins),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM ranked WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_fp,
+        |    CAST(sum(DISTINCT h) AS BIGINT) AS sig
+        |  FROM sel GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_fp, 0) AS n_fp,
+        |  coalesce(sig, 0) AS sig
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
 
     // Same integer counts from DuckDB's list machinery; the per-mille
     // ratio stays in integer division on both sides.

@@ -862,6 +862,28 @@ class LlmSpec extends SparkSpec {
     assert(out.max > 150000000L)
   }
 
+  test("winnowFingerprints: docs sharing a >= w+k-1 token run share a " +
+       "fingerprint; short docs yield none; density near 2/(w+1)") {
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red green blue $shared yellow purple orange pink cyan"),
+      (3L, "tiny doc"), // < w+k-1 tokens → no full window
+      (4L, (1 to 200).map(i => s"tok$i").mkString(" ")) // all-unique
+    ).toDF("doc_id", "text")
+    val fp = LlmOps.winnowFingerprints(d, "doc_id", "text")
+      .select("doc_id", "h").as[(Long, Long)].collect()
+    def hs(id: Long) = fp.filter(_._1 == id).map(_._2).toSet
+    // the winnowing guarantee: the 7-token shared run (>= 4+3-1=6)
+    // must yield at least one shared selected hash
+    assert(hs(1L).intersect(hs(2L)).nonEmpty)
+    assert(hs(3L).isEmpty)
+    // density: 198 grams, 195 windows → expected ~2/(w+1)=0.4 of
+    // positions selected; allow a generous band
+    val n4 = hs(4L).size
+    assert(n4 > 30 && n4 < 150)
+  }
+
   test("fixedPointPropagate with seed teleport (TrustRank): nodes " +
        "unreachable from any seed score exactly zero, seed mass bounded") {
     import org.apache.spark.sql.DataFrame
