@@ -158,6 +158,38 @@ object LlmQueries extends QueryPack {
        |FROM ds, pr ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** Shared winnowing-selection CTE prefix (mirrors
+    * [[LlmOps.winnowFingerprints]] at k = 3, w = 4): `sel` holds the
+    * distinct (doc_id, pos, h) selections.
+    */
+  private val winnowCtePrefix: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+      |    AS tk
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, tk, greatest(len(tk) - 2, 0) AS m,
+      |    unnest(range(0, greatest(len(tk) - 2, 0))) AS pos
+      |  FROM toks),
+      |grams AS (
+      |  SELECT doc_id, m, pos,
+      |    CAST(('0x' || substring(md5(array_to_string(
+      |      list_slice(tk, pos + 1, pos + 3), ' ')), 1, 8)) AS BIGINT)
+      |      AS h
+      |  FROM g0),
+      |wins AS (
+      |  SELECT doc_id, pos, h,
+      |    unnest(range(greatest(pos - 3, 0), least(pos, m - 4) + 1))
+      |      AS j
+      |  FROM grams),
+      |ranked AS (
+      |  SELECT doc_id, j, pos, h, row_number() OVER (
+      |    PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+      |  FROM wins),
+      |sel AS (SELECT DISTINCT doc_id, pos, h FROM ranked WHERE rn = 1)"""
+      .stripMargin
+
   /** Shared recursive-reachability CTE prefix for the
     * connected-components oracles: `comp` holds (node, component =
     * min reachable id).
@@ -1431,6 +1463,29 @@ object LlmQueries extends QueryPack {
                 coalesce(col("n_fp"), lit(0L)).as("n_fp"),
                 coalesce(col("sig"), lit(0L)).cast("long").as("sig"))
         .orderBy("doc_id")
+    }),
+
+    // L2g: winnowing-based near-dup candidate pairs — the practical use
+    // of the fingerprint relation: docs sharing ≥ 3 selected
+    // fingerprints, with stop-fingerprints (boilerplate hashes in > 50
+    // docs) dropped BEFORE the self-join so a hot fingerprint can't go
+    // quadratic — the posting-cap discipline of the minhash band join.
+    "q_dedup_winnow" -> ((s, dir) => {
+      val docfp = LlmOps.winnowFingerprints(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("h")).distinct()
+        .localCheckpoint() // reused: frequency filter + both join sides
+      val keep = docfp.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+        .select("h")
+      val pruned = docfp.join(keep, "h")
+      pruned.toDF("h", "a")
+        .join(pruned.toDF("h", "b"), "h")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("a", "b")
     }),
 
     // L5c: distinct-n diversity ratios per language — the corpus-level
@@ -2897,39 +2952,32 @@ object LlmQueries extends QueryPack {
     // machinery; the (h ASC, pos DESC) rank mirrors the Spark argmax
     // over (−h, pos).
     "q_winnow_fingerprint" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(
-        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
-        |    AS tk
-        |  FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, tk, greatest(len(tk) - 2, 0) AS m,
-        |    unnest(range(0, greatest(len(tk) - 2, 0))) AS pos
-        |  FROM toks),
-        |grams AS (
-        |  SELECT doc_id, m, pos,
-        |    CAST(('0x' || substring(md5(array_to_string(
-        |      list_slice(tk, pos + 1, pos + 3), ' ')), 1, 8)) AS BIGINT)
-        |      AS h
-        |  FROM g0),
-        |wins AS (
-        |  SELECT doc_id, pos, h,
-        |    unnest(range(greatest(pos - 3, 0), least(pos, m - 4) + 1))
-        |      AS j
-        |  FROM grams),
-        |ranked AS (
-        |  SELECT doc_id, j, pos, h, row_number() OVER (
-        |    PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
-        |  FROM wins),
-        |sel AS (SELECT DISTINCT doc_id, pos, h FROM ranked WHERE rn = 1),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_fp,
-        |    CAST(sum(DISTINCT h) AS BIGINT) AS sig
-        |  FROM sel GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(n_fp, 0) AS n_fp,
-        |  coalesce(sig, 0) AS sig
-        |FROM documents d LEFT JOIN agg USING (doc_id)
-        |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+      s"""$winnowCtePrefix,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_fp,
+         |    CAST(sum(DISTINCT h) AS BIGINT) AS sig
+         |  FROM sel GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_fp, 0) AS n_fp,
+         |  coalesce(sig, 0) AS sig
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+
+    // Pair generation from the same fingerprint relation: stop
+    // fingerprints (shared by > 50 docs) dropped before the self-join,
+    // pairs kept at >= 3 shared fingerprints.
+    "q_dedup_winnow" ->
+      s"""$winnowCtePrefix,
+         |docfp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |keepfp AS (
+         |  SELECT h FROM docfp GROUP BY h
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |  FROM docfp x JOIN keepfp USING (h)
+         |  JOIN docfp y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, n_shared FROM pairs WHERE n_shared >= 3
+         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
     // Same integer counts from DuckDB's list machinery; the per-mille
     // ratio stays in integer division on both sides.
