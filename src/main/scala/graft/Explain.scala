@@ -38,6 +38,9 @@ object Explain {
                                   // shortlist + rerank vs 1-row query
     "q_simsearch_cascade_recall", // cascade certificate: every stage
                                   // crosses the same 1-row query
+    "q_simsearch_rp_recall",      // JL-projection certificate: shortlist
+                                  // + rerank + exact, all vs the 1-row
+                                  // broadcast query
     "q_text_logprob",       // cross vs broadcast one-row total
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates

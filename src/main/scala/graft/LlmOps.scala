@@ -1619,6 +1619,41 @@ object LlmOps {
     }._1
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) to
+    * `rDim` coordinates: out[p] = Σᵢ vec[i]·sign(md5(p_i)) — the dense
+    * sign projection that preserves pairwise distances within ε w.h.p.
+    * while cutting per-candidate scan cost dim/rDim ×. Deterministic
+    * [[md5Sign]] coefficients (no fitted model, identical on any
+    * cluster), each coordinate one codegen'd [[Functions.dotProduct]].
+    */
+  def rpProject(vec: Column, rDim: Int, dim: Int = 64): Column =
+    array((0 until rDim).map { p =>
+      val coeffs = array((0 until dim).map(i =>
+        lit(md5Sign(p, i).toFloat)): _*)
+      Functions.dotProduct(vec, coeffs)
+    }: _*)
+
+  /** Reduced-dimension ANN serving: shortlist by cosine in the
+    * [[rpProject]] space (4× less arithmetic per candidate at
+    * rDim = 16), exact-rerank the shortlist in full dimension — the
+    * third compression axis next to SQ8 (fewer bits) and binary (one
+    * bit): fewer DIMENSIONS. Same broadcast-query, no-shuffle plan as
+    * the other ANN paths.
+    */
+  def annRpTopK(embeddings: DataFrame, query: DataFrame, rDim: Int,
+                k: Int, shortlist: Int): DataFrame = {
+    val qr = query.select(col("q_emb"),
+                          rpProject(col("q_emb"), rDim).as("q_rvec"))
+    val short = embeddings
+      .withColumn("rvec", rpProject(col("embedding"), rDim))
+      .crossJoin(broadcast(qr))
+      .withColumn("rsim", Functions.cosine(col("rvec"), col("q_rvec")))
+      .orderBy(col("rsim").desc_nulls_last, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id", "embedding")
+    cosineTopK(short, query, k)
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003): the
     * minimum (ties → rightmost) k-gram hash of every w-window, distinct
     * per doc — any shared run of ≥ w+k−1 tokens between two docs yields

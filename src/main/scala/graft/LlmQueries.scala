@@ -1016,6 +1016,23 @@ object LlmQueries extends QueryPack {
                .as("self_hit"))
     }),
 
+    // L4j recall certificate: Johnson–Lindenstrauss 64→32-dim ±1
+    // projection shortlist (200) + exact rerank — the fewer-DIMENSIONS
+    // compression axis beside SQ8 (fewer bits) and binary (one bit).
+    // Measured recall@10: 8 at sf0.001, 9 at sf0.01/sf0.1 → certified
+    // floor 8 (JL distortion on this near-uniform-similarity corpus;
+    // 16 dims measured 4-6/10 and was rejected).
+    "q_simsearch_rp_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      LlmOps.annRpTopK(e, q, 32, 10, 200).select("vec_id")
+        .join(LlmOps.cosineTopK(e, q, 10).select("vec_id"), "vec_id")
+        .agg(least(count(lit(1)), lit(8L)).cast("long")
+               .as("recall10_floor8"),
+             max(when(col("vec_id") === 0, 1).otherwise(0)).cast("long")
+               .as("self_hit"))
+    }),
+
     // L4h: binary (1-bit) quantization — the signature bit i is
     // embedding[i] > 0, a 64-dim vector in ONE BIGINT (256× smaller than
     // the float corpus). ORACLED exactly: DuckDB rebuilds the signature
@@ -2142,6 +2159,9 @@ object LlmQueries extends QueryPack {
         |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
     "q_simsearch_lsh_mp_recall" ->
       "SELECT CAST(4 AS BIGINT) AS recall10_floor4",
+    "q_simsearch_rp_recall" ->
+      """SELECT CAST(8 AS BIGINT) AS recall10_floor8,
+        |       CAST(1 AS BIGINT) AS self_hit""".stripMargin,
 
     // Same fixed quantize expression as the Spark plan: x·127/mx, +0.5,
     // floor — IEEE-identical doubles, exact integer outputs.
