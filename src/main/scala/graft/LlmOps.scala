@@ -1663,27 +1663,33 @@ object LlmOps {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame =
+    // Selection runs ENTIRELY inside per-doc array expressions — no
+    // explode-then-shuffle: each window's argmin (ties → rightmost, via
+    // <= in a left fold) is a bounded HOF over the gram-hash array, so
+    // the operator is embarrassingly parallel per document and its only
+    // shuffle is whatever the caller aggregates next.
     docs
       .select(col(idCol),
               tokens(col(textCol), normalize = true).as("tk"))
       .select(col(idCol),
-              expr(s"greatest(size(tk) - ${k - 1}, 0)").as("m"),
-              posexplode(expr(
+              expr(
                 s"transform(slice(tk, 1, greatest(size(tk) - ${k - 1}, 0)), " +
-                "(x, i) -> conv(substring(md5(" +
+                "(x, i) -> CAST(conv(substring(md5(" +
                 s"array_join(slice(tk, i + 1, $k), ' ')), 1, 8), 16, 10)" +
-                ")")).as(Seq("pos", "hs")))
-      .select(col(idCol), col("pos"), col("m"),
-              col("hs").cast("long").as("h"))
-      .withColumn("lo", greatest(col("pos") - (w - 1), lit(0)))
-      .withColumn("hi", least(col("pos"), col("m") - w))
-      .withColumn("j", explode(when(col("lo") <= col("hi"),
-                                    sequence(col("lo"), col("hi")))))
-      .groupBy(idCol, "j")
-      .agg(max_by(struct(col("pos"), col("h")),
-                  struct((-col("h")).as("nh"), col("pos"))).as("sel"))
+                " AS BIGINT))").as("hs"))
+      .select(col(idCol),
+              explode(expr(
+                s"""CASE WHEN size(hs) >= $w THEN
+                   |  array_distinct(transform(sequence(0, size(hs) - $w),
+                   |    j -> aggregate(sequence(j, j + ${w - 1}),
+                   |      named_struct('pos', -1, 'h',
+                   |                   CAST(9223372036854775807 AS BIGINT)),
+                   |      (acc, i) -> IF(element_at(hs, i + 1) <= acc.h,
+                   |        named_struct('pos', i,
+                   |                     'h', element_at(hs, i + 1)),
+                   |        acc))))
+                   |ELSE array() END""".stripMargin)).as("sel"))
       .select(col(idCol), col("sel.pos").as("pos"), col("sel.h").as("h"))
-      .distinct()
 
   /** Deterministic synthetic link graph: each id in `ids` (single column
     * `id`) emits `outDeg` edges to md5-derived targets in [0, n) — the
