@@ -443,6 +443,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(three.map(_._2).toSeq === Seq(false, false, false, true))
   }
 
+  test("sequenceMatchTime: agrees with brute-force chain enumeration " +
+       "on 60 seeded random series") {
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c", "x")
+    val rows = (0 until 60).flatMap { u =>
+      (0 until 12 + rnd.nextInt(14)).map { i =>
+        (u.toLong, types(rnd.nextInt(4)),
+         ts(f"2024-01-01 00:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"))
+      }
+    }
+    val gap = 300L // 5 minutes
+    // brute force: does ANY (a, b, c) subsequence with strict order and
+    // every consecutive gap < 300 s exist?
+    def brute(evts: Seq[(String, Long)]): Boolean = {
+      val as = evts.filter(_._1 == "a").map(_._2)
+      val bs = evts.filter(_._1 == "b").map(_._2)
+      val cs = evts.filter(_._1 == "c").map(_._2)
+      as.exists(ta => bs.exists(tb => tb > ta && tb - ta < gap &&
+        cs.exists(tc => tc > tb && tc - tb < gap)))
+    }
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      u -> brute(es.map(e => (e._2, e._3.getTime / 1000)))
+    }
+    val got = Analytics.sequenceMatchTime(
+        rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("a", "b", "c"), gap)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === expected)
+    assert(expected.values.exists(identity) &&
+           !expected.values.forall(identity)) // non-degenerate fixture
+  }
+
   test("rollingZscoreFlags: flags exactly invariant under per-series " +
        "integer scale and translation (the integer predicate's algebra)") {
     // (v·n − s1)² > σ²·(n·s2 − s1²) maps v → c·v + d to both sides × c²
