@@ -55,6 +55,7 @@ object Explain {
     "q_graph_pagerank",     // cross vs broadcast one-row node count
                             // (edge-target modulus)
     "q_graph_trustrank",    // same one-row count cross (seed split)
+    "q_split_leakage_safe", // cross vs broadcast one-row no-span proof
     "q_bitext_mine",        // labeled-quadratic exact margin baseline:
                             // cross vs the explicitly broadcast smaller
                             // language shard (banded path = embed-LSH)
@@ -95,6 +96,7 @@ object Explain {
     "q_graph_pagerank",        // one-row node-count aggregate; the
                                // final top-20 is TakeOrdered
     "q_graph_trustrank",       // same shape, seed-personalized
+    "q_split_leakage_safe",    // one-row max-splits-per-cluster proof
     "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream

@@ -1505,6 +1505,36 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    // L2h: leakage-safe train/holdout split — the group-aware split a
+    // naive per-doc hash gets WRONG: near-duplicates must land in the
+    // SAME split or the holdout leaks into training. Split key = the
+    // duplicate-cluster id (connected components over the Jaccard pair
+    // graph; singletons cluster with themselves), assignment = md5 of
+    // the CLUSTER id (80/20). Output is the audit shape: per-split
+    // doc/cluster counts plus an in-plan proof that no cluster spans
+    // splits (max distinct splits per cluster — must be 1).
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val comp = LlmOps.connectedComponentsStar(
+        LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.2))
+      val assigned = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(conv(substring(md5(col("cluster").cast("string")), 1, 8),
+                    16, 10).cast("long") % 10 < 8, "train")
+            .otherwise(lit("holdout")))
+      val spans = assigned.groupBy("cluster")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .agg(max("n_splits").cast("long").as("max_splits_per_cluster"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(broadcast(spans))
+        .orderBy("split")
+    }),
+
     // L5c: distinct-n diversity ratios per language — the corpus-level
     // diversity diagnostic synthetic-data evals report (collapsed
     // distinct-2/distinct-3 flags mode collapse long before loss does).
@@ -1998,6 +2028,28 @@ object LlmQueries extends QueryPack {
     // identical clustering contract, different distributed algorithm
     "q_dedup_components_star" -> componentsOracleSql,
     "q_dedup_cluster_keep" -> clusterKeepOracleSql,
+
+    // Same reachability prefix; the md5 split hash is the lshProjSql
+    // hex-cast idiom, and the no-span proof is stated identically.
+    "q_split_leakage_safe" ->
+      s"""$componentsCtePrefix,
+         |assigned AS (
+         |  SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS cluster,
+         |    CASE WHEN CAST(('0x' || substring(md5(
+         |        CAST(coalesce(c.component, d.doc_id) AS VARCHAR)),
+         |        1, 8)) AS BIGINT) % 10 < 8
+         |      THEN 'train' ELSE 'holdout' END AS split
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |spans AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS max_splits_per_cluster
+         |  FROM (SELECT cluster, count(DISTINCT split) AS n
+         |        FROM assigned GROUP BY cluster) t)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters, max_splits_per_cluster
+         |FROM assigned CROSS JOIN spans
+         |GROUP BY split, max_splits_per_cluster
+         |ORDER BY split NULLS FIRST""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tf AS (
