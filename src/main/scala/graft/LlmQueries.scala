@@ -33,6 +33,51 @@ object LlmQueries extends QueryPack {
   private val RrfK = 60
   private val RrfOutK = 10
 
+  // q_bpe_train knob: number of learned merges.
+  private val BpeIters = 5
+
+  /** DuckDB mirror of q_bpe_train: the same [[BpeIters]] chained
+    * count→argmax→map-merge rounds, generated from the same constant.
+    */
+  private def bpeOracleSql: String = {
+    val iters = (1 to BpeIters).map { k =>
+      s"""p$k AS (
+         |  SELECT sym[i] AS a, sym[i + 1] AS b,
+         |    CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM (SELECT cnt, sym, unnest(range(1, len(sym))) AS i
+         |        FROM v${k - 1}) g
+         |  WHERE sym[i] <> sym[i + 1]
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, total FROM p$k
+         |        ORDER BY total DESC, a, b LIMIT 1),
+         |v$k AS (
+         |  SELECT word, cnt,
+         |    list_filter(list_transform(range(1, len(sym) + 1), i ->
+         |      CASE WHEN sym[i] = bb.a AND i < len(sym)
+         |             AND sym[i + 1] = bb.b THEN sym[i] || sym[i + 1]
+         |           WHEN i > 1 AND sym[i - 1] = bb.a AND sym[i] = bb.b
+         |             THEN NULL
+         |           ELSE sym[i] END), x -> x IS NOT NULL) AS sym
+         |  FROM v${k - 1} CROSS JOIN b$k bb)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeIters).map(k =>
+      s"SELECT $k AS step, a || ' ' || b AS pair, total FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    list_transform(range(1, length(word) + 1),
+       |                   i -> word[i]) AS sym
+       |  FROM (SELECT unnest(list_filter(string_split(regexp_replace(
+       |          lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+       |          t -> t <> '')) AS word
+       |        FROM documents) t
+       |  GROUP BY word),
+       |$iters
+       |SELECT CAST(step AS BIGINT) AS step, pair, total FROM (
+       |$out) u
+       |ORDER BY step NULLS FIRST""".stripMargin
+  }
+
   // q_graph_pagerank / q_graph_trustrank knobs (same
   // interpolate-into-oracle discipline): out-degree of the synthesized
   // link graph, iteration count, TrustRank's vetted seed sources.
@@ -1505,6 +1550,61 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    // L5d: BPE merge learning (Sennrich et al. 2016) — the canonical
+    // tokenizer-training loop, not the regex approximation
+    // q_text_bpe_tokens applies: [[BpeIters]] rounds of (adjacent-pair
+    // count over the frequency-weighted word vocabulary → argmax →
+    // merge everywhere). The merge application is a pure per-word array
+    // MAP (position i emits a‖b on a match, drops when consumed as a
+    // match's second element): map-only application is exact because
+    // candidacy is restricted to a ≠ b pairs, where matches can never
+    // overlap — self-pair merges (aaa-style) would need sequential
+    // greedy state that engines disagree on, so they are excluded by
+    // construction. Each round: one explode + hash aggregate over the
+    // VOCABULARY (types, not tokens — the corpus is touched once) and
+    // a one-row broadcast argmax. Emits the learned merge table.
+    "q_bpe_train" -> ((s, dir) => {
+      var v = Tables(s, dir, "documents")
+        .select(explode(LlmOps.tokens(col("text"), normalize = true))
+                  .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"),
+                expr("transform(sequence(1, length(word)), " +
+                     "i -> substring(word, i, 1))").as("sym"))
+        .localCheckpoint()
+      val merges = (1 to BpeIters).map { step =>
+        val best = v
+          .select(col("cnt"), explode(expr(
+              "CASE WHEN size(sym) >= 2 THEN " +
+              "filter(transform(sequence(1, size(sym) - 1), i -> " +
+              "named_struct('a', element_at(sym, i), " +
+              "'b', element_at(sym, i + 1))), x -> x.a != x.b) " +
+              "ELSE array() END")).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum("cnt").as("total"))
+          .orderBy(col("total").desc, col("a"), col("b")).limit(1)
+          .withColumn("step", lit(step.toLong))
+          .localCheckpoint()
+        v = v.crossJoin(broadcast(
+              best.select(col("a").as("__a"), col("b").as("__b"))))
+          .select(col("word"), col("cnt"), expr(
+            "filter(transform(sequence(1, size(sym)), i -> " +
+            "CASE WHEN element_at(sym, i) = __a AND i < size(sym) " +
+            "AND element_at(sym, i + 1) = __b THEN concat(__a, __b) " +
+            "WHEN i > 1 AND element_at(sym, i - 1) = __a " +
+            "AND element_at(sym, i) = __b THEN NULL " +
+            "ELSE element_at(sym, i) END), x -> x IS NOT NULL)")
+            .as("sym"))
+          .localCheckpoint()
+        best
+      }
+      merges.reduce(_ unionByName _)
+        .select(col("step"),
+                concat(col("a"), lit(" "), col("b")).as("pair"),
+                col("total"))
+        .orderBy("step")
+    }),
+
     // L2h: leakage-safe train/holdout split — the group-aware split a
     // naive per-doc hash gets WRONG: near-duplicates must land in the
     // SAME split or the holdout leaks into training. Split key = the
@@ -2813,6 +2913,7 @@ object LlmQueries extends QueryPack {
 
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
+    "q_bpe_train" -> bpeOracleSql,
 
     // Full margin replication: same cosSql pairs, same rank-ordered
     // 4-NN list fold, same floor(×10⁶) integerization.
