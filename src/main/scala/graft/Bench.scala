@@ -77,7 +77,7 @@ object Bench {
     "q_rrf_fusion", "q_graph_pagerank", "q_graph_trustrank",
     "q_win_zscore", "q_bitext_mine", "q_winnow_fingerprint",
     "q_dedup_winnow", "q_text_distinct_n", "q_split_leakage_safe",
-    "q_bpe_train")
+    "q_bpe_train", "q_bpe_apply")
 
   /** Deterministic CPU calibration: `threads` concurrent 2·10⁸-step LCG
     * folds, wall-clock in ms. The harness VM's per-core speed shifts

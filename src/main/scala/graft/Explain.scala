@@ -57,6 +57,7 @@ object Explain {
     "q_graph_trustrank",    // same one-row count cross (seed split)
     "q_split_leakage_safe", // cross vs broadcast one-row no-span proof
     "q_bpe_train",          // per-round cross vs broadcast 1-row argmax
+    "q_bpe_apply",          // same rounds + one-row stats crosses
     "q_bitext_mine",        // labeled-quadratic exact margin baseline:
                             // cross vs the explicitly broadcast smaller
                             // language shard (banded path = embed-LSH)
@@ -99,6 +100,7 @@ object Explain {
     "q_graph_trustrank",       // same shape, seed-personalized
     "q_split_leakage_safe",    // one-row max-splits-per-cluster proof
     "q_bpe_train",             // one-row argmax (TakeOrdered) per round
+    "q_bpe_apply",             // same + one-row stats aggregates
     "q_curation_rag",          // inherits q_dsir's one-row totals
     // global one-row STATISTIC aggregates (q_agg_global shape): the
     // exchange moves one pre-aggregated partial row per upstream

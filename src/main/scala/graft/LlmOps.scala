@@ -1619,6 +1619,53 @@ object LlmOps {
     }._1
   }
 
+  /** BPE merge learning (Sennrich et al. 2016) over the
+    * frequency-weighted word vocabulary: `iters` rounds of
+    * adjacent-pair count → one-row argmax → merge-everywhere. The merge
+    * application is a pure per-word array map — exact because candidacy
+    * is restricted to a ≠ b pairs, the only overlap-free case (self-pair
+    * merges need sequential greedy state engines disagree on). Returns
+    * (merge table: step, a, b, total; final symbolized vocabulary:
+    * word, cnt, sym).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               iters: Int): (DataFrame, DataFrame) = {
+    var v = docs
+      .select(explode(tokens(col(textCol), normalize = true)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+              expr("transform(sequence(1, length(word)), " +
+                   "i -> substring(word, i, 1))").as("sym"))
+      .localCheckpoint()
+    val merges = (1 to iters).map { step =>
+      val best = v
+        .select(col("cnt"), explode(expr(
+            "CASE WHEN size(sym) >= 2 THEN " +
+            "filter(transform(sequence(1, size(sym) - 1), i -> " +
+            "named_struct('a', element_at(sym, i), " +
+            "'b', element_at(sym, i + 1))), x -> x.a != x.b) " +
+            "ELSE array() END")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("cnt").as("total"))
+        .orderBy(col("total").desc, col("a"), col("b")).limit(1)
+        .withColumn("step", lit(step.toLong))
+        .localCheckpoint()
+      v = v.crossJoin(broadcast(
+            best.select(col("a").as("__a"), col("b").as("__b"))))
+        .select(col("word"), col("cnt"), expr(
+          "filter(transform(sequence(1, size(sym)), i -> " +
+          "CASE WHEN element_at(sym, i) = __a AND i < size(sym) " +
+          "AND element_at(sym, i + 1) = __b THEN concat(__a, __b) " +
+          "WHEN i > 1 AND element_at(sym, i - 1) = __a " +
+          "AND element_at(sym, i) = __b THEN NULL " +
+          "ELSE element_at(sym, i) END), x -> x IS NOT NULL)")
+          .as("sym"))
+        .localCheckpoint()
+      best
+    }
+    (merges.reduce(_ unionByName _), v)
+  }
+
   /** Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) to
     * `rDim` coordinates: out[p] = Σᵢ vec[i]·sign(md5(p_i)) — the dense
     * sign projection that preserves pairwise distances within ε w.h.p.

@@ -36,10 +36,11 @@ object LlmQueries extends QueryPack {
   // q_bpe_train knob: number of learned merges.
   private val BpeIters = 5
 
-  /** DuckDB mirror of q_bpe_train: the same [[BpeIters]] chained
+  /** Shared DuckDB CTE chain for the BPE trainer: v0 (symbolized
+    * frequency-weighted vocabulary) plus [[BpeIters]] chained
     * count→argmax→map-merge rounds, generated from the same constant.
     */
-  private def bpeOracleSql: String = {
+  private def bpeCte: String = {
     val iters = (1 to BpeIters).map { k =>
       s"""p$k AS (
          |  SELECT sym[i] AS a, sym[i + 1] AS b,
@@ -60,9 +61,6 @@ object LlmQueries extends QueryPack {
          |           ELSE sym[i] END), x -> x IS NOT NULL) AS sym
          |  FROM v${k - 1} CROSS JOIN b$k bb)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeIters).map(k =>
-      s"SELECT $k AS step, a || ' ' || b AS pair, total FROM b$k")
-      .mkString("\nUNION ALL\n")
     s"""WITH v0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
        |    list_transform(range(1, length(word) + 1),
@@ -72,11 +70,31 @@ object LlmQueries extends QueryPack {
        |          t -> t <> '')) AS word
        |        FROM documents) t
        |  GROUP BY word),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val out = (1 to BpeIters).map(k =>
+      s"SELECT $k AS step, a || ' ' || b AS pair, total FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""$bpeCte
        |SELECT CAST(step AS BIGINT) AS step, pair, total FROM (
        |$out) u
        |ORDER BY step NULLS FIRST""".stripMargin
   }
+
+  private def bpeApplyOracleSql: String =
+    s"""$bpeCte,
+       |stats AS (
+       |  SELECT CAST(sum(cnt * len(sym)) AS BIGINT) AS total_symbols,
+       |    CAST(sum(cnt * length(word)) AS BIGINT) AS total_chars
+       |  FROM v$BpeIters),
+       |types AS (
+       |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_symbol_types
+       |  FROM (SELECT unnest(sym) AS s FROM v$BpeIters) t)
+       |SELECT total_symbols, total_chars, n_symbol_types,
+       |  (total_symbols * 1000) // total_chars AS compression_pm
+       |FROM stats CROSS JOIN types""".stripMargin
 
   // q_graph_pagerank / q_graph_trustrank knobs (same
   // interpolate-into-oracle discipline): out-degree of the synthesized
@@ -1563,46 +1581,37 @@ object LlmQueries extends QueryPack {
     // construction. Each round: one explode + hash aggregate over the
     // VOCABULARY (types, not tokens — the corpus is touched once) and
     // a one-row broadcast argmax. Emits the learned merge table.
-    "q_bpe_train" -> ((s, dir) => {
-      var v = Tables(s, dir, "documents")
-        .select(explode(LlmOps.tokens(col("text"), normalize = true))
-                  .as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("cnt"),
-                expr("transform(sequence(1, length(word)), " +
-                     "i -> substring(word, i, 1))").as("sym"))
-        .localCheckpoint()
-      val merges = (1 to BpeIters).map { step =>
-        val best = v
-          .select(col("cnt"), explode(expr(
-              "CASE WHEN size(sym) >= 2 THEN " +
-              "filter(transform(sequence(1, size(sym) - 1), i -> " +
-              "named_struct('a', element_at(sym, i), " +
-              "'b', element_at(sym, i + 1))), x -> x.a != x.b) " +
-              "ELSE array() END")).as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(sum("cnt").as("total"))
-          .orderBy(col("total").desc, col("a"), col("b")).limit(1)
-          .withColumn("step", lit(step.toLong))
-          .localCheckpoint()
-        v = v.crossJoin(broadcast(
-              best.select(col("a").as("__a"), col("b").as("__b"))))
-          .select(col("word"), col("cnt"), expr(
-            "filter(transform(sequence(1, size(sym)), i -> " +
-            "CASE WHEN element_at(sym, i) = __a AND i < size(sym) " +
-            "AND element_at(sym, i + 1) = __b THEN concat(__a, __b) " +
-            "WHEN i > 1 AND element_at(sym, i - 1) = __a " +
-            "AND element_at(sym, i) = __b THEN NULL " +
-            "ELSE element_at(sym, i) END), x -> x IS NOT NULL)")
-            .as("sym"))
-          .localCheckpoint()
-        best
-      }
-      merges.reduce(_ unionByName _)
+    "q_bpe_train" -> ((s, dir) =>
+      LlmOps.bpeTrain(Tables(s, dir, "documents"), "text", BpeIters)._1
         .select(col("step"),
                 concat(col("a"), lit(" "), col("b")).as("pair"),
                 col("total"))
-        .orderBy("step")
+        .orderBy("step")),
+
+    // L5d': the trained merges APPLIED — corpus-level segmentation
+    // stats of the post-merge vocabulary (symbols weighted by word
+    // frequency): total symbol count, distinct symbol inventory, and
+    // the chars→symbols compression per-mille — the round-trip check a
+    // tokenizer-training pipeline reports. All exact integers.
+    "q_bpe_apply" -> ((s, dir) => {
+      val vocab = LlmOps.bpeTrain(
+        Tables(s, dir, "documents"), "text", BpeIters)._2
+      val flat = vocab.select(explode(col("sym")).as("s"))
+      vocab
+        .select(col("cnt"),
+                size(col("sym")).cast("long").as("n_sym"),
+                length(col("word")).cast("long").as("n_chars"))
+        .agg(sum(col("cnt") * col("n_sym")).cast("long")
+               .as("total_symbols"),
+             sum(col("cnt") * col("n_chars")).cast("long")
+               .as("total_chars"))
+        .crossJoin(broadcast(
+          flat.agg(countDistinct(col("s")).cast("long")
+                     .as("n_symbol_types"))))
+        .select(col("total_symbols"), col("total_chars"),
+                col("n_symbol_types"),
+                expr("(total_symbols * 1000) div total_chars")
+                  .as("compression_pm"))
     }),
 
     // L2h: leakage-safe train/holdout split — the group-aware split a
@@ -2914,6 +2923,7 @@ object LlmQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_bpe_train" -> bpeOracleSql,
+    "q_bpe_apply" -> bpeApplyOracleSql,
 
     // Full margin replication: same cosSql pairs, same rank-ordered
     // 4-NN list fold, same floor(×10⁶) integerization.
