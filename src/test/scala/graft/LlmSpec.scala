@@ -862,6 +862,28 @@ class LlmSpec extends SparkSpec {
     assert(out.max > 150000000L)
   }
 
+  test("bpeTrain: the textbook corpus learns (e,s), (es,t), (l,o) " +
+       "in order, and the vocabulary reflects the applied merges") {
+    // low x5, lower x2, newest x6, widest x3 — the Sennrich example
+    // shape. Hand-computed: round 1 ties (e,s)=9 with (s,t)=9, broken
+    // lexicographically; round 2 (es,t)=9; round 3 ties (l,o)=7 with
+    // (o,w)=7, broken the same way.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val (merges, vocab) = LlmOps.bpeTrain(Seq(corpus).toDF("text"),
+                                          "text", 3)
+    val m = merges.orderBy("step")
+      .select("a", "b", "total").as[(String, String, Long)].collect()
+    assert(m.toSeq === Seq(("e", "s", 9L), ("es", "t", 9L),
+                           ("l", "o", 7L)))
+    val sym = vocab.select("word", "sym")
+      .as[(String, Seq[String])].collect().toMap
+    assert(sym("low") === Seq("lo", "w"))
+    assert(sym("newest") === Seq("n", "e", "w", "est"))
+    assert(sym("widest") === Seq("w", "i", "d", "est"))
+    assert(sym("lower") === Seq("lo", "w", "e", "r"))
+  }
+
   test("winnowFingerprints: docs sharing a >= w+k-1 token run share a " +
        "fingerprint; short docs yield none; density near 2/(w+1)") {
     val shared = "alpha beta gamma delta epsilon zeta eta"
