@@ -1619,6 +1619,54 @@ object LlmOps {
     }._1
   }
 
+  /** Per-document BM25 score over a literal query-term set — the shared
+    * lexical scorer behind q_text_bm25 and q_rrf_fusion's lexical leg.
+    * The per-term scores are summed by an ORDERED rank-ascending fold
+    * over the (unique-per-doc) token key, not a hash-aggregate sum, so
+    * the double is bit-identical across partitionings and engines (the
+    * dotSql discipline — partial-merge order otherwise carries low-bit
+    * noise that an integerized rank key cannot hide). Returns
+    * (idCol, bm25_raw, n_terms); raw text never shuffles (the term
+    * filter prunes tokens before the one narrow checkpoint).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    val perDoc = docs
+      .select(col(idCol), tokens(col(textCol), normalize = true)
+                .as("toks"))
+      .select(col(idCol), size(col("toks")).cast("double").as("dl"),
+              filter(col("toks"),
+                     t => array_contains(termArr, t)).as("qtoks"))
+      .localCheckpoint() // O(docs) narrow rows, never the raw text
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+                           avg("dl").as("avgdl"))
+    val tf = perDoc
+      .select(col(idCol), col("dl"), explode(col("qtoks")).as("token"))
+      .groupBy(idCol, "dl", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(idCol)
+      .agg(expr("aggregate(transform(array_sort(" +
+             "collect_list(struct(token, tscore))), s -> s.tscore), " +
+             "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("bm25_raw"),
+           count(lit(1)).as("n_terms"))
+  }
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String, Int),
+    (DataFrame, DataFrame)]()
+
   /** BPE merge learning (Sennrich et al. 2016) over the
     * frequency-weighted word vocabulary: `iters` rounds of
     * adjacent-pair count → one-row argmax → merge-everywhere. The merge
@@ -1626,10 +1674,21 @@ object LlmOps {
     * is restricted to a ≠ b pairs, the only overlap-free case (self-pair
     * merges need sequential greedy state engines disagree on). Returns
     * (merge table: step, a, b, total; final symbolized vocabulary:
-    * word, cnt, sym).
+    * word, cnt, sym) — memoized per (session, corpus content
+    * fingerprint, iters), the pqIndex discipline, so the train and
+    * apply query keys pay the eager rounds once per corpus.
     */
   def bpeTrain(docs: DataFrame, textCol: String,
                iters: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    bpeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = textCol + "#" + contentFingerprint(docs)
+    bpeCache.computeIfAbsent((spark, key, textCol, iters), _ =>
+      bpeTrainUncached(docs, textCol, iters))
+  }
+
+  private def bpeTrainUncached(docs: DataFrame, textCol: String,
+                               iters: Int): (DataFrame, DataFrame) = {
     var v = docs
       .select(explode(tokens(col(textCol), normalize = true)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -1637,7 +1696,7 @@ object LlmOps {
               expr("transform(sequence(1, length(word)), " +
                    "i -> substring(word, i, 1))").as("sym"))
       .localCheckpoint()
-    val merges = (1 to iters).map { step =>
+    val merges = (1 to iters).iterator.map { step =>
       val best = v
         .select(col("cnt"), explode(expr(
             "CASE WHEN size(sym) >= 2 THEN " +
@@ -1650,6 +1709,10 @@ object LlmOps {
         .orderBy(col("total").desc, col("a"), col("b")).limit(1)
         .withColumn("step", lit(step.toLong))
         .localCheckpoint()
+      // no mergeable a != b pair left: crossJoin(empty) would silently
+      // annihilate the vocabulary — stop learning instead
+      if (best.isEmpty) None else Some { best }
+    }.takeWhile(_.isDefined).map(_.get).map { best =>
       v = v.crossJoin(broadcast(
             best.select(col("a").as("__a"), col("b").as("__b"))))
         .select(col("word"), col("cnt"), expr(
@@ -1662,7 +1725,9 @@ object LlmOps {
           .as("sym"))
         .localCheckpoint()
       best
-    }
+    }.toList
+    require(merges.nonEmpty,
+            "bpeTrain: corpus has no mergeable adjacent pair")
     (merges.reduce(_ unionByName _), v)
   }
 
@@ -1705,8 +1770,10 @@ object LlmOps {
     * minimum (ties → rightmost) k-gram hash of every w-window, distinct
     * per doc — any shared run of ≥ w+k−1 tokens between two docs yields
     * a shared (h) fingerprint (the local guarantee a stride sample
-    * lacks). Portable md5 gram hashes; bounded ≤ w fan-out per gram;
-    * one hash aggregate per window. Returns (idCol, pos, h).
+    * lacks). Portable md5 gram hashes; the per-window argmin runs as a
+    * bounded fold inside per-document array expressions (see the body
+    * comment), so the operator itself is shuffle-free. Returns
+    * (idCol, pos, h), distinct per doc.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame =
@@ -1757,8 +1824,9 @@ object LlmOps {
                    col("__n")).as("dst"))
 
   /** Fixed-point link-mass propagation shared by PageRank and TrustRank:
-    * `iters` rounds of pr'(j) = base(j) + Σ_{i→j} (pr(i)·85) div 300
-    * in EXACT integer arithmetic (1.0 ≡ 10⁹), so the per-target sum is
+    * `iters` rounds of pr'(j) = base(j) + Σ_{i→j} (pr(i)·85) div
+    * (100·outDeg) in EXACT integer arithmetic (1.0 ≡ 10⁹), so the
+    * per-target sum is
     * summation-order-invariant and the recurrence hash-matches a SQL
     * replay — float propagation cannot (shuffle order). One hash join +
     * one hash aggregate per round, localCheckpoint-ed (the
@@ -1766,11 +1834,13 @@ object LlmOps {
     * node id: (id, b); `pr0` is the initial score (id, pr).
     */
   def fixedPointPropagate(base: DataFrame, pr0: DataFrame,
-                          edges: DataFrame, iters: Int): DataFrame = {
+                          edges: DataFrame, iters: Int,
+                          outDeg: Int): DataFrame = {
     var pr = pr0
     for (_ <- 1 to iters) {
       val contrib = edges.join(pr, col("src") === col("id"))
-        .select(col("dst"), expr("(pr * 85) div 300").as("c"))
+        .select(col("dst"),
+                expr(s"(pr * 85) div ${100 * outDeg}").as("c"))
         .groupBy("dst").agg(sum("c").as("cin"))
       pr = base
         .join(contrib, col("id") === col("dst"), "left")

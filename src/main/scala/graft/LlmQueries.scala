@@ -33,6 +33,43 @@ object LlmQueries extends QueryPack {
   private val RrfK = 60
   private val RrfOutK = 10
 
+  // Shared BM25 probe-term set (q_text_bm25 + q_rrf_fusion's lexical
+  // leg — one list, so the queries and both oracles cannot diverge).
+  private val BmTerms = Seq("data", "query", "row")
+
+  /** Shared DuckDB CTE chain for the BM25 scorer (mirrors
+    * [[LlmOps.bm25Scores]] at k1 = 1.2, b = 0.75): `tsc` holds the
+    * per-(doc, token) term scores; callers fold `list(tscore ORDER BY
+    * token)` — the same rank-ascending ordered sum as the Spark side.
+    */
+  private def bm25CtePrefix: String = {
+    val termIn = BmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(regexp_replace(
+       |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
+       |    AS tk
+       |  FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+       |  WHERE t IN ($termIn)
+       |  GROUP BY doc_id, t),
+       |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
+       |            AS df
+       |          FROM tf GROUP BY token),
+       |tsc AS (
+       |  SELECT tf.doc_id, token,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * tf * 2.2
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS tscore
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats)""".stripMargin
+  }
+
   // q_bpe_train knob: number of learned merges.
   private val BpeIters = 5
 
@@ -112,7 +149,8 @@ object LlmQueries extends QueryPack {
   private def propagateOracleSql(baseCte: String, pr0Cte: String): String = {
     val iters = (1 to PrIters).map { k =>
       s"""c$k AS (
-         |  SELECT e.dst AS id, sum((p.pr * 85) // 300) AS cin
+         |  SELECT e.dst AS id,
+         |    sum((p.pr * 85) // ${100 * PrOutDeg}) AS cin
          |  FROM edges e JOIN pr${k - 1} p ON e.src = p.id
          |  GROUP BY e.dst),
          |pr$k AS (
@@ -560,39 +598,12 @@ object LlmQueries extends QueryPack {
     // before any shuffle; document-frequency and average-doc-length
     // are broadcast aggregates; raw text never shuffles. Sum of ≤3
     // per-term doubles, rounded for cross-engine float parity.
-    "q_text_bm25" -> ((s, dir) => {
-      val terms = Seq("data", "query", "row")
-      val k1 = 1.2; val b = 0.75
-      val termArr = array(terms.map(lit): _*)
-      val perDoc = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-                LlmOps.tokens(col("text"), normalize = true).as("toks"))
-        .select(col("doc_id"),
-                size(col("toks")).cast("double").as("dl"),
-                filter(col("toks"),
-                       t => array_contains(termArr, t)).as("qtoks"))
-        .localCheckpoint() // O(docs) narrow rows, never the raw text
-      val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
-                             avg("dl").as("avgdl"))
-      val tf = perDoc
-        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("token"))
-        .groupBy("doc_id", "dl", "token")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfreq = tf.groupBy("token")
-        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      tf.join(broadcast(dfreq), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("tscore",
-          col("idf") * col("tf") * lit(k1 + 1.0) /
-            (col("tf") + lit(k1) *
-              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id")
-        .agg(round(sum("tscore"), 4).as("bm25"),
-             count(lit(1)).as("n_terms"))
-        .orderBy("doc_id")
-    }),
+    "q_text_bm25" -> ((s, dir) =>
+      LlmOps.bm25Scores(Tables(s, dir, "documents"), "doc_id", "text",
+                        BmTerms)
+        .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"),
+                col("n_terms"))
+        .orderBy("doc_id")),
 
     // L6d: inverted-index posting lists for the same query vocabulary —
     // token → (document frequency, first ≤50 postings). The posting cap
@@ -769,46 +780,21 @@ object LlmQueries extends QueryPack {
     // q_simsearch_topk broadcast-query scan), cut to a top-[[RrfLegK]]
     // shortlist by TakeOrderedAndProject BEFORE the single-partition
     // rank window, so the window only ever sees [[RrfLegK]] rows. The
-    // lexical rank key is floor(bm25 × 10⁴) — the q_classify_nb
-    // integerization discipline — so cross-engine ln ulp drift can't
-    // flip an ordering; the dense key is the cosSql-replicated raw
-    // cosine (mul/add/sqrt only, correctly rounded in both engines).
+    // lexical rank key is floor(bm25 × 10⁴) over the ORDERED-fold sum
+    // of [[LlmOps.bm25Scores]] (rank-ascending by token in BOTH
+    // engines — a hash-aggregate sum's partial-merge order would carry
+    // low-bit noise the integerization can't hide); the dense key is
+    // the cosSql-replicated raw cosine (mul/add/sqrt only, correctly
+    // rounded in both engines).
     // Doc and vector ids coincide in the harness corpus (FIXTURES.md:
     // doc_id = vec_id = 0..N-1), standing in for the doc→embedding
     // id mapping a production pipeline carries.
     "q_rrf_fusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val terms = Seq("data", "query", "row")
-      val k1 = 1.2; val b = 0.75
-      val termArr = array(terms.map(lit): _*)
-      val perDoc = Tables(s, dir, "documents")
+      val lexTop = LlmOps.bm25Scores(Tables(s, dir, "documents"),
+                                     "doc_id", "text", BmTerms)
         .select(col("doc_id"),
-                LlmOps.tokens(col("text"), normalize = true).as("toks"))
-        .select(col("doc_id"),
-                size(col("toks")).cast("double").as("dl"),
-                filter(col("toks"),
-                       t => array_contains(termArr, t)).as("qtoks"))
-        .localCheckpoint() // O(docs) narrow rows, never the raw text
-      val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
-                             avg("dl").as("avgdl"))
-      val tf = perDoc
-        .select(col("doc_id"), col("dl"),
-                explode(col("qtoks")).as("token"))
-        .groupBy("doc_id", "dl", "token")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfreq = tf.groupBy("token")
-        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      val lexTop = tf.join(broadcast(dfreq), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
-            + 1.0))
-        .withColumn("tscore",
-          col("idf") * col("tf") * lit(k1 + 1.0) /
-            (col("tf") + lit(k1) *
-              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id")
-        .agg(expr("CAST(floor(sum(tscore) * 10000) AS BIGINT)").as("ls"))
+                expr("CAST(floor(bm25_raw * 10000) AS BIGINT)").as("ls"))
         .orderBy(col("ls").desc, col("doc_id")).limit(RrfLegK)
         .withColumn("lex_rank",
           row_number().over(
@@ -917,7 +903,7 @@ object LlmQueries extends QueryPack {
       LlmOps.fixedPointPropagate(
           ids.withColumn("b", lit(150000000L)),
           ids.select(col("id"), lit(1000000000L).as("pr")),
-          edges, PrIters)
+          edges, PrIters, PrOutDeg)
         .orderBy(col("pr").desc, col("id")).limit(20)
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
@@ -935,6 +921,11 @@ object LlmQueries extends QueryPack {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), col("source"))
       val seed = col("source").isin(TrSeedSources: _*)
+      // n_seed = 0 would integer-divide by zero → all-null scores that
+      // LOOK like output; fail fast instead (fixture drift guard)
+      require(docs.filter(seed).limit(1).count() > 0,
+              s"q_graph_trustrank: no docs from seed sources " +
+                TrSeedSources.mkString(","))
       val nDf = docs.agg(count(lit(1)).as("n_nodes"),
                          count(when(seed, 1)).as("n_seed"))
       val withN = docs.crossJoin(broadcast(nDf))
@@ -947,7 +938,7 @@ object LlmQueries extends QueryPack {
       val edges = LlmOps.md5LinkEdges(
           docs.select("id"), docs.agg(count(lit(1))), PrOutDeg)
         .localCheckpoint()
-      LlmOps.fixedPointPropagate(base, pr0, edges, PrIters)
+      LlmOps.fixedPointPropagate(base, pr0, edges, PrIters, PrOutDeg)
         .orderBy(col("pr").desc, col("id")).limit(20)
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
@@ -1525,10 +1516,8 @@ object LlmQueries extends QueryPack {
     // select the minimum (ties → rightmost) — guaranteeing any shared
     // run of ≥ 6 tokens yields a shared fingerprint at ~2/(w+1)
     // density, the local-fingerprint property a plain stride sample
-    // lacks. Relational form: each gram hash fans out to the ≤ 4
-    // windows containing it (bounded explode, the rolling-distinct
-    // shape), one hash aggregate per window picks the argmin via
-    // max_by over (−h, pos), distinct selections collapse, and the
+    // lacks. The selection ([[LlmOps.winnowFingerprints]]) runs as
+    // bounded per-document array folds — shuffle-free — and the
     // per-doc rollup emits count + an order-free sum(DISTINCT h)
     // signature — exact integers end to end.
     "q_winnow_fingerprint" -> ((s, dir) => {
@@ -2894,31 +2883,16 @@ object LlmQueries extends QueryPack {
         |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
         |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
 
+    // Ordered-fold sum (list ORDER BY token) — the same rank-ascending
+    // fold as [[LlmOps.bm25Scores]], so the double is bit-identical.
     "q_text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(
-        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |dl AS (
-        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |                 avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
-        |  WHERE t IN ('data', 'query', 'row')
-        |  GROUP BY doc_id, t),
-        |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
-        |            AS df
-        |          FROM tf GROUP BY token)
-        |SELECT tf.doc_id,
-        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |    * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
-        |    4) AS bm25,
-        |  count(*) AS n_terms
-        |FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-        |CROSS JOIN stats
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id NULLS FIRST""".stripMargin,
+      s"""$bm25CtePrefix
+         |SELECT doc_id,
+         |  round(list_aggregate(list(tscore ORDER BY token), 'sum'), 4)
+         |    AS bm25,
+         |  count(*) AS n_terms
+         |FROM tsc GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
@@ -2964,31 +2938,13 @@ object LlmQueries extends QueryPack {
     // top-RrfLegK, ranks fused with CAST-to-DOUBLE reciprocal sums so
     // DuckDB's DECIMAL division never enters.
     "q_rrf_fusion" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(regexp_replace(
-         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')
-         |    AS tk
-         |  FROM documents),
-         |dl AS (
-         |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |                 avg(dl) AS avgdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
-         |  WHERE t IN ('data', 'query', 'row')
-         |  GROUP BY doc_id, t),
-         |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE)
-         |            AS df
-         |          FROM tf GROUP BY token),
+      s"""$bm25CtePrefix,
          |lex AS (
-         |  SELECT tf.doc_id,
-         |    CAST(floor(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |      * tf * 2.2
-         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+         |  SELECT doc_id,
+         |    CAST(floor(
+         |      list_aggregate(list(tscore ORDER BY token), 'sum')
          |      * 10000) AS BIGINT) AS ls
-         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats GROUP BY tf.doc_id),
+         |  FROM tsc GROUP BY doc_id),
          |lex_top AS (
          |  SELECT doc_id,
          |    row_number() OVER (ORDER BY ls DESC, doc_id) AS lex_rank

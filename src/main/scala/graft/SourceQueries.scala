@@ -137,8 +137,12 @@ object SourceQueries extends QueryPack {
     // long round-trip, partition-column recovery) through the driver's
     // cross-engine gate — not just the SourcesSpec unit contract.
     "q_scan_jsonl" -> ((s, dir) => {
+      // path carries the Spark application id: two concurrent harness
+      // processes (or a dir hashCode collision) must never share an
+      // overwrite-mode export directory
       val out = sys.props("java.io.tmpdir") +
-        s"/graft_jsonl_scan_${Integer.toHexString(dir.hashCode)}"
+        s"/graft_jsonl_scan_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode)
       Sources.writeJsonlShards(
         Tables(s, dir, "documents")
           .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(8))),

@@ -543,7 +543,9 @@ object Streaming {
           .filter(col("batch") =!= batchId) // a crashed attempt's leftover
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= lookback) // each key's latest tail only
-          .drop("__rn")
+          // drop the hive partition column read back as data — writing
+          // it under batch=-1 would shadow the new partition dir value
+          .drop("__rn", "batch")
           .localCheckpoint() // sever lineage: we replace the source below
         if (fs.exists(tmp)) fs.delete(tmp, true)
         folded.write.mode("overwrite").partitionBy("__bucket")

@@ -917,7 +917,7 @@ class LlmSpec extends SparkSpec {
       .toDF("id", "pr")
     val edges = Seq((0L, 1L), (1L, 2L), (3L, 0L), (4L, 3L))
       .toDF("src", "dst")
-    val out = LlmOps.fixedPointPropagate(base, pr0, edges, 5)
+    val out = LlmOps.fixedPointPropagate(base, pr0, edges, 5, 3)
       .orderBy("id").as[(Long, Long)].collect().toMap
     assert(out(3L) === 0L && out(4L) === 0L)
     assert(out(0L) >= 100L && out(1L) > 0L && out(2L) > 0L)
