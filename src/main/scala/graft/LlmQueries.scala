@@ -550,8 +550,8 @@ object LlmQueries extends QueryPack {
     // member count, characters dropped.
     "q_dedup_cluster_keep" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val comp = LlmOps.connectedComponentsStar(
-        LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.2))
+      val comp = LlmOps.jaccardComponents(docs, "doc_id", "text",
+                                          "lang", 3, 0.2)
       docs.select(col("doc_id"), col("n_chars"))
         .join(comp, col("doc_id") === col("node"), "left")
         .select(col("doc_id"), col("n_chars"),
@@ -1613,8 +1613,8 @@ object LlmQueries extends QueryPack {
     // splits (max distinct splits per cluster — must be 1).
     "q_split_leakage_safe" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val comp = LlmOps.connectedComponentsStar(
-        LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.2))
+      val comp = LlmOps.jaccardComponents(docs, "doc_id", "text",
+                                          "lang", 3, 0.2)
       val assigned = docs.select(col("doc_id"))
         .join(comp, col("doc_id") === col("node"), "left")
         .select(col("doc_id"),
