@@ -862,6 +862,23 @@ class LlmSpec extends SparkSpec {
     assert(out.max > 150000000L)
   }
 
+  test("bm25Scores: the ordered fold makes the raw score BIT-identical " +
+       "across partitionings (a hash-aggregate sum is not)") {
+    def scores(parts: Int) =
+      LlmOps.bm25Scores(docs.repartition(parts), "doc_id", "text",
+                        Seq("data", "query", "row"))
+        .select("doc_id", "bm25_raw")
+        .as[(Long, Double)].collect().toMap
+    val a = scores(1)
+    val b = scores(13)
+    assert(a.nonEmpty && a.keySet === b.keySet)
+    // exact double equality, not a tolerance: the rank-ascending fold
+    // sums the same values in the same order whatever the layout
+    assert(a.forall { case (k, v) =>
+      java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(b(k)) })
+  }
+
   test("bpeTrain: the textbook corpus learns (e,s), (es,t), (l,o) " +
        "in order, and the vocabulary reflects the applied merges") {
     // low x5, lower x2, newest x6, widest x3 — the Sennrich example
