@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains emit machine-parsed stdout (one JSON line the
+// harness tail-parses). Two sbt behaviors defeat that parser: forked-JVM
+// output is re-logged with an "[info] " prefix, and a "[success] Total
+// time" footer prints AFTER the program's last line. Route the forked
+// process's streams straight through and drop the footer so the bare
+// JSON is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// silence the false-positive unused-key lint so its [warn] block doesn't
+// pollute machine-read output
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,13 +157,17 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(24).map(_._1).toSet
     val stdoutLine = jsonLine(results.filter(r => slowest(r._1)),
       s""","n_queries":${results.size}$calib""")
-    println(stdoutLine)
     // persist the FULL map as a file so every per-query number survives
     // independent of any output-buffer scraping
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"),
       jsonLine(results, calib) + "\n")
     catch { case _: Throwable => () }
+    // stop Spark BEFORE printing: executor/UI shutdown chatter must not
+    // trail the JSON when a consumer captures stdout+stderr merged — the
+    // bare JSON line has to be the process's final output
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
   }
 }

@@ -68,7 +68,7 @@ object Explain {
   // ranking windows are documented single-task (scalable variant:
   // q_global_rownum).
   private val globalOrderExpected = Set(
-    "q_win_ntile", "q_topn", "q_scan", "q_sort", "q_project",
+    "q_topn", "q_scan", "q_sort", "q_project",
     "q_agg_global", "q_profile", "q_text_tfidf",
     "q_subquery_scalar", // scalar subquery = one-row global aggregate
     "q_tpch_q22",        // scalar avg(acctbal) subquery, same shape

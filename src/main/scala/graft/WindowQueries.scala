@@ -62,13 +62,29 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
-    // W6: ntile / percent_rank over a total order.
+    // W6: ntile / percent_rank over a total order — derived from the
+    // scale-safe [[Relational.globalRowNumber]] rank instead of an
+    // un-partitioned ranking window, which funnels the whole table
+    // through ONE task. With n the table count (one tiny count job):
+    // standard ntile hands the first n mod 4 quartiles ceil(n/4) rows
+    // and the rest floor(n/4) — closed-form from rn in exact integer
+    // division; percent_rank = (rn-1)/(n-1) (the order is total,
+    // c_custkey is unique, so rank = row_number). Every per-row stage
+    // is parallel.
     "q_win_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables(s, dir, "customer")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val n = c.count()
+      val size = n / 4; val rem = n % 4
+      val cut = rem * (size + 1) // rows living in the ceil-sized tiles
+      Relational.globalRowNumber(
+          c, Seq(col("c_acctbal"), col("c_custkey")), "rn")
         .select(col("c_custkey"),
-                ntile(4).over(w).cast("long").as("quartile"),
-                round(percent_rank().over(w), 6).as("pct_rank"))
+                (when(col("rn") <= cut,
+                      expr(s"(rn - 1) div ${size + 1}"))
+                   .otherwise(lit(rem) + expr(s"(rn - 1 - $cut) div ${math.max(size, 1L)}"))
+                 + 1L).cast("long").as("quartile"),
+                round((col("rn") - 1).cast("double") / lit((n - 1).toDouble),
+                      6).as("pct_rank"))
         .orderBy("c_custkey")
     }),
 
