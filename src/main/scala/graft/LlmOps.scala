@@ -1392,24 +1392,37 @@ object LlmOps {
     * precedent applied to the index. Entries pinned by stopped sessions
     * are evicted lazily.
     */
-  /** Content fingerprint of a DataFrame's backing files (sorted
-    * path:length:mtime triples) — the part of the PQ memo key that
-    * changes when the corpus parquet is REGENERATED IN PLACE under the
-    * same path (the harness does this between rounds): a bare dir-path
-    * key would keep serving the stale index. Driver-side listing of the
-    * already-resolved input files only; empty (memo on the caller's key
-    * alone) for non-file sources such as in-memory test frames.
+  /** Content fingerprint of a DataFrame: the canonicalized logical
+    * plan's semantic hash PLUS the backing files' sorted
+    * path:length:mtime triples. The two parts guard different hazards:
+    *
+    *  - the PLAN hash separates consumers whose frames DERIVE
+    *    differently from the same files — `docs` and `docs.filter(...)`
+    *    can never share a memoized artifact (exprIds are normalized by
+    *    canonicalization, so re-reading the same path the same way
+    *    still hits) — and separates two different IN-MEMORY frames
+    *    (LocalRelation equality covers the rows; r8's ""-fallback
+    *    silently shared one cache entry between them);
+    *  - the FILE triples change when the corpus parquet is REGENERATED
+    *    IN PLACE under the same path (the harness does this between
+    *    rounds): the plan hash alone would keep serving the stale
+    *    artifact, since a re-read of the same path canonicalizes
+    *    identically. Driver-side listing of already-resolved input
+    *    files only.
     */
   private def contentFingerprint(df: DataFrame): String = {
+    val planHash = java.lang.Integer.toHexString(
+      df.queryExecution.analyzed.canonicalized.semanticHash())
     val files = df.inputFiles
-    if (files.isEmpty) ""
+    if (files.isEmpty) s"plan:$planHash"
     else {
       val conf = df.sparkSession.sessionState.newHadoopConf()
-      files.sorted.map { f =>
+      val sig = files.sorted.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
         s"$f:${st.getLen}:${st.getModificationTime}"
       }.mkString("|")
+      s"plan:$planHash|$sig"
     }
   }
 
@@ -1441,7 +1454,7 @@ object LlmOps {
     pqCache.keySet.removeIf(k => k._1 == spark &&
       (k._2 == cacheKey || k._2.startsWith(cacheKey + "#")))
 
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Long),
     (DataFrame, DataFrame)]()
 
@@ -1619,7 +1632,7 @@ object LlmOps {
     }._1
   }
 
-  private val ccCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val ccCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   /** The duplicate-cluster map (node → component) over the exact-Jaccard
@@ -1645,13 +1658,17 @@ object LlmOps {
 
   /** Per-document BM25 score over a literal query-term set — the shared
     * lexical scorer behind q_text_bm25 and q_rrf_fusion's lexical leg.
-    * The per-term scores are summed by an ORDERED rank-ascending fold
-    * over the (unique-per-doc) token key, not a hash-aggregate sum, so
-    * the double is bit-identical across partitionings and engines (the
-    * dotSql discipline — partial-merge order otherwise carries low-bit
-    * noise that an integerized rank key cannot hide). Returns
-    * (idCol, bm25_raw, n_terms); raw text never shuffles (the term
-    * filter prunes tokens before the one narrow checkpoint).
+    * Each per-(doc, term) score is deterministic in both engines (tf /
+    * df / dl / avgdl are exact integers-in-doubles, and the score
+    * formula is single-op correctly-rounded arithmetic), so it
+    * integerizes to floor(tscore·10⁶) BEFORE the per-doc sum — and a
+    * LONG sum is order-invariant by construction, which puts the
+    * reduction back in a codegen'd hash aggregate with map-side partial
+    * combine (the q_classify_nb / PageRank fixed-point discipline; the
+    * r8 ordered collect_list+fold bought the same invariance at 1.6×
+    * the cost). Returns (idCol, bm25_e6, n_terms); raw text never
+    * shuffles (the term filter prunes tokens before the one narrow
+    * checkpoint).
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2,
@@ -1681,13 +1698,12 @@ object LlmOps {
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(idCol)
-      .agg(expr("aggregate(transform(array_sort(" +
-             "collect_list(struct(token, tscore))), s -> s.tscore), " +
-             "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("bm25_raw"),
+      .agg(sum(expr("CAST(floor(tscore * 1000000.0) AS BIGINT)"))
+             .as("bm25_e6"),
            count(lit(1)).as("n_terms"))
   }
 
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+  private[graft] val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String, Int),
     (DataFrame, DataFrame)]()
 
@@ -1750,9 +1766,20 @@ object LlmOps {
         .localCheckpoint()
       best
     }.toList
-    require(merges.nonEmpty,
-            "bpeTrain: corpus has no mergeable adjacent pair")
-    (merges.reduce(_ unionByName _), v)
+    if (merges.isEmpty) {
+      // zero mergeable a != b pairs anywhere (degenerate corpus): an
+      // EMPTY merge table plus the untouched symbolized vocabulary,
+      // not an exception — the oracle's LEFT-JOIN chain yields zero
+      // b_k rows and v_K = v0 on the same corpus, and the engines
+      // must agree on degenerate input too (ADVICE r8)
+      val spark = docs.sparkSession
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType),
+        StructField("total", LongType), StructField("step", LongType)))
+      (spark.createDataFrame(
+         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), v)
+    } else (merges.reduce(_ unionByName _), v)
   }
 
   /** Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) to

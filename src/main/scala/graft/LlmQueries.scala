@@ -76,6 +76,12 @@ object LlmQueries extends QueryPack {
   /** Shared DuckDB CTE chain for the BPE trainer: v0 (symbolized
     * frequency-weighted vocabulary) plus [[BpeIters]] chained
     * count→argmax→map-merge rounds, generated from the same constant.
+    * The merge application joins b_k with LEFT JOIN ON TRUE, not CROSS
+    * JOIN: on a corpus that exhausts its mergeable a ≠ b pairs before
+    * round k, b_k is EMPTY — a cross join would annihilate the
+    * vocabulary, while the left join passes v_{k-1} through unchanged
+    * (NULL never equals a symbol), exactly mirroring
+    * [[LlmOps.bpeTrain]]'s early stop (ADVICE r8).
     */
   private def bpeCte: String = {
     val iters = (1 to BpeIters).map { k =>
@@ -96,7 +102,7 @@ object LlmQueries extends QueryPack {
          |           WHEN i > 1 AND sym[i - 1] = bb.a AND sym[i] = bb.b
          |             THEN NULL
          |           ELSE sym[i] END), x -> x IS NOT NULL) AS sym
-         |  FROM v${k - 1} CROSS JOIN b$k bb)""".stripMargin
+         |  FROM v${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH v0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -596,13 +602,14 @@ object LlmQueries extends QueryPack {
     // join; r6 pinned it shuffle_hash, r7 removes it). Query terms are
     // a broadcast-small literal set, so the term filter prunes tokens
     // before any shuffle; document-frequency and average-doc-length
-    // are broadcast aggregates; raw text never shuffles. Sum of ≤3
-    // per-term doubles, rounded for cross-engine float parity.
+    // are broadcast aggregates; raw text never shuffles. The per-doc
+    // sum is a LONG hash aggregate over floor(tscore·10⁶) fixed-point
+    // scores — order-invariant, so partition-count and engine cannot
+    // leak into the result (see [[LlmOps.bm25Scores]]).
     "q_text_bm25" -> ((s, dir) =>
       LlmOps.bm25Scores(Tables(s, dir, "documents"), "doc_id", "text",
                         BmTerms)
-        .select(col("doc_id"), round(col("bm25_raw"), 4).as("bm25"),
-                col("n_terms"))
+        .select(col("doc_id"), col("bm25_e6"), col("n_terms"))
         .orderBy("doc_id")),
 
     // L6d: inverted-index posting lists for the same query vocabulary —
@@ -780,12 +787,12 @@ object LlmQueries extends QueryPack {
     // q_simsearch_topk broadcast-query scan), cut to a top-[[RrfLegK]]
     // shortlist by TakeOrderedAndProject BEFORE the single-partition
     // rank window, so the window only ever sees [[RrfLegK]] rows. The
-    // lexical rank key is floor(bm25 × 10⁴) over the ORDERED-fold sum
-    // of [[LlmOps.bm25Scores]] (rank-ascending by token in BOTH
-    // engines — a hash-aggregate sum's partial-merge order would carry
-    // low-bit noise the integerization can't hide); the dense key is
-    // the cosSql-replicated raw cosine (mul/add/sqrt only, correctly
-    // rounded in both engines).
+    // lexical rank key is [[LlmOps.bm25Scores]]'s fixed-point long
+    // (floor(tscore·10⁶) summed in a hash aggregate — order-invariant
+    // integers, so partition-merge order can't leak into ranks),
+    // rescaled to the e4 grid; the dense key is the cosSql-replicated
+    // raw cosine (mul/add/sqrt only, correctly rounded in both
+    // engines).
     // Doc and vector ids coincide in the harness corpus (FIXTURES.md:
     // doc_id = vec_id = 0..N-1), standing in for the doc→embedding
     // id mapping a production pipeline carries.
@@ -793,8 +800,7 @@ object LlmQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val lexTop = LlmOps.bm25Scores(Tables(s, dir, "documents"),
                                      "doc_id", "text", BmTerms)
-        .select(col("doc_id"),
-                expr("CAST(floor(bm25_raw * 10000) AS BIGINT)").as("ls"))
+        .select(col("doc_id"), expr("bm25_e6 div 100").as("ls"))
         .orderBy(col("ls").desc, col("doc_id")).limit(RrfLegK)
         .withColumn("lex_rank",
           row_number().over(
@@ -865,6 +871,11 @@ object LlmQueries extends QueryPack {
       val m = scored
         .join(knnAvg("x", "y", "ax"), "x")
         .join(knnAvg("y", "x", "ay"), "y")
+        // ax + ay = 0 (all-orthogonal/zero embeddings) would divide by
+        // zero — Spark floors an Inf/NaN to null-ish while DuckDB
+        // ERRORS on CAST(floor(inf) AS BIGINT); filter the degenerate
+        // denominator identically in both engines (ADVICE r8)
+        .filter(col("ax") + col("ay") =!= 0.0)
         .select(col("x"), col("y"),
                 expr("CAST(floor(2.0 * c * 1000000.0 / (ax + ay)) " +
                      "AS BIGINT)").as("margin_e6"))
@@ -1547,9 +1558,13 @@ object LlmQueries extends QueryPack {
       val keep = docfp.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 50)
         .select("h")
+      // rename by NAME, not position: toDF("h", "a") would silently
+      // depend on the USING join placing the key column first (ADVICE
+      // r8) — a join-shape refactor would swap columns with no error
       val pruned = docfp.join(keep, "h")
-      pruned.toDF("h", "a")
-        .join(pruned.toDF("h", "b"), "h")
+        .select(col("h"), col("doc_id"))
+      pruned.select(col("h"), col("doc_id").as("a"))
+        .join(pruned.select(col("h"), col("doc_id").as("b")), "h")
         .filter(col("a") < col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_shared"))
@@ -2883,13 +2898,14 @@ object LlmQueries extends QueryPack {
         |FROM tot LEFT JOIN dups ON tot.doc_id = dups.doc_id
         |ORDER BY tot.doc_id NULLS FIRST""".stripMargin,
 
-    // Ordered-fold sum (list ORDER BY token) — the same rank-ascending
-    // fold as [[LlmOps.bm25Scores]], so the double is bit-identical.
+    // Same fixed-point discipline as [[LlmOps.bm25Scores]]: per-term
+    // floor(tscore·10⁶) longs summed (order-invariant integers; the
+    // HUGEINT sum is cast back to BIGINT).
     "q_text_bm25" ->
       s"""$bm25CtePrefix
          |SELECT doc_id,
-         |  round(list_aggregate(list(tscore ORDER BY token), 'sum'), 4)
-         |    AS bm25,
+         |  CAST(sum(CAST(floor(tscore * 1000000.0) AS BIGINT))
+         |    AS BIGINT) AS bm25_e6,
          |  count(*) AS n_terms
          |FROM tsc GROUP BY doc_id
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
@@ -2925,7 +2941,8 @@ object LlmQueries extends QueryPack {
          |m AS (SELECT sc.x, sc.y,
          |        CAST(floor(2.0 * c * 1000000.0 / (ax + ay)) AS BIGINT)
          |          AS margin_e6
-         |      FROM sc JOIN ax USING (x) JOIN ay USING (y)),
+         |      FROM sc JOIN ax USING (x) JOIN ay USING (y)
+         |      WHERE ax + ay <> 0),
          |top AS (SELECT x, y, margin_e6, row_number() OVER (
          |          PARTITION BY x ORDER BY margin_e6 DESC, y) AS rn
          |        FROM m)
@@ -2933,17 +2950,17 @@ object LlmQueries extends QueryPack {
          |WHERE rn = 1 AND margin_e6 >= 1000000
          |ORDER BY en_id NULLS FIRST""".stripMargin,
 
-    // Full two-leg replication: the q_text_bm25 pipeline integerized to
-    // floor(×10⁴) for the rank key, the cosSql dense leg, both cut to
-    // top-RrfLegK, ranks fused with CAST-to-DOUBLE reciprocal sums so
-    // DuckDB's DECIMAL division never enters.
+    // Full two-leg replication: the q_text_bm25 fixed-point sum (e6
+    // longs, floor-rescaled to the e4 rank grid) for the lexical key,
+    // the cosSql dense leg, both cut to top-RrfLegK, ranks fused with
+    // CAST-to-DOUBLE reciprocal sums so DuckDB's DECIMAL division
+    // never enters.
     "q_rrf_fusion" ->
       s"""$bm25CtePrefix,
          |lex AS (
          |  SELECT doc_id,
-         |    CAST(floor(
-         |      list_aggregate(list(tscore ORDER BY token), 'sum')
-         |      * 10000) AS BIGINT) AS ls
+         |    CAST(sum(CAST(floor(tscore * 1000000.0) AS BIGINT))
+         |      AS BIGINT) // 100 AS ls
          |  FROM tsc GROUP BY doc_id),
          |lex_top AS (
          |  SELECT doc_id,

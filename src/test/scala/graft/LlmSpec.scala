@@ -862,21 +862,19 @@ class LlmSpec extends SparkSpec {
     assert(out.max > 150000000L)
   }
 
-  test("bm25Scores: the ordered fold makes the raw score BIT-identical " +
-       "across partitionings (a hash-aggregate sum is not)") {
+  test("bm25Scores: the fixed-point long sum is identical across " +
+       "partitionings (integer addition is order-invariant)") {
     def scores(parts: Int) =
       LlmOps.bm25Scores(docs.repartition(parts), "doc_id", "text",
                         Seq("data", "query", "row"))
-        .select("doc_id", "bm25_raw")
-        .as[(Long, Double)].collect().toMap
+        .select("doc_id", "bm25_e6")
+        .as[(Long, Long)].collect().toMap
     val a = scores(1)
     val b = scores(13)
     assert(a.nonEmpty && a.keySet === b.keySet)
-    // exact double equality, not a tolerance: the rank-ascending fold
-    // sums the same values in the same order whatever the layout
-    assert(a.forall { case (k, v) =>
-      java.lang.Double.doubleToLongBits(v) ==
-        java.lang.Double.doubleToLongBits(b(k)) })
+    // exact equality, not a tolerance: per-term doubles integerize to
+    // floor(×10⁶) BEFORE the sum, so partial-merge order cannot leak
+    assert(a.forall { case (k, v) => v == b(k) })
   }
 
   test("bpeTrain: the textbook corpus learns (e,s), (es,t), (l,o) " +
@@ -940,5 +938,54 @@ class LlmSpec extends SparkSpec {
     assert(out(0L) >= 100L && out(1L) > 0L && out(2L) > 0L)
     // floor losses only shrink: total ≤ initial mass + 5 rounds of base
     assert(out.values.sum <= 1000L + 5 * 100L)
+  }
+
+  test("memo cache keys: a derived (filtered) frame NEVER shares the " +
+       "raw frame's cluster-map entry, and a re-derived identical " +
+       "frame DOES hit (plan-hash discipline)") {
+    LlmOps.ccCache.clear()
+    LlmOps.jaccardComponents(docs, "doc_id", "text", "lang", 3, 0.5)
+    val afterRaw = LlmOps.ccCache.size
+    assert(afterRaw === 1)
+    // identical re-derivation (fresh Tables() call, new exprIds) must
+    // reuse the artifact — canonicalization normalizes the ids
+    LlmOps.jaccardComponents(
+      Tables(spark, sf("documents"), "documents"),
+      "doc_id", "text", "lang", 3, 0.5)
+    assert(LlmOps.ccCache.size === afterRaw,
+           "re-deriving the same frame must hit the memo, not miss")
+    // a filtered consumer must get its OWN entry — sharing the raw
+    // table's cluster map would silently serve wrong components
+    LlmOps.jaccardComponents(docs.filter(col("doc_id") < 100),
+                             "doc_id", "text", "lang", 3, 0.5)
+    assert(LlmOps.ccCache.size === afterRaw + 1,
+           "a filtered frame must key a distinct memo entry")
+  }
+
+  test("memo cache keys: two different in-memory corpora with the same " +
+       "schema/knobs get distinct BPE entries (ADVICE r8: the \"\" " +
+       "fingerprint fallback shared them)") {
+    LlmOps.bpeCache.clear()
+    val c1 = Seq("low low lower newest widest").toDF("text")
+    val c2 = Seq("entirely different words here").toDF("text")
+    LlmOps.bpeTrain(c1, "text", 2)
+    LlmOps.bpeTrain(c2, "text", 2)
+    assert(LlmOps.bpeCache.size === 2,
+           "distinct in-memory corpora must not share a BPE model")
+  }
+
+  test("bpeTrain early stop: merges exhaust gracefully and a corpus " +
+       "with no mergeable pair yields an EMPTY merge table (matching " +
+       "the oracle's LEFT-JOIN chain), not an exception") {
+    // "ab" merges once to a single symbol, then nothing remains:
+    // asking for 5 rounds must return exactly 1 merge
+    val (m1, v1) = LlmOps.bpeTrain(Seq("ab ab ab").toDF("text"), "text", 5)
+    assert(m1.count() === 1L)
+    assert(v1.select("sym").as[Seq[String]].head() === Seq("ab"))
+    // "aa" has only the self-pair (a,a), excluded by the a != b rule:
+    // zero merges, vocabulary stays fully symbolized
+    val (m0, v0) = LlmOps.bpeTrain(Seq("aa aa").toDF("text"), "text", 3)
+    assert(m0.count() === 0L)
+    assert(v0.select("sym").as[Seq[String]].head() === Seq("a", "a"))
   }
 }
