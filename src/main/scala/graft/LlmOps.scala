@@ -309,22 +309,152 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard pairs in relational form (explode + count
-    * intersections) — the formulation that scales (and that a SQL oracle
-    * can replicate row-for-row). `partCol` bounds the pair space (e.g.
-    * same-language only).
+  /** Exact n-gram Jaccard pairs, COST-BASED between two formulations
+    * that provably emit identical rows (LlmSpec pins the equivalence):
+    *
+    *  - ALL-PAIRS: one shingle self-join + intersection count — fewest
+    *    stages, fastest while Σ df² is small, but a boilerplate shingle
+    *    shared by N docs costs N² join rows;
+    *  - PREFIX-FILTERED (PPJoin; Xiao et al. 2008, "Efficient
+    *    Similarity Joins for Near Duplicate Detection"): order shingles
+    *    by a GLOBAL total order (df ascending — rarest first — hash
+    *    tie-break). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉; the SMALLEST
+    *    common shingle has ≥ ⌈t·|A|⌉−1 common shingles above it, so it
+    *    sits within A's first |A|−⌈t·|A|⌉+1 shingles — and symmetrically
+    *    within B's. Joining only per-doc prefixes therefore loses no
+    *    qualifying pair at threshold t, and the exact array-intersect
+    *    verify keeps precision exact. The hot shingle sits at the
+    *    FREQUENT end of the order and drops out of every prefix — the
+    *    N² blow-up becomes ~zero candidates, with NO recall caveat
+    *    (a df-cap trades recall; this trades nothing).
+    *
+    * The dispatch probes the all-pairs cost EXACTLY (Σ df² is the
+    * self-join's output row count) and takes the quadratic-safe branch
+    * past `selfJoinBudget` — the shape of a cost-based optimizer rule,
+    * with the statistic computed, not estimated. `partCol` bounds the
+    * pair space (e.g. same-language only).
     */
+  /** Exact self-join row-count budget that flips [[ngramJaccardPairs]]
+    * from the all-pairs formulation to the prefix-filtered one: the
+    * all-pairs shingle self-join materializes exactly Σ_s df(s)² rows
+    * over the shared shingles, so the probe measures the REAL cost, not
+    * a proxy. ~4M rows is comfortably one shuffle at any executor
+    * count; past it the quadratic term is taking over and the prefix
+    * path's extra stages amortize.
+    */
+  val NgramSelfJoinBudget: Long = 1L << 22
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        partCol: String, shingleK: Int,
-                        minJaccard: Double): DataFrame = {
-    val sh = docs
+                        partCol: String, shingleK: Int, minJaccard: Double,
+                        selfJoinBudget: Long = NgramSelfJoinBudget)
+      : DataFrame = {
+    val sh = shingleRelation(docs, idCol, textCol, partCol, shingleK)
+    // cost probe: the exact row count the all-pairs self-join would
+    // produce (Σ df² over shared shingles; df capped at 2²⁰ before
+    // squaring so a boilerplate shingle in 10⁹ docs can't overflow the
+    // sum — any capped value is already orders past every budget).
+    // One map-side-combined aggregate + a 1-row job; integers, so the
+    // branch choice is deterministic per corpus.
+    val selfJoinRows = sh.groupBy("part", "s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(least(col("df"), lit(1L << 20)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .head().getLong(0)
+    if (selfJoinRows <= selfJoinBudget) allPairsJaccard(sh, minJaccard)
+    else prefixJaccard(sh, minJaccard)
+  }
+
+  /** The PPJoin branch: prefix candidates + array-intersect verify. */
+  private def prefixJaccard(sh: DataFrame,
+                            minJaccard: Double): DataFrame = {
+    val arrs = prefixArrays(sh, minJaccard)
+    prefixCandidates(arrs)
+      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na"),
+                        col("ss").as("sa")), "a")
+      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb"),
+                        col("ss").as("sb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The hashed shingle relation (doc, part, s) both the all-pairs and
+    * prefix-filtered paths read: 64-bit-hash the shingle before it hits
+    * any exchange, so joins shuffle 8-byte keys instead of 3-word
+    * strings (same intersection counts — per-doc distinctness was
+    * established on the strings).
+    */
+  private def shingleRelation(docs: DataFrame, idCol: String,
+                              textCol: String, partCol: String,
+                              shingleK: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc"), col(partCol).as("part"),
               explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
-      // 64-bit-hash the shingle before it hits any exchange: the pair join
-      // shuffles 8-byte keys instead of 3-word strings (same intersection
-      // counts — per-doc distinctness was established on the strings)
       .select(col("doc"), col("part"), xxhash64(col("s0")).as("s"))
-      .localCheckpoint() // reused by counts + both sides of the pair join
+      .localCheckpoint() // reused: counts + df + prefix + verify joins
+
+  /** Per-doc (n_sh, full hash array, df-ordered prefix array) — ONE
+    * aggregate builds both the verify array and the PPJoin prefix: the
+    * (df, s) structs collect per doc and the frequency-ascending sort +
+    * prefix slice happen in-CPU inside the row (array_sort), replacing
+    * the per-doc ranking window's extra shuffle. df itself must stay a
+    * groupBy + join-back (NOT a count-over-window on the shingle key:
+    * a boilerplate hash is exactly the hot key such a window would
+    * buffer in one task; the aggregate form is AQE-splittable).
+    */
+  private[graft] def prefixArrays(sh: DataFrame,
+                                  minJaccard: Double): DataFrame = {
+    // df of SHARED shingles only (df >= 2): a df=1 shingle can never
+    // seed a candidate pair, so its exact df is irrelevant — it only
+    // has to rank BEFORE every shared shingle (the coalesce below).
+    // That makes the rank join's build side |co-occurring shingles|,
+    // not |sh| (AQE broadcasts it at harness scale), and lets the
+    // prefix drop df=1 entries before the candidate self-join: they
+    // consume prefix SLOTS (preserving the lossless bound) but can't
+    // match anything, so exploding them would be pure fan-out.
+    val dfreq = sh.groupBy("part", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    sh.join(dfreq, Seq("part", "s"), "left")
+      .groupBy("doc", "part")
+      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"),
+                               col("s"))).as("fs"))
+      .withColumn("n_sh", size(col("fs")).cast("long"))
+      .withColumn("sorted", array_sort(col("fs")))
+      .withColumn("ss", expr("transform(sorted, x -> x.s)"))
+      .withColumn("prefix", expr(
+        s"transform(filter(slice(sorted, 1, " +
+        s"CAST(n_sh - ceil($minJaccard * n_sh) + 1 AS INT)), " +
+        "x -> x.df >= 2), x -> x.s)"))
+      .select(col("doc"), col("part"), col("n_sh"), col("ss"),
+              col("prefix"))
+      .localCheckpoint() // read 3x: candidate join + both verify sides
+  }
+
+  /** Candidate (a, b) pairs from the per-doc prefix self-join — the
+    * lossless PPJoin filter (see [[ngramJaccardPairs]]). Package-
+    * visible so the planted-hot-shingle spec can pin the candidate
+    * count directly.
+    */
+  private[graft] def prefixCandidates(arrs: DataFrame): DataFrame = {
+    val pre = arrs.select(col("doc"), col("part"),
+                          explode(col("prefix")).as("s"))
+    pre.select(col("doc").as("a"), col("part"), col("s"))
+      .join(pre.select(col("doc").as("b"), col("part"), col("s")),
+            Seq("part", "s"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** The all-pairs branch (full shingle self-join) — the DuckDB oracle
+    * replicates THIS shape row-for-row; the prefix-filter spec uses it
+    * as the equivalence baseline via [[ngramJaccardPairsAllPairs]].
+    */
+  private def allPairsJaccard(sh: DataFrame,
+                              minJaccard: Double): DataFrame = {
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc").as("a"), col("part"), col("s"))
       .join(sh.select(col("doc").as("b"), col("part"), col("s")),
@@ -339,6 +469,21 @@ object LlmOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Both branches force-selected — the equivalence spec compares them
+    * pair-for-pair without depending on what the cost probe picks.
+    */
+  private[graft] def ngramJaccardPairsAllPairs(
+      docs: DataFrame, idCol: String, textCol: String, partCol: String,
+      shingleK: Int, minJaccard: Double): DataFrame =
+    allPairsJaccard(
+      shingleRelation(docs, idCol, textCol, partCol, shingleK), minJaccard)
+
+  private[graft] def ngramJaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String, partCol: String,
+      shingleK: Int, minJaccard: Double): DataFrame =
+    prefixJaccard(
+      shingleRelation(docs, idCol, textCol, partCol, shingleK), minJaccard)
 
   /** ExactSubstr-style duplicated-span coverage (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",

@@ -940,6 +940,56 @@ class LlmSpec extends SparkSpec {
     assert(out.values.sum <= 1000L + 5 * 100L)
   }
 
+  test("prefix-filtered exact Jaccard == the all-pairs baseline on the " +
+       "harness corpus (PPJoin filtering is lossless at the threshold)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    for (t <- Seq(0.5, 0.2)) {
+      val pf = LlmOps.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+                                              "lang", 3, t)
+        .collect().map(key).toSet
+      val ap = LlmOps.ngramJaccardPairsAllPairs(docs, "doc_id", "text",
+                                                "lang", 3, t)
+        .collect().map(key).toSet
+      assert(pf.nonEmpty, "fixture should contain planted near-dups")
+      assert(pf === ap)
+    }
+  }
+
+  test("prefix filter: one trigram planted in EVERY doc stays out of " +
+       "all prefixes — candidates bounded by the true pairs, not n²") {
+    // 3000 docs, each 12 unique tokens + the same hot trigram; docs 0/1
+    // are near-identical so one true pair exists. The hot shingle's
+    // df² = 9M blows the cost probe's budget, so the PUBLIC entry
+    // dispatches to the prefix branch here (all-pairs would join the
+    // hot shingle into ~9M candidate rows).
+    val hot = "the quick fox"
+    val base = (0 until 3000).map { i =>
+      val uniq = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$uniq $hot", "en")
+    }
+    val d = spark.createDataFrame(
+      base.updated(1, (1L, base(0)._2.replace("w0_11", "zz"), "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = LlmOps.ngramJaccardPairs(d, "doc_id", "text", "lang", 3, 0.5)
+      .collect()
+    assert(out.length === 1 && out.head.getLong(0) === 0L &&
+           out.head.getLong(1) === 1L)
+    // candidate bound: expose the internal candidate set on the same
+    // relation and pin it to a handful of rows — the hot shingle is the
+    // MOST frequent key, so it ranks last in every doc's (df, s) order
+    // and never enters a prefix of length n - ceil(0.5 n) + 1 << n
+    val rel = d
+      .select(col("doc_id").as("doc"), col("lang").as("part"),
+              explode(LlmOps.shingles(LlmOps.tokens(col("text")), 3))
+                .as("s0"))
+      .select(col("doc"), col("part"), xxhash64(col("s0")).as("s"))
+    val nCand = LlmOps.prefixCandidates(
+      LlmOps.prefixArrays(rel, 0.5)).count()
+    assert(nCand <= 10L,
+           s"hot shingle leaked into prefixes: $nCand candidates")
+  }
+
   test("memo cache keys: a derived (filtered) frame NEVER shares the " +
        "raw frame's cluster-map entry, and a re-derived identical " +
        "frame DOES hit (plan-hash discipline)") {
