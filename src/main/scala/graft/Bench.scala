@@ -57,7 +57,10 @@ object Bench {
     "q_dedup_components", "q_dedup_cluster_keep", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
-    "q_simsearch_pq", "q_simsearch_ivfpq", "q_sq8_quantize",
+    // (PQ / IVF-PQ serve through their recall-certificate keys since
+    // r9 — same annPqTopK/annIvfPqTopK serving path, plus the exact
+    // baseline, inside one timed plan)
+    "q_simsearch_pq_recall", "q_simsearch_ivfpq_recall", "q_sq8_quantize",
     "q_binary_quantize",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",

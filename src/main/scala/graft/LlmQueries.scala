@@ -735,38 +735,14 @@ object LlmQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
-    // L4e: product-quantization ANN (rows-only; LlmSpec asserts recall
-    // vs the exact baseline) — serving reads 8 one-byte codes per
-    // vector instead of 64 floats; the query cost is one m×k broadcast
-    // lookup table + a sum over codes. The billion-vector memory path.
-    // maxTrain=1024 exercises the FAISS-style sample-training path at
-    // sf0.1 (Lloyd sees the md5-sampled half of the 2000-vector corpus,
-    // encoding sees all of it); refine=10 is the certified serving
-    // config — q_simsearch_pq_recall pins recall@10 >= 0.7 on exactly
-    // these knobs.
-    // The index (codebooks + codes) is memoized per (session, dir) like
-    // Tables.partsupp — a deployment trains/encodes ONCE offline and
-    // serves from the stored artifact, so the timed path is the ADC
-    // lookup + shortlist + exact refine, not `iters` Lloyd rounds per
-    // query.
-    "q_simsearch_pq" -> ((s, dir) =>
-      LlmOps.annPqTopK(Tables(s, dir, "embeddings"), queryVec(s, dir),
-                       8, 16, 2, 10, refine = 10, maxTrain = 1024,
-                       cacheKey = Some(s"$dir/embeddings"))
-        .orderBy("vec_id")),
-
-    // L4f: IVF-PQ composite (rows-only; LlmSpec pins cell confinement
-    // and intra-cell agreement with the direct PQ run) — partition
-    // pruning × compressed codes, the two scale levers stacked. Same
-    // certified knobs as q_simsearch_ivfpq_recall.
-    // Serves from the SAME memoized full-corpus index as q_simsearch_pq
-    // (one stored codebook for every cell — the FAISS deployment shape);
-    // only the coarse probe and the cell-confined ADC run per query.
-    "q_simsearch_ivfpq" -> ((s, dir) =>
-      LlmOps.annIvfPqTopK(Tables(s, dir, "embeddings"), queryVec(s, dir),
-                          64, 8, 16, 2, 10, refine = 10, maxTrain = 1024,
-                          cacheKey = Some(s"$dir/embeddings"))
-        .orderBy("vec_id")),
+    // L4e/L4f: the raw PQ and IVF-PQ top-k serving paths are driver-
+    // visible THROUGH their recall-certificate keys below
+    // (q_simsearch_pq_recall / q_simsearch_ivfpq_recall run the
+    // identical annPqTopK/annIvfPqTopK calls on the identical certified
+    // knobs and hash-oracle the guarantee) — the standalone rows-only
+    // keys were retired in r9 so every driver key carries an oracle.
+    // LlmSpec still pins the raw top-k behavior (recall, self-hit,
+    // cell confinement, codebook coverage) on the same entry points.
 
     // L4h: MMR diversity re-rank ([[LlmOps.mmrRerank]]) — the serving
     // pass AFTER ANN: greedy λ-tradeoff between relevance and
