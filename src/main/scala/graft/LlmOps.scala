@@ -851,17 +851,26 @@ object LlmOps {
       }: _*))
       .select(col("doc"), col("simhash"),
               posexplode(col("bands")).as(Seq("band", "bk")))
+      // 4 narrow rows per doc, read by BOTH pair-join sides: without
+      // the checkpoint each side re-runs the whole tokenize+md5+60-agg
+      // signature pass (and its serial single-row-group scan) from
+      // scratch
+      .localCheckpoint()
     val a = hashed.select(col("doc").as("a"), col("simhash").as("ha"),
                           col("band"), col("bk"))
     val b = hashed.select(col("doc").as("b"), col("simhash").as("hb"),
                           col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "ha", "hb").dropDuplicates("a", "b")
+      // Hamming filter BEFORE the dedup shuffle: the bit op is a
+      // per-row codegen'd expression, so the distinct only pays for
+      // surviving pairs (~3x fewer rows at sf0.1); a multi-band dup
+      // carries identical (ha, hb) on every copy, so filtering first
+      // cannot change the deduped set
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .select("a", "b", "hamming").dropDuplicates("a", "b")
   }
 
   /** Brute-force cosine top-k against a single query vector (broadcast).

@@ -476,8 +476,15 @@ object LlmQueries extends QueryPack {
     // arithmetic, so results stay bit-identical to the oracle.
     "q_dedup_embed" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // spread the STREAMED side of the nested-loop join: the O(n²)
+      // pair work parallelizes over however many tasks scan side `a` —
+      // one narrow hash shuffle of n (id, vec, norm) rows buys 32-way
+      // pair scoring even when the source parquet is one row group
+      // (the r8-documented fixture artifact serialized this whole
+      // baseline into a single task: 1.0 → 1.5 s quiet-run drift)
       val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
                        Functions.l2Norm(col("embedding")).as("na"))
+        .repartition(col("a"))
       val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
                        Functions.l2Norm(col("embedding")).as("nb"))
       a.join(b, col("a") < col("b"))
