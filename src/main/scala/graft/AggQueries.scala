@@ -42,6 +42,48 @@ private[graft] object OlsFormula {
     "CAST(n AS BIGINT) AS n")
 }
 
+/** Shared formula text for `q_agg_skew_kurt` (ClickHouse skewPop /
+  * kurtPop analogs): population central moments from exact DECIMAL(38,0)
+  * power sums, the [[OlsFormula]] discipline — both engines parse the
+  * IDENTICAL left-associative arithmetic over the identical exact
+  * integers, so the doubles (and their floor(×10⁴) grid points) match
+  * bit-for-bit. pow() is avoided on purpose: m2^1.5 is written
+  * m2·sqrt(m2) because sqrt is a correctly-rounded IEEE primitive in
+  * both engines while pow carries no such guarantee.
+  */
+private[graft] object SkewKurtFormula {
+  /** Exact power sums over integerized values (v ≤ 50 ⇒ v⁴ ≤ 6.25e6 in
+    * BIGINT; the DECIMAL(38,0) sums stay exact at any row count). */
+  val momentAggs: Seq[String] = Seq(
+    "CAST(count(*) AS DECIMAL(38,0)) AS n",
+    "sum(CAST(v AS DECIMAL(38,0))) AS s1",
+    "sum(CAST(v * v AS DECIMAL(38,0))) AS s2",
+    "sum(CAST(v * v * v AS DECIMAL(38,0))) AS s3",
+    "sum(CAST(v * v * v * v AS DECIMAL(38,0))) AS s4")
+
+  private val nD = "CAST(n AS DOUBLE)"
+  private val mean = s"(CAST(s1 AS DOUBLE) / $nD)"
+  private val m2 =
+    s"((CAST(s2 AS DOUBLE) / $nD) - $mean * $mean)"
+  private val m3 =
+    s"((CAST(s3 AS DOUBLE) / $nD) - 3.0 * $mean * " +
+    s"(CAST(s2 AS DOUBLE) / $nD) + 2.0 * $mean * $mean * $mean)"
+  private val m4 =
+    s"((CAST(s4 AS DOUBLE) / $nD) - 4.0 * $mean * " +
+    s"(CAST(s3 AS DOUBLE) / $nD) + 6.0 * $mean * $mean * " +
+    s"(CAST(s2 AS DOUBLE) / $nD) - 3.0 * $mean * $mean * $mean * $mean)"
+
+  val outputs: Seq[String] = Seq(
+    "CAST(n AS BIGINT) AS n",
+    s"CAST(floor($m3 / ($m2 * sqrt($m2)) * 10000) AS BIGINT) AS skew_e4",
+    s"CAST(floor($m4 / ($m2 * $m2) * 10000) AS BIGINT) AS kurt_e4")
+
+  /** Degenerate-group guard, stated identically in both engines: the
+    * ratios divide by m2, so a constant-valued group (m2 = 0) is
+    * excluded rather than engine-dependently Inf/NaN-floored. */
+  val guard: String = s"$m2 > 0"
+}
+
 object AggQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
@@ -232,6 +274,25 @@ object AggQueries extends QueryPack {
         .agg(sums.head, sums.tail: _*)
         .select(outs: _*)
     }),
+
+    // Higher-moment shape statistics — ClickHouse skewPop/kurtPop
+    // analogs per group, the distribution-shape profile a metrics
+    // pipeline reports next to avg/stddev. ONE hash aggregate builds
+    // exact DECIMAL(38,0) power sums (map-side combinable, order-
+    // invariant integers); skewness and kurtosis come from the shared
+    // [[SkewKurtFormula]] closed form over those sums, floor-gridded
+    // to e4 — the q_agg_ols / covar-matrix discipline.
+    "q_agg_skew_kurt" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                expr("CAST(round(l_quantity) AS BIGINT)").as("v"))
+        .groupBy("l_returnflag")
+        .agg(expr(SkewKurtFormula.momentAggs.head),
+             SkewKurtFormula.momentAggs.tail.map(expr): _*)
+        .filter(expr(SkewKurtFormula.guard))
+        .select(col("l_returnflag") +:
+                SkewKurtFormula.outputs.map(expr): _*)
+        .orderBy("l_returnflag")),
 
     // Per-group winsorization — the outlier-clipping pass of a metrics /
     // curation pipeline: exact p05/p95 per event_type (on integer
@@ -1319,6 +1380,22 @@ object AggQueries extends QueryPack {
     // Same exact integer order-statistic interpolation as the Spark
     // plan (shifted non-negative, m/20 rational fractions, ceil/floor
     // via integer division) — no floating percentile anywhere.
+    // Same exact power sums, same shared closed-form text — the two
+    // engines evaluate one IEEE expression tree over identical integers.
+    "q_agg_skew_kurt" -> {
+      s"""WITH g AS (
+         |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS v
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT l_returnflag,
+         |    ${SkewKurtFormula.momentAggs.mkString(",\n    ")}
+         |  FROM g GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  ${SkewKurtFormula.outputs.mkString(",\n  ")}
+         |FROM m WHERE ${SkewKurtFormula.guard}
+         |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+    },
+
     "q_agg_winsorize" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v

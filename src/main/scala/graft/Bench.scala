@@ -77,7 +77,12 @@ object Bench {
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
     "q_projection_route", "q_pipeline_shard",
     // hybrid serving, link-graph scoring, rolling anomaly detection
+    // (q_dedup_ngram_prefix is excluded: it force-runs the prefix
+    // branch purely as a losslessness proof against the all-pairs
+    // oracle — q_dedup_ngram_jaccard above carries the cost-based
+    // operator's bench signal)
     "q_rrf_fusion", "q_graph_pagerank", "q_graph_trustrank",
+    "q_graph_hits", "q_agg_skew_kurt",
     "q_win_zscore", "q_bitext_mine", "q_winnow_fingerprint",
     "q_dedup_winnow", "q_text_distinct_n", "q_split_leakage_safe",
     "q_bpe_train", "q_bpe_apply")

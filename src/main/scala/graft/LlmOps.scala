@@ -2055,4 +2055,38 @@ object LlmOps {
     }
     pr
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in the same fixed-point
+    * integer discipline as [[fixedPointPropagate]]: per round,
+    * a'(j) = Σ_{i→j} h(i) div outDeg then h'(i) = Σ_{i→j} a'(j) div
+    * outDeg (1.0 ≡ 10⁹). The div-outDeg transfer replaces the float L2
+    * normalization — it bounds total mass (uniform out-degree makes
+    * each half-round mass-preserving up to floor loss) while keeping
+    * every sum an order-invariant BIGINT, which is what lets the score
+    * vector hash-match a SQL replay; a float-normalized HITS cannot.
+    * Per half-round: one hash join + one hash aggregate + a zero-fill
+    * left join over the node set, localCheckpoint-ed.
+    * Returns (id, auth, hub).
+    */
+  def hitsScores(ids: DataFrame, edges: DataFrame, iters: Int,
+                 outDeg: Int): DataFrame = {
+    var h = ids.select(col("id"), lit(1000000000L).as("h"))
+    var a = ids.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val ain = edges.join(h, col("src") === col("id"))
+        .select(col("dst"), expr(s"h div $outDeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+      a = ids.join(ain, col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("cin"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hin = edges.join(a, col("dst") === col("id"))
+        .select(col("src"), expr(s"a div $outDeg").as("c"))
+        .groupBy("src").agg(sum("c").as("cin"))
+      h = ids.join(hin, col("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("cin"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    a.join(h, "id").select(col("id"), col("a").as("auth"),
+                           col("h").as("hub"))
+  }
 }

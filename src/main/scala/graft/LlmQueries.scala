@@ -181,6 +181,43 @@ object LlmQueries extends QueryPack {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** DuckDB mirror of [[LlmOps.hitsScores]]: the same md5 edge set and
+    * [[PrIters]] chained (authority, hub) integer half-round pairs,
+    * generated from the same constants.
+    */
+  private def hitsOracleSql: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""a$k AS (
+         |  SELECT i.id, CAST(coalesce(c.cin, 0) AS BIGINT) AS a
+         |  FROM ids i LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h // $PrOutDeg) AS cin
+         |    FROM edges e JOIN h${k - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) c ON c.id = i.id),
+         |h$k AS (
+         |  SELECT i.id, CAST(coalesce(c.cin, 0) AS BIGINT) AS h
+         |  FROM ids i LEFT JOIN (
+         |    SELECT e.src AS id, sum(a // $PrOutDeg) AS cin
+         |    FROM edges e JOIN a$k p ON e.dst = p.id
+         |    GROUP BY e.src) c ON c.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |ids AS (SELECT doc_id AS id FROM documents),
+       |edges AS (
+       |  SELECT d.doc_id AS src,
+       |    CAST(('0x' || substring(md5(
+       |      CAST(d.doc_id AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % nn.n AS dst
+       |  FROM documents d CROSS JOIN nn
+       |  CROSS JOIN (SELECT unnest(range(0, $PrOutDeg)) AS j) j),
+       |h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS h FROM ids),
+       |$rounds
+       |SELECT id AS doc_id, a AS auth, h AS hub FROM (
+       |  SELECT a$PrIters.id, a, h
+       |  FROM a$PrIters JOIN h$PrIters ON a$PrIters.id = h$PrIters.id
+       |  ORDER BY a DESC, a$PrIters.id LIMIT 20) t
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   private def pagerankOracleSql: String = propagateOracleSql(
     """base AS (SELECT doc_id AS id, CAST(150000000 AS BIGINT) AS b
       |        FROM documents)""".stripMargin,
@@ -369,6 +406,17 @@ object LlmQueries extends QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
                                "lang", 3, 0.2)
+        .orderBy("a", "b")),
+
+    // L2a': the PPJoin PREFIX-FILTERED branch force-selected
+    // (selfJoinBudget = 0) against the SAME all-pairs DuckDB oracle —
+    // the driver-level, three-SF hash proof that prefix filtering is
+    // lossless at the threshold (LlmSpec proves it pairwise; this pins
+    // it on real data every round). Threshold 0.5 so the pair list
+    // differs from the 0.2 key above.
+    "q_dedup_ngram_prefix" -> ((s, dir) =>
+      LlmOps.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+                               "lang", 3, 0.5, selfJoinBudget = 0L)
         .orderBy("a", "b")),
 
     // L1e: ExactSubstr duplicated-span coverage (Lee et al. 2022) — per
@@ -935,6 +983,26 @@ object LlmQueries extends QueryPack {
       LlmOps.fixedPointPropagate(base, pr0, edges, PrIters, PrOutDeg)
         .orderBy(col("pr").desc, col("id")).limit(20)
         .select(col("id").as("doc_id"), col("pr"))
+        .orderBy("doc_id")
+    }),
+
+    // L8c: HITS hubs & authorities ([[LlmOps.hitsScores]]) — the
+    // query-dependent-community sibling of PageRank: authorities are
+    // pages good hubs point at, hubs are pages pointing at good
+    // authorities, mutually recursive. Same md5-derived graph, same
+    // fixed-point integer arithmetic (div-outDeg transfer in place of
+    // the float L2 normalization, which no cross-engine hash could
+    // survive); the DuckDB oracle replays all [[PrIters]] double
+    // half-rounds through a generated CTE chain. Top-20 by authority.
+    "q_graph_hits" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"))
+      val edges = LlmOps.md5LinkEdges(
+          ids, ids.agg(count(lit(1))), PrOutDeg)
+        .localCheckpoint()
+      LlmOps.hitsScores(ids, edges, PrIters, PrOutDeg)
+        .orderBy(col("auth").desc, col("id")).limit(20)
+        .select(col("id").as("doc_id"), col("auth"), col("hub"))
         .orderBy("doc_id")
     }),
 
@@ -1932,6 +2000,30 @@ object LlmQueries extends QueryPack {
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
+    // Deliberately the ALL-PAIRS formulation at t = 0.5: the Spark side
+    // force-runs the prefix-filtered branch, so the hash match IS the
+    // losslessness proof on real data.
+    "q_dedup_ngram_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b,
+        |  round(i * 1.0 / (ca.n_sh + cb.n_sh - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.5
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
     // Same chunking (incl. trailing partial), same integer order key,
     // reassembly replayed via string_agg ORDER BY pos.
     "q_dedup_rewrite" ->
@@ -2895,6 +2987,7 @@ object LlmQueries extends QueryPack {
 
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
+    "q_graph_hits" -> hitsOracleSql,
     "q_bpe_train" -> bpeOracleSql,
     "q_bpe_apply" -> bpeApplyOracleSql,
 

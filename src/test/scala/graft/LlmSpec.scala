@@ -990,6 +990,26 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("hitsScores: a pure authority collects the hub mass, a node " +
+       "with no in-links scores zero authority, pure hubs score hub>0") {
+    // 1..4 all point at 0; 0 points at 5 (so 0 is also a small hub);
+    // node 6 is isolated on the in-side
+    val ids = (0L to 6L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 5L))
+      .toDF("src", "dst")
+    val out = LlmOps.hitsScores(ids, edges, 3, 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // all authority flows to 0 and 5; 6 (and the pure hubs) get none
+    assert(out(6L)._1 === 0L)
+    assert(out(1L)._1 === 0L)
+    assert(out(0L)._1 > out(5L)._1, s"star center must dominate: $out")
+    // hub scores: the pointers at the dominant authority are the hubs
+    assert(out(1L)._2 > 0L && out(1L)._2 === out(2L)._2)
+    // isolated node: no out-edges -> zero hub too
+    assert(out(6L)._2 === 0L)
+  }
+
   test("memo cache keys: a derived (filtered) frame NEVER shares the " +
        "raw frame's cluster-map entry, and a re-derived identical " +
        "frame DOES hit (plan-hash discipline)") {

@@ -110,4 +110,37 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size === 100 && star.values.forall(_ == 0L))
   }
+
+  test("SkewKurtFormula: exact power sums reproduce closed-form " +
+       "skewness/kurtosis on any integer sample (vs direct evaluation)") {
+    val samples: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.choose(0L, 50L)).suchThat(_.size >= 2)
+    check(forAll(samples) { vs =>
+      val n = vs.size.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(v => v * v).sum / n - mean * mean
+      // degenerate (constant) samples are excluded by the guard in-plan
+      m2 <= 0 || {
+        val m3d = vs.map(v => math.pow(v - mean, 3)).sum / n
+        val m4d = vs.map(v => math.pow(v - mean, 4)).sum / n
+        val skew = m3d / (m2 * math.sqrt(m2))
+        val kurt = m4d / (m2 * m2)
+        // replicate the formula's power-sum form
+        val (s1, s2, s3, s4) = (vs.sum.toDouble,
+          vs.map(v => v * v).sum.toDouble,
+          vs.map(v => v * v * v).sum.toDouble,
+          vs.map(v => v * v * v * v).sum.toDouble)
+        val m3f = s3 / n - 3.0 * (s1 / n) * (s2 / n) +
+          2.0 * (s1 / n) * (s1 / n) * (s1 / n)
+        val m4f = s4 / n - 4.0 * (s1 / n) * (s3 / n) +
+          6.0 * (s1 / n) * (s1 / n) * (s2 / n) -
+          3.0 * math.pow(s1 / n, 4)
+        val skewF = m3f / (m2 * math.sqrt(m2))
+        val kurtF = m4f / (m2 * m2)
+        // algebraically identical; floating cancellation stays tiny on
+        // the bounded domain
+        math.abs(skew - skewF) < 1e-6 && math.abs(kurt - kurtF) < 1e-6
+      }
+    })
+  }
 }
