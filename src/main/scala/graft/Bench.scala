@@ -67,7 +67,7 @@ object Bench {
     "q_text_ngram_lm", "q_geo_radius_join",
     "q_knn_join", "q_curation", "q_domain_cap", "q_pack_sequences",
     "q_dsir", "q_classify_nb", "q_dedup_url", "q_mmr_rerank",
-    "q_curation_rag",
+    "q_curation_rag", "q_mix_allocate",
     "q_join_asof_nearest",
     "q_text_chunk",
     // closed-form stats + array sequence functions

@@ -56,6 +56,8 @@ object Explain {
     "q_split_leakage_safe", // cross vs broadcast one-row no-span proof
     "q_bpe_train",          // per-round cross vs broadcast 1-row argmax
     "q_bpe_apply",          // same rounds + one-row stats crosses
+    "q_mix_allocate",       // two one-row crosses (total tokens, floor
+                            // sum) against the bounded source table
     "q_bitext_mine",        // labeled-quadratic exact margin baseline:
                             // cross vs the explicitly broadcast smaller
                             // language shard (banded path = embed-LSH)
@@ -97,6 +99,9 @@ object Explain {
                                // final top-20 is TakeOrdered
     "q_graph_trustrank",       // same shape, seed-personalized
     "q_split_leakage_safe",    // one-row max-splits-per-cluster proof
+    "q_mix_allocate",          // remainder-rank window over the
+                               // |sources|-row quota table + one-row
+                               // total/floor-sum aggregates
     "q_bpe_train",             // one-row argmax (TakeOrdered) per round
     "q_bpe_apply",             // same + one-row stats aggregates
     "q_curation_rag",          // inherits q_dsir's one-row totals

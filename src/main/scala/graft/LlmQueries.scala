@@ -1765,6 +1765,56 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L5f: data-mixing budget apportionment — fill HALF the corpus's
+    // token budget proportionally to per-source availability, EXACT to
+    // the token by the largest-remainder (Hamilton) method: quota_s =
+    // floor(B·n_s/N) plus one extra token-slot for the (B − Σfloor)
+    // largest remainders (ties by source name), so Σ quota = B exactly
+    // — the allocation a mixture-training run commits to before
+    // sampling. Stage 2 FILLS each quota deterministically: docs
+    // ordered by md5(doc_id) within source, kept while the running
+    // token sum stays inside the quota (greedy whole-doc fill, the
+    // shard-packing discipline). Everything is exact integer
+    // arithmetic; the only unpartitioned window ranks the
+    // |sources|-row remainder table. Domain bound: budget·n_s must fit
+    // BIGINT — past ~10⁹-token sources, pre-scale both counts to
+    // per-million units (the ratio, and hence the allocation, is
+    // invariant under common rescale).
+    "q_mix_allocate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                size(LlmOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint() // read twice: quota aggregate + greedy fill
+      val bySrc = docs.groupBy("source").agg(sum("n_tok").as("n_avail"))
+      val tot = bySrc.agg(sum("n_avail").as("n_total"))
+      val q0 = bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("n_total div 2"))
+        .withColumn("q_floor", expr("(budget * n_avail) div n_total"))
+        .withColumn("rem", expr("(budget * n_avail) % n_total"))
+      val sumFloor = q0.agg(sum("q_floor").as("sum_floor"))
+      val quota = q0.crossJoin(broadcast(sumFloor))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_avail"),
+                (col("q_floor") +
+                  when(col("rk") <= col("budget") - col("sum_floor"), 1L)
+                    .otherwise(0L)).as("quota"))
+      val sel = docs
+        .join(broadcast(quota.select("source", "quota")), "source")
+        .withColumn("cum", sum("n_tok").over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("cum") <= col("quota"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_sel"), sum("n_tok").as("tok_sel"))
+      quota.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n_avail"), col("quota"),
+                coalesce(col("n_docs_sel"), lit(0L)).as("n_docs_sel"),
+                coalesce(col("tok_sel"), lit(0L)).as("tok_sel"))
+        .orderBy("source")
+    }),
+
     // L1: benchmark decontamination — flag training docs sharing any
     // 8-token shingle with the eval set (the standard n-gram overlap
     // pass). Eval shingle set is small → broadcast; training docs never
@@ -2988,6 +3038,45 @@ object LlmQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_graph_hits" -> hitsOracleSql,
+
+    // Same Hamilton apportionment + md5-ordered greedy fill, all exact
+    // integers (hex md5 strings order identically under both engines'
+    // binary collation).
+    "q_mix_allocate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_avail
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total FROM b),
+        |q0 AS (
+        |  SELECT source, n_avail, n_total // 2 AS budget,
+        |    ((n_total // 2) * n_avail) // n_total AS q_floor,
+        |    ((n_total // 2) * n_avail) % n_total AS rem
+        |  FROM b CROSS JOIN t),
+        |sf AS (SELECT CAST(sum(q_floor) AS BIGINT) AS sum_floor FROM q0),
+        |quota AS (
+        |  SELECT source, n_avail,
+        |    CAST(q_floor + CASE WHEN rk <= budget - sum_floor
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM (SELECT q0.*, sum_floor,
+        |          row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |        FROM q0 CROSS JOIN sf) r),
+        |sel AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_sel,
+        |    CAST(sum(n_tok) AS BIGINT) AS tok_sel
+        |  FROM (
+        |    SELECT d.source, d.n_tok, quota.quota,
+        |      sum(d.n_tok) OVER (PARTITION BY d.source
+        |        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS cum
+        |    FROM d JOIN quota ON d.source = quota.source) g
+        |  WHERE cum <= quota GROUP BY source)
+        |SELECT q.source, q.n_avail, q.quota,
+        |  CAST(coalesce(s.n_docs_sel, 0) AS BIGINT) AS n_docs_sel,
+        |  CAST(coalesce(s.tok_sel, 0) AS BIGINT) AS tok_sel
+        |FROM quota q LEFT JOIN sel s ON q.source = s.source
+        |ORDER BY q.source NULLS FIRST""".stripMargin,
     "q_bpe_train" -> bpeOracleSql,
     "q_bpe_apply" -> bpeApplyOracleSql,
 

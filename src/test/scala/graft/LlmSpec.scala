@@ -990,6 +990,27 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("q_mix_allocate: quotas sum EXACTLY to the budget (Hamilton " +
+       "guarantee), each within one slot of the exact proportion, and " +
+       "the greedy fill never exceeds its quota") {
+    val out = SparkEntry.queries("q_mix_allocate")(spark, sf("documents"))
+      .select("n_avail", "quota", "tok_sel")
+      .as[(Long, Long, Long)].collect()
+    val nTotal = out.map(_._1).sum
+    val budget = nTotal / 2
+    assert(out.map(_._2).sum === budget)
+    out.foreach { case (avail, quota, sel) =>
+      val exact = budget.toDouble * avail / nTotal
+      assert(quota >= math.floor(exact).toLong &&
+             quota <= math.ceil(exact).toLong,
+             s"quota $quota outside [$exact] bracket")
+      assert(sel <= quota, "greedy fill exceeded its quota")
+      // greedy whole-doc fill leaves less than one max-doc gap only —
+      // here just require it filled SOMETHING for nonzero quotas
+      assert(quota == 0L || sel > 0L)
+    }
+  }
+
   test("hitsScores: a pure authority collects the hub mass, a node " +
        "with no in-links scores zero authority, pure hubs score hub>0") {
     // 1..4 all point at 0; 0 points at 5 (so 0 is also a small hub);
