@@ -2070,23 +2070,100 @@ object LlmOps {
     */
   def hitsScores(ids: DataFrame, edges: DataFrame, iters: Int,
                  outDeg: Int): DataFrame = {
+    // No per-round zero-fill: a node absent from `a`/`h` scores 0, and
+    // zero rows contribute nothing to the next matvec, so the join to
+    // the full node set happens ONCE at the end — one materialized job
+    // per round (h; a stays lazy, one join+agg of lineage on top of the
+    // checkpointed h) instead of four.
     var h = ids.select(col("id"), lit(1000000000L).as("h"))
     var a = ids.select(col("id"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
-      val ain = edges.join(h, col("src") === col("id"))
+      a = edges.join(h, col("src") === col("id"))
         .select(col("dst"), expr(s"h div $outDeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("cin"))
-      a = ids.join(ain, col("id") === col("dst"), "left")
-        .select(col("id"), coalesce(col("cin"), lit(0L)).as("a"))
-        .localCheckpoint()
-      val hin = edges.join(a, col("dst") === col("id"))
+        .groupBy("dst").agg(sum("c").as("a"))
+        .select(col("dst").as("id"), col("a"))
+      h = edges.join(a, col("dst") === col("id"))
         .select(col("src"), expr(s"a div $outDeg").as("c"))
-        .groupBy("src").agg(sum("c").as("cin"))
-      h = ids.join(hin, col("id") === col("src"), "left")
-        .select(col("id"), coalesce(col("cin"), lit(0L)).as("h"))
+        .groupBy("src").agg(sum("c").as("h"))
+        .select(col("src").as("id"), col("h"))
         .localCheckpoint()
     }
-    a.join(h, "id").select(col("id"), col("a").as("auth"),
-                           col("h").as("hub"))
+    ids
+      .join(a.select(col("id"), col("a").as("auth")), Seq("id"), "left")
+      .join(h.select(col("id"), col("h").as("hub")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
+              coalesce(col("hub"), lit(0L)).as("hub"))
+  }
+
+  /** Top principal component of the embedding cloud by FIXED-POINT
+    * power iteration — the PCA-lite an embedding-quality/drift monitor
+    * runs. Structure mirrors production: the distributed work is ONE
+    * corpus pass building the dims×dims scatter matrix (self-join on
+    * vec_id + hash aggregate, map-side combinable — 100 TB of vectors
+    * reduce to 64×64 partial sums per partition); the iteration then
+    * runs over that broadcast-sized matrix.
+    *
+    * Every quantity is an exact integer, so the result hash-matches a
+    * SQL replay: coordinates integerize to the e4 grid; the centered
+    * scatter is n·Σxᵢxⱼ − SᵢSⱼ (the n²-scaled covariance — same
+    * eigenvectors) floor-divided by n to bound magnitudes; each
+    * iterate rescales to |v|∞ ≤ 10⁵ by an integer divisor. Division
+    * of SIGNED values is written sign-split (CASE + abs) because
+    * Spark's `div` truncates while DuckDB's `//` floors — they agree
+    * only on non-negative operands. Matvec sums ride DECIMAL(38,0)
+    * and cast back (bounded ≤ 64·4·10¹⁶ by construction).
+    * Quantization keeps the direction within ~10⁻⁴ per round of the
+    * float iterate — the spec pins alignment with a planted dominant
+    * axis. Returns (dim 1-based, v) with v on the ±10⁵ grid.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dims: Int,
+                      iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vs = 100000L // iterate infinity-norm scale
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+              expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
+                .as("x"))
+      .localCheckpoint() // read by the sums AND both scatter sides
+    val nDf = x.agg((count(lit(1)) / dims).cast("long").as("n"))
+    val s = x.groupBy("i").agg(sum("x").as("s"))
+    val p = x.select(col("vec_id"), col("i"), col("x"))
+      .join(x.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
+            "vec_id")
+      .groupBy("i", "j")
+      .agg(expr("CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS BIGINT)")
+             .as("p"))
+    val c = p
+      .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nDf))
+      .withColumn("m", expr("n * p - si * sj"))
+      .select(col("i"), col("j"), expr(
+        "CASE WHEN m < 0 THEN -((-m) div n) ELSE m div n END").as("c"))
+    // The scatter matrix is O(dims²) — bounded by construction, never
+    // by the corpus — so the iteration runs DRIVER-side over the
+    // collected matrix (the production shape: the distributed pass
+    // ends at the 64×64 aggregate). Exact BigInt sums, floorDiv on
+    // the non-negative magnitudes: the identical integer recurrence
+    // the oracle's generated SQL replays.
+    val cm = c.collect().map(r => (r.getLong(0), r.getLong(1),
+                                   r.getLong(2)))
+    val dimIds = cm.map(_._1).distinct.sorted
+    var v: Map[Long, Long] = dimIds.map(_ -> vs).toMap
+    for (_ <- 1 to iters) {
+      val mv: Map[Long, Long] = cm.groupBy(_._1).map { case (i, rows) =>
+        i -> rows.foldLeft(BigInt(0)) { case (acc, (_, j, cij)) =>
+          acc + BigInt(cij) * BigInt(v(j))
+        }.toLong // bounded <= 64 * 4e16 by the fixed-point design
+      }
+      val mx = mv.values.map(x => math.abs(x)).max
+      val d = mx / vs + 1
+      v = mv.map { case (i, m) =>
+        i -> (if (m < 0) -((-m) / d) else m / d)
+      }
+    }
+    import spark.implicits._
+    v.toSeq.sortBy(_._1).toDF("dim", "v")
   }
 }

@@ -181,6 +181,53 @@ object LlmQueries extends QueryPack {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // q_pca_power knob: power-iteration rounds.
+  private val PcaIters = 8
+
+  /** DuckDB mirror of [[LlmOps.pcaTopComponent]]: identical integer
+    * scatter matrix and [[PcaIters]] sign-split fixed-point iterations,
+    * generated from the same constants. `//` on non-negative operands
+    * matches Spark's `div`; signed divisions are sign-split in BOTH
+    * engines (floor-vs-truncate would silently diverge on negatives).
+    */
+  private def pcaOracleSql: String = {
+    val rounds = (1 to PcaIters).map { k =>
+      s"""mv$k AS (
+         |  SELECT c.i,
+         |    CAST(sum(CAST(c.c * v.v AS DECIMAL(38,0))) AS BIGINT) AS mv
+         |  FROM c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |v$k AS (
+         |  SELECT i, CASE WHEN mv < 0 THEN -((-mv) // d)
+         |                 ELSE mv // d END AS v
+         |  FROM (SELECT mv$k.*, mx // 100000 + 1 AS d
+         |        FROM mv$k CROSS JOIN
+         |          (SELECT max(abs(mv)) AS mx FROM mv$k) m) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
+       |      AS x
+       |  FROM embeddings, unnest(range(1, 65)) u(i)),
+       |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY i),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS BIGINT) AS p
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |c AS (
+       |  SELECT i, j,
+       |    CASE WHEN m < 0 THEN -((-m) // n) ELSE m // n END AS c
+       |  FROM (SELECT p.i, p.j, n * p - si.s * sj.s AS m, n
+       |        FROM p JOIN s si ON p.i = si.i
+       |        JOIN s sj ON p.j = sj.i CROSS JOIN nn) t),
+       |v0 AS (SELECT i, CAST(100000 AS BIGINT) AS v FROM s),
+       |$rounds
+       |SELECT i AS dim, v FROM v$PcaIters
+       |ORDER BY dim NULLS FIRST""".stripMargin
+  }
+
   /** DuckDB mirror of [[LlmOps.hitsScores]]: the same md5 edge set and
     * [[PrIters]] chained (authority, hub) integer half-round pairs,
     * generated from the same constants.
@@ -985,6 +1032,17 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
     }),
+
+    // L7c: top principal component of the embedding cloud
+    // ([[LlmOps.pcaTopComponent]]) — fixed-point power iteration over
+    // the exact integer scatter matrix; the corpus is touched ONCE (the
+    // 64×64 scatter aggregate), the [[PcaIters]] iterations run over
+    // the broadcast matrix. The DuckDB oracle replays coordinate
+    // integerization, the n²-scaled centered scatter, and every
+    // sign-split rescaled iteration from the same constants.
+    "q_pca_power" -> ((s, dir) =>
+      LlmOps.pcaTopComponent(Tables(s, dir, "embeddings"), 64, PcaIters)
+        .orderBy("dim")),
 
     // L8c: HITS hubs & authorities ([[LlmOps.hitsScores]]) — the
     // query-dependent-community sibling of PageRank: authorities are
@@ -3038,6 +3096,7 @@ object LlmQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql,
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_graph_hits" -> hitsOracleSql,
+    "q_pca_power" -> pcaOracleSql,
 
     // Same Hamilton apportionment + md5-ordered greedy fill, all exact
     // integers (hex md5 strings order identically under both engines'

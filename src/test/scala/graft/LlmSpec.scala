@@ -990,6 +990,30 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("pcaTopComponent: recovers a planted dominant axis (|cos| > " +
+       "0.95) and the iterate stays on the +-1e5 grid") {
+    // 200 vectors: t*u + deterministic small noise, u along (0.6, 0.8)
+    // in dims 1-2 — variance along u dominates by ~1000x
+    val u = Array.tabulate(64)(i =>
+      if (i == 0) 0.6 else if (i == 1) 0.8 else 0.0)
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21) - 10.0
+      val vec = Array.tabulate(64) { i =>
+        (t * u(i) + (((k * 31 + i * 7) % 11) - 5) * 0.004).toFloat
+      }
+      (k.toLong, vec)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val v = LlmOps.pcaTopComponent(df, 64, 8)
+      .orderBy("dim").select("v").as[Long].collect().map(_.toDouble)
+    assert(v.length === 64)
+    assert(v.map(math.abs).max <= 100000.0)
+    val dot = v.zip(u).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(u.map(x => x * x).sum))
+    assert(cos > 0.95, s"cos=$cos v=${v.take(4).mkString(",")}")
+  }
+
   test("q_mix_allocate: quotas sum EXACTLY to the budget (Hamilton " +
        "guarantee), each within one slot of the exact proportion, and " +
        "the greedy fill never exceeds its quota") {
