@@ -2095,6 +2095,63 @@ object LlmOps {
               coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
+  /** Integer Lloyd k-means over e4-grid coordinates — the clustering
+    * loop that CAN hash-match a SQL replay, unlike float Lloyd (whose
+    * mean re-centering carries partial-merge noise; that is exactly why
+    * the PQ codebook path is certified by recall floors instead).
+    * Determinism stack: Forgy seeds = the k smallest md5-hashed vec_ids
+    * (the [[pqTrainOnSubs]] idiom), squared distances are exact BIGINT
+    * (diff ≤ 2·10⁴ per dim), argmin ties break to the lower cid,
+    * re-centering is the exact rational mean floored per dimension
+    * (sign-split division — Spark `div` truncates, DuckDB `//`
+    * floors), and an emptied cluster keeps its previous centroid
+    * rather than dividing by zero. Per round: one broadcast
+    * assignment join + one hash aggregate — linear in the corpus.
+    * Returns the final assignment (vec_id, cluster, d) with d the
+    * exact integer squared distance to the winning centroid.
+    */
+  def kmeansInteger(embeddings: DataFrame, k: Int,
+                    iters: Int): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+              expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
+                .as("x"))
+      .localCheckpoint() // re-read every assignment round
+    val seedIds = embeddings.select(col("vec_id"))
+      .withColumn("__h",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .orderBy("__h", "vec_id").limit(k)
+      .select(col("vec_id"),
+              (row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+                .cast("long").as("cid"))
+    var cents = x.join(broadcast(seedIds), "vec_id")
+      .select(col("cid"), col("i"), col("x").as("c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = x
+      .join(broadcast(c), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+              col("best.d").as("d"))
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .join(x, "vec_id")
+        .groupBy(col("cluster").as("cid"), col("i"))
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      cents = cents.select(col("cid"), col("i"), col("c").as("c_old"))
+        .join(sums, Seq("cid", "i"), "left")
+        .select(col("cid"), col("i"), expr(
+          "CASE WHEN n IS NULL THEN c_old " +
+          "WHEN s < 0 THEN -((-s) div n) ELSE s div n END").as("c"))
+        .localCheckpoint()
+    }
+    assign(cents)
+  }
+
   /** Top principal component of the embedding cloud by FIXED-POINT
     * power iteration — the PCA-lite an embedding-quality/drift monitor
     * runs. Structure mirrors production: the distributed work is ONE

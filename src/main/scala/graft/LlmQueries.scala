@@ -184,6 +184,69 @@ object LlmQueries extends QueryPack {
   // q_pca_power knob: power-iteration rounds.
   private val PcaIters = 8
 
+  // q_cluster_kmeans knobs.
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** DuckDB mirror of [[LlmOps.kmeansInteger]]: same md5-Forgy seeds,
+    * same exact-integer assignment/re-centering recurrence, generated
+    * from the same constants. Signed floor-divisions are sign-split in
+    * both engines; an emptied cluster keeps its previous centroid.
+    */
+  private def kmeansOracleSql: String = {
+    val rounds = (1 to KmIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, cid AS cluster, d FROM (
+         |    SELECT vec_id, cid, d, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM (SELECT x.vec_id, c.cid,
+         |            CAST(sum((x.x - c.c) * (x.x - c.c)) AS BIGINT) AS d
+         |          FROM x JOIN c${t - 1} c ON x.i = c.i
+         |          GROUP BY x.vec_id, c.cid) dd) r
+         |  WHERE rn = 1),
+         |c$t AS (
+         |  SELECT o.cid, o.i,
+         |    CASE WHEN n IS NULL THEN o.c
+         |         WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS c
+         |  FROM c${t - 1} o LEFT JOIN (
+         |    SELECT a.cluster AS cid, x.i, CAST(sum(x.x) AS BIGINT) AS s,
+         |      count(*) AS n
+         |    FROM a$t a JOIN x ON a.vec_id = x.vec_id
+         |    GROUP BY a.cluster, x.i) g
+         |  ON o.cid = g.cid AND o.i = g.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
+       |      AS x
+       |  FROM embeddings, unnest(range(1, 65)) u(i)),
+       |seeds AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+       |      AS cid
+       |  FROM (SELECT vec_id,
+       |          CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+       |            1, 8)) AS BIGINT) AS h
+       |        FROM embeddings) t
+       |  ORDER BY h, vec_id LIMIT $KmK),
+       |c0 AS (SELECT s.cid, x.i, x.x AS c
+       |       FROM x JOIN seeds s USING (vec_id)),
+       |$rounds,
+       |fin AS (
+       |  SELECT vec_id, cid AS cluster, d FROM (
+       |    SELECT vec_id, cid, d, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM (SELECT x.vec_id, c.cid,
+       |            CAST(sum((x.x - c.c) * (x.x - c.c)) AS BIGINT) AS d
+       |          FROM x JOIN c$KmIters c ON x.i = c.i
+       |          GROUP BY x.vec_id, c.cid) dd) r
+       |  WHERE rn = 1)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(d) AS BIGINT) AS ssd, min(vec_id) AS min_vec
+       |FROM fin GROUP BY cluster
+       |ORDER BY cluster NULLS FIRST""".stripMargin
+  }
+
   /** DuckDB mirror of [[LlmOps.pcaTopComponent]]: identical integer
     * scatter matrix and [[PcaIters]] sign-split fixed-point iterations,
     * generated from the same constants. `//` on non-negative operands
@@ -1032,6 +1095,19 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy("doc_id")
     }),
+
+    // L7d: integer Lloyd k-means ([[LlmOps.kmeansInteger]], k = 8,
+    // 3 rounds) — the full clustering loop, hash-oracled: exact BIGINT
+    // distances, floored rational re-centering, md5-Forgy seeds, all
+    // replayed by a generated DuckDB CTE chain. Output = per-cluster
+    // (size, exact within-cluster squared distance, smallest member) —
+    // a signature of every assignment and every centroid coordinate.
+    "q_cluster_kmeans" -> ((s, dir) =>
+      LlmOps.kmeansInteger(Tables(s, dir, "embeddings"), KmK, KmIters)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("d").as("ssd"),
+             min("vec_id").as("min_vec"))
+        .orderBy("cluster")),
 
     // L7c: top principal component of the embedding cloud
     // ([[LlmOps.pcaTopComponent]]) — fixed-point power iteration over
@@ -3097,6 +3173,7 @@ object LlmQueries extends QueryPack {
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_graph_hits" -> hitsOracleSql,
     "q_pca_power" -> pcaOracleSql,
+    "q_cluster_kmeans" -> kmeansOracleSql,
 
     // Same Hamilton apportionment + md5-ordered greedy fill, all exact
     // integers (hex md5 strings order identically under both engines'

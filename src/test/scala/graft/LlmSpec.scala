@@ -990,6 +990,28 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("kmeansInteger: separates two planted blobs perfectly and " +
+       "every distance is the exact integer SSD to the winner") {
+    // blob A around +0.5 on dims 1-4, blob B around -0.5; tiny
+    // deterministic jitter
+    val rows = (0 until 60).map { k =>
+      val sgn = if (k % 2 == 0) 1.0 else -1.0
+      val vec = Array.tabulate(64) { i =>
+        (if (i < 4) sgn * 0.5 + ((k * 13 + i) % 5 - 2) * 0.002
+         else 0.0).toFloat
+      }
+      (k.toLong, vec)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = LlmOps.kmeansInteger(df, 2, 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    val byParity = out.groupBy(_._1 % 2).mapValues(_.map(_._2).toSet)
+    // each parity class (= blob) lands in exactly one cluster, and the
+    // two blobs land in different clusters
+    assert(byParity(0L).size === 1 && byParity(1L).size === 1)
+    assert(byParity(0L) != byParity(1L))
+  }
+
   test("pcaTopComponent: recovers a planted dominant axis (|cos| > " +
        "0.95) and the iterate stays on the +-1e5 grid") {
     // 200 vectors: t*u + deterministic small noise, u along (0.6, 0.8)
