@@ -470,6 +470,40 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric sibling of Jaccard:
+    * C(A→B) = |A∩B| / |A| finds A quoted/embedded inside a larger B,
+    * which symmetric Jaccard misses as soon as |B| ≫ |A| (the union
+    * swamps the ratio). Same relational shape as the all-pairs Jaccard
+    * verify; a pair is emitted when EITHER direction reaches the
+    * threshold, with both ratios reported. Scale note: the production
+    * candidate path is the asymmetric prefix filter (only the SMALL
+    * side needs a prefix — |A∩B| ≥ t·|A| bounds A's prefix at
+    * |A|−⌈t·|A|⌉+1 — joined against the full index of the large side);
+    * at harness scale the direct self-join is the measured-cheaper
+    * branch, the [[ngramJaccardPairs]] cost-probe argument.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String,
+                            textCol: String, partCol: String,
+                            shingleK: Int,
+                            minContainment: Double): DataFrame = {
+    val sh = shingleRelation(docs, idCol, textCol, partCol, shingleK)
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc").as("a"), col("part"), col("s"))
+      .join(sh.select(col("doc").as("b"), col("part"), col("s")),
+            Seq("part", "s"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc").as("a"), col("n_sh").as("na")), "a")
+      .join(counts.select(col("doc").as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("cab", col("inter").cast("double") / col("na"))
+      .withColumn("cba", col("inter").cast("double") / col("nb"))
+      .filter(col("cab") >= minContainment ||
+              col("cba") >= minContainment)
+      .select(col("a"), col("b"), round(col("cab"), 4).as("cont_ab"),
+              round(col("cba"), 4).as("cont_ba"))
+  }
+
   /** Both branches force-selected — the equivalence spec compares them
     * pair-for-pair without depending on what the cost probe picks.
     */

@@ -518,6 +518,14 @@ object LlmQueries extends QueryPack {
                                "lang", 3, 0.2)
         .orderBy("a", "b")),
 
+    // L2a'': asymmetric containment pairs ([[LlmOps
+    // .ngramContainmentPairs]]) — C(A→B) = |A∩B|/|A| at 0.6, the
+    // quote/subset detector symmetric Jaccard misses when |B| ≫ |A|.
+    "q_dedup_containment" -> ((s, dir) =>
+      LlmOps.ngramContainmentPairs(Tables(s, dir, "documents"), "doc_id",
+                                   "text", "lang", 3, 0.6)
+        .orderBy("a", "b")),
+
     // L2a': the PPJoin PREFIX-FILTERED branch force-selected
     // (selfJoinBudget = 0) against the SAME all-pairs DuckDB oracle —
     // the driver-level, three-SF hash proof that prefix filtering is
@@ -2182,6 +2190,28 @@ object LlmQueries extends QueryPack {
         |FROM inter
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.2
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b,
+        |  round(i * 1.0 / ca.n_sh, 4) AS cont_ab,
+        |  round(i * 1.0 / cb.n_sh, 4) AS cont_ba
+        |FROM inter
+        |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |WHERE i * 1.0 / ca.n_sh >= 0.6 OR i * 1.0 / cb.n_sh >= 0.6
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
     // Deliberately the ALL-PAIRS formulation at t = 0.5: the Spark side

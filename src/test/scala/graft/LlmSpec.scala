@@ -990,6 +990,24 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("ngramContainmentPairs: finds a short doc quoted inside a long " +
+       "one that Jaccard misses at the same threshold") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = (1 to 80).map(i => s"w$i").mkString(" ") + " " + quote
+    val d = Seq((1L, quote, "en"), (2L, long, "en"),
+                (3L, "totally unrelated words here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = LlmOps.ngramContainmentPairs(d, "doc_id", "text", "lang",
+                                            3, 0.9)
+      .select("a", "b", "cont_ab").collect()
+    assert(cont.length === 1 && cont.head.getLong(0) === 1L &&
+           cont.head.getLong(1) === 2L)
+    assert(cont.head.getDouble(2) === 1.0) // every quote shingle matches
+    // symmetric Jaccard at the same bar sees nothing: union is huge
+    assert(LlmOps.ngramJaccardPairsAllPairs(d, "doc_id", "text", "lang",
+                                            3, 0.9).count() === 0L)
+  }
+
   test("kmeansInteger: separates two planted blobs perfectly and " +
        "every distance is the exact integer SSD to the winner") {
     // blob A around +0.5 on dims 1-4, blob B around -0.5; tiny
