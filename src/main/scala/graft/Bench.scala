@@ -61,6 +61,7 @@ object Bench {
     // r9 — same annPqTopK/annIvfPqTopK serving path, plus the exact
     // baseline, inside one timed plan)
     "q_simsearch_pq_recall", "q_simsearch_ivfpq_recall", "q_sq8_quantize",
+    "q_simsearch_kmeans",
     "q_binary_quantize",
     "q_text_tokens", "q_text_tfidf", "q_text_bm25", "q_inverted_index",
     "q_inverted_index_full", "q_lang_id", "q_text_repetition",

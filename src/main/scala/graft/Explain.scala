@@ -24,6 +24,7 @@ object Explain {
     "q_knn_join",           // scores vs explicitly broadcast query set
     "q_cluster_assign",     // cross vs explicitly broadcast seed set
     "q_dedup_semantic",     // cross vs explicitly broadcast 8-seed set
+    "q_simsearch_kmeans",   // 1-row broadcast probe + 1-row query cross
     "q_simsearch_ivf_recall",   // ANN + exact sides, both vs broadcast query
     "q_simsearch_pq_recall",    // same: recall certificates re-run the ANN
     "q_simsearch_ivfpq_recall", // paths, every cross side is the 1-row query

@@ -2145,7 +2145,16 @@ object LlmOps {
     * exact integer squared distance to the winning centroid.
     */
   def kmeansInteger(embeddings: DataFrame, k: Int,
-                    iters: Int): DataFrame = {
+                    iters: Int): DataFrame =
+    kmeansFit(embeddings, k, iters)._2
+
+  /** The (centroids, assignment) pair behind [[kmeansInteger]] —
+    * centroids (cid, i, c) on the e4 grid, assignment (vec_id,
+    * cluster, d). Exposed for IVF-style serving over the fitted
+    * index.
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int,
+                iters: Int): (DataFrame, DataFrame) = {
     val x = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
@@ -2183,7 +2192,67 @@ object LlmOps {
           "WHEN s < 0 THEN -((-s) div n) ELSE s div n END").as("c"))
         .localCheckpoint()
     }
-    assign(cents)
+    (cents, assign(cents))
+  }
+
+  private val kmCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int, Int),
+    (DataFrame, DataFrame)]()
+
+  /** Memoized k-means index — the [[pqIndex]] stored-artifact
+    * discipline: a deployment fits the coarse quantizer ONCE and every
+    * query serves against the stored (centroids, assignment); the
+    * q_cluster_kmeans key itself stays unmemoized on purpose (it IS
+    * the benchmark of the fit). Keyed by content fingerprint, so an
+    * in-place corpus rewrite or a derived frame can't serve a stale or
+    * foreign index.
+    */
+  def kmIndex(embeddings: DataFrame, cacheKey: String, k: Int,
+              iters: Int): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    kmCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = cacheKey + "#" + contentFingerprint(embeddings)
+    kmCache.computeIfAbsent((spark, key, k, iters), _ => {
+      val (c, a) = kmeansFit(embeddings, k, iters)
+      (c, a.localCheckpoint())
+    })
+  }
+
+  /** IVF top-k over the integer-k-means coarse quantizer — the ANN
+    * serving path whose ENTIRE pipeline hash-matches a SQL replay (no
+    * recall floor needed): the fit is [[kmeansFit]]'s exact-integer
+    * recurrence, the probe is an exact-integer argmin over k centroid
+    * distances, and the in-cell ranking is the bit-portable exact
+    * cosine. One cell is scanned per query (partition pruning); the
+    * probe and query are 1-row broadcasts, so serving adds no
+    * shuffle.
+    */
+  def annKmeansTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                    iters: Int, topK: Int,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val (cents, assign) = cacheKey match {
+      case Some(key) => kmIndex(embeddings, key, k, iters)
+      case None => kmeansFit(embeddings, k, iters)
+    }
+    val qx = query.select(
+        posexplode(col("q_emb")).as(Seq("p", "xv")))
+      .select((col("p") + 1).cast("long").as("i"),
+              expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
+                .as("qx"))
+    val probe = cents.join(broadcast(qx), "i")
+      .groupBy("cid")
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("d"))
+      .orderBy("d", "cid").limit(1)
+      .select(col("cid").as("__probe"))
+    assign.crossJoin(broadcast(probe))
+      .filter(col("cluster") === col("__probe"))
+      .join(embeddings, "vec_id")
+      .crossJoin(broadcast(query))
+      .withColumn("sim_raw",
+                  Functions.cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("sim_raw").desc_nulls_last, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
   }
 
   /** Top principal component of the embedding cloud by FIXED-POINT

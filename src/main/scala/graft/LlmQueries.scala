@@ -193,7 +193,10 @@ object LlmQueries extends QueryPack {
     * from the same constants. Signed floor-divisions are sign-split in
     * both engines; an emptied cluster keeps its previous centroid.
     */
-  private def kmeansOracleSql: String = {
+  /** The shared CTE chain (x → seeds → c0 → rounds → fin) both k-means
+    * oracles replay; `fin` is the final assignment against c[[KmIters]].
+    */
+  private def kmeansCteBody: String = {
     val rounds = (1 to KmIters).map { t =>
       s"""a$t AS (
          |  SELECT vec_id, cid AS cluster, d FROM (
@@ -215,7 +218,7 @@ object LlmQueries extends QueryPack {
          |    GROUP BY a.cluster, x.i) g
          |  ON o.cid = g.cid AND o.i = g.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH x AS (
+    s"""x AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
        |      AS x
@@ -240,12 +243,43 @@ object LlmQueries extends QueryPack {
        |            CAST(sum((x.x - c.c) * (x.x - c.c)) AS BIGINT) AS d
        |          FROM x JOIN c$KmIters c ON x.i = c.i
        |          GROUP BY x.vec_id, c.cid) dd) r
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCteBody
        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(d) AS BIGINT) AS ssd, min(vec_id) AS min_vec
        |FROM fin GROUP BY cluster
        |ORDER BY cluster NULLS FIRST""".stripMargin
-  }
+
+  /** DuckDB mirror of [[LlmOps.annKmeansTopK]]: same fitted index
+    * (shared CTE chain), same exact-integer probe argmin, same cosSql
+    * in-cell ranking — the whole ANN serving path hash-checked.
+    */
+  private def kmeansServeOracleSql: String =
+    s"""WITH $kmeansCteBody,
+       |q AS (
+       |  SELECT CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
+       |      AS qx
+       |  FROM embeddings, unnest(range(1, 65)) u(i)
+       |  WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, sum((q.qx - c.c) * (q.qx - c.c)) AS d
+       |    FROM c$KmIters c JOIN q ON c.i = q.i GROUP BY c.cid) t
+       |  ORDER BY d, cid LIMIT 1),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |topk AS (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS sim
+       |  FROM embeddings e
+       |  JOIN fin f ON e.vec_id = f.vec_id
+       |  JOIN probe p ON f.cluster = p.cid
+       |  CROSS JOIN qv
+       |  ORDER BY sim DESC NULLS LAST, e.vec_id LIMIT 10)
+       |SELECT vec_id, round(sim, 4) AS sim FROM topk
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[LlmOps.pcaTopComponent]]: identical integer
     * scatter matrix and [[PcaIters]] sign-split fixed-point iterations,
@@ -1116,6 +1150,19 @@ object LlmQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum("d").as("ssd"),
              min("vec_id").as("min_vec"))
         .orderBy("cluster")),
+
+    // L4j: IVF serving over the integer-k-means coarse quantizer
+    // ([[LlmOps.annKmeansTopK]]) — the ANN path whose ENTIRE pipeline
+    // hash-oracles (fit, probe, in-cell exact-cosine ranking), closing
+    // the gap the PQ/IVF-PQ keys certify by recall floors: float Lloyd
+    // can't replay cross-engine, integer Lloyd can. Serves from the
+    // memoized stored index (the pqIndex discipline); one cell scanned
+    // per query, 1-row broadcast probe + query, no serving shuffle.
+    "q_simsearch_kmeans" -> ((s, dir) =>
+      LlmOps.annKmeansTopK(Tables(s, dir, "embeddings"), queryVec(s, dir),
+                           KmK, KmIters, 10,
+                           cacheKey = Some(s"$dir/embeddings"))
+        .orderBy("vec_id")),
 
     // L7c: top principal component of the embedding cloud
     // ([[LlmOps.pcaTopComponent]]) — fixed-point power iteration over
@@ -3204,6 +3251,7 @@ object LlmQueries extends QueryPack {
     "q_graph_hits" -> hitsOracleSql,
     "q_pca_power" -> pcaOracleSql,
     "q_cluster_kmeans" -> kmeansOracleSql,
+    "q_simsearch_kmeans" -> kmeansServeOracleSql,
 
     // Same Hamilton apportionment + md5-ordered greedy fill, all exact
     // integers (hex md5 strings order identically under both engines'

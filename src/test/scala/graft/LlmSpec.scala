@@ -990,6 +990,27 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("annKmeansTopK: the query vector survives its own cell's top-k " +
+       "at sim 1.0, every hit comes from ONE cell, and the index memo " +
+       "serves repeat queries") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val out = LlmOps.annKmeansTopK(embs, q, 8, 3, 10,
+                                   cacheKey = Some("spec/embeddings"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.contains(0L) && out(0L) === 1.0)
+    // single-cell confinement: every returned id shares vec 0's cluster
+    val assign = LlmOps.kmeansInteger(embs, 8, 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val cell = assign(0L)
+    assert(out.keySet.forall(id => assign(id) == cell))
+    // memoized index: a second serve must hit the cache, not re-fit
+    val before = System.nanoTime()
+    LlmOps.annKmeansTopK(embs, q, 8, 3, 10,
+                         cacheKey = Some("spec/embeddings")).count()
+    assert((System.nanoTime() - before) / 1e9 < 5.0)
+  }
+
   test("ngramContainmentPairs: finds a short doc quoted inside a long " +
        "one that Jaccard misses at the same threshold") {
     val quote = "alpha beta gamma delta epsilon zeta"
