@@ -2277,23 +2277,55 @@ object LlmOps {
     * axis. Returns (dim 1-based, v) with v on the ±10⁵ grid.
     */
   def pcaTopComponent(embeddings: DataFrame, dims: Int,
-                      iters: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    val vs = 100000L // iterate infinity-norm scale
+                      iters: Int): DataFrame =
+    pcaFromPartials(scatterPartials(embeddings), iters)
+
+  /** The exact integer scatter statistics of an embedding batch in ONE
+    * unified mergeable layout — (kind, i, j, v) rows: kind "n" the
+    * vector count, "s" the per-dimension coordinate sums, "p" the
+    * pairwise power sums. All BIGINT, all additive: summing two
+    * batches' partials per (kind, i, j) IS the scatter of their union
+    * (integer addition is exact and associative), which is what lets a
+    * streaming sink maintain the state incrementally.
+    */
+  private[graft] def scatterPartials(embeddings: DataFrame): DataFrame = {
     val x = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
               expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
                 .as("x"))
       .localCheckpoint() // read by the sums AND both scatter sides
-    val nDf = x.agg((count(lit(1)) / dims).cast("long").as("n"))
-    val s = x.groupBy("i").agg(sum("x").as("s"))
-    val p = x.select(col("vec_id"), col("i"), col("x"))
+    val n = embeddings.agg(count(lit(1)).cast("long").as("v"))
+      .select(lit("n").as("kind"), lit(0L).as("i"), lit(0L).as("j"),
+              col("v"))
+    val s = x.groupBy("i").agg(sum("x").as("v"))
+      .select(lit("s").as("kind"), col("i"), lit(0L).as("j"), col("v"))
+    val p = x
       .join(x.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
             "vec_id")
       .groupBy("i", "j")
       .agg(expr("CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS BIGINT)")
-             .as("p"))
+             .as("v"))
+      .select(lit("p").as("kind"), col("i"), col("j"), col("v"))
+    n.unionByName(s).unionByName(p)
+  }
+
+  /** Power iteration over (possibly unmerged) scatter partials — the
+    * serving half of [[pcaTopComponent]], also fed by the streaming
+    * scatter store. Partials are re-summed per (kind, i, j) first, so
+    * both a one-shot batch and an accumulated multi-batch store are
+    * valid inputs.
+    */
+  private[graft] def pcaFromPartials(partials: DataFrame,
+                                     iters: Int): DataFrame = {
+    val spark = partials.sparkSession
+    val vs = 100000L // iterate infinity-norm scale
+    val nDf = partials.filter(col("kind") === "n")
+      .agg(sum("v").as("n"))
+    val s = partials.filter(col("kind") === "s")
+      .groupBy("i").agg(sum("v").as("s"))
+    val p = partials.filter(col("kind") === "p")
+      .groupBy("i", "j").agg(sum("v").as("p"))
     val c = p
       .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
       .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")

@@ -601,6 +601,70 @@ object Streaming {
     * batch's partition footprint (a day of late data re-aggregates one
     * day, never the table); the full history is never rescanned.
     */
+  /** Streaming maintenance of the exact integer SCATTER state behind
+    * [[LlmOps.pcaTopComponent]] — the embedding-drift monitor shape:
+    * every micro-batch of vectors folds its own (n, per-dim sums,
+    * pairwise power sums) partials into a store that stays O(dims²)
+    * rows — 64·64 + 64 + 1 — REGARDLESS of history, because integer
+    * partials merge by addition (exact and associative). Serving
+    * ([[pcaFromScatterState]]) runs the fixed-point power iteration
+    * over the store with NO corpus pass, fresh as of the last batch,
+    * and — spec-pinned — equals the one-shot batch computation on the
+    * accumulated corpus bit-for-bit. Replay-safe at every crash point
+    * (the [[projectionBatch]] discipline): the merge commits via an
+    * atomic tmp→dir rename carrying a `_merged_<id>` tag, the batch
+    * marker (living OUTSIDE the swapped dir) commits last, and a
+    * half-finished swap is promoted on the next entry.
+    */
+  def scatterSink(df: DataFrame, stateDir: String,
+                  checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scatterBatch(batch, stateDir, batchId)
+      }
+
+  private[graft] def scatterBatch(batch: DataFrame, stateDir: String,
+                                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    val hc = spark.sparkContext.hadoopConfiguration
+    val state = new org.apache.hadoop.fs.Path(s"$stateDir/scatter")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/scatter.tmp")
+    val fs = state.getFileSystem(hc)
+    // crash recovery: a swap that died between delete and rename left
+    // only the complete tmp copy — promote it before reading
+    if (!fs.exists(state) && fs.exists(tmp)) fs.rename(tmp, state)
+    val tag = s"_merged_$batchId"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(state, tag))) {
+      val partial = LlmOps.scatterPartials(batch)
+      val merged =
+        (try spark.read.parquet(state.toString).unionByName(partial)
+         catch {
+           case e: org.apache.spark.sql.AnalysisException
+               if e.getCondition == "PATH_NOT_FOUND" ||
+                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+             partial
+         })
+          .groupBy("kind", "i", "j").agg(sum("v").as("v"))
+          .coalesce(1) // O(dims²) rows: one file, not 32 shards
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, tag), true).close()
+      if (fs.exists(state)) fs.delete(state, true)
+      fs.rename(tmp, state)
+    }
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** Top principal component served from the [[scatterSink]] store —
+    * the O(dims²) read + driver-side iteration, no corpus pass.
+    */
+  def pcaFromScatterState(spark: SparkSession, stateDir: String,
+                          iters: Int): DataFrame =
+    LlmOps.pcaFromPartials(spark.read.parquet(s"$stateDir/scatter"),
+                           iters)
+
   def incrementalAggSink(df: DataFrame, stateDir: String, checkpoint: String,
                          partitionCol: String, keyCols: Seq[String],
                          valueCol: String,

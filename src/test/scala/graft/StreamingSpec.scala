@@ -699,4 +699,54 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(folded.nonEmpty && folded.values.forall(_ <= 10))
   }
+
+  test("scatterBatch: accumulated store == one-shot scatter of the " +
+       "union, PCA from the store == batch PCA, replay is a no-op, " +
+       "and a half-finished swap self-heals") {
+    def mkVecs(ids: Range): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(ids.map { k =>
+        (k.toLong, Array.tabulate(64)(i =>
+          (((k * 31 + i * 7) % 13) - 6) * 0.05f))
+      }).toDF("vec_id", "embedding")
+    val b1 = mkVecs(0 until 40)
+    val b2 = mkVecs(40 until 90)
+    val all = mkVecs(0 until 90)
+    val st = Files.createTempDirectory("graft-scatter").toString
+    Streaming.scatterBatch(b1, st, 0L)
+    Streaming.scatterBatch(b2, st, 1L)
+    def stateRows(dir: String) =
+      spark.read.parquet(s"$dir/scatter")
+        .select("kind", "i", "j", "v")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val oneShot = LlmOps.scatterPartials(all)
+      .select("kind", "i", "j", "v")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stateRows(st) === oneShot)
+    // serving: PCA over the store == PCA over the one-shot corpus
+    def vecOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("dim").select("v").as[Long].collect().toSeq
+    assert(vecOf(Streaming.pcaFromScatterState(spark, st, 4)) ===
+           vecOf(LlmOps.pcaTopComponent(all, 64, 4)))
+    // replay of batch 1 with the marker intact: full no-op
+    Streaming.scatterBatch(b2, st, 1L)
+    assert(stateRows(st) === oneShot)
+    // marker cleared but _merged_ tag present (crash after swap,
+    // before marker): the merge is skipped, partials not double-folded
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$st/_graft_commits/1"),
+              false)
+    Streaming.scatterBatch(b2, st, 1L)
+    assert(stateRows(st) === oneShot)
+    // crash between delete and rename: only the tmp copy exists — the
+    // next batch promotes it before merging
+    fs.rename(new org.apache.hadoop.fs.Path(s"$st/scatter"),
+              new org.apache.hadoop.fs.Path(s"$st/scatter.tmp"))
+    val b3 = mkVecs(90 until 100)
+    Streaming.scatterBatch(b3, st, 2L)
+    assert(stateRows(st) ===
+      LlmOps.scatterPartials(mkVecs(0 until 100))
+        .select("kind", "i", "j", "v")
+        .as[(String, Long, Long, Long)].collect().toSet)
+  }
 }
