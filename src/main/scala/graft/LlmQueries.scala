@@ -287,7 +287,10 @@ object LlmQueries extends QueryPack {
     * matches Spark's `div`; signed divisions are sign-split in BOTH
     * engines (floor-vs-truncate would silently diverge on negatives).
     */
-  private def pcaOracleSql: String = {
+  /** The shared PCA CTE chain (x → s → p → c → v0..v[[PcaIters]]),
+    * reused by the projection-outlier oracle.
+    */
+  private def pcaCteBody: String = {
     val rounds = (1 to PcaIters).map { k =>
       s"""mv$k AS (
          |  SELECT c.i,
@@ -301,7 +304,7 @@ object LlmQueries extends QueryPack {
          |          (SELECT max(abs(mv)) AS mx FROM mv$k) m) t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (
+    s"""nn AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        |x AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
@@ -320,10 +323,27 @@ object LlmQueries extends QueryPack {
        |        FROM p JOIN s si ON p.i = si.i
        |        JOIN s sj ON p.j = sj.i CROSS JOIN nn) t),
        |v0 AS (SELECT i, CAST(100000 AS BIGINT) AS v FROM s),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pcaOracleSql: String =
+    s"""WITH $pcaCteBody
        |SELECT i AS dim, v FROM v$PcaIters
        |ORDER BY dim NULLS FIRST""".stripMargin
-  }
+
+  /** DuckDB mirror of q_embed_outliers: the shared PCA chain, then the
+    * exact integer projection of every vector onto the final iterate
+    * (x·v ≤ 10⁸·10⁵ per dim, ×64 well inside BIGINT), extremes by
+    * |projection| with vec_id tie-break.
+    */
+  private def pcaOutlierOracleSql: String =
+    s"""WITH $pcaCteBody,
+       |proj AS (
+       |  SELECT x.vec_id, CAST(sum(x.x * v.v) AS BIGINT) AS proj
+       |  FROM x JOIN v$PcaIters v ON x.i = v.i GROUP BY x.vec_id)
+       |SELECT vec_id, proj FROM (
+       |  SELECT * FROM proj ORDER BY abs(proj) DESC, vec_id LIMIT 20) t
+       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[LlmOps.hitsScores]]: the same md5 edge set and
     * [[PrIters]] chained (authority, hub) integer half-round pairs,
@@ -1174,6 +1194,27 @@ object LlmQueries extends QueryPack {
     "q_pca_power" -> ((s, dir) =>
       LlmOps.pcaTopComponent(Tables(s, dir, "embeddings"), 64, PcaIters)
         .orderBy("dim")),
+
+    // L7c': embedding outliers by principal-axis projection — the
+    // drift/anomaly read of the PCA state: each vector's exact integer
+    // projection onto the top component (Σ xᵢ·vᵢ over the e4/e5
+    // grids), the 20 most extreme by |projection|. Everything integer,
+    // so the oracle replays the shared PCA chain plus one join.
+    "q_embed_outliers" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val v = LlmOps.pcaTopComponent(e, 64, PcaIters)
+      val x = e
+        .select(col("vec_id"),
+                posexplode(col("embedding")).as(Seq("p", "xv")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+                expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) " +
+                     "AS BIGINT)").as("x"))
+      x.join(broadcast(v.select(col("dim").as("i"), col("v"))), "i")
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("proj"))
+        .orderBy("vec_id")
+    }),
 
     // L8c: HITS hubs & authorities ([[LlmOps.hitsScores]]) — the
     // query-dependent-community sibling of PageRank: authorities are
@@ -3250,6 +3291,7 @@ object LlmQueries extends QueryPack {
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_graph_hits" -> hitsOracleSql,
     "q_pca_power" -> pcaOracleSql,
+    "q_embed_outliers" -> pcaOutlierOracleSql,
     "q_cluster_kmeans" -> kmeansOracleSql,
     "q_simsearch_kmeans" -> kmeansServeOracleSql,
 
