@@ -488,20 +488,45 @@ object LlmOps {
   /** N-gram CONTAINMENT pairs — the asymmetric sibling of Jaccard:
     * C(A→B) = |A∩B| / |A| finds A quoted/embedded inside a larger B,
     * which symmetric Jaccard misses as soon as |B| ≫ |A| (the union
-    * swamps the ratio). Same relational shape as the all-pairs Jaccard
-    * verify; a pair is emitted when EITHER direction reaches the
-    * threshold, with both ratios reported. Scale note: the production
-    * candidate path is the asymmetric prefix filter (only the SMALL
-    * side needs a prefix — |A∩B| ≥ t·|A| bounds A's prefix at
-    * |A|−⌈t·|A|⌉+1 — joined against the full index of the large side);
-    * at harness scale the direct self-join is the measured-cheaper
-    * branch, the [[ngramJaccardPairs]] cost-probe argument.
+    * swamps the ratio). A pair is emitted when EITHER direction
+    * reaches the threshold, with both ratios reported.
+    *
+    * Cost-based like [[ngramJaccardPairs]], and it SHARES the memoized
+    * Σ df² statistic (same shingle relation, same fingerprint key).
+    * The quadratic-safe branch is the ASYMMETRIC prefix filter: only
+    * the contained side needs a prefix — C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉
+    * ⇒ the smallest common shingle sits inside A's
+    * (|A|−⌈t·|A|⌉+1)-prefix, while on B's side ANY common shingle is
+    * trivially in B's full set — so joining every doc's prefix against
+    * the FULL shingle relation is lossless for both directions at
+    * once, and a boilerplate shingle (excluded from every prefix)
+    * still generates zero candidates.
     */
   def ngramContainmentPairs(docs: DataFrame, idCol: String,
                             textCol: String, partCol: String,
-                            shingleK: Int,
-                            minContainment: Double): DataFrame = {
+                            shingleK: Int, minContainment: Double,
+                            selfJoinBudget: Long = NgramSelfJoinBudget)
+      : DataFrame = {
     val sh = shingleRelation(docs, idCol, textCol, partCol, shingleK)
+    val spark = docs.sparkSession
+    jaccardStatsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val statKey = s"$idCol/$textCol/$partCol/$shingleK#" +
+      contentFingerprint(docs)
+    val selfJoinRows: Long =
+      jaccardStatsCache.computeIfAbsent((spark, statKey), _ =>
+        sh.groupBy("part", "s")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .select(least(col("df"), lit(1L << 20)).as("df"))
+          .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+          .head().getLong(0))
+    if (selfJoinRows <= selfJoinBudget)
+      allPairsContainment(sh, minContainment)
+    else prefixContainment(sh, minContainment)
+  }
+
+  private def allPairsContainment(sh: DataFrame,
+                                  minContainment: Double): DataFrame = {
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc").as("a"), col("part"), col("s"))
       .join(sh.select(col("doc").as("b"), col("part"), col("s")),
@@ -518,6 +543,55 @@ object LlmOps {
       .select(col("a"), col("b"), round(col("cab"), 4).as("cont_ab"),
               round(col("cba"), 4).as("cont_ba"))
   }
+
+  /** The asymmetric prefix branch: per-doc prefixes (from the SAME
+    * [[prefixArrays]] machinery — the ⌈t·n⌉ bound is identical) joined
+    * against the full shingle relation, pairs normalized to a < b, and
+    * the exact array-intersect verify emitting both direction ratios.
+    */
+  private def prefixContainment(sh: DataFrame,
+                                minContainment: Double): DataFrame = {
+    val arrs = prefixArrays(sh, minContainment)
+    val pre = arrs.select(col("doc"), col("part"),
+                          explode(col("prefix")).as("s"))
+    val cand = pre.select(col("doc").as("pa"), col("part"), col("s"))
+      .join(sh.select(col("doc").as("pb"), col("part"), col("s")),
+            Seq("part", "s"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+              greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na"),
+                        col("ss").as("sa")), "a")
+      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb"),
+                        col("ss").as("sb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("cab", col("inter").cast("double") / col("na"))
+      .withColumn("cba", col("inter").cast("double") / col("nb"))
+      .filter(col("cab") >= minContainment ||
+              col("cba") >= minContainment)
+      .select(col("a"), col("b"), round(col("cab"), 4).as("cont_ab"),
+              round(col("cba"), 4).as("cont_ba"))
+  }
+
+  /** Both containment branches force-selected for the equivalence
+    * spec (the [[ngramJaccardPairsAllPairs]] pattern).
+    */
+  private[graft] def ngramContainmentAllPairs(
+      docs: DataFrame, idCol: String, textCol: String, partCol: String,
+      shingleK: Int, minContainment: Double): DataFrame =
+    allPairsContainment(
+      shingleRelation(docs, idCol, textCol, partCol, shingleK),
+      minContainment)
+
+  private[graft] def ngramContainmentPrefix(
+      docs: DataFrame, idCol: String, textCol: String, partCol: String,
+      shingleK: Int, minContainment: Double): DataFrame =
+    prefixContainment(
+      shingleRelation(docs, idCol, textCol, partCol, shingleK),
+      minContainment)
 
   /** Both branches force-selected — the equivalence spec compares them
     * pair-for-pair without depending on what the cost probe picks.

@@ -1029,6 +1029,36 @@ class LlmSpec extends SparkSpec {
                                             3, 0.9).count() === 0L)
   }
 
+  test("containment prefix branch == all-pairs on the harness corpus, " +
+       "and a planted hot shingle routes the public entry through it " +
+       "with bounded candidates") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val pf = LlmOps.ngramContainmentPrefix(docs, "doc_id", "text",
+                                           "lang", 3, 0.6)
+      .collect().map(key).toSet
+    val ap = LlmOps.ngramContainmentAllPairs(docs, "doc_id", "text",
+                                             "lang", 3, 0.6)
+      .collect().map(key).toSet
+    assert(ap.nonEmpty && pf === ap)
+    // hot corpus (the jaccard spec's shape): 3000 docs share one
+    // trigram; docs 0/1 near-identical. sum df^2 = 9M blows the budget
+    // so the PUBLIC entry takes the asymmetric prefix branch — and
+    // still finds exactly the planted pair
+    val hot = "the quick fox"
+    val base = (0 until 3000).map { i =>
+      val uniq = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$uniq $hot", "en")
+    }
+    val d = spark.createDataFrame(
+      base.updated(1, (1L, base(0)._2.replace("w0_11", "zz"), "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = LlmOps.ngramContainmentPairs(d, "doc_id", "text", "lang",
+                                           3, 0.6).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 0L &&
+           out.head.getLong(1) === 1L)
+  }
+
   test("kmeansInteger: separates two planted blobs perfectly and " +
        "every distance is the exact integer SSD to the winner") {
     // blob A around +0.5 on dims 1-4, blob B around -0.5; tiny
