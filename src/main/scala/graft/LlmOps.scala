@@ -2429,22 +2429,80 @@ object LlmOps {
     // the non-negative magnitudes: the identical integer recurrence
     // the oracle's generated SQL replays.
     val cm = c.collect().map(r => (r.getLong(0), r.getLong(1),
-                                   r.getLong(2)))
+                                   BigInt(r.getLong(2))))
+    val v = powerIterate(cm, iters)
+    import spark.implicits._
+    v.toSeq.sortBy(_._1).map { case (i, x) => (i, x.toLong) }
+      .toDF("dim", "v")
+  }
+
+  private val PcaVs = 100000L // iterate infinity-norm scale
+
+  /** The shared fixed-point power iteration (exact BigInt matvec +
+    * integer ∞-norm rescale), also run against the DEFLATED matrix for
+    * the second component.
+    */
+  private def powerIterate(cm: Array[(Long, Long, BigInt)],
+                           iters: Int): Map[Long, BigInt] = {
     val dimIds = cm.map(_._1).distinct.sorted
-    var v: Map[Long, Long] = dimIds.map(_ -> vs).toMap
+    var v: Map[Long, BigInt] = dimIds.map(_ -> BigInt(PcaVs)).toMap
     for (_ <- 1 to iters) {
-      val mv: Map[Long, Long] = cm.groupBy(_._1).map { case (i, rows) =>
+      val mv: Map[Long, BigInt] = cm.groupBy(_._1).map { case (i, rows) =>
         i -> rows.foldLeft(BigInt(0)) { case (acc, (_, j, cij)) =>
-          acc + BigInt(cij) * BigInt(v(j))
-        }.toLong // bounded <= 64 * 4e16 by the fixed-point design
+          acc + cij * v(j)
+        }
       }
-      val mx = mv.values.map(x => math.abs(x)).max
-      val d = mx / vs + 1
+      val mx = mv.values.map(_.abs).max
+      val d = mx / PcaVs + 1
       v = mv.map { case (i, m) =>
         i -> (if (m < 0) -((-m) / d) else m / d)
       }
     }
+    v
+  }
+
+  /** Top TWO principal components by exact integer deflation: v1 from
+    * the scatter power iteration, then c₂ᵢⱼ = cᵢⱼ − ⌊λ̂·v1ᵢ·v1ⱼ⌋ with
+    * λ̂ = (v1ᵀCv1)/(v1ᵀv1)² applied as one sign-split magnitude
+    * division per entry — the rank-1 Hotelling deflation, every
+    * quantity an exact integer (BigInt driver-side; the oracle replays
+    * it in HUGEINT — products stay under 10³⁶), so v2 hash-matches a
+    * SQL replay like v1. Per-entry floor loss ≤ 1 unit on ~10¹¹-scale
+    * entries; the spec pins recovery of a planted second axis.
+    * Returns (dim, v1, v2) on the ±10⁵ grid.
+    */
+  def pcaTop2Components(embeddings: DataFrame, iters: Int): DataFrame = {
+    val partials = scatterPartials(embeddings)
+    val spark = partials.sparkSession
+    val nDf = partials.filter(col("kind") === "n").agg(sum("v").as("n"))
+    val s = partials.filter(col("kind") === "s")
+      .groupBy("i").agg(sum("v").as("s"))
+    val p = partials.filter(col("kind") === "p")
+      .groupBy("i", "j").agg(sum("v").as("p"))
+    val c = p
+      .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nDf))
+      .withColumn("m", expr("n * p - si * sj"))
+      .select(col("i"), col("j"), expr(
+        "CASE WHEN m < 0 THEN -((-m) div n) ELSE m div n END").as("c"))
+    val cm = c.collect().map(r => (r.getLong(0), r.getLong(1),
+                                   BigInt(r.getLong(2))))
+    val v1 = powerIterate(cm, iters)
+    val bigP = cm.foldLeft(BigInt(0)) { case (acc, (i, j, cij)) =>
+      acc + cij * v1(i) * v1(j)
+    }
+    val q = v1.values.foldLeft(BigInt(0))((a, x) => a + x * x)
+    val den = q * q
+    val cm2 = cm.map { case (i, j, cij) =>
+      val num = bigP * v1(i) * v1(j)
+      val adj = if (num < 0) -((-num) / den) else num / den
+      (i, j, cij - adj)
+    }
+    val v2 = powerIterate(cm2, iters)
     import spark.implicits._
-    v.toSeq.sortBy(_._1).toDF("dim", "v")
+    v1.keySet.toSeq.sorted
+      .map(i => (i, v1(i).toLong, v2(i).toLong))
+      .toDF("dim", "v1", "v2")
   }
 }

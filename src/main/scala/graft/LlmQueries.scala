@@ -292,11 +292,11 @@ object LlmQueries extends QueryPack {
     */
   private def pcaCteBody: String = {
     val rounds = (1 to PcaIters).map { k =>
-      s"""mv$k AS (
+      s"""mv$k AS MATERIALIZED (
          |  SELECT c.i,
          |    CAST(sum(CAST(c.c * v.v AS DECIMAL(38,0))) AS BIGINT) AS mv
          |  FROM c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
-         |v$k AS (
+         |v$k AS MATERIALIZED (
          |  SELECT i, CASE WHEN mv < 0 THEN -((-mv) // d)
          |                 ELSE mv // d END AS v
          |  FROM (SELECT mv$k.*, mx // 100000 + 1 AS d
@@ -304,19 +304,19 @@ object LlmQueries extends QueryPack {
          |          (SELECT max(abs(mv)) AS mx FROM mv$k) m) t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""nn AS (
+    s"""nn AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-       |x AS (
+       |x AS MATERIALIZED (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)
        |      AS x
        |  FROM embeddings, unnest(range(1, 65)) u(i)),
-       |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY i),
-       |p AS (
+       |s AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY i),
+       |p AS MATERIALIZED (
        |  SELECT a.i AS i, b.i AS j,
        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS BIGINT) AS p
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT i, j,
        |    CASE WHEN m < 0 THEN -((-m) // n) ELSE m // n END AS c
        |  FROM (SELECT p.i, p.j, n * p - si.s * sj.s AS m, n
@@ -330,6 +330,47 @@ object LlmQueries extends QueryPack {
     s"""WITH $pcaCteBody
        |SELECT i AS dim, v FROM v$PcaIters
        |ORDER BY dim NULLS FIRST""".stripMargin
+
+  /** DuckDB mirror of q_pca_power2: the shared chain through v_K, the
+    * HUGEINT rank-1 Hotelling deflation (products bounded < 10³⁶), and
+    * a second generated iteration chain over the deflated matrix.
+    */
+  private def pca2OracleSql: String = {
+    val rounds2 = (1 to PcaIters).map { k =>
+      s"""mw$k AS MATERIALIZED (
+         |  SELECT c2.i,
+         |    CAST(sum(CAST(c2.c * w.v AS DECIMAL(38,0))) AS BIGINT) AS mv
+         |  FROM c2 JOIN w${k - 1} w ON c2.j = w.i GROUP BY c2.i),
+         |w$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mv < 0 THEN -((-mv) // d)
+         |                 ELSE mv // d END AS v
+         |  FROM (SELECT mw$k.*, mx // 100000 + 1 AS d
+         |        FROM mw$k CROSS JOIN
+         |          (SELECT max(abs(mv)) AS mx FROM mw$k) m) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $pcaCteBody,
+       |pp AS MATERIALIZED (SELECT sum(CAST(c.c AS HUGEINT) * va.v * vb.v) AS bp
+       |       FROM c JOIN v$PcaIters va ON c.i = va.i
+       |       JOIN v$PcaIters vb ON c.j = vb.i),
+       |qq AS MATERIALIZED (SELECT sum(CAST(v AS HUGEINT) * v) AS q
+       |       FROM v$PcaIters),
+       |c2 AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    CAST(c.c - (CASE WHEN bp * va.v * vb.v < 0
+       |                THEN -((-(bp * va.v * vb.v)) // (q * q))
+       |                ELSE (bp * va.v * vb.v) // (q * q) END)
+       |      AS BIGINT) AS c
+       |  FROM c JOIN v$PcaIters va ON c.i = va.i
+       |  JOIN v$PcaIters vb ON c.j = vb.i
+       |  CROSS JOIN pp CROSS JOIN qq),
+       |w0 AS MATERIALIZED (SELECT i, CAST(100000 AS BIGINT) AS v FROM s),
+       |$rounds2
+       |SELECT v$PcaIters.i AS dim, v$PcaIters.v AS v1,
+       |  w$PcaIters.v AS v2
+       |FROM v$PcaIters JOIN w$PcaIters ON v$PcaIters.i = w$PcaIters.i
+       |ORDER BY dim NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB mirror of q_embed_outliers: the shared PCA chain, then the
     * exact integer projection of every vector onto the final iterate
@@ -1193,6 +1234,15 @@ object LlmQueries extends QueryPack {
     // sign-split rescaled iteration from the same constants.
     "q_pca_power" -> ((s, dir) =>
       LlmOps.pcaTopComponent(Tables(s, dir, "embeddings"), 64, PcaIters)
+        .orderBy("dim")),
+
+    // L7c'': top-2 principal components ([[LlmOps.pcaTop2Components]])
+    // — exact integer Hotelling deflation of the scatter matrix after
+    // the v1 iteration, then the same fixed-point recurrence on the
+    // deflated matrix; the oracle replays both chains plus the HUGEINT
+    // deflation arithmetic.
+    "q_pca_power2" -> ((s, dir) =>
+      LlmOps.pcaTop2Components(Tables(s, dir, "embeddings"), PcaIters)
         .orderBy("dim")),
 
     // L7c': embedding outliers by principal-axis projection — the
@@ -3291,6 +3341,7 @@ object LlmQueries extends QueryPack {
     "q_graph_trustrank" -> trustrankOracleSql,
     "q_graph_hits" -> hitsOracleSql,
     "q_pca_power" -> pcaOracleSql,
+    "q_pca_power2" -> pca2OracleSql,
     "q_embed_outliers" -> pcaOutlierOracleSql,
     "q_cluster_kmeans" -> kmeansOracleSql,
     "q_simsearch_kmeans" -> kmeansServeOracleSql,

@@ -1105,6 +1105,38 @@ class LlmSpec extends SparkSpec {
     assert(cos > 0.95, s"cos=$cos v=${v.take(4).mkString(",")}")
   }
 
+  test("pcaTop2Components: recovers BOTH planted axes in variance " +
+       "order and the components are near-orthogonal") {
+    // axis 1 along dims 1-2 (amplitude 10), axis 2 along dims 3-4
+    // (amplitude 4), deterministic jitter elsewhere
+    val u1 = Array.tabulate(64)(i =>
+      if (i == 0) 0.6 else if (i == 1) 0.8 else 0.0)
+    val u2 = Array.tabulate(64)(i =>
+      if (i == 2) 0.8 else if (i == 3) -0.6 else 0.0)
+    val rows = (0 until 240).map { k =>
+      val t1 = ((k % 21) - 10.0)
+      val t2 = (((k * 7) % 17) - 8.0) * 0.4
+      val vec = Array.tabulate(64) { i =>
+        (t1 * u1(i) + t2 * u2(i) +
+         (((k * 31 + i * 7) % 11) - 5) * 0.003).toFloat
+      }
+      (k.toLong, vec)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = LlmOps.pcaTop2Components(df, 8).orderBy("dim")
+      .select("v1", "v2").as[(Long, Long)].collect()
+    val v1 = out.map(_._1.toDouble); val v2 = out.map(_._2.toDouble)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.abs(d) / (math.sqrt(a.map(x => x * x).sum) *
+                     math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(v1, u1.map(_.toDouble)) > 0.95)
+    assert(cos(v2, u2.map(_.toDouble)) > 0.9,
+           s"v2 misaligned: ${cos(v2, u2.map(_.toDouble))}")
+    assert(cos(v1, v2) < 0.2, s"components not orthogonal: ${cos(v1, v2)}")
+  }
+
   test("q_mix_allocate: quotas sum EXACTLY to the budget (Hamilton " +
        "guarantee), each within one slot of the exact proportion, and " +
        "the greedy fill never exceeds its quota") {
