@@ -83,6 +83,10 @@ object Bench {
     // oracle — q_dedup_ngram_jaccard above carries the cost-based
     // operator's bench signal)
     "q_rrf_fusion", "q_graph_pagerank", "q_graph_trustrank",
+    // (q_pca_power2 / q_embed_outliers re-run the q_pca_power scatter +
+    // iteration as their first stage and q_dedup_containment is the
+    // q_dedup_ngram_jaccard join shape at another threshold — benching
+    // them would double-count already-benched stages)
     "q_graph_hits", "q_agg_skew_kurt", "q_pca_power", "q_cluster_kmeans",
     "q_win_zscore", "q_bitext_mine", "q_winnow_fingerprint",
     "q_dedup_winnow", "q_text_distinct_n", "q_split_leakage_safe",

@@ -83,8 +83,12 @@ object WindowQueries extends QueryPack {
                       expr(s"(rn - 1) div ${size + 1}"))
                    .otherwise(lit(rem) + expr(s"(rn - 1 - $cut) div ${math.max(size, 1L)}"))
                  + 1L).cast("long").as("quartile"),
-                round((col("rn") - 1).cast("double") / lit((n - 1).toDouble),
-                      6).as("pct_rank"))
+                // n = 1 would divide by zero where SQL percent_rank
+                // yields 0 — pin the degenerate case identically
+                (if (n > 1)
+                   round((col("rn") - 1).cast("double") /
+                           lit((n - 1).toDouble), 6)
+                 else lit(0.0)).as("pct_rank"))
         .orderBy("c_custkey")
     }),
 
