@@ -2242,15 +2242,35 @@ object LlmOps {
     * cluster, d). Exposed for IVF-style serving over the fitted
     * index.
     */
-  def kmeansFit(embeddings: DataFrame, k: Int,
-                iters: Int): (DataFrame, DataFrame) = {
-    val x = embeddings
+  /** e4-grid integer coordinates of an embedding frame, one row per
+    * (vec_id, dim) — the shared first step of every exact-integer
+    * embedding op (k-means, PCA, projections).
+    */
+  private[graft] def intCoords(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
               expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
                 .as("x"))
-      .localCheckpoint() // re-read every assignment round
-    val seedIds = embeddings.select(col("vec_id"))
+
+  /** Exact-integer nearest-centroid assignment of coordinate rows to a
+    * broadcast (cid, i, c) centroid table — lower-cid tie-break.
+    * Returns (vec_id, cluster, d).
+    */
+  private[graft] def assignToCentroids(x: DataFrame,
+                                       cents: DataFrame): DataFrame = x
+    .join(broadcast(cents), "i")
+    .groupBy("vec_id", "cid")
+    .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    .groupBy("vec_id")
+    .agg(min(struct(col("d"), col("cid"))).as("best"))
+    .select(col("vec_id"), col("best.cid").as("cluster"),
+            col("best.d").as("d"))
+
+  /** Forgy seeds: the k md5-smallest vec_ids, cid = dense seed rank. */
+  private[graft] def forgySeeds(embeddings: DataFrame,
+                                k: Int): DataFrame =
+    embeddings.select(col("vec_id"))
       .withColumn("__h",
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long"))
@@ -2258,17 +2278,15 @@ object LlmOps {
       .select(col("vec_id"),
               (row_number().over(Window.orderBy("__h", "vec_id")) - 1)
                 .cast("long").as("cid"))
-    var cents = x.join(broadcast(seedIds), "vec_id")
+
+  def kmeansFit(embeddings: DataFrame, k: Int,
+                iters: Int): (DataFrame, DataFrame) = {
+    val x = intCoords(embeddings)
+      .localCheckpoint() // re-read every assignment round
+    var cents = x.join(broadcast(forgySeeds(embeddings, k)), "vec_id")
       .select(col("cid"), col("i"), col("x").as("c"))
       .localCheckpoint()
-    def assign(c: DataFrame): DataFrame = x
-      .join(broadcast(c), "i")
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cluster"),
-              col("best.d").as("d"))
+    def assign(c: DataFrame): DataFrame = assignToCentroids(x, c)
     for (_ <- 1 to iters) {
       val sums = assign(cents)
         .join(x, "vec_id")

@@ -665,6 +665,86 @@ object Streaming {
     LlmOps.pcaFromPartials(spark.read.parquet(s"$stateDir/scatter"),
                            iters)
 
+  /** Streaming MINI-BATCH k-means (Sculley 2010's web-scale variant in
+    * the exact-integer discipline) — online clustering for embedding
+    * drift: each micro-batch assigns its vectors to the stored
+    * centroids (broadcast, exact BIGINT distances, lower-cid
+    * tie-break) and folds them into the per-cluster RUNNING MEAN,
+    * c' = ⌊(c·n + Σ_batch x) / (n + n_batch)⌋ per dimension in
+    * sign-split integer division — c·n stays exact because c is a
+    * floored mean on the e4 grid (|c| ≤ 10⁴) and n counts vectors, so
+    * the product is bounded by 10⁴·n. The store is O(k·dims) rows
+    * regardless of history; the FIRST batch Forgy-seeds it (md5-
+    * smallest ids, n = 0, so the first merge lands exactly on the
+    * batch means). Crash discipline = [[scatterBatch]]'s: tmp→dir swap
+    * with a `_merged_<id>` tag, marker outside the swapped dir.
+    * Serve/classify with [[assignWithCentroidState]].
+    */
+  def miniBatchKmeansSink(df: DataFrame, stateDir: String,
+                          checkpoint: String,
+                          k: Int): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansBatch(batch, stateDir, k, batchId)
+      }
+
+  private[graft] def kmeansBatch(batch: DataFrame, stateDir: String,
+                                 k: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    val hc = spark.sparkContext.hadoopConfiguration
+    val state = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/centroids.tmp")
+    val fs = state.getFileSystem(hc)
+    if (!fs.exists(state) && fs.exists(tmp)) fs.rename(tmp, state)
+    val tag = s"_merged_$batchId"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(state, tag))) {
+      val x = LlmOps.intCoords(batch).localCheckpoint()
+      val cents =
+        try spark.read.parquet(state.toString).localCheckpoint()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            // first batch: Forgy-seed from the batch itself, n = 0 so
+            // the merge below resolves to the exact batch means
+            x.join(broadcast(LlmOps.forgySeeds(batch, k)), "vec_id")
+              .select(col("cid"), col("i"), col("x").as("c"),
+                      lit(0L).as("n"))
+        }
+      val sums = LlmOps
+        .assignToCentroids(x, cents.select("cid", "i", "c"))
+        .join(x, "vec_id")
+        .groupBy(col("cluster").as("cid"), col("i"))
+        .agg(sum("x").as("bs"), count(lit(1)).as("bn"))
+      val merged = cents
+        .join(sums, Seq("cid", "i"), "left")
+        .select(col("cid"), col("i"), expr(
+          "CASE WHEN bn IS NULL THEN c " +
+          "WHEN c * n + bs < 0 THEN -((-(c * n + bs)) div (n + bn)) " +
+          "ELSE (c * n + bs) div (n + bn) END").as("c"),
+          (col("n") + coalesce(col("bn"), lit(0L))).as("n"))
+        .coalesce(1) // O(k·dims) rows: one file
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, tag), true).close()
+      if (fs.exists(state)) fs.delete(state, true)
+      fs.rename(tmp, state)
+    }
+    markCommitted(spark, stateDir, batchId)
+  }
+
+  /** Classify a batch of vectors against the [[miniBatchKmeansSink]]
+    * store — the serving read: broadcast centroids, no shuffle beyond
+    * the per-vector reduction.
+    */
+  def assignWithCentroidState(df: DataFrame, spark: SparkSession,
+                              stateDir: String): DataFrame =
+    LlmOps.assignToCentroids(
+      LlmOps.intCoords(df),
+      spark.read.parquet(s"$stateDir/centroids").select("cid", "i", "c"))
+
   def incrementalAggSink(df: DataFrame, stateDir: String, checkpoint: String,
                          partitionCol: String, keyCols: Seq[String],
                          valueCol: String,

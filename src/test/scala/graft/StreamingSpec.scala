@@ -700,6 +700,50 @@ class StreamingSpec extends SparkSpec {
     assert(folded.nonEmpty && folded.values.forall(_ <= 10))
   }
 
+  test("kmeansBatch: mini-batch centroids track two planted blobs " +
+       "across batches, replay is a no-op, serving classifies a fresh " +
+       "vector into the right cluster") {
+    def mkVecs(ids: Range): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(ids.map { kk =>
+        val sgn = if (kk % 2 == 0) 1.0 else -1.0
+        (kk.toLong, Array.tabulate(64)(i =>
+          (if (i < 4) sgn * 0.5 + ((kk * 13 + i) % 5 - 2) * 0.002
+           else 0.0).toFloat))
+      }).toDF("vec_id", "embedding")
+    val st = Files.createTempDirectory("graft-mbk").toString
+    Streaming.kmeansBatch(mkVecs(0 until 40), st, 2, 0L)
+    Streaming.kmeansBatch(mkVecs(40 until 90), st, 2, 1L)
+    val cents = spark.read.parquet(s"$st/centroids")
+      .select("cid", "i", "c", "n")
+      .as[(Long, Long, Long, Long)].collect()
+    // every cluster row carries the full corpus count split 45/45
+    assert(cents.map(_._4).distinct.sorted.toSeq === Seq(45L))
+    // on dims 1-4 the two centroids sit near +-5000 (e4 grid of +-0.5)
+    val byCluster = cents.filter(_._2 <= 4).groupBy(_._1)
+      .map { case (cid, rows) => cid -> rows.map(_._3.toDouble).sum / 4 }
+    assert(byCluster.size === 2)
+    assert(byCluster.values.exists(_ > 4000) &&
+           byCluster.values.exists(_ < -4000), s"centroids: $byCluster")
+    // replay with marker cleared but tag present: state unchanged
+    val before = cents.toSet
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$st/_graft_commits/1"),
+              false)
+    Streaming.kmeansBatch(mkVecs(40 until 90), st, 2, 1L)
+    assert(spark.read.parquet(s"$st/centroids")
+      .select("cid", "i", "c", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet === before)
+    // serving: fresh probes land in the expected opposite clusters
+    val probes = spark.createDataFrame(Seq(
+      (1000L, Array.tabulate(64)(i => if (i < 4) 0.5f else 0f)),
+      (1001L, Array.tabulate(64)(i => if (i < 4) -0.5f else 0f))))
+      .toDF("vec_id", "embedding")
+    val got = Streaming.assignWithCentroidState(probes, spark, st)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got(1000L) != got(1001L))
+  }
+
   test("scatterBatch: accumulated store == one-shot scatter of the " +
        "union, PCA from the store == batch PCA, replay is a no-op, " +
        "and a half-finished swap self-heals") {
