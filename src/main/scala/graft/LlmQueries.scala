@@ -1986,6 +1986,28 @@ object LlmQueries extends QueryPack {
     // counts plus the per-mille distinct ratio — three explode + hash
     // aggregate passes over the normalized token stream, no floats
     // anywhere.
+    // L5g: hapax-legomena lexical richness per language — the Zipf-tail
+    // diversity signal next to distinct-n: type count, hapax count
+    // (frequency exactly 1), hapax share of types and of tokens, all
+    // exact integer per-mille. One tokenize pass, two hash aggregates.
+    "q_text_hapax" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("lang"),
+                explode(LlmOps.tokens(col("text"), normalize = true))
+                  .as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("f"))
+      tf.groupBy("lang")
+        .agg(count(lit(1)).as("n_types"),
+             sum("f").as("n_tokens"),
+             count(when(col("f") === 1, 1)).as("n_hapax"))
+        .select(col("lang"), col("n_types"), col("n_tokens"),
+                col("n_hapax"),
+                expr("(n_hapax * 1000) div n_types").as("hapax_type_pm"),
+                expr("(n_hapax * 1000) div n_tokens")
+                  .as("hapax_token_pm"))
+        .orderBy("lang")
+    }),
+
     "q_text_distinct_n" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(col("lang"),
@@ -3606,6 +3628,24 @@ object LlmQueries extends QueryPack {
          |  GROUP BY x.doc_id, y.doc_id)
          |SELECT a, b, n_shared FROM pairs WHERE n_shared >= 3
          |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    "q_text_hapax" ->
+      """WITH tf AS (
+        |  SELECT lang, t, count(*) AS f
+        |  FROM (SELECT lang, unnest(list_filter(string_split(
+        |          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |          ' '), x -> x <> '')) AS t
+        |        FROM documents) u
+        |  GROUP BY lang, t),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY lang)
+        |SELECT lang, n_types, n_tokens, n_hapax,
+        |  (n_hapax * 1000) // n_types AS hapax_type_pm,
+        |  (n_hapax * 1000) // n_tokens AS hapax_token_pm
+        |FROM agg ORDER BY lang NULLS FIRST""".stripMargin,
 
     // Same integer counts from DuckDB's list machinery; the per-mille
     // ratio stays in integer division on both sides.
