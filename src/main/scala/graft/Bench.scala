@@ -89,7 +89,8 @@ object Bench {
     // them would double-count already-benched stages)
     "q_graph_hits", "q_agg_skew_kurt", "q_pca_power", "q_cluster_kmeans",
     "q_win_zscore", "q_bitext_mine", "q_winnow_fingerprint",
-    "q_dedup_winnow", "q_text_distinct_n", "q_split_leakage_safe",
+    "q_dedup_winnow", "q_text_distinct_n", "q_text_hapax",
+    "q_split_leakage_safe",
     "q_bpe_train", "q_bpe_apply")
 
   /** Deterministic CPU calibration: `threads` concurrent 2·10⁸-step LCG
