@@ -347,35 +347,52 @@ object LlmOps {
   private val jaccardStatsCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
 
+  /** The shared cost probe behind [[ngramJaccardPairs]] AND
+    * [[ngramContainmentPairs]]: the exact row count the all-pairs
+    * shingle self-join would produce (Σ df² over shared shingles; df
+    * capped at 2²⁰ before squaring so a boilerplate shingle in 10⁹
+    * docs can't overflow the sum — any capped value is already orders
+    * past every budget). One map-side-combined aggregate + a 1-row
+    * job; integers, so the branch choice is deterministic per corpus.
+    * MEMOIZED per (session, corpus fingerprint, knobs) — the
+    * statistics cache every cost-based optimizer keeps: repeated calls
+    * over the same corpus (a pipeline composite, a bench re-run) reuse
+    * the measured statistic, the plan-hash component of the
+    * fingerprint keeps a filtered/derived corpus on its own entry, and
+    * because both entry points build the key identically they SHARE
+    * entries. The Spark job runs OUTSIDE the map lock (get → compute →
+    * putIfAbsent — a racing duplicate probe is just a second read of
+    * the same deterministic integer), so a slow probe never blocks
+    * unrelated probes on a ConcurrentHashMap bin.
+    */
+  private def selfJoinRowStat(docs: DataFrame, sh: DataFrame,
+                              idCol: String, textCol: String,
+                              partCol: String, shingleK: Int): Long = {
+    val spark = docs.sparkSession
+    jaccardStatsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (spark, s"$idCol/$textCol/$partCol/$shingleK#" +
+      contentFingerprint(docs))
+    val cached = jaccardStatsCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val v: java.lang.Long = sh.groupBy("part", "s")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(least(col("df"), lit(1L << 20)).as("df"))
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+        .head().getLong(0)
+      val prev = jaccardStatsCache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).longValue()
+    }
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         partCol: String, shingleK: Int, minJaccard: Double,
                         selfJoinBudget: Long = NgramSelfJoinBudget)
       : DataFrame = {
     val sh = shingleRelation(docs, idCol, textCol, partCol, shingleK)
-    // cost probe: the exact row count the all-pairs self-join would
-    // produce (Σ df² over shared shingles; df capped at 2²⁰ before
-    // squaring so a boilerplate shingle in 10⁹ docs can't overflow the
-    // sum — any capped value is already orders past every budget).
-    // One map-side-combined aggregate + a 1-row job; integers, so the
-    // branch choice is deterministic per corpus. MEMOIZED per (session,
-    // corpus fingerprint, knobs) — the statistics cache every
-    // cost-based optimizer keeps: repeated calls over the same corpus
-    // (a pipeline composite, a bench re-run) reuse the measured
-    // statistic instead of re-aggregating, and the plan-hash component
-    // of the fingerprint keeps a filtered/derived corpus on its own
-    // entry.
-    val spark = docs.sparkSession
-    jaccardStatsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val statKey = s"$idCol/$textCol/$partCol/$shingleK#" +
-      contentFingerprint(docs)
-    val selfJoinRows: Long =
-      jaccardStatsCache.computeIfAbsent((spark, statKey), _ =>
-        sh.groupBy("part", "s")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2)
-          .select(least(col("df"), lit(1L << 20)).as("df"))
-          .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-          .head().getLong(0))
+    val selfJoinRows =
+      selfJoinRowStat(docs, sh, idCol, textCol, partCol, shingleK)
     if (selfJoinRows <= selfJoinBudget) allPairsJaccard(sh, minJaccard)
     else prefixJaccard(sh, minJaccard)
   }
@@ -508,18 +525,8 @@ object LlmOps {
                             selfJoinBudget: Long = NgramSelfJoinBudget)
       : DataFrame = {
     val sh = shingleRelation(docs, idCol, textCol, partCol, shingleK)
-    val spark = docs.sparkSession
-    jaccardStatsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val statKey = s"$idCol/$textCol/$partCol/$shingleK#" +
-      contentFingerprint(docs)
-    val selfJoinRows: Long =
-      jaccardStatsCache.computeIfAbsent((spark, statKey), _ =>
-        sh.groupBy("part", "s")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2)
-          .select(least(col("df"), lit(1L << 20)).as("df"))
-          .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-          .head().getLong(0))
+    val selfJoinRows =
+      selfJoinRowStat(docs, sh, idCol, textCol, partCol, shingleK)
     if (selfJoinRows <= selfJoinBudget)
       allPairsContainment(sh, minContainment)
     else prefixContainment(sh, minContainment)
@@ -2372,13 +2379,15 @@ object LlmOps {
     *
     * Every quantity is an exact integer, so the result hash-matches a
     * SQL replay: coordinates integerize to the e4 grid; the centered
-    * scatter is n·Σxᵢxⱼ − SᵢSⱼ (the n²-scaled covariance — same
-    * eigenvectors) floor-divided by n to bound magnitudes; each
-    * iterate rescales to |v|∞ ≤ 10⁵ by an integer divisor. Division
-    * of SIGNED values is written sign-split (CASE + abs) because
-    * Spark's `div` truncates while DuckDB's `//` floors — they agree
-    * only on non-negative operands. Matvec sums ride DECIMAL(38,0)
-    * and cast back (bounded ≤ 64·4·10¹⁶ by construction).
+    * scatter is ⌊(n·Σxᵢxⱼ − SᵢSⱼ)/n²⌋ — the covariance itself (same
+    * eigenvectors), whose entries are ≤ 2·10⁸ REGARDLESS of corpus
+    * size (see [[centeredScatter]] for the DECIMAL(38,0) routing of
+    * the n²-scaled intermediate); each iterate rescales to
+    * |v|∞ ≤ 10⁵ by an integer divisor. Division of SIGNED values is
+    * written sign-split (CASE + abs) because Spark's `div` truncates
+    * while DuckDB's `//` floors — they agree only on non-negative
+    * operands. Matvec sums ride DECIMAL(38,0) and cast back (bounded
+    * ≤ 64·2·10¹³ with |c| n-independent, so the bound holds at any n).
     * Quantization keeps the direction within ~10⁻⁴ per round of the
     * float iterate — the spec pins alignment with a planted dominant
     * axis. Returns (dim 1-based, v) with v on the ±10⁵ grid.
@@ -2433,13 +2442,7 @@ object LlmOps {
       .groupBy("i").agg(sum("v").as("s"))
     val p = partials.filter(col("kind") === "p")
       .groupBy("i", "j").agg(sum("v").as("p"))
-    val c = p
-      .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
-      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
-      .crossJoin(broadcast(nDf))
-      .withColumn("m", expr("n * p - si * sj"))
-      .select(col("i"), col("j"), expr(
-        "CASE WHEN m < 0 THEN -((-m) div n) ELSE m div n END").as("c"))
+    val c = centeredScatter(nDf, s, p)
     // The scatter matrix is O(dims²) — bounded by construction, never
     // by the corpus — so the iteration runs DRIVER-side over the
     // collected matrix (the production shape: the distributed pass
@@ -2455,6 +2458,31 @@ object LlmOps {
   }
 
   private val PcaVs = 100000L // iterate infinity-norm scale
+
+  /** Centered scatter from (n, s, p) partials: c = ⌊(n·p − sᵢ·sⱼ)/n²⌋
+    * per entry — the plain covariance on the e8 grid, NOT the n-scaled
+    * form. The intermediate m = n·p − sᵢ·sⱼ reaches ~2n²·10⁸ (past
+    * BIGINT at n ≈ 2·10⁵ vectors), so it rides DECIMAL(38,0); the ÷n²
+    * runs as two nested sign-split ⌊·/n⌋ steps (⌊⌊m/n⌋/n⌋ = ⌊m/n²⌋ on
+    * the non-negative magnitudes; the first quotient is ≤ 2n·10⁸,
+    * back inside BIGINT for any feasible corpus). The second ÷n is
+    * what makes |c| ≤ 2·10⁸ INDEPENDENT of n — so every downstream
+    * matvec term (|c·v| ≤ 2·10¹³; 64-term sums ≤ 1.3·10¹⁵) stays in
+    * BIGINT at any corpus size, not just harness SFs. The oracle's
+    * generated `c` CTE replays the identical two-step HUGEINT form.
+    */
+  private def centeredScatter(nDf: DataFrame, s: DataFrame,
+                              p: DataFrame): DataFrame =
+    p.join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nDf))
+      .withColumn("m", expr(
+        "CAST(n AS DECIMAL(38,0)) * p - CAST(si AS DECIMAL(38,0)) * sj"))
+      .withColumn("m1", expr(
+        "CAST(CASE WHEN m < 0 THEN -((-m) div n) " +
+        "ELSE m div n END AS BIGINT)"))
+      .select(col("i"), col("j"), expr(
+        "CASE WHEN m1 < 0 THEN -((-m1) div n) ELSE m1 div n END").as("c"))
 
   /** The shared fixed-point power iteration (exact BigInt matvec +
     * integer ∞-norm rescale), also run against the DEFLATED matrix for
@@ -2497,13 +2525,7 @@ object LlmOps {
       .groupBy("i").agg(sum("v").as("s"))
     val p = partials.filter(col("kind") === "p")
       .groupBy("i", "j").agg(sum("v").as("p"))
-    val c = p
-      .join(broadcast(s.select(col("i"), col("s").as("si"))), "i")
-      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), "j")
-      .crossJoin(broadcast(nDf))
-      .withColumn("m", expr("n * p - si * sj"))
-      .select(col("i"), col("j"), expr(
-        "CASE WHEN m < 0 THEN -((-m) div n) ELSE m div n END").as("c"))
+    val c = centeredScatter(nDf, s, p)
     val cm = c.collect().map(r => (r.getLong(0), r.getLong(1),
                                    BigInt(r.getLong(2))))
     val v1 = powerIterate(cm, iters)

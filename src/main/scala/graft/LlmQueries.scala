@@ -317,11 +317,20 @@ object LlmQueries extends QueryPack {
        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS BIGINT) AS p
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
        |c AS MATERIALIZED (
+       |  -- ⌊(n·p − si·sj)/n²⌋ as two nested sign-split ⌊·/n⌋ steps on a
+       |  -- HUGEINT intermediate — |m| ~ 2n²·10⁸ overflows BIGINT past
+       |  -- n ≈ 2·10⁵ vectors, and the second ÷n keeps |c| ≤ 2·10⁸
+       |  -- n-independent (mirrors LlmOps.centeredScatter exactly)
        |  SELECT i, j,
-       |    CASE WHEN m < 0 THEN -((-m) // n) ELSE m // n END AS c
-       |  FROM (SELECT p.i, p.j, n * p - si.s * sj.s AS m, n
-       |        FROM p JOIN s si ON p.i = si.i
-       |        JOIN s sj ON p.j = sj.i CROSS JOIN nn) t),
+       |    CASE WHEN m1 < 0 THEN -((-m1) // n) ELSE m1 // n END AS c
+       |  FROM (SELECT i, j, n,
+       |          CAST(CASE WHEN m < 0 THEN -((-m) // n)
+       |               ELSE m // n END AS BIGINT) AS m1
+       |        FROM (SELECT p.i, p.j, n,
+       |                CAST(n AS HUGEINT) * p
+       |                  - CAST(si.s AS HUGEINT) * sj.s AS m
+       |              FROM p JOIN s si ON p.i = si.i
+       |              JOIN s sj ON p.j = sj.i CROSS JOIN nn) t0) t),
        |v0 AS (SELECT i, CAST(100000 AS BIGINT) AS v FROM s),
        |$rounds""".stripMargin
   }

@@ -701,19 +701,34 @@ object Streaming {
     if (!fs.exists(state) && fs.exists(tmp)) fs.rename(tmp, state)
     val tag = s"_merged_$batchId"
     if (!fs.exists(new org.apache.hadoop.fs.Path(state, tag))) {
-      val x = LlmOps.intCoords(batch).localCheckpoint()
-      val cents =
-        try spark.read.parquet(state.toString).localCheckpoint()
+      val centsOpt =
+        try Some(spark.read.parquet(state.toString).localCheckpoint())
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition == "PATH_NOT_FOUND" ||
-                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-            // first batch: Forgy-seed from the batch itself, n = 0 so
-            // the merge below resolves to the exact batch means
-            x.join(broadcast(LlmOps.forgySeeds(batch, k)), "vec_id")
-              .select(col("cid"), col("i"), col("x").as("c"),
-                      lit(0L).as("n"))
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
         }
+      if (centsOpt.isEmpty &&
+          batch.select("vec_id").distinct().count() < k) {
+        // no store yet and the batch can't seed k distinct centroids
+        // (an empty startup micro-batch is the common case — e.g.
+        // Trigger.AvailableNow over a source with nothing buffered).
+        // Seeding from it would commit a <k-row store that is then
+        // PERMANENT — every later batch only folds into existing cids,
+        // so the sink would silently never reach k clusters. Mark the
+        // batch committed WITHOUT writing state so seeding retries on
+        // the next adequate batch.
+        markCommitted(spark, stateDir, batchId)
+        return
+      }
+      val x = LlmOps.intCoords(batch).localCheckpoint()
+      val cents = centsOpt.getOrElse {
+        // first adequate batch: Forgy-seed from the batch itself,
+        // n = 0 so the merge below resolves to the exact batch means
+        x.join(broadcast(LlmOps.forgySeeds(batch, k)), "vec_id")
+          .select(col("cid"), col("i"), col("x").as("c"),
+                  lit(0L).as("n"))
+      }
       val sums = LlmOps
         .assignToCentroids(x, cents.select("cid", "i", "c"))
         .join(x, "vec_id")

@@ -65,30 +65,34 @@ object WindowQueries extends QueryPack {
     // W6: ntile / percent_rank over a total order — derived from the
     // scale-safe [[Relational.globalRowNumber]] rank instead of an
     // un-partitioned ranking window, which funnels the whole table
-    // through ONE task. With n the table count (one tiny count job):
-    // standard ntile hands the first n mod 4 quartiles ceil(n/4) rows
-    // and the rest floor(n/4) — closed-form from rn in exact integer
-    // division; percent_rank = (rn-1)/(n-1) (the order is total,
-    // c_custkey is unique, so rank = row_number). Every per-row stage
-    // is parallel.
+    // through ONE task. n rides IN-PLAN as a broadcast 1-row count
+    // aggregate crossJoin (not a driver-side count()) so the returned
+    // DataFrame is self-contained and the bench times the whole
+    // computation; the only construction-time job left is
+    // globalRowNumber's per-partition count collect (inherent to its
+    // two-pass rank assignment). Standard ntile hands the first
+    // n mod 4 quartiles ceil(n/4) rows and the rest floor(n/4) —
+    // closed-form from rn in exact integer division; percent_rank =
+    // (rn-1)/(n-1) with the n = 1 degenerate case pinned to 0 as in
+    // SQL (the order is total, c_custkey is unique, so rank =
+    // row_number). Every per-row stage is parallel.
     "q_win_ntile" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
-      val n = c.count()
-      val size = n / 4; val rem = n % 4
-      val cut = rem * (size + 1) // rows living in the ceil-sized tiles
       Relational.globalRowNumber(
           c, Seq(col("c_acctbal"), col("c_custkey")), "rn")
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+        // size/rem/cut of the quartile arithmetic, from the n column
+        .withColumn("cut", expr("(n % 4) * (n div 4 + 1)"))
         .select(col("c_custkey"),
-                (when(col("rn") <= cut,
-                      expr(s"(rn - 1) div ${size + 1}"))
-                   .otherwise(lit(rem) + expr(s"(rn - 1 - $cut) div ${math.max(size, 1L)}"))
+                (when(col("rn") <= col("cut"),
+                      expr("(rn - 1) div (n div 4 + 1)"))
+                   .otherwise(expr(
+                     "n % 4 + (rn - 1 - cut) div greatest(n div 4, 1)"))
                  + 1L).cast("long").as("quartile"),
-                // n = 1 would divide by zero where SQL percent_rank
-                // yields 0 — pin the degenerate case identically
-                (if (n > 1)
-                   round((col("rn") - 1).cast("double") /
-                           lit((n - 1).toDouble), 6)
-                 else lit(0.0)).as("pct_rank"))
+                when(col("n") > 1,
+                     round((col("rn") - 1).cast("double") /
+                             (col("n") - 1).cast("double"), 6))
+                  .otherwise(lit(0.0)).as("pct_rank"))
         .orderBy("c_custkey")
     }),
 

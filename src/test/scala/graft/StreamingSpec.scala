@@ -744,6 +744,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(1000L) != got(1001L))
   }
 
+  test("kmeansBatch: an empty or <k first batch does NOT seed — it " +
+       "commits with no state write and seeding retries on the next " +
+       "adequate batch") {
+    def mkVecs(ids: Range): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(ids.map { kk =>
+        val sgn = if (kk % 2 == 0) 1.0 else -1.0
+        (kk.toLong, Array.tabulate(64)(i =>
+          (if (i < 4) sgn * 0.5 + ((kk * 13 + i) % 5 - 2) * 0.002
+           else 0.0).toFloat))
+      }).toDF("vec_id", "embedding")
+    val st = Files.createTempDirectory("graft-mbk0").toString
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // empty startup micro-batch: seeding from it would lock in a 0-row
+    // store forever — it must commit (replay-safe) WITHOUT writing one
+    Streaming.kmeansBatch(mkVecs(0 until 0), st, 2, 0L)
+    assert(fs.exists(p(s"$st/_graft_commits/0")))
+    assert(!fs.exists(p(s"$st/centroids")))
+    // a 1-distinct-vector batch (< k = 2) must not seed either
+    Streaming.kmeansBatch(mkVecs(0 until 1), st, 2, 1L)
+    assert(fs.exists(p(s"$st/_graft_commits/1")))
+    assert(!fs.exists(p(s"$st/centroids")))
+    // the first ADEQUATE batch seeds the full k clusters
+    Streaming.kmeansBatch(mkVecs(0 until 40), st, 2, 2L)
+    val cids = spark.read.parquet(s"$st/centroids")
+      .select("cid").distinct().as[Long].collect().toSet
+    assert(cids === Set(0L, 1L))
+  }
+
   test("scatterBatch: accumulated store == one-shot scatter of the " +
        "union, PCA from the store == batch PCA, replay is a no-op, " +
        "and a half-finished swap self-heals") {
