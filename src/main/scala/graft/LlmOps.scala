@@ -344,8 +344,11 @@ object LlmOps {
     */
   val NgramSelfJoinBudget: Long = 1L << 22
 
-  private val jaccardStatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+  // 256 measured longs — bounded so a session churning corpora can't
+  // grow it forever (the [[BoundedMemo]] discipline; same below)
+  private val jaccardStatsCache =
+    new BoundedMemo[(org.apache.spark.sql.SparkSession, String),
+                    java.lang.Long](256)
 
   /** The shared cost probe behind [[ngramJaccardPairs]] AND
     * [[ngramContainmentPairs]]: the exact row count the all-pairs
@@ -369,21 +372,17 @@ object LlmOps {
                               idCol: String, textCol: String,
                               partCol: String, shingleK: Int): Long = {
     val spark = docs.sparkSession
-    jaccardStatsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    jaccardStatsCache.removeIf(_._1.sparkContext.isStopped)
     val key = (spark, s"$idCol/$textCol/$partCol/$shingleK#" +
       contentFingerprint(docs))
-    val cached = jaccardStatsCache.get(key)
-    if (cached != null) cached.longValue()
-    else {
-      val v: java.lang.Long = sh.groupBy("part", "s")
+    jaccardStatsCache.getOrElseCompute(key) {
+      sh.groupBy("part", "s")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
         .select(least(col("df"), lit(1L << 20)).as("df"))
         .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
         .head().getLong(0)
-      val prev = jaccardStatsCache.putIfAbsent(key, v)
-      (if (prev != null) prev else v).longValue()
-    }
+    }.longValue()
   }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -1714,15 +1713,15 @@ object LlmOps {
               iters: Int,
               maxTrain: Long = PqMaxTrainVectors): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqCache.removeIf(_._1.sparkContext.isStopped)
     val key = cacheKey + "#" + contentFingerprint(embeddings)
-    pqCache.computeIfAbsent((spark, key, m, k, iters, maxTrain), _ => {
+    pqCache.getOrElseCompute((spark, key, m, k, iters, maxTrain)) {
       val subs = pqSubs(embeddings, m)
       val books = pqTrainOnSubs(subs, k, iters, maxTrain)
         .localCheckpoint()
       val codes = nearestCode(subs, books).localCheckpoint()
       (books, codes)
-    })
+    }
   }
 
   /** Drop every memoized PQ index for `cacheKey` (all knob combinations
@@ -1735,12 +1734,12 @@ object LlmOps {
     */
   def invalidatePqIndex(spark: org.apache.spark.sql.SparkSession,
                         cacheKey: String): Unit =
-    pqCache.keySet.removeIf(k => k._1 == spark &&
+    pqCache.removeIf(k => k._1 == spark &&
       (k._2 == cacheKey || k._2.startsWith(cacheKey + "#")))
 
-  private[graft] val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Long),
-    (DataFrame, DataFrame)]()
+  private[graft] val pqCache =
+    new BoundedMemo[(org.apache.spark.sql.SparkSession, String, Int,
+                     Int, Int, Long), (DataFrame, DataFrame)](32)
 
   def annPqTopK(embeddings: DataFrame, query: DataFrame, m: Int, k: Int,
                 iters: Int, topK: Int, refine: Int = 5,
@@ -1916,8 +1915,9 @@ object LlmOps {
     }._1
   }
 
-  private[graft] val ccCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private[graft] val ccCache =
+    new BoundedMemo[(org.apache.spark.sql.SparkSession, String),
+                    DataFrame](32)
 
   /** The duplicate-cluster map (node → component) over the exact-Jaccard
     * pair graph, memoized per (session, corpus content fingerprint,
@@ -1931,13 +1931,14 @@ object LlmOps {
                         langCol: String, k: Int,
                         minSim: Double): DataFrame = {
     val spark = docs.sparkSession
-    ccCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ccCache.removeIf(_._1.sparkContext.isStopped)
     val key = s"$idCol/$textCol/$langCol/$k/$minSim#" +
       contentFingerprint(docs)
-    ccCache.computeIfAbsent((spark, key), _ =>
+    ccCache.getOrElseCompute((spark, key)) {
       connectedComponentsStar(
         ngramJaccardPairs(docs, idCol, textCol, langCol, k, minSim))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
   }
 
   /** Per-document BM25 score over a literal query-term set — the shared
@@ -1987,9 +1988,9 @@ object LlmOps {
            count(lit(1)).as("n_terms"))
   }
 
-  private[graft] val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String, Int),
-    (DataFrame, DataFrame)]()
+  private[graft] val bpeCache =
+    new BoundedMemo[(org.apache.spark.sql.SparkSession, String, String,
+                     Int), (DataFrame, DataFrame)](32)
 
   /** BPE merge learning (Sennrich et al. 2016) over the
     * frequency-weighted word vocabulary: `iters` rounds of
@@ -2005,10 +2006,11 @@ object LlmOps {
   def bpeTrain(docs: DataFrame, textCol: String,
                iters: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    bpeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeCache.removeIf(_._1.sparkContext.isStopped)
     val key = textCol + "#" + contentFingerprint(docs)
-    bpeCache.computeIfAbsent((spark, key, textCol, iters), _ =>
-      bpeTrainUncached(docs, textCol, iters))
+    bpeCache.getOrElseCompute((spark, key, textCol, iters)) {
+      bpeTrainUncached(docs, textCol, iters)
+    }
   }
 
   private def bpeTrainUncached(docs: DataFrame, textCol: String,
@@ -2309,9 +2311,9 @@ object LlmOps {
     (cents, assign(cents))
   }
 
-  private val kmCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int),
-    (DataFrame, DataFrame)]()
+  private val kmCache =
+    new BoundedMemo[(org.apache.spark.sql.SparkSession, String, Int,
+                     Int), (DataFrame, DataFrame)](32)
 
   /** Memoized k-means index — the [[pqIndex]] stored-artifact
     * discipline: a deployment fits the coarse quantizer ONCE and every
@@ -2324,12 +2326,12 @@ object LlmOps {
   def kmIndex(embeddings: DataFrame, cacheKey: String, k: Int,
               iters: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    kmCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    kmCache.removeIf(_._1.sparkContext.isStopped)
     val key = cacheKey + "#" + contentFingerprint(embeddings)
-    kmCache.computeIfAbsent((spark, key, k, iters), _ => {
+    kmCache.getOrElseCompute((spark, key, k, iters)) {
       val (c, a) = kmeansFit(embeddings, k, iters)
       (c, a.localCheckpoint())
-    })
+    }
   }
 
   /** IVF top-k over the integer-k-means coarse quantizer — the ANN

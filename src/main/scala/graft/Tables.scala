@@ -71,8 +71,8 @@ object Tables {
     // lifetime. Callers that REWRITE a source dir must call
     // [[invalidatePartsupp]]: the cache intentionally serves the
     // derivation as of first read, like any materialized relation.
-    psCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    psCache.computeIfAbsent((spark, dir), _ =>
+    psCache.removeIf(k => k._1.sparkContext.isStopped)
+    psCache.getOrElseCompute((spark, dir))(
       apply(spark, dir, "lineitem")
         .select(col("l_partkey").as("ps_partkey"),
                 col("l_suppkey").as("ps_suppkey"))
@@ -91,11 +91,10 @@ object Tables {
     * after rewriting the underlying lineitem data.
     */
   def invalidatePartsupp(spark: SparkSession, dir: String): Unit =
-    psCache.remove((spark, dir))
+    psCache.removeIf(_ == ((spark, dir)))
     // (the dropped entry's checkpoint blocks are reclaimed by the
     // ContextCleaner once unreferenced)
 
   private val psCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-                                               DataFrame]()
+    new BoundedMemo[(SparkSession, String), DataFrame](32)
 }
