@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect fidelity for the JDBC sink leg — the reference's
+  * destination engine (`/root/reference/README.md:166-177`: final table
+  * `shop.users ENGINE = ReplacingMergeTree ORDER BY (user_id,
+  * updated_at)`; `docker-compose.yml:157` clickhouse 24.3.3).
+  *
+  * Two halves, both testable without a live server:
+  *
+  *  - [[ClickHouseDialect]] — a Spark `JdbcDialect` for
+  *    `jdbc:clickhouse:` URLs: the exact type round-trip the reference
+  *    configures. Unsigned integers WIDEN on read (`UInt32` → Spark
+  *    `LongType` — Spark has no unsigned 32-bit; `UInt64` → `LongType`
+  *    carrying the reference's kafka_offset range) and the Spark-side
+  *    defaults map back to ClickHouse names on write
+  *    (`TimestampType` → `DateTime`, second precision).
+  *  - [[createTableDdl]] — `StructType` + sorting key → the
+  *    `CREATE TABLE … ENGINE = ReplacingMergeTree ORDER BY (…)` text,
+  *    reproducing the README block byte-for-byte for the users final
+  *    schema (the SourcesSpec assertion). Nullability follows the
+  *    StructType — and [[usersFinalSchema]] pins the reference's
+  *    discipline that ONLY `kafka_time` is `Nullable` (`README.md:173`;
+  *    every other final column is a bare ClickHouse type).
+  *
+  * Wired into the sink by [[clickHouseSink]]: register the dialect,
+  * truncate timestamps to the second grid `DateTime` stores, issue
+  * `CREATE TABLE IF NOT EXISTS` with the generated engine clause, then
+  * append via the plain JDBC writer.
+  */
+object ClickHouse {
+
+  /** Spark `JdbcDialect` for ClickHouse (`README.md:166-175` types).
+    * Read side widens the unsigned columns the reference declares
+    * (`UInt32 user_id`, `UInt64 kafka_offset`) into Spark `LongType`;
+    * write side emits ClickHouse type names for Spark defaults. A
+    * `UInt64` value past 2⁶³−1 would wrap in `LongType` — fine for the
+    * reference's use (Kafka offsets, row versions); map such columns
+    * to `Decimal(20, 0)` explicitly if full range is ever needed.
+    */
+  object ClickHouseDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("jdbc:clickhouse:")
+
+    override def getCatalystType(sqlType: Int, typeName: String,
+                                 size: Int,
+                                 md: MetadataBuilder): Option[DataType] = {
+      // JDBC metadata reports the BASE name; Nullable(...) arrives via
+      // the driver's nullable flag, not the type string — but accept
+      // the wrapped spelling too (some driver versions pass it through)
+      val base = typeName.trim match {
+        case n if n.startsWith("Nullable(") && n.endsWith(")") =>
+          n.stripPrefix("Nullable(").stripSuffix(")")
+        case n => n
+      }
+      base match {
+        case "UInt8" | "Int8" | "Int16"   => Some(ShortType)
+        case "UInt16" | "Int32"           => Some(IntegerType)
+        case "UInt32" | "Int64" | "UInt64" => Some(LongType)
+        case "Float32"                    => Some(FloatType)
+        case "Float64"                    => Some(DoubleType)
+        case "String" | "FixedString"     => Some(StringType)
+        case "Date" | "Date32"            => Some(DateType)
+        case "DateTime"                   => Some(TimestampType)
+        case n if n.startsWith("DateTime64") => Some(TimestampType)
+        case n if n.startsWith("FixedString(") => Some(StringType)
+        case n if n.startsWith("Decimal(") =>
+          val Array(p, s) =
+            n.stripPrefix("Decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+          Some(DecimalType(p, s))
+        case _ => None
+      }
+    }
+
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case ShortType     => Some(JdbcType("Int16", java.sql.Types.SMALLINT))
+      case IntegerType   => Some(JdbcType("Int32", java.sql.Types.INTEGER))
+      case LongType      => Some(JdbcType("Int64", java.sql.Types.BIGINT))
+      case FloatType     => Some(JdbcType("Float32", java.sql.Types.FLOAT))
+      case DoubleType    => Some(JdbcType("Float64", java.sql.Types.DOUBLE))
+      case StringType    => Some(JdbcType("String", java.sql.Types.VARCHAR))
+      case BooleanType   => Some(JdbcType("UInt8", java.sql.Types.BOOLEAN))
+      case DateType      => Some(JdbcType("Date", java.sql.Types.DATE))
+      case TimestampType => Some(JdbcType("DateTime", java.sql.Types.TIMESTAMP))
+      case d: DecimalType =>
+        Some(JdbcType(s"Decimal(${d.precision}, ${d.scale})",
+                      java.sql.Types.DECIMAL))
+      case _ => None
+    }
+
+    override def quoteIdentifier(colName: String): String = s"`$colName`"
+
+    override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
+  }
+
+  /** Register the dialect once per JVM (idempotent: re-registering
+    * replaces the previous instance at the head of the lookup list).
+    */
+  def registerDialect(): Unit = {
+    JdbcDialects.unregisterDialect(ClickHouseDialect)
+    JdbcDialects.registerDialect(ClickHouseDialect)
+  }
+
+  /** Spark default → ClickHouse column type, `Nullable(...)`-wrapped
+    * when the field is nullable. `typeOverrides` carries what a
+    * StructType cannot express — the reference's unsigned narrowings
+    * (`user_id UInt32`, `kafka_offset UInt64`, `README.md:169,174`).
+    */
+  private[graft] def chColumnType(
+      f: StructField, typeOverrides: Map[String, String]): String = {
+    val base = typeOverrides.getOrElse(f.name, f.dataType match {
+      case ShortType     => "Int16"
+      case IntegerType   => "Int32"
+      case LongType      => "Int64"
+      case FloatType     => "Float32"
+      case DoubleType    => "Float64"
+      case StringType    => "String"
+      case BooleanType   => "UInt8"
+      case DateType      => "Date"
+      case TimestampType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"no ClickHouse mapping for column ${f.name}: $other")
+    })
+    if (f.nullable) s"Nullable($base)" else base
+  }
+
+  /** `CREATE TABLE` DDL for a MergeTree-family target — the
+    * `README.md:164-177` block generated from a Spark schema + sorting
+    * key. ClickHouse rejects `Nullable` sorting-key columns (and the
+    * reference's key `(user_id, updated_at)` is bare), so the
+    * generator enforces that the `orderBy` columns are non-nullable in
+    * the schema up front.
+    */
+  def createTableDdl(table: String, schema: StructType,
+                     orderBy: Seq[String],
+                     engine: String = "ReplacingMergeTree",
+                     typeOverrides: Map[String, String] = Map.empty)
+      : String = {
+    require(orderBy.nonEmpty, "MergeTree requires a sorting key")
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    orderBy.foreach { k =>
+      val f = byName.getOrElse(k, throw new IllegalArgumentException(
+        s"ORDER BY column $k not in schema ${schema.fieldNames.toSeq}"))
+      require(!f.nullable,
+        s"ORDER BY column $k is nullable — ClickHouse rejects Nullable " +
+        "sorting-key columns; mark it non-nullable in the StructType")
+    }
+    val cols = schema.fields
+      .map(f => s"    ${f.name} ${chColumnType(f, typeOverrides)}")
+      .mkString(",\n")
+    s"""CREATE TABLE $table
+       |(
+       |$cols
+       |)
+       |ENGINE = $engine
+       |ORDER BY (${orderBy.mkString(", ")});""".stripMargin
+  }
+
+  /** The reference final-table schema (`README.md:166-175`) with its
+    * exact nullability discipline: ClickHouse columns are non-nullable
+    * by default and the reference declares ONLY `kafka_time` as
+    * `Nullable(DateTime)` (`README.md:173`) — it is absent from the
+    * Kafka envelope until the MV stamps `_timestamp`, every other
+    * column always arrives.
+    */
+  val usersFinalSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("username", StringType, nullable = false),
+    StructField("account_type", StringType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("kafka_time", TimestampType, nullable = true),
+    StructField("kafka_offset", LongType, nullable = false)))
+
+  /** The unsigned narrowings the final DDL declares that a Spark
+    * schema cannot (`README.md:169,174`).
+    */
+  val usersTypeOverrides: Map[String, String] =
+    Map("user_id" -> "UInt32", "kafka_offset" -> "UInt64")
+
+  /** The `shop.users` CREATE TABLE — must reproduce
+    * `README.md:164-177` byte-for-byte (SourcesSpec pins it).
+    */
+  def usersFinalDdl: String =
+    createTableDdl("shop.users", usersFinalSchema,
+                   Seq("user_id", "updated_at"),
+                   typeOverrides = usersTypeOverrides)
+
+  /** Truncate every TimestampType column to second precision — what
+    * ClickHouse `DateTime` stores (`README.md:172`; the reference MV's
+    * `toDateTime(updated_at / 1000000)` lands on the same grid,
+    * `README.md:226-227`). Applying it BEFORE the write keeps
+    * Spark-side frames bit-identical to what a reader would get back
+    * from the target, so replay comparisons don't drift on sub-second
+    * micros the target would silently drop.
+    */
+  def truncateToDateTimeGrid(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.dataType == TimestampType =>
+        acc.withColumn(f.name, date_trunc("second", col(f.name))
+          .cast(TimestampType))
+      case (acc, _) => acc
+    }
+
+  /** S8 with ClickHouse fidelity (`BASELINE.json` `spark_approach`:
+    * "DataFrame JDBC source + ClickHouse sink"): register the dialect,
+    * snap timestamps to the `DateTime` grid, `CREATE TABLE IF NOT
+    * EXISTS` with the generated ReplacingMergeTree clause, then append
+    * through [[Sources.jdbcSink]]. DDL goes through a plain JDBC
+    * statement because Spark's own create path cannot express
+    * per-column unsigned types or the engine clause.
+    */
+  def clickHouseSink(df: DataFrame, url: String, table: String,
+                     orderBy: Seq[String],
+                     engine: String = "ReplacingMergeTree",
+                     typeOverrides: Map[String, String] = Map.empty,
+                     props: Map[String, String] = Map.empty): Unit = {
+    registerDialect()
+    val ddl = createTableDdl(table, df.schema, orderBy, engine,
+                             typeOverrides)
+      .replaceFirst("^CREATE TABLE ", "CREATE TABLE IF NOT EXISTS ")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl) finally st.close()
+    } finally conn.close()
+    Sources.jdbcSink(truncateToDateTimeGrid(df), url, table, props)
+  }
+}

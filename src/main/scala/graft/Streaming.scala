@@ -111,34 +111,117 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val withBucket = batch.withColumn("__bucket",
-          pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
-        // ≤ numBuckets small ints — a bounded driver-side list, not data
-        val touched = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val current =
-          try spark.read.parquet(stateDir)
-            .filter(col("__bucket").isin(touched: _*)) // partition-pruned
-            // eager materialization of ONLY the touched buckets: cuts the
-            // file-scan lineage so the dynamic overwrite below isn't
-            // "overwriting a path being read", without a temp-dir rename
-            .localCheckpoint()
-          catch {
-            // first batch only: state dir doesn't exist yet. Anything
-            // else (permission, corrupt footer, ...) must surface.
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], withBucket.schema)
-          }
-        Cdc.latest(current.unionByName(withBucket), keys, version.map(col))
-          .sortWithinPartitions(keys.map(col): _*)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
-          .parquet(stateDir)
+        upsertBatch(batch, stateDir, keys, version, numBuckets)
       }
+
+  /** One bucketed-upsert merge of `batch` into `stateDir` — the body of
+    * [[upsertSink]] (see its scaladoc for the touched-bucket mechanics),
+    * shared with [[multiTableSink]]'s per-table leg. Idempotent: the
+    * merge is a deterministic collapse + dynamic overwrite, so a
+    * replayed batch rewrites the same buckets to the same content — no
+    * commit marker needed.
+    */
+  private[graft] def upsertBatch(batch: DataFrame, stateDir: String,
+                                 keys: Seq[String], version: Seq[String],
+                                 numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val withBucket = batch.withColumn("__bucket",
+      pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
+    // ≤ numBuckets small ints — a bounded driver-side list, not data
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // an EMPTY batch (routine for a multi-table route whose topic is
+    // quiet this batch) merges nothing — and must not create an
+    // empty/parquet-less store a later read would choke on
+    if (touched.isEmpty) return
+    val current =
+      try spark.read.parquet(stateDir)
+        .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+        // eager materialization of ONLY the touched buckets: cuts the
+        // file-scan lineage so the dynamic overwrite below isn't
+        // "overwriting a path being read", without a temp-dir rename
+        .localCheckpoint()
+      catch {
+        // first batch only: state dir doesn't exist yet (or holds no
+        // parquet to infer from). Anything else (permission, corrupt
+        // footer, ...) must surface.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], withBucket.schema)
+      }
+    Cdc.latest(current.unionByName(withBucket), keys, version.map(col))
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(stateDir)
+  }
+
+  /** Per-table route for [[multiTableSink]]. `topic` selects the
+    * table's envelopes out of the shared stream (Debezium names topics
+    * `server.schema.table`, `/root/reference/README.md:133,199`);
+    * `readerSchemaJson`/`schema` are the table's READER generation —
+    * each record's writer generation still resolves through the
+    * registry by embedded id; `microsCols` are the epoch-micro columns
+    * the MV converts in place (`toDateTime(x / 1000000)`,
+    * `README.md:226-227`); `keys`/`version` drive the
+    * ReplacingMergeTree-style collapse of the table's final.
+    */
+  final case class TableRoute(topic: String, table: String,
+                              readerSchemaJson: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              keys: Seq[String], version: Seq[String],
+                              microsCols: Seq[String] = Seq.empty)
+
+  /** T1×N: ONE change stream carrying N tables' Confluent-framed
+    * envelopes, routed to N columnar finals in a single `foreachBatch`
+    * — the reference's documented growth path
+    * (`/root/reference/README.md:277-278` FAQ: scale by adding tables
+    * to `table.include.list`, then one Kafka table + one MV per table;
+    * here the "N MVs" are N routes over one consumer). Per micro-batch
+    * the shared batch materializes ONCE (localCheckpoint — every route
+    * re-reads the materialized blocks instead of re-running the source
+    * scan N times), then each route filters its topic, decodes through
+    * the shared registry (per-topic reader schema, per-record writer
+    * schema), applies its MV micros conversion, and merges into its own
+    * bucketed upsert state at `baseDir/<table>`. Topics with no route
+    * are dropped, mirroring the reference (a topic without an MV is
+    * simply never consumed into a final). Replay-safe with NO marker:
+    * every per-table merge is an idempotent deterministic collapse, so
+    * a re-delivered batch rewrites identical state for every table.
+    */
+  def multiTableSink(df: DataFrame, registry: Sources.SchemaById,
+                     routes: Seq[TableRoute], baseDir: String,
+                     checkpoint: String,
+                     numBuckets: Int = 16): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        multiTableBatch(batch, registry, routes, baseDir, numBuckets)
+      }
+
+  /** One [[multiTableSink]] micro-batch (package-private so the spec
+    * can drive replay windows directly).
+    */
+  private[graft] def multiTableBatch(batch: DataFrame,
+                                     registry: Sources.SchemaById,
+                                     routes: Seq[TableRoute],
+                                     baseDir: String,
+                                     numBuckets: Int): Unit = {
+    val cached = batch.localCheckpoint()
+    routes.foreach { rt =>
+      val part = cached.filter(col("topic") === rt.topic)
+      val decoded = Sources.decodeConfluent(
+        part, col("value"), registry, rt.readerSchemaJson, rt.schema)
+      val transformed = rt.microsCols.foldLeft(decoded)((d, c) =>
+        d.withColumn(c, Functions.microsToTimestampSecond(col(c))))
+      upsertBatch(transformed, s"$baseDir/${rt.table}", rt.keys,
+                  rt.version, numBuckets)
+    }
+  }
 
   /** Continuous projection maintenance — the full ClickHouse loop in one
     * sink: each micro-batch appends its raw rows to `baseDir` AND folds

@@ -157,4 +157,186 @@ class PipelineSpec extends SparkSpec {
     assert(dead.count() === 1 &&
            dead.select("__error").as[String].head().contains("magic"))
   }
+
+  test("reference topology continuity: snapshot.mode=initial (JDBC " +
+       "snapshot with cursor on Derby) seeds the final, the change " +
+       "stream resumes past the cursor, and the latest state equals " +
+       "the one-shot union replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // Derby stands in for the reference's Postgres (README.md:137
+    // "snapshot.mode": "initial" — Debezium reads the full table once,
+    // then streams the WAL from the snapshot's position)
+    val url = "jdbc:derby:memory:graftboot;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute(
+      """CREATE TABLE users (
+        |  user_id BIGINT PRIMARY KEY,
+        |  username VARCHAR(50),
+        |  account_type VARCHAR(20),
+        |  updated_at BIGINT)""".stripMargin)
+    Seq((1L, "user1", "Bronze"), (2L, "user2", "Silver"),
+        (3L, "user3", "Gold")).foreach { case (id, n, a) =>
+      st.execute(s"INSERT INTO users VALUES ($id, '$n', '$a', 1000000)")
+    }
+    st.close(); conn.close()
+
+    val state = Files.createTempDirectory("graft-boot").toString + "/users"
+    val ckpt = Files.createTempDirectory("graft-boot-ckpt").toString
+
+    // 1. the initial snapshot + its cursor, one consistent read
+    val (snapRaw, hi) =
+      Sources.snapshotWithCursor(spark, url, "users", "updated_at")
+    assert(hi === Some(1000000L))
+    // Derby uppercases unquoted identifiers; normalize to the wire names
+    val snap = snapRaw.toDF(snapRaw.columns.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
+    // seed the final through the SAME transform + merge the stream leg
+    // uses — snapshot rows and change rows are one shape downstream
+    Streaming.upsertBatch(
+      Streaming.mvTransform(snap, Seq.empty)
+        .withColumn("updated_ts",
+                    Functions.microsToTimestampSecond(col("updated_at"))),
+      // the SAME bucket count as the stream leg below — the bucket
+      // layout is part of the store's contract, mixing counts would
+      // strand seeded keys in buckets the merge never touches
+      state, Seq("user_id"), Seq("updated_at"), numBuckets = 16)
+
+    // 2. the change stream resumes from the cursor — re-delivering the
+    // boundary row (at-least-once), upgrading a snapshotted entity,
+    // inserting a post-snapshot one
+    val stream = MemoryStream[Array[Byte]]
+    val decoded = Sources.decodeAvro(
+      stream.toDF().toDF("value"),
+      Sources.confluentPayload(col("value")), avroSchemaJson,
+      decodedSchema)
+    val transformed = Streaming.mvTransform(decoded, Seq.empty)
+      .withColumn("updated_ts",
+                  Functions.microsToTimestampSecond(col("updated_at")))
+    val q = Streaming.upsertSink(transformed, state, ckpt,
+                                 Seq("user_id"), Seq("updated_at")).start()
+    stream.addData(Seq(
+      frame(3, "user3", "Gold", 1000000L),     // boundary re-delivery
+      frame(2, "user2", "Gold", 2000000L),     // post-snapshot upgrade
+      frame(4, "user4", "Bronze", 2000000L)))  // post-snapshot insert
+    q.processAllAvailable()
+    q.stop()
+
+    // 3. continuity: no row lost at the handoff, none duplicated
+    val got = spark.read.parquet(state)
+      .select(col("user_id"), col("account_type"),
+              col("updated_ts").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "Bronze", 1L), (2L, "Gold", 2L),
+                       (3L, "Gold", 1L), (4L, "Bronze", 2L)))
+  }
+
+  test("multi-table fan-out: one stream carries two tables' envelopes " +
+       "through one foreachBatch; each final matches its per-table " +
+       "batch replay; replay is a no-op; unrouted topics are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-fanout").toString
+    val ckpt = Files.createTempDirectory("graft-fanout-ckpt").toString
+
+    // the second table of the README:277-278 growth path ("add tables
+    // via table.include.list; one Kafka table + one MV per table")
+    val ordersJson =
+      """{"type":"record","name":"orders","fields":[
+        |{"name":"order_id","type":"long"},
+        |{"name":"amount_cents","type":"long"},
+        |{"name":"updated_at","type":"long"}]}""".stripMargin
+    val ordersSchema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("amount_cents", LongType),
+      StructField("updated_at", LongType)))
+    def orderFrame(id: Long, cents: Long, micros: Long): Array[Byte] = {
+      val schema = new Schema.Parser().parse(ordersJson)
+      val rec = new GenericData.Record(schema)
+      rec.put("order_id", id)
+      rec.put("amount_cents", cents)
+      rec.put("updated_at", micros)
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      Array[Byte](0, 0, 0, 0, 9) ++ out.toByteArray
+    }
+    val registry = Sources.StaticSchemaRegistry(
+      Map(7 -> avroSchemaJson, 9 -> ordersJson))
+    val routes = Seq(
+      // users runs the MV micros conversion in place (README:226-227)
+      Streaming.TableRoute("shop.public.users", "users", avroSchemaJson,
+        decodedSchema, Seq("user_id"), Seq("updated_at"),
+        microsCols = Seq("updated_at")),
+      Streaming.TableRoute("shop.public.orders", "orders", ordersJson,
+        ordersSchema, Seq("order_id"), Seq("updated_at")))
+
+    val userFrames = Seq(
+      frame(1, "user1", "Bronze", 1000000L),
+      frame(2, "user2", "Silver", 1000000L),
+      frame(2, "user2", "Gold", 2000000L),
+      frame(2, "user2", "Gold", 2000000L)) // at-least-once duplicate
+    val orderFrames = Seq(
+      orderFrame(10, 500, 1000000L),
+      orderFrame(10, 700, 2000000L),
+      orderFrame(11, 900, 2000000L))
+
+    val stream = MemoryStream[(String, Array[Byte])]
+    val q = Streaming.multiTableSink(
+      stream.toDF().toDF("topic", "value"), registry, routes, base,
+      ckpt, numBuckets = 4).start()
+    // batch 1: both tables interleaved
+    stream.addData(
+      userFrames.take(2).map(("shop.public.users", _)) ++
+      orderFrames.take(1).map(("shop.public.orders", _)))
+    q.processAllAvailable()
+    // batch 2: updates + duplicate + a topic nobody routes
+    stream.addData(
+      userFrames.drop(2).map(("shop.public.users", _)) ++
+      orderFrames.drop(1).map(("shop.public.orders", _)) :+
+      (("shop.public.ghost", frame(9, "ghost", "X", 1L))))
+    q.processAllAvailable()
+    q.stop()
+
+    // per-table one-shot batch replays over ALL frames = the oracle
+    val usersExp = Cdc.latest(
+        Streaming.mvTransform(
+          Sources.decodeConfluent(userFrames.toDF("value"), col("value"),
+            registry, avroSchemaJson, decodedSchema), Seq.empty)
+          .withColumn("updated_at",
+            Functions.microsToTimestampSecond(col("updated_at"))),
+        Seq("user_id"), Seq(col("updated_at")))
+      .select(col("user_id"), col("account_type"),
+              col("updated_at").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    def usersGot() = spark.read.parquet(s"$base/users")
+      .select(col("user_id"), col("account_type"),
+              col("updated_at").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(usersGot() === usersExp && usersExp.size === 2)
+
+    val ordersExp = Cdc.latest(
+        Sources.decodeConfluent(orderFrames.toDF("value"), col("value"),
+          registry, ordersJson, ordersSchema),
+        Seq("order_id"), Seq(col("updated_at")))
+      .select("order_id", "amount_cents")
+      .as[(Long, Long)].collect().toSet
+    def ordersGot() = spark.read.parquet(s"$base/orders")
+      .select("order_id", "amount_cents")
+      .as[(Long, Long)].collect().toSet
+    assert(ordersGot() === ordersExp &&
+           ordersExp === Set((10L, 700L), (11L, 900L)))
+
+    // the unrouted topic landed nowhere
+    assert(!new java.io.File(s"$base/ghost").exists())
+
+    // crash-window re-delivery of batch 2: every merge is idempotent,
+    // so the replayed batch leaves both finals unchanged
+    Streaming.multiTableBatch(
+      (userFrames.drop(2).map(("shop.public.users", _)) ++
+       orderFrames.drop(1).map(("shop.public.orders", _)))
+        .toDF("topic", "value"),
+      registry, routes, base, 4)
+    assert(usersGot() === usersExp && ordersGot() === ordersExp)
+  }
 }

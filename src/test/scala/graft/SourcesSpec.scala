@@ -403,4 +403,93 @@ class SourcesSpec extends SparkSpec {
     assert(evolved === Array((1L, "a", None), (2L, "b", None),
                              (3L, "c", Some("vip"))))
   }
+
+  test("ClickHouse DDL generator reproduces the reference shop.users " +
+       "block byte-for-byte (README.md:164-177)") {
+    // the reference's final-table DDL, verbatim: UInt32/UInt64 unsigned
+    // narrowings, DateTime at second precision, ONLY kafka_time Nullable
+    val reference =
+      """CREATE TABLE shop.users
+        |(
+        |    user_id UInt32,
+        |    username String,
+        |    account_type String,
+        |    updated_at DateTime,
+        |    created_at DateTime,
+        |    kafka_time Nullable(DateTime),
+        |    kafka_offset UInt64
+        |)
+        |ENGINE = ReplacingMergeTree
+        |ORDER BY (user_id, updated_at);""".stripMargin
+    assert(ClickHouse.usersFinalDdl === reference)
+    // without overrides the same schema falls back to the widened Spark
+    // defaults (Int64) — and keeps the single Nullable column
+    val generic = ClickHouse.createTableDdl(
+      "shop.users", ClickHouse.usersFinalSchema,
+      Seq("user_id", "updated_at"))
+    assert(generic.contains("    user_id Int64,"))
+    assert(generic.contains("    kafka_time Nullable(DateTime),"))
+    assert(!generic.contains("Nullable(String)"))
+  }
+
+  test("ClickHouse DDL generator rejects Nullable sorting-key columns " +
+       "and unknown ORDER BY names") {
+    val nullableKey = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", StringType, nullable = false)))
+    val e1 = intercept[IllegalArgumentException] {
+      ClickHouse.createTableDdl("db.t", nullableKey, Seq("k"))
+    }
+    assert(e1.getMessage.contains("Nullable"))
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouse.createTableDdl("db.t", nullableKey, Seq("missing"))
+    }
+    assert(e2.getMessage.contains("not in schema"))
+  }
+
+  test("ClickHouse dialect: UInt32/UInt64 widen to LongType on read, " +
+       "Spark defaults map back to ClickHouse names on write") {
+    val d = ClickHouse.ClickHouseDialect
+    assert(d.canHandle("jdbc:clickhouse://host:8123/shop"))
+    assert(!d.canHandle("jdbc:postgresql://host/db"))
+    val md = new MetadataBuilder()
+    // the README's declared column types, both tables (166-175, 189-196)
+    assert(d.getCatalystType(java.sql.Types.INTEGER, "UInt32", 0, md)
+             === Some(LongType))
+    assert(d.getCatalystType(java.sql.Types.BIGINT, "UInt64", 0, md)
+             === Some(LongType))
+    assert(d.getCatalystType(java.sql.Types.VARCHAR, "String", 0, md)
+             === Some(StringType))
+    assert(d.getCatalystType(java.sql.Types.TIMESTAMP, "DateTime", 0, md)
+             === Some(TimestampType))
+    // Nullable(...) spelling accepted when a driver passes it through
+    assert(d.getCatalystType(java.sql.Types.TIMESTAMP,
+                             "Nullable(DateTime)", 0, md)
+             === Some(TimestampType))
+    assert(d.getCatalystType(java.sql.Types.DECIMAL, "Decimal(20, 0)",
+                             0, md) === Some(DecimalType(20, 0)))
+    // write direction: Spark defaults → ClickHouse type names
+    assert(d.getJDBCType(LongType).map(_.databaseTypeDefinition)
+             === Some("Int64"))
+    assert(d.getJDBCType(TimestampType).map(_.databaseTypeDefinition)
+             === Some("DateTime"))
+    assert(d.getJDBCType(StringType).map(_.databaseTypeDefinition)
+             === Some("String"))
+    assert(d.getJDBCType(BooleanType).map(_.databaseTypeDefinition)
+             === Some("UInt8"))
+    assert(d.quoteIdentifier("from") === "`from`")
+  }
+
+  test("truncateToDateTimeGrid snaps timestamps to the second grid " +
+       "DateTime stores, leaving other columns untouched") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-05-01 10:20:30.123456"),
+                  "x"))
+      .toDF("id", "ts", "v")
+    val got = ClickHouse.truncateToDateTimeGrid(df)
+      .as[(Long, java.sql.Timestamp, String)].head()
+    assert(got === ((1L, java.sql.Timestamp.valueOf("2024-05-01 10:20:30"),
+                     "x")))
+    // the micros the reference MV's toDateTime(x / 1000000) drops
+    // (README.md:226-227) are dropped here too — same grid
+  }
 }
