@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scans, projections, filters, timestamp conversion, sorts, limits and set
@@ -177,20 +178,31 @@ object CoreQueries extends QueryPack {
         .orderBy("c_custkey")),
 
     // Projection routing end-to-end (see projectionRouteQuery below).
-    "q_projection_route" -> ((s, dir) => projectionRouteQuery(s, dir))
+    "q_projection_route" -> ((s, dir) => projectionRouteQuery(s, dir)),
+
+    // Same projection, with a PROJECTION-KEY filter between the
+    // aggregate and the base — the router's filter-routing reach:
+    // key-only selection commutes with partial re-aggregation, so the
+    // rewrite stays answer-preserving (the DuckDB oracle computes the
+    // filtered aggregate over the raw table).
+    "q_projection_route_filtered" -> ((s, dir) => {
+      val base = projectionRouteSetup(s, dir)
+      s.read.parquet(base)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum("o_custkey").as("sum_cust"),
+             max("o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority")
+    })
   )
 
-  private val projectionRouteQuery: Q = (s, dir) => {
-    // Build + register the projection, then run a plain aggregate over
-    // the BASE path: [[ProjectionRouter]] rewrites the plan to
-    // re-aggregate the partials, and the DuckDB oracle computes the
-    // same aggregate directly over the raw table — a hash match proves
-    // the routed plan is answer-identical end-to-end, not just in the
-    // spec. Measures chosen exact (count / long sum / double min-max)
-    // so partial re-aggregation is bit-stable. The base is a PRIVATE
-    // copy of orders under a deterministic per-dir temp path (reused,
-    // not leaked), so the registration can never reroute OTHER queries
-    // reading the shared orders.parquet in the same session.
+  /** Build + register the shared scratch projection over a PRIVATE copy
+    * of orders (deterministic per-dir temp path — reused, not leaked —
+    * so the registration can never reroute OTHER queries reading the
+    * shared orders.parquet in the same session). Returns the base path.
+    */
+  private def projectionRouteSetup(s: SparkSession, dir: String): String = {
     val scratch = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_projroute_${math.abs(dir.hashCode)}").toString
@@ -204,6 +216,18 @@ object CoreQueries extends QueryPack {
     GraftExtensions.register(s)
     ProjectionRouter.register(ProjectionRouter.Projection(
       base, proj, Set("o_orderpriority"), Set("o_custkey", "o_totalprice")))
+    base
+  }
+
+  private val projectionRouteQuery: Q = (s, dir) => {
+    // Build + register the projection, then run a plain aggregate over
+    // the BASE path: [[ProjectionRouter]] rewrites the plan to
+    // re-aggregate the partials, and the DuckDB oracle computes the
+    // same aggregate directly over the raw table — a hash match proves
+    // the routed plan is answer-identical end-to-end, not just in the
+    // spec. Measures chosen exact (count / long sum / double min-max)
+    // so partial re-aggregation is bit-stable.
+    val base = projectionRouteSetup(s, dir)
     s.read.parquet(base)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
@@ -221,6 +245,15 @@ object CoreQueries extends QueryPack {
         |  min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+    "q_projection_route_filtered" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_zorder" ->

@@ -1,6 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec,
+  GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan,
+  TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, LessThan,
+  LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+  ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.catalyst.optimizer.BuildRight
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
 /** Plan-audit helper. Two modes:
   *
@@ -9,8 +22,93 @@ import org.apache.spark.sql.SparkSession
   *  - `runMain graft.Explain audit <sfDir>` — sweep every SparkEntry query
   *    and flag 100 TB red flags: cartesian products, unexpected
   *    nested-loop joins, single-partition exchanges, oversized plans.
+  *    Whitelisted keys are not exempt from scrutiny: each whitelist
+  *    entry's JUSTIFICATION is re-checked mechanically on the plan tree
+  *    ([[unjustifiedSinglePartition]]/[[unjustifiedNestedLoop]]), so a
+  *    whitelisted key whose plan stops satisfying its own justification
+  *    is flagged again.
   */
 object Explain {
+
+  /** Every node of the physical tree, descending through the AQE
+    * wrapper, reused exchanges, and subquery plans (scalar subqueries
+    * host their own exchanges — q_tpch_q22's avg(acctbal) shape).
+    */
+  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case _ => (p.children ++ p.subqueries).flatMap(walk)
+    })
+
+  /** The mechanical form of every whitelist justification: rows
+    * reaching this subtree's OUTPUT are "pre-aggregated or explicitly
+    * bounded, never raw data" — true iff every leaf-ward path passes
+    * through an aggregate (partial rows: one per group per upstream
+    * partition), an explicit limit / top-k, or a tiny literal relation
+    * before reaching a scan. A raw corpus flowing through proves
+    * nothing and returns false.
+    */
+  private[graft] def rowBounded(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+    case l: LocalTableScanExec => l.rows.size <= 1024
+    // the broadcast-query idiom: a point filter (col = literal /
+    // col IN (literals)) selects the query row(s) out of a table.
+    // Not a hard cardinality proof (the column need not be unique),
+    // but it mechanically separates "broadcast a point-selected probe"
+    // from "broadcast the raw corpus", which is what the whitelist
+    // justifications claim.
+    case f: FilterExec if f.condition.find {
+      case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+      case In(_, vs) if vs.nonEmpty && vs.size <= 1024 &&
+        vs.forall(_.isInstanceOf[Literal]) => true
+      // the seed-set idiom: id < k for a SMALL literal k (dense
+      // non-negative ids → ≤ k rows); a large comparison literal
+      // proves nothing and stays unbounded
+      case LessThan(_, Literal(v: Number, _)) if v.longValue <= 1024 => true
+      case LessThanOrEqual(_, Literal(v: Number, _))
+          if v.longValue <= 1024 => true
+      case _ => false
+    }.isDefined => true
+    // fixed-cardinality TPC-H dimension tables: region (5 rows) and
+    // nation (25) have SPEC-PINNED sizes at every scale factor — the
+    // one class of bare scan that is legitimately broadcast-bounded
+    case s: FileSourceScanExec if s.relation.location.rootPaths.nonEmpty &&
+      s.relation.location.rootPaths.forall { p =>
+        val n = p.getName.toLowerCase(java.util.Locale.ROOT)
+        n.startsWith("region") || n.startsWith("nation")
+      } => true
+    case a: AdaptiveSparkPlanExec => rowBounded(a.inputPlan)
+    case r: ReusedExchangeExec => rowBounded(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(rowBounded)
+  }
+
+  /** SinglePartition exchanges whose input is NOT row-bounded — for a
+    * `globalOrderExpected` key these violate the whitelist's own
+    * justification ("moves one pre-aggregated row per partition").
+    */
+  private[graft] def unjustifiedSinglePartition(p: SparkPlan): Seq[SparkPlan] =
+    walk(p).collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition &&
+             !rowBounded(e.child) => e
+    }
+
+  /** BroadcastNestedLoopJoins whose BROADCAST side is not row-bounded —
+    * for a `nestedLoopExpected` key these violate the justification
+    * ("cross vs an explicitly broadcast ≤ k-row side"). The streamed
+    * side may be arbitrarily large; the broadcast side must provably
+    * not be raw data.
+    */
+  private[graft] def unjustifiedNestedLoop(p: SparkPlan): Seq[SparkPlan] =
+    walk(p).collect {
+      case j: BroadcastNestedLoopJoinExec
+          if !rowBounded(if (j.buildSide == BuildRight) j.right else j.left)
+            => j
+    }
 
   // Queries where a nested-loop/cartesian operator is the intended plan
   // (bounded dims or an explicitly broadcast side).
@@ -62,7 +160,21 @@ object Explain {
     "q_bitext_mine",        // labeled-quadratic exact margin baseline:
                             // cross vs the explicitly broadcast smaller
                             // language shard (banded path = embed-LSH)
-    "q_curation_rag")       // inherits q_dsir's one-row totals cross
+    "q_curation_rag",       // inherits q_dsir's one-row totals cross
+    "q_win_ntile")          // cross vs broadcast one-row count aggregate
+                            // (the in-plan n for the quartile closed form)
+
+  // Keys whose nested-loop join is an INTENTIONALLY quadratic labeled
+  // baseline or recall certificate — never the production path. The
+  // mechanical obligation for these is different: the named scale-path
+  // sibling must still be a registered query key (a certificate without
+  // its production counterpart is a dead label). A self-mapping means
+  // the production path is embedded in the same key (the certificate
+  // computes ann/exact on both legs in one plan).
+  private val quadraticBaseline: Map[String, String] = Map(
+    "q_dedup_embed" -> "q_dedup_embed_lsh",     // banded LSH production path
+    "q_dedup_embed_lsh" -> "q_dedup_embed_lsh", // certificate: exact leg in-plan
+    "q_join_range" -> "q_join_range_bucketed")  // bucketed hash-join path
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
   // partition (q_agg_global, q_profile, tfidf's scalar doc count); global
@@ -116,12 +228,17 @@ object Explain {
     "q_agg_covar_matrix",      // one-row six-way covar aggregate
     "q_retention_conditions",  // one-row flag-vector rollup
     "q_text_ngram_lm",         // one-row vocabulary-size aggregate
-    "q_hash_xx")               // one-row hash-invariant aggregate
+    "q_hash_xx",               // one-row hash-invariant aggregate
+    "q_win_ntile")             // one-row count aggregate (in-plan n)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // static plan inspection wants the POST-EnsureRequirements tree:
+      // under AQE the wrapper's inputPlan carries no exchange nodes yet,
+      // which would silently blind the SinglePartition checks
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args(0) match {
@@ -130,7 +247,8 @@ object Explain {
         var flagged = 0
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
-            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            val phys = fn(spark, dir).queryExecution.executedPlan
+            val plan = phys.toString
             val flags = Seq(
               "CartesianProduct" -> plan.contains("CartesianProduct"),
               "BroadcastNestedLoopJoin" ->
@@ -139,6 +257,18 @@ object Explain {
               "SinglePartition-exchange" ->
                 (plan.contains("Exchange SinglePartition") &&
                  !globalOrderExpected(name)),
+              // whitelisted keys: re-check the justification itself on
+              // the plan tree — the whitelist is not a free pass
+              "BNLJ-unjustified-broadcast-side" ->
+                (nestedLoopExpected(name) &&
+                 !quadraticBaseline.contains(name) &&
+                 unjustifiedNestedLoop(phys).nonEmpty),
+              "quadratic-baseline-sibling-missing" ->
+                quadraticBaseline.get(name)
+                  .exists(sib => !SparkEntry.queries.contains(sib)),
+              "SinglePartition-unjustified-input" ->
+                (globalOrderExpected(name) &&
+                 unjustifiedSinglePartition(phys).nonEmpty),
               "plan>200KB" -> (plan.length > 200000)
             ).collect { case (f, true) => f }
             if (flags.nonEmpty) {

@@ -1352,6 +1352,62 @@ object LlmOps {
       .select(col("node"), coalesce(col("v"), col("node")).as("component"))
   }
 
+  /** Merge a batch's newly-mined duplicate pairs into a PERSISTED
+    * component label table WITHOUT recomputing history — the
+    * incremental counterpart of [[connectedComponentsStar]], closing
+    * the loop that [[minhashIncremental]] opens: the store mines new
+    * pairs against history, and this folds them into the standing
+    * cluster map (union of components, by representative).
+    *
+    * Mechanics: each new pair's endpoints map onto their CURRENT
+    * representatives (left join against the stored labels — an
+    * unlabeled endpoint represents itself), the star contraction runs
+    * over that REPRESENTATIVE graph — O(new pairs + touched
+    * components) work, never O(history) — and the stored table then
+    * remaps only the components the batch touched. Component ids stay
+    * the component-minimum node id: every old root is its component's
+    * minimum, so the minimum over connected roots (what the star
+    * contraction yields) IS the minimum over the merged node set. That
+    * invariant makes the incremental result BIT-IDENTICAL to a
+    * from-scratch run over the concatenated pair set — the driver key
+    * `q_dedup_components_incr` pins the hash match against the
+    * one-shot oracle, and LlmSpec folds a 3-batch chain.
+    *
+    * Returns the updated label table: all stored nodes plus every new
+    * pair endpoint (the same "nodes that ever appeared in pairs"
+    * contract the one-shot form has).
+    */
+  def mergeComponentLabels(storedLabels: DataFrame,
+                           newPairs: DataFrame): DataFrame = {
+    val labels = storedLabels.select(col("node"), col("component"))
+      .localCheckpoint() // read 4x: both endpoint maps, remap, anti
+    val la = labels.select(col("node").as("a"), col("component").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("component").as("cb"))
+    val repPairs = newPairs.select(col("a"), col("b"))
+      .join(la, Seq("a"), "left")
+      .join(lb, Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+              coalesce(col("cb"), col("b")).as("b"))
+    val m = connectedComponentsStar(repPairs)
+      .select(col("node"), col("component").as("root"))
+      .localCheckpoint() // small: touched reps + new endpoints only
+    // stored members of touched components follow their root's remap
+    val updatedOld = labels
+      .join(m.withColumnRenamed("node", "component"), Seq("component"),
+            "left")
+      .select(col("node"),
+              coalesce(col("root"), col("component")).as("component"))
+    // endpoints the store has never seen label straight off the rep
+    // graph (a pairless new node would not be here — it enters the
+    // table the first time a pair touches it, as in the one-shot form)
+    val newNodes = newPairs.select(col("a").as("node"))
+      .union(newPairs.select(col("b").as("node"))).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+    val newLabeled = newNodes.join(m, Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+    updatedOld.unionByName(newLabeled)
+  }
+
   /** IVF-style ANN: coarse-quantize with per-partition centroids
     * ([[Udafs.VectorCentroid]] — here the embedding `label` plays the
     * cluster-assignment role a k-means pass would at 100 TB), probe the

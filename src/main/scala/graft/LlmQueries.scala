@@ -822,6 +822,26 @@ object LlmQueries extends QueryPack {
                                  "text", "lang", 3, 0.2))
         .orderBy("node")),
 
+    // L2e'': INCREMENTAL component maintenance — day 1's label table
+    // (one-shot star over the history's own pairs) plus the batch's
+    // newly-mined pairs (>= 1 new endpoint; in production they come
+    // from [[LlmOps.minhashIncremental]]'s store lookup — here the
+    // exact miner, so the oracle is reachable) folded in by
+    // [[LlmOps.mergeComponentLabels]]. The oracle is the SAME one-shot
+    // recursive-CTE components over the full corpus: the merge is
+    // exact, so incremental == from-scratch, hash and all.
+    "q_dedup_components_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val stored = LlmOps.connectedComponentsStar(
+        LlmOps.ngramJaccardPairs(d.filter(col("doc_id") < 250),
+                                 "doc_id", "text", "lang", 3, 0.2))
+      val newPairs = LlmOps.ngramJaccardPairs(d, "doc_id", "text",
+                                              "lang", 3, 0.2)
+        .filter(col("a") >= 250 || col("b") >= 250)
+      LlmOps.mergeComponentLabels(stored, newPairs)
+        .orderBy("node")
+    }),
+
     // L2f: keep-best-per-cluster dedup — what production near-dup
     // pipelines actually DO with the clusters (FineWeb/CCNet keep one
     // survivor per duplicate group, not "drop all but first seen"):
@@ -2595,6 +2615,8 @@ object LlmQueries extends QueryPack {
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
 
     "q_dedup_components" -> componentsOracleSql,
+    // incremental merge == the one-shot run on the concatenated corpus
+    "q_dedup_components_incr" -> componentsOracleSql,
 
     // identical clustering contract, different distributed algorithm
     "q_dedup_components_star" -> componentsOracleSql,

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   AggregateFunction, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.LongType
   *
   * Routing is deliberately conservative — it fires only when the rewrite
   * is exactly answer-preserving from the partials:
-  *  - the aggregate's child is the registered base relation (bare, or
-  *    under an attribute-only column-pruning Project);
+  *  - the aggregate's child is the registered base relation — bare,
+  *    under an attribute-only column-pruning Project, and/or under
+  *    Filters whose conditions touch ONLY projection keys (partials
+  *    are per key combination, so key-only selection commutes with the
+  *    re-aggregation; any non-key reference blocks routing);
   *  - every grouping expression is a plain column ⊆ the projection keys
   *    (coarser-than-projection groupings re-aggregate partials — the
   *    MergeTree merge rule);
@@ -82,6 +85,11 @@ object ProjectionRouter extends Rule[LogicalPlan] {
 
   def clear(): Unit = { registry.clear(); normCache.clear() }
 
+  // routed-rewrite counter — the observable proof a query REALLY served
+  // from partials (specs assert it alongside the plan's path)
+  private val hits = new java.util.concurrent.atomic.AtomicLong(0)
+  def hitCount: Long = hits.get()
+
   /** Measure types the partial-reaggregation rewrites are exact AND
     * type-stable for WITHOUT any cast: Sum/Average over these keep the
     * original expression's dataType (sum(long)=long,
@@ -121,11 +129,39 @@ object ProjectionRouter extends Rule[LogicalPlan] {
             normalize(hfs.location.rootPaths.head.toString), Nil)
         case _ => Nil
       }
-      case p: Project
-          if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        projectionsFor(p.child)
       case _ => Nil
     }
+
+  /** Strip the answer-preserving operators between the Aggregate and the
+    * base relation: attribute-only column-pruning Projects (free) and
+    * Filters, whose conditions are returned outermost-first for
+    * [[canRoute]] to vet. A filter over PROJECTION KEYS only is
+    * answer-preserving from partials — every stored partial row belongs
+    * to exactly one key combination, so selecting key combinations
+    * before re-aggregation equals selecting raw rows before
+    * aggregation. Any other operator stops the decomposition.
+    */
+  private def decompose(plan: LogicalPlan)
+      : (Seq[Expression], LogicalPlan) = plan match {
+    case f: Filter =>
+      val (fs, base) = decompose(f.child)
+      (f.condition +: fs, base)
+    case p: Project
+        if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      decompose(p.child)
+    case other => (Nil, other)
+  }
+
+  /** A filter condition routes iff it is deterministic, references ONLY
+    * projection keys (a measure/non-key reference would filter raw rows
+    * INSIDE a key combination — unanswerable from partials), and hosts
+    * no subquery (whose own plan the rewrite must not detach).
+    */
+  private def routableFilter(cond: Expression, proj: Projection): Boolean =
+    cond.deterministic &&
+      cond.references.forall(a => proj.keys.contains(a.name)) &&
+      cond.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty
 
   private def routableFn(fn: Expression, proj: Projection): Boolean =
     fn match {
@@ -168,7 +204,8 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def canRoute(agg: Aggregate, proj: Projection): Boolean = {
+  private def canRoute(agg: Aggregate, filters: Seq[Expression],
+                       proj: Projection): Boolean = {
     val keysOk = agg.groupingExpressions.forall {
       case a: AttributeReference => proj.keys.contains(a.name)
       case _ => false
@@ -180,10 +217,11 @@ object ProjectionRouter extends Rule[LogicalPlan] {
           routableFn(ae.aggregateFunction, proj)
       case _ => false
     }
-    keysOk && aggsOk
+    keysOk && aggsOk && filters.forall(routableFilter(_, proj))
   }
 
-  private def route(agg: Aggregate, proj: Projection): LogicalPlan = {
+  private def route(agg: Aggregate, filters: Seq[Expression],
+                    proj: Projection): LogicalPlan = {
     val projPlan = SparkSession.active.read.parquet(proj.path)
       .queryExecution.analyzed
     def out(name: String): AttributeReference =
@@ -236,7 +274,16 @@ object ProjectionRouter extends Rule[LogicalPlan] {
         Alias(newChild, name)(exprId = al.exprId)
       case e => e
     }
-    Aggregate(newGrouping, newAggs, projPlan)
+    // the vetted key-only filters re-apply over the PARTIALS, rebound
+    // to the projection table's attributes, preserving their original
+    // nesting order
+    val filteredChild = filters.foldRight(projPlan) { (cond, acc) =>
+      Filter(cond.transform {
+        case a: AttributeReference => out(a.name)
+      }, acc)
+    }
+    hits.incrementAndGet()
+    Aggregate(newGrouping, newAggs, filteredChild)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -248,9 +295,10 @@ object ProjectionRouter extends Rule[LogicalPlan] {
       // cheapest qualifying projection wins: fewer keys = fewer stored
       // partial rows to re-aggregate (the ClickHouse selection rule, by
       // cardinality proxy)
-      projectionsFor(agg.child).filter(canRoute(agg, _))
+      val (filters, base) = decompose(agg.child)
+      projectionsFor(base).filter(canRoute(agg, filters, _))
         .sortBy(_.keys.size).headOption match {
-        case Some(proj) => route(agg, proj)
+        case Some(proj) => route(agg, filters, proj)
         case None => agg
       }
   }

@@ -428,6 +428,29 @@ class LlmSpec extends SparkSpec {
     assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L)))
   }
 
+  test("mergeComponentLabels: a 3-batch incremental fold equals the " +
+       "one-shot star run — including cross-batch bridges that merge " +
+       "two stored components") {
+    // full pair graph over nodes 1..12: component {1,2,3,7} forms only
+    // once batch 3's bridge (3,7) arrives; {8,9} is history-only;
+    // {10,11} is new-new within a batch; 5-6 spans batches 2/3
+    val allPairs = Seq((1L, 2L), (2L, 3L), (8L, 9L),   // batch 1 mines
+                       (4L, 7L), (10L, 11L),           // batch 2 mines
+                       (3L, 7L), (5L, 6L)).toDF("a", "b") // batch 3 mines
+    val oneShot = LlmOps.connectedComponentsStar(allPairs)
+      .orderBy("node").as[(Long, Long)].collect()
+    val b1 = LlmOps.connectedComponentsStar(
+      Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b"))
+    val b2 = LlmOps.mergeComponentLabels(
+      b1, Seq((4L, 7L), (10L, 11L)).toDF("a", "b"))
+    val b3 = LlmOps.mergeComponentLabels(
+      b2, Seq((3L, 7L), (5L, 6L)).toDF("a", "b"))
+    assert(b3.orderBy("node").as[(Long, Long)].collect() === oneShot)
+    // the bridge really merged the two stored components under min id 1
+    val byNode = b3.as[(Long, Long)].collect().toMap
+    assert(byNode(7L) === 1L && byNode(4L) === 1L && byNode(8L) === 8L)
+  }
+
   test("skewed chunk dedup: hot key pre-aggregates map-side and every " +
        "planted doc is flagged") {
     val q = SparkEntry.queries("q_dedup_chunks_skew")
