@@ -77,6 +77,11 @@ object Bench {
     "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
     "q_projection_route", "q_pipeline_shard",
+    // (q_projection_route_filtered re-runs q_projection_route's build +
+    // registration with one extra key filter, and
+    // q_dedup_components_incr re-mines the q_dedup_ngram_jaccard pair
+    // graph twice as its input — both would double-count stages already
+    // benched above)
     // hybrid serving, link-graph scoring, rolling anomaly detection
     // (q_dedup_ngram_prefix is excluded: it force-runs the prefix
     // branch purely as a losslessness proof against the all-pairs

@@ -162,6 +162,69 @@ object ClickHouse {
        |ORDER BY (${orderBy.mkString(", ")});""".stripMargin
   }
 
+  /** The reference's Kafka-side streaming-source table DDL
+    * (`README.md:186-203`: `ENGINE = Kafka` + AvroConfluent +
+    * registry). Column types follow the WIRE shape — Debezium ships
+    * timestamps as epoch-micro longs, hence `UInt64` where the final
+    * table has `DateTime` (`README.md:194-195`). The odd spacing of
+    * the last SETTINGS line (no blanks around `=`) reproduces the
+    * reference byte-for-byte.
+    */
+  def kafkaEngineDdl(table: String, schema: StructType, brokers: String,
+                     topic: String, group: String, registryUrl: String,
+                     typeOverrides: Map[String, String] = Map.empty)
+      : String = {
+    val cols = schema.fields
+      .map(f => s"    ${f.name} ${chColumnType(f, typeOverrides)}")
+      .mkString(",\n")
+    s"""CREATE TABLE $table
+       |(
+       |$cols
+       |)
+       |ENGINE = Kafka
+       |SETTINGS kafka_broker_list = '$brokers',
+       |kafka_topic_list = '$topic',
+       |kafka_group_name = '$group',
+       |kafka_format = 'AvroConfluent',
+       |format_avro_schema_registry_url='$registryUrl';""".stripMargin
+  }
+
+  /** The reference's materialized-view DDL (`README.md:210-231`):
+    * the continuous `SELECT` from the Kafka table into the final,
+    * converting each epoch-micro column with
+    * `toDateTime(x / 1000000)` (second truncation) and surfacing the
+    * Kafka virtual columns as real ones (`_timestamp AS kafka_time`,
+    * `_offset AS kafka_offset`, `README.md:228-229`). `schema` is the
+    * TARGET shape; `virtualCols` maps target names to source virtual
+    * columns.
+    */
+  def materializedViewDdl(view: String, target: String,
+                          schema: StructType, source: String,
+                          microsCols: Seq[String],
+                          typeOverrides: Map[String, String] = Map.empty,
+                          virtualCols: Map[String, String] =
+                            Map("kafka_time" -> "_timestamp",
+                                "kafka_offset" -> "_offset")): String = {
+    val cols = schema.fields
+      .map(f => s"    ${f.name} ${chColumnType(f, typeOverrides)}")
+      .mkString(",\n")
+    val selects = schema.fields.map { f =>
+      if (microsCols.contains(f.name))
+        s"    toDateTime(${f.name} / 1000000) AS ${f.name}"
+      else virtualCols.get(f.name) match {
+        case Some(v) => s"    $v AS ${f.name}"
+        case None    => s"    ${f.name}"
+      }
+    }.mkString(",\n")
+    s"""CREATE MATERIALIZED VIEW $view TO $target
+       |(
+       |$cols
+       |) AS
+       |SELECT
+       |$selects
+       |FROM $source;""".stripMargin
+  }
+
   /** The reference final-table schema (`README.md:166-175`) with its
     * exact nullability discipline: ClickHouse columns are non-nullable
     * by default and the reference declares ONLY `kafka_time` as
@@ -191,6 +254,61 @@ object ClickHouse {
     createTableDdl("shop.users", usersFinalSchema,
                    Seq("user_id", "updated_at"),
                    typeOverrides = usersTypeOverrides)
+
+  /** The Kafka-side wire shape (`README.md:189-196`): epoch-micro
+    * longs where the final has DateTime, no kafka virtual columns yet.
+    */
+  val usersKafkaSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("username", StringType, nullable = false),
+    StructField("account_type", StringType, nullable = false),
+    StructField("updated_at", LongType, nullable = false),
+    StructField("created_at", LongType, nullable = false)))
+
+  /** `kafka_shop.kafka__users` — must reproduce `README.md:186-203`
+    * byte-for-byte (SourcesSpec pins it).
+    */
+  def usersKafkaDdl: String =
+    kafkaEngineDdl("kafka_shop.kafka__users", usersKafkaSchema,
+                   brokers = "broker:29092",
+                   topic = "shop.public.users",
+                   group = "clickhouse",
+                   registryUrl = "http://schema-registry:8081",
+                   typeOverrides = Map("user_id" -> "UInt32",
+                                       "updated_at" -> "UInt64",
+                                       "created_at" -> "UInt64"))
+
+  /** `kafka_shop.consumer__users` — must reproduce `README.md:210-231`
+    * byte-for-byte (SourcesSpec pins it).
+    */
+  def usersMvDdl: String =
+    materializedViewDdl("kafka_shop.consumer__users", "shop.users",
+                        usersFinalSchema,
+                        source = "kafka_shop.kafka__users",
+                        microsCols = Seq("updated_at", "created_at"),
+                        typeOverrides = usersTypeOverrides)
+
+  /** The complete reference topology as ordered DDL — databases, final
+    * table, Kafka source table, materialized view (`README.md:164-231`
+    * in execution order). `deployReferenceTopology` runs them over any
+    * JDBC connection; each statement is also individually text-pinned
+    * in SourcesSpec, so the deployment is reproducible from this
+    * library alone.
+    */
+  def referenceTopologyDdls: Seq[String] = Seq(
+    "CREATE DATABASE shop;",
+    usersFinalDdl,
+    "CREATE DATABASE kafka_shop;",
+    usersKafkaDdl,
+    usersMvDdl)
+
+  def deployReferenceTopology(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try referenceTopologyDdls.foreach { ddl =>
+      val st = conn.createStatement()
+      try st.execute(ddl) finally st.close()
+    } finally conn.close()
+  }
 
   /** Truncate every TimestampType column to second precision — what
     * ClickHouse `DateTime` stores (`README.md:172`; the reference MV's

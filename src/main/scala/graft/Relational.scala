@@ -317,6 +317,14 @@ object Relational {
     * rows per partition (one tiny job), and assigns rank = partition offset
     * + local index. Every stage is parallel; the only driver-side data is
     * one count per partition.
+    *
+    * Two known costs of the RDD drop (shared with [[globalPrefixSum]]):
+    * the count pass and the rank pass re-evaluate the sorted lineage
+    * (the exchange is reused through shuffle files; the within-partition
+    * sort re-runs once), and downstream operators of the returned frame
+    * sit outside whole-stage codegen. Both are per-plan constants, not
+    * scale hazards — callers feeding DEEP downstream pipelines should
+    * `localCheckpoint()` the result to cut both.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
                       rankCol: String = "rn"): DataFrame = {

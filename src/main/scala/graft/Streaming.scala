@@ -195,27 +195,53 @@ object Streaming {
   def multiTableSink(df: DataFrame, registry: Sources.SchemaById,
                      routes: Seq[TableRoute], baseDir: String,
                      checkpoint: String,
-                     numBuckets: Int = 16): DataStreamWriter[Row] =
+                     numBuckets: Int = 16,
+                     quarantineDir: Option[String] = None)
+      : DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        multiTableBatch(batch, registry, routes, baseDir, numBuckets)
+        multiTableBatch(batch, registry, routes, baseDir, numBuckets,
+                        quarantineDir)
       }
 
   /** One [[multiTableSink]] micro-batch (package-private so the spec
-    * can drive replay windows directly).
+    * can drive replay windows directly). With `quarantineDir` set,
+    * each route decodes through the dead-letter decoder
+    * ([[Sources.decodeConfluentSafe]]): a poisoned message lands in
+    * `quarantineDir/<table>` instead of failing EVERY table's leg of
+    * the batch — on a shared N-table stream, one producer's bad frame
+    * must not stall the other N−1 tables. Quarantine appends are
+    * at-least-once (a crash-replayed batch may duplicate dead
+    * letters — they are diagnostic evidence, not state); the table
+    * merges stay effectively-once by idempotence.
     */
   private[graft] def multiTableBatch(batch: DataFrame,
                                      registry: Sources.SchemaById,
                                      routes: Seq[TableRoute],
                                      baseDir: String,
-                                     numBuckets: Int): Unit = {
+                                     numBuckets: Int,
+                                     quarantineDir: Option[String] = None)
+      : Unit = {
     val cached = batch.localCheckpoint()
     routes.foreach { rt =>
       val part = cached.filter(col("topic") === rt.topic)
-      val decoded = Sources.decodeConfluent(
-        part, col("value"), registry, rt.readerSchemaJson, rt.schema)
+      val decoded = quarantineDir match {
+        case None =>
+          Sources.decodeConfluent(part, col("value"), registry,
+                                  rt.readerSchemaJson, rt.schema)
+        case Some(qdir) =>
+          val safe = Sources.decodeConfluentSafe(
+            part, col("value"), registry, rt.readerSchemaJson, rt.schema)
+            .localCheckpoint() // read twice: quarantine leg + clean leg
+          val bad = safe.filter(col("__error").isNotNull)
+          // write only when real dead letters exist — an empty append
+          // would leave a parquet-less dir readers can't infer from
+          if (!bad.isEmpty)
+            bad.write.mode("append").parquet(s"$qdir/${rt.table}")
+          safe.filter(col("__error").isNull).drop("__error")
+      }
       val transformed = rt.microsCols.foldLeft(decoded)((d, c) =>
         d.withColumn(c, Functions.microsToTimestampSecond(col(c))))
       upsertBatch(transformed, s"$baseDir/${rt.table}", rt.keys,

@@ -281,22 +281,32 @@ class PipelineSpec extends SparkSpec {
       orderFrame(10, 700, 2000000L),
       orderFrame(11, 900, 2000000L))
 
+    val quarantine = Files.createTempDirectory("graft-fanout-q").toString
     val stream = MemoryStream[(String, Array[Byte])]
     val q = Streaming.multiTableSink(
       stream.toDF().toDF("topic", "value"), registry, routes, base,
-      ckpt, numBuckets = 4).start()
+      ckpt, numBuckets = 4, quarantineDir = Some(quarantine)).start()
     // batch 1: both tables interleaved
     stream.addData(
       userFrames.take(2).map(("shop.public.users", _)) ++
       orderFrames.take(1).map(("shop.public.orders", _)))
     q.processAllAvailable()
-    // batch 2: updates + duplicate + a topic nobody routes
+    // batch 2: updates + duplicate + a topic nobody routes + a
+    // poisoned frame on users (must dead-letter, not stall orders)
     stream.addData(
       userFrames.drop(2).map(("shop.public.users", _)) ++
       orderFrames.drop(1).map(("shop.public.orders", _)) :+
-      (("shop.public.ghost", frame(9, "ghost", "X", 1L))))
+      (("shop.public.ghost", frame(9, "ghost", "X", 1L))) :+
+      (("shop.public.users", Array[Byte](9, 9, 9))))
     q.processAllAvailable()
     q.stop()
+
+    // the poisoned frame went to the users quarantine, nowhere else
+    val dead = spark.read.parquet(s"$quarantine/users")
+    assert(dead.count() === 1 &&
+           dead.select("__error").as[String].head().contains("magic"))
+    // orders never produced dead letters → no parquet-less dir created
+    assert(!new java.io.File(s"$quarantine/orders").exists())
 
     // per-table one-shot batch replays over ALL frames = the oracle
     val usersExp = Cdc.latest(
@@ -331,12 +341,16 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/ghost").exists())
 
     // crash-window re-delivery of batch 2: every merge is idempotent,
-    // so the replayed batch leaves both finals unchanged
+    // so the replayed batch leaves both finals unchanged; the
+    // quarantine leg is documented at-least-once, so its dead letter
+    // duplicates (diagnostic evidence, not state)
     Streaming.multiTableBatch(
       (userFrames.drop(2).map(("shop.public.users", _)) ++
-       orderFrames.drop(1).map(("shop.public.orders", _)))
+       orderFrames.drop(1).map(("shop.public.orders", _)) :+
+       (("shop.public.users", Array[Byte](9, 9, 9))))
         .toDF("topic", "value"),
-      registry, routes, base, 4)
+      registry, routes, base, 4, Some(quarantine))
     assert(usersGot() === usersExp && ordersGot() === ordersExp)
+    assert(spark.read.parquet(s"$quarantine/users").count() === 2)
   }
 }

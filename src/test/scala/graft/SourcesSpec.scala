@@ -432,6 +432,56 @@ class SourcesSpec extends SparkSpec {
     assert(!generic.contains("Nullable(String)"))
   }
 
+  test("ClickHouse Kafka-engine table and materialized-view DDL " +
+       "reproduce the reference blocks byte-for-byte (README.md:" +
+       "186-203, 210-231)") {
+    val kafkaRef =
+      """CREATE TABLE kafka_shop.kafka__users
+        |(
+        |    user_id UInt32,
+        |    username String,
+        |    account_type String,
+        |    updated_at UInt64,
+        |    created_at UInt64
+        |)
+        |ENGINE = Kafka
+        |SETTINGS kafka_broker_list = 'broker:29092',
+        |kafka_topic_list = 'shop.public.users',
+        |kafka_group_name = 'clickhouse',
+        |kafka_format = 'AvroConfluent',
+        |format_avro_schema_registry_url='http://schema-registry:8081';"""
+        .stripMargin
+    assert(ClickHouse.usersKafkaDdl === kafkaRef)
+    val mvRef =
+      """CREATE MATERIALIZED VIEW kafka_shop.consumer__users TO shop.users
+        |(
+        |    user_id UInt32,
+        |    username String,
+        |    account_type String,
+        |    updated_at DateTime,
+        |    created_at DateTime,
+        |    kafka_time Nullable(DateTime),
+        |    kafka_offset UInt64
+        |) AS
+        |SELECT
+        |    user_id,
+        |    username,
+        |    account_type,
+        |    toDateTime(updated_at / 1000000) AS updated_at,
+        |    toDateTime(created_at / 1000000) AS created_at,
+        |    _timestamp AS kafka_time,
+        |    _offset AS kafka_offset
+        |FROM kafka_shop.kafka__users;""".stripMargin
+    assert(ClickHouse.usersMvDdl === mvRef)
+    // the ordered deployment runs databases first, view last
+    val ddls = ClickHouse.referenceTopologyDdls
+    assert(ddls.head === "CREATE DATABASE shop;")
+    assert(ddls.indexOf(ClickHouse.usersFinalDdl) <
+           ddls.indexOf(ClickHouse.usersMvDdl))
+    assert(ddls.indexOf(ClickHouse.usersKafkaDdl) <
+           ddls.indexOf(ClickHouse.usersMvDdl))
+  }
+
   test("ClickHouse DDL generator rejects Nullable sorting-key columns " +
        "and unknown ORDER BY names") {
     val nullableKey = StructType(Seq(
