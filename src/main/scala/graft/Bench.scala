@@ -34,7 +34,8 @@ object Bench {
     "q_agg_mad",
     "q_win_rownum", "q_win_running_sum", "q_win_range_frame", "q_win_ema",
     "q_win_time_decay",
-    "q_global_rownum", "q_topk_per_group", "q_limit_by",
+    "q_global_rownum", "q_global_rownum_inplan", "q_topk_per_group",
+    "q_limit_by",
     // CDC + event analytics
     "q_upsert_latest", "q_dedup_key", "q_cdc_collapse", "q_ttl_rollup",
     "q_scd2", "q_funnel", "q_retention", "q_retention_tiers",

@@ -158,6 +158,17 @@ object CoreQueries extends QueryPack {
         .select("event_id", "rn")
         .orderBy("event_id")),
 
+    // The fully IN-PLAN variant (value-range bucketing + pre-aggregated
+    // offset window — no RDD drop, no construction-time job, codegen
+    // intact). Same oracle as q_global_rownum: both are THE total-order
+    // rank.
+    "q_global_rownum_inplan" -> ((s, dir) =>
+      Relational.globalRowNumberInPlan(
+        Tables(s, dir, "events"), col("ts").cast("long"),
+        Seq(col("ts"), col("event_id")))
+        .select("event_id", "rn")
+        .orderBy("event_id")),
+
     // Salted skew join (result must equal the plain equi-join).
     "q_salted_join" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -383,6 +394,11 @@ object CoreQueries extends QueryPack {
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_global_rownum" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_global_rownum_inplan" ->
       """SELECT event_id,
         |  row_number() OVER (ORDER BY ts, event_id) AS rn
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,

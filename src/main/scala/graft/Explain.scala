@@ -161,8 +161,12 @@ object Explain {
                             // cross vs the explicitly broadcast smaller
                             // language shard (banded path = embed-LSH)
     "q_curation_rag",       // inherits q_dsir's one-row totals cross
-    "q_win_ntile")          // cross vs broadcast one-row count aggregate
-                            // (the in-plan n for the quartile closed form)
+    "q_win_ntile",          // cross vs broadcast one-row (min,max) + count
+                            // aggregates (in-plan bucketing + n)
+    "q_global_rownum_inplan", // cross vs broadcast one-row (min,max)
+                              // range-stats aggregate
+    "q_pack_sequences_inplan") // same range-stats cross (in-plan
+                               // prefix-sum bucketing)
 
   // Keys whose nested-loop join is an INTENTIONALLY quadratic labeled
   // baseline or recall certificate — never the production path. The
@@ -229,7 +233,12 @@ object Explain {
     "q_retention_conditions",  // one-row flag-vector rollup
     "q_text_ngram_lm",         // one-row vocabulary-size aggregate
     "q_hash_xx",               // one-row hash-invariant aggregate
-    "q_win_ntile")             // one-row count aggregate (in-plan n)
+    "q_win_ntile",             // one-row count aggregate (in-plan n) +
+                               // offset window over bucket-count partials
+    "q_global_rownum_inplan",  // offset window over the <= buckets+1
+                               // PRE-AGGREGATED bucket-count rows
+    "q_pack_sequences_inplan") // offset window over the pre-aggregated
+                               // bucket-sum rows (same shape)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -578,6 +578,30 @@ object LlmQueries extends QueryPack {
       |comp AS (SELECT x AS node, min(y) AS component FROM reach
       |         GROUP BY x)""".stripMargin
 
+  /** Shared oracle for both sequence-packing formulations (the
+    * range-partitioned two-pass prefix sum and the in-plan bucketed
+    * one — both compute THE packing). */
+  private val packSequencesOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_tok
+      |  FROM d)
+      |SELECT doc_id, n_tok,
+      |  CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS first_seq,
+      |  (cum_tok - n_tok) % 512 AS seq_offset,
+      |  CAST(floor((cum_tok - 1) / 512.0) AS BIGINT)
+      |    - CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) + 1
+      |    AS n_seqs
+      |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
+
   /** Shared oracle for both connected-components formulations (min-label
     * propagation and alternating-star). */
   private val componentsOracleSql: String =
@@ -2283,6 +2307,30 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The same packing arithmetic on the fully IN-PLAN prefix sum
+    // ([[Relational.globalPrefixSumInPlan]] — value-range bucketing +
+    // pre-aggregated offset window; no RDD drop, no construction-time
+    // job). Same oracle as q_pack_sequences: both compute THE packing.
+    "q_pack_sequences_inplan" -> ((s, dir) => {
+      val budget = 512.0
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(LlmOps.tokens(col("text"), normalize = true))
+                  .cast("long").as("n_tok"))
+      Relational.globalPrefixSumInPlan(docs, col("doc_id"),
+                                       Seq(col("doc_id")), "n_tok",
+                                       "cum_tok")
+        .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+        .withColumn("first_seq",
+          floor(col("start_tok") / budget).cast("long"))
+        .withColumn("seq_offset", col("start_tok") % lit(512L))
+        .withColumn("n_seqs",
+          floor((col("cum_tok") - 1) / budget).cast("long")
+            - col("first_seq") + 1)
+        .select("doc_id", "n_tok", "first_seq", "seq_offset", "n_seqs")
+        .orderBy("doc_id")
+    }),
+
     // Capstone: the full training-shard prep pass in ONE plan — quality
     // gate (length + stopword evidence) → exact-Jaccard near-dup mining →
     // connected-components cluster resolution (keep the min-id survivor)
@@ -3067,26 +3115,9 @@ object LlmQueries extends QueryPack {
         |           AS UBIGINT) / 4294967296.0 < rate
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
-    "q_pack_sequences" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')) AS BIGINT)
-        |      AS n_tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum_tok
-        |  FROM d)
-        |SELECT doc_id, n_tok,
-        |  CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS first_seq,
-        |  (cum_tok - n_tok) % 512 AS seq_offset,
-        |  CAST(floor((cum_tok - 1) / 512.0) AS BIGINT)
-        |    - CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) + 1
-        |    AS n_seqs
-        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q_pack_sequences" -> packSequencesOracleSql,
+    // the in-plan prefix sum computes THE same packing
+    "q_pack_sequences_inplan" -> packSequencesOracleSql,
 
     "q_pack_shards" ->
       """WITH d AS (

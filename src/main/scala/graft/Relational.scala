@@ -347,6 +347,96 @@ object Relational {
                         nullable = false))
   }
 
+  /** Fully IN-PLAN global row_number — the declarative sibling of
+    * [[globalRowNumber]]: no RDD drop, no construction-time job, and
+    * whole-stage codegen survives end to end, so the returned frame is
+    * entirely self-contained (a bench times ALL of its work) and
+    * composes into deeper pipelines.
+    *
+    * Mechanics, all inside one plan: a broadcast 1-row (min, max)
+    * aggregate of the LEADING sort column splits its value range into
+    * `buckets` (floor of a weakly-monotone IEEE map — equal values
+    * land in one bucket, order across buckets is preserved; nulls take
+    * bucket −1, matching ascending NULLS FIRST), per-bucket counts
+    * cumulate into offsets via a window over the ≤ buckets+1
+    * PRE-AGGREGATED rows (the machine-checkably-justified
+    * single-partition shape), and rank = broadcast offset +
+    * row_number within the bucket partition.
+    *
+    * The trade vs [[globalRowNumber]]: bucket boundaries come from the
+    * value RANGE, not a sampled range partitioner — a heavily repeated
+    * leading value concentrates its whole tie class in one window
+    * partition. Use this form when the leading column is
+    * high-cardinality; use the RDD form (sampled split points) under
+    * heavy leading-value skew.
+    */
+  def globalRowNumberInPlan(df: DataFrame, valueCol: Column,
+                            order: Seq[Column], rankCol: String = "rn",
+                            buckets: Int = 1024): DataFrame = {
+    val bucketed = rangeBuckets(df, valueCol, buckets)
+    val offsets = bucketOffsets(
+      bucketed.groupBy("__bucket").agg(count(lit(1)).as("__n")))
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(rankCol, col("__offset") +
+        row_number().over(
+          Window.partitionBy("__bucket").orderBy(order: _*)).cast("long"))
+      .drop("__bucket", "__offset")
+  }
+
+  /** Fully IN-PLAN global running sum — [[globalRowNumberInPlan]]'s
+    * bucketing applied to [[globalPrefixSum]]'s two-pass shape: bucket
+    * offsets cumulate the per-bucket SUMS over the pre-aggregated
+    * rows, the in-bucket remainder is a running-sum window inside the
+    * bucket partition. Same trade as the rank form: value-range
+    * boundaries vs sampled split points under leading-value skew.
+    */
+  def globalPrefixSumInPlan(df: DataFrame, valueCol: Column,
+                            order: Seq[Column], sumCol: String,
+                            outCol: String = "cumsum",
+                            buckets: Int = 1024): DataFrame = {
+    val bucketed = rangeBuckets(df, valueCol, buckets)
+    val offsets = bucketOffsets(
+      bucketed.groupBy("__bucket").agg(sum(sumCol).as("__n")))
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, col("__offset") +
+        sum(sumCol).over(
+          Window.partitionBy("__bucket").orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__bucket", "__offset")
+  }
+
+  /** The shared in-plan value-range bucketing: a broadcast 1-row
+    * (min, max) aggregate of the leading sort column splits its range
+    * into `buckets` via a weakly-monotone IEEE map (equal values share
+    * a bucket, cross-bucket order is preserved); nulls take bucket −1,
+    * matching ascending NULLS FIRST.
+    */
+  private def rangeBuckets(df: DataFrame, valueCol: Column,
+                           buckets: Int): DataFrame = {
+    val stats = df.agg(min(valueCol).cast("double").as("__lo"),
+                       max(valueCol).cast("double").as("__hi"))
+    df.crossJoin(broadcast(stats))
+      // explicit null branch — least() SKIPS nulls, so a bare
+      // least(cap, null-floor) would shove null values into the TOP
+      // bucket instead of the leading one
+      .withColumn("__bucket",
+        when(valueCol.isNull, lit(-1L))
+          .otherwise(least(lit((buckets - 1).toLong),
+            floor((valueCol.cast("double") - col("__lo")) * buckets /
+                  (col("__hi") - col("__lo") + 1.0d)))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Cumulative offsets over the ≤ buckets+1 PRE-AGGREGATED per-bucket
+    * rows — the machine-checkably-justified single-partition window.
+    */
+  private def bucketOffsets(perBucket: DataFrame): DataFrame =
+    perBucket
+      .withColumn("__offset", coalesce(
+        sum("__n").over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__offset")
+
   /** Global running sum WITHOUT the single-task window — same two-pass
     * mechanics as [[globalRowNumber]]: range-partition the sort, sum each
     * partition (one tiny job), then add the per-partition offset to a

@@ -63,23 +63,24 @@ object WindowQueries extends QueryPack {
     }),
 
     // W6: ntile / percent_rank over a total order — derived from the
-    // scale-safe [[Relational.globalRowNumber]] rank instead of an
-    // un-partitioned ranking window, which funnels the whole table
-    // through ONE task. n rides IN-PLAN as a broadcast 1-row count
-    // aggregate crossJoin (not a driver-side count()) so the returned
-    // DataFrame is self-contained and the bench times the whole
-    // computation; the only construction-time job left is
-    // globalRowNumber's per-partition count collect (inherent to its
-    // two-pass rank assignment). Standard ntile hands the first
-    // n mod 4 quartiles ceil(n/4) rows and the rest floor(n/4) —
-    // closed-form from rn in exact integer division; percent_rank =
-    // (rn-1)/(n-1) with the n = 1 degenerate case pinned to 0 as in
-    // SQL (the order is total, c_custkey is unique, so rank =
-    // row_number). Every per-row stage is parallel.
+    // scale-safe [[Relational.globalRowNumberInPlan]] rank instead of
+    // an un-partitioned ranking window, which funnels the whole table
+    // through ONE task. EVERYTHING rides in-plan: the rank's
+    // value-range bucketing (high-cardinality acctbal leading column —
+    // the in-plan form's sweet spot) and n as a broadcast 1-row count
+    // aggregate crossJoin, so the returned DataFrame is fully
+    // self-contained — zero construction-time jobs, the bench times
+    // the whole computation. Standard ntile hands the first n mod 4
+    // quartiles ceil(n/4) rows and the rest floor(n/4) — closed-form
+    // from rn in exact integer division; percent_rank = (rn-1)/(n-1)
+    // with the n = 1 degenerate case pinned to 0 as in SQL (the order
+    // is total, c_custkey is unique, so rank = row_number). Every
+    // per-row stage is parallel.
     "q_win_ntile" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
-      Relational.globalRowNumber(
-          c, Seq(col("c_acctbal"), col("c_custkey")), "rn")
+      Relational.globalRowNumberInPlan(
+          c, col("c_acctbal"),
+          Seq(col("c_acctbal"), col("c_custkey")), "rn")
         .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
         // size/rem/cut of the quartile arithmetic, from the n column
         .withColumn("cut", expr("(n % 4) * (n div 4 + 1)"))

@@ -274,6 +274,62 @@ class RelationalSpec extends SparkSpec {
     assert(viaScalable.exceptAll(viaWindow).count() === 0)
   }
 
+  test("globalRowNumberInPlan matches the single-task window, " +
+       "including tie classes, null leading values, and all-equal " +
+       "degenerate input; the plan carries no RDD scan") {
+    val e = Tables(spark, sf("events"), "events")
+    val viaWindow = e.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select("event_id", "rn")
+    val inPlan = Relational.globalRowNumberInPlan(
+      e, col("ts").cast("long"), Seq(col("ts"), col("event_id")))
+      .select("event_id", "rn")
+    assert(viaWindow.exceptAll(inPlan).count() === 0)
+    assert(inPlan.exceptAll(viaWindow).count() === 0)
+    // stays declarative: no ExistingRDD scan in the plan (the RDD form
+    // has one), so codegen and downstream composition survive
+    assert(!inPlan.queryExecution.executedPlan.toString
+      .contains("Scan ExistingRDD"))
+    // tie classes + null leading values + few distinct values (every
+    // row crammed into few buckets)
+    val tricky = Seq[(java.lang.Long, Long)](
+      (null, 5L), (null, 2L), (1L, 9L), (1L, 3L), (1L, 7L),
+      (2L, 1L), (2L, 8L)).toDF("v", "id")
+    val got = Relational.globalRowNumberInPlan(
+      tricky, col("v"), Seq(col("v"), col("id")), buckets = 4)
+      .orderBy("rn").select("id").as[Long].collect()
+    // asc NULLS FIRST on v, then id
+    assert(got === Array(2L, 5L, 3L, 7L, 9L, 1L, 8L))
+    // all-equal leading value: one bucket, still a correct total order
+    val flat = Seq((7L, 3L), (7L, 1L), (7L, 2L)).toDF("v", "id")
+    val gotFlat = Relational.globalRowNumberInPlan(
+      flat, col("v"), Seq(col("v"), col("id")))
+      .orderBy("rn").select("id").as[Long].collect()
+    assert(gotFlat === Array(1L, 2L, 3L))
+  }
+
+  test("globalPrefixSumInPlan matches the single-task running-sum " +
+       "window and the RDD two-pass form") {
+    val e = Tables(spark, sf("events"), "events")
+      .select(col("event_id"), col("user_id"))
+    val viaWindow = e.withColumn("cumsum",
+      sum("user_id").over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .select("event_id", "cumsum")
+    val inPlan = Relational.globalPrefixSumInPlan(
+      e, col("event_id"), Seq(col("event_id")), "user_id")
+      .select("event_id", "cumsum")
+    assert(viaWindow.exceptAll(inPlan).count() === 0)
+    assert(inPlan.exceptAll(viaWindow).count() === 0)
+    val viaRdd = Relational.globalPrefixSum(
+      e, Seq(col("event_id")), "user_id")
+      .select("event_id", "cumsum")
+    assert(viaRdd.exceptAll(inPlan).count() === 0)
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val o = Tables(spark, sf("orders"), "orders")
       .select("o_orderkey", "o_custkey")
