@@ -1777,6 +1777,36 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // L5: readability scoring — Flesch reading ease from deterministic
+    // integer counts: words = whitespace tokens, sentences = [.!?]+
+    // runs floored at 1 (the synthetic corpus has no punctuation, so
+    // the floor engages on every fixture doc — real crawls vary), and
+    // syllables = vowel-group runs with a 1-per-vowelless-word floor
+    // (a vowel group can never span a space, so the text-level regexp
+    // count equals the per-word sum). The score integerizes to the e3
+    // grid (floor(score·1000)) so the cross-engine hash never rides a
+    // raw double; both engines compute the identical IEEE expression
+    // tree. Callers threshold downstream (the quality-gate idiom).
+    "q_text_readability" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(LlmOps.tokens(col("text"))).cast("long").as("n_words"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("n_sents"),
+          (size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+                                   lit(0))).cast("long")
+            + size(filter(LlmOps.tokens(lower(col("text"))),
+                          w => !w.rlike("[aeiouy]"))).cast("long"))
+            .as("n_syll"))
+        .withColumn("flesch_e3",
+          floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")))
+            * 1000).cast("long"))
+        .select("doc_id", "n_words", "n_sents", "n_syll", "flesch_e3")
+        .orderBy("doc_id")),
+
     // L5: pattern scrub (the PII-redaction shape: regex-remove a term
     // class, renormalize whitespace, fingerprint the cleaned text).
     "q_text_scrub" -> ((s, dir) => {
@@ -3001,6 +3031,26 @@ object LlmQueries extends QueryPack {
         |           ELSE CAST(len(string_split(clean, ' ')) AS BIGINT) END
         |    AS n_removed
         |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS BIGINT)
+        |      + CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT)
+        |      AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(floor((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1000)
+        |    AS BIGINT) AS flesch_e3
+        |FROM d ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH seeds AS (
