@@ -36,9 +36,26 @@ private[graft] final class BoundedMemo[K, V](val cap: Int) {
     if (prev != null) prev else { m.put(k, v); v }
   }
 
-  /** get → compute(outside the lock) → putIfAbsent. */
+  // per-key in-flight compute locks: same-key misses serialize (one
+  // multi-job index build per key, as ConcurrentHashMap.computeIfAbsent
+  // gave the old caches), DIFFERENT keys and all hits stay parallel —
+  // the map lock itself is never held across a compute
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[K, AnyRef]()
+
+  /** get → compute(outside the map lock, single-flight per key) →
+    * putIfAbsent. A racing thread on the SAME key waits and then reads
+    * the winner's entry instead of duplicating an expensive build; the
+    * only duplicate-compute window left is an eviction landing between
+    * a winner's put and a waiter's re-read — values are recomputable,
+    * so that is a cost blip, not a correctness issue.
+    */
   def getOrElseCompute(k: K)(f: => V): V =
-    get(k).getOrElse(putIfAbsent(k, f))
+    get(k).getOrElse {
+      val lock = inFlight.computeIfAbsent(k, _ => new AnyRef)
+      try lock.synchronized {
+        get(k).getOrElse(putIfAbsent(k, f))
+      } finally inFlight.remove(k)
+    }
 
   def removeIf(p: K => Boolean): Unit = m.synchronized {
     val it = m.keySet.iterator

@@ -110,23 +110,17 @@ object ClickHouse {
     * when the field is nullable. `typeOverrides` carries what a
     * StructType cannot express — the reference's unsigned narrowings
     * (`user_id UInt32`, `kafka_offset UInt64`, `README.md:169,174`).
+    * The default mapping DELEGATES to [[ClickHouseDialect.getJDBCType]]
+    * so the DDL generator and the dialect's write path can never
+    * diverge — one source of truth for the type names.
     */
   private[graft] def chColumnType(
       f: StructField, typeOverrides: Map[String, String]): String = {
-    val base = typeOverrides.getOrElse(f.name, f.dataType match {
-      case ShortType     => "Int16"
-      case IntegerType   => "Int32"
-      case LongType      => "Int64"
-      case FloatType     => "Float32"
-      case DoubleType    => "Float64"
-      case StringType    => "String"
-      case BooleanType   => "UInt8"
-      case DateType      => "Date"
-      case TimestampType => "DateTime"
-      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
-      case other => throw new IllegalArgumentException(
-        s"no ClickHouse mapping for column ${f.name}: $other")
-    })
+    val base = typeOverrides.getOrElse(f.name,
+      ClickHouseDialect.getJDBCType(f.dataType)
+        .map(_.databaseTypeDefinition)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ClickHouse mapping for column ${f.name}: ${f.dataType}")))
     if (f.nullable) s"Nullable($base)" else base
   }
 
@@ -302,9 +296,21 @@ object ClickHouse {
     usersKafkaDdl,
     usersMvDdl)
 
-  def deployReferenceTopology(url: String): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
-    try referenceTopologyDdls.foreach { ddl =>
+  def deployReferenceTopology(url: String,
+                              props: Map[String, String] = Map.empty)
+      : Unit =
+    executeDdls(url, referenceTopologyDdls, props)
+
+  /** One JDBC connection (with the caller's credentials/props — a DDL
+    * statement needs them as much as a write does), all statements in
+    * order.
+    */
+  private def executeDdls(url: String, ddls: Seq[String],
+                          props: Map[String, String]): Unit = {
+    val jp = new java.util.Properties()
+    props.foreach { case (k, v) => jp.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, jp)
+    try ddls.foreach { ddl =>
       val st = conn.createStatement()
       try st.execute(ddl) finally st.close()
     } finally conn.close()
@@ -343,11 +349,7 @@ object ClickHouse {
     val ddl = createTableDdl(table, df.schema, orderBy, engine,
                              typeOverrides)
       .replaceFirst("^CREATE TABLE ", "CREATE TABLE IF NOT EXISTS ")
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      try st.execute(ddl) finally st.close()
-    } finally conn.close()
+    executeDdls(url, Seq(ddl), props)
     Sources.jdbcSink(truncateToDateTimeGrid(df), url, table, props)
   }
 }

@@ -59,31 +59,59 @@ object Explain {
     // Not a hard cardinality proof (the column need not be unique),
     // but it mechanically separates "broadcast a point-selected probe"
     // from "broadcast the raw corpus", which is what the whitelist
-    // justifications claim.
-    case f: FilterExec if f.condition.find {
+    // justifications claim. Only TOP-LEVEL CONJUNCTS count: a point
+    // shape buried inside Not/Or (e.g. lang != 'en', id < 5 OR
+    // score > 0) keeps raw rows and must NOT certify the filter.
+    case f: FilterExec if conjuncts(f.condition).exists {
       case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
       case In(_, vs) if vs.nonEmpty && vs.size <= 1024 &&
         vs.forall(_.isInstanceOf[Literal]) => true
-      // the seed-set idiom: id < k for a SMALL literal k (dense
-      // non-negative ids → ≤ k rows); a large comparison literal
-      // proves nothing and stays unbounded
-      case LessThan(_, Literal(v: Number, _)) if v.longValue <= 1024 => true
-      case LessThanOrEqual(_, Literal(v: Number, _))
-          if v.longValue <= 1024 => true
+      // the seed-set idiom: id < k for a SMALL non-negative INTEGRAL
+      // literal k (dense non-negative ids → ≤ k rows); a fractional
+      // literal is a selectivity threshold on a value column
+      // (score < 0.9 keeps most of the corpus) and proves nothing
+      case LessThan(_, l: Literal) => smallIntegral(l)
+      case LessThanOrEqual(_, l: Literal) => smallIntegral(l)
       case _ => false
-    }.isDefined => true
+    } => true
     // fixed-cardinality TPC-H dimension tables: region (5 rows) and
     // nation (25) have SPEC-PINNED sizes at every scale factor — the
-    // one class of bare scan that is legitimately broadcast-bounded
+    // one class of bare scan that is legitimately broadcast-bounded.
+    // EXACT base-name match: "nationwide_events" must not ride along.
     case s: FileSourceScanExec if s.relation.location.rootPaths.nonEmpty &&
       s.relation.location.rootPaths.forall { p =>
-        val n = p.getName.toLowerCase(java.util.Locale.ROOT)
-        n.startsWith("region") || n.startsWith("nation")
+        val base = p.getName.toLowerCase(java.util.Locale.ROOT)
+          .stripSuffix(".parquet")
+        base == "region" || base == "nation"
       } => true
     case a: AdaptiveSparkPlanExec => rowBounded(a.inputPlan)
     case r: ReusedExchangeExec => rowBounded(r.child)
     case leaf if leaf.children.isEmpty => false
     case other => other.children.forall(rowBounded)
+  }
+
+  /** Top-level AND-split of a filter condition — the shapes
+    * [[rowBounded]] accepts must be conjuncts, never sub-expressions
+    * of a Not/Or that could invert or widen them.
+    */
+  private def conjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+  /** A non-negative integral literal ≤ 1024 — the only comparison
+    * bound the seed-range idiom accepts.
+    */
+  private def smallIntegral(l: Literal): Boolean = l.value match {
+    case v: java.lang.Integer => v >= 0 && v <= 1024
+    case v: java.lang.Long    => v >= 0L && v <= 1024L
+    case v: java.lang.Short   => v >= 0 && v <= 1024
+    case v: java.lang.Byte    => v >= 0
+    case _ => false
   }
 
   /** SinglePartition exchanges whose input is NOT row-bounded — for a

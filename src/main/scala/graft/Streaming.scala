@@ -817,8 +817,14 @@ object Streaming {
               if e.getCondition == "PATH_NOT_FOUND" ||
                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
         }
-      if (centsOpt.isEmpty &&
-          batch.select("vec_id").distinct().count() < k) {
+      val x = LlmOps.intCoords(batch).localCheckpoint()
+      // vectors that actually SURVIVE coordinate extraction: a vec_id
+      // whose embedding is null/empty contributes zero coordinate
+      // rows, so counting raw batch ids would overstate seedability
+      // (and picking such an id as a seed would leave its cid with no
+      // centroid rows — the <k lock-in through the back door)
+      val live = x.select("vec_id").distinct().localCheckpoint()
+      if (centsOpt.isEmpty && live.count() < k) {
         // no store yet and the batch can't seed k distinct centroids
         // (an empty startup micro-batch is the common case — e.g.
         // Trigger.AvailableNow over a source with nothing buffered).
@@ -830,11 +836,11 @@ object Streaming {
         markCommitted(spark, stateDir, batchId)
         return
       }
-      val x = LlmOps.intCoords(batch).localCheckpoint()
       val cents = centsOpt.getOrElse {
-        // first adequate batch: Forgy-seed from the batch itself,
-        // n = 0 so the merge below resolves to the exact batch means
-        x.join(broadcast(LlmOps.forgySeeds(batch, k)), "vec_id")
+        // first adequate batch: Forgy-seed from the LIVE vectors
+        // (distinct, coordinate-bearing) — n = 0 so the merge below
+        // resolves to the exact batch means
+        x.join(broadcast(LlmOps.forgySeeds(live, k)), "vec_id")
           .select(col("cid"), col("i"), col("x").as("c"),
                   lit(0L).as("n"))
       }

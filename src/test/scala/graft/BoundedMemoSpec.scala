@@ -41,6 +41,25 @@ class BoundedMemoSpec extends AnyFunSuite {
     assert(m.get(7) === Some("first"))
   }
 
+  test("getOrElseCompute is single-flight per key: concurrent " +
+       "same-key misses run ONE compute, late arrivals read the " +
+       "winner's entry") {
+    val m = new BoundedMemo[Int, String](8)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    def slow(k: Int): String = m.getOrElseCompute(k) {
+      computes.incrementAndGet(); Thread.sleep(150); s"v$k"
+    }
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (1 to 4).map(_ => new Thread(() => {
+      latch.await(); results.add(slow(7))
+    }))
+    ts.foreach(_.start()); latch.countDown(); ts.foreach(_.join())
+    assert(computes.get() === 1)
+    assert(results.size === 4 && results.toArray.forall(_ == "v7"))
+    assert(m.get(7) === Some("v7"))
+  }
+
   test("removeIf drops matching keys only") {
     val m = new BoundedMemo[Int, String](8)
     (1 to 5).foreach(k => m.putIfAbsent(k, s"v$k"))

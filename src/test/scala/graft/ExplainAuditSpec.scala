@@ -66,5 +66,21 @@ class ExplainAuditSpec extends SparkSpec {
     val bigRange = a.crossJoin(broadcast(b.filter(col("y") < 1000000)))
     assert(Explain.unjustifiedNestedLoop(
       bigRange.queryExecution.executedPlan).nonEmpty)
+    // an INVERTED point shape keeps nearly all rows — the EqualTo
+    // inside the Not must not certify the filter
+    val negated = a.crossJoin(broadcast(b.filter(col("y") =!= 7)))
+    assert(Explain.unjustifiedNestedLoop(
+      negated.queryExecution.executedPlan).nonEmpty)
+    // a disjunction widens the seed range arbitrarily — not a conjunct
+    val disjunct = a.crossJoin(broadcast(
+      b.filter(col("y") < 8 || col("y") > 40)))
+    assert(Explain.unjustifiedNestedLoop(
+      disjunct.queryExecution.executedPlan).nonEmpty)
+    // a fractional threshold is a selectivity filter on a value
+    // column, not a seed range — flagged
+    val frac = a.crossJoin(broadcast(
+      b.filter(col("y").cast("double") / 100.0 < 0.9)))
+    assert(Explain.unjustifiedNestedLoop(
+      frac.queryExecution.executedPlan).nonEmpty)
   }
 }
