@@ -875,6 +875,124 @@ object Streaming {
       LlmOps.intCoords(df),
       spark.read.parquet(s"$stateDir/centroids").select("cid", "i", "c"))
 
+  /** Incrementally-maintained INVERTED INDEX + BM25 statistics — the
+    * streaming form of the lexical-retrieval state behind
+    * [[LlmOps.bm25Scores]]: a growing corpus indexes each batch ONCE
+    * and the standing store serves lexical queries with no history
+    * rescan. Two append-only legs per batch (commit-marker replay
+    * guard — appends are not idempotent):
+    *
+    *  - `postings/`: (token, doc, dl, tf) hive-partitioned by
+    *    `tokb = pmod(xxhash64(token), numBuckets)` — a query's terms
+    *    prune the read to their buckets. dl rides denormalized on
+    *    every posting so serving never joins a doc table.
+    *  - `stats/`: one (batch, n_docs, sum_dl) partial row per batch —
+    *    integer partials merge by addition, so corpus-wide N and
+    *    avgdl come from a tiny O(batches) scan.
+    *
+    * Serving ([[bm25FromIndexState]]) replays the EXACT batch scoring
+    * arithmetic (same idf/tf saturation expression tree, same
+    * floor(·10⁶) integerization), so the spec pins streaming-built ==
+    * one-shot [[LlmOps.bm25Scores]] on the concatenated corpus,
+    * bit-for-bit. `compactEvery` folds each posting bucket back to
+    * one file every N batches ([[Sources.compactPartitionedDir]]) —
+    * the dedupAgainstHistorySink hygiene rule.
+    */
+  def invertedIndexSink(df: DataFrame, idCol: String, textCol: String,
+                        stateDir: String, checkpoint: String,
+                        numBuckets: Int = 16,
+                        compactEvery: Int = 0): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        invertedIndexBatch(batch, idCol, textCol, stateDir, numBuckets,
+                           compactEvery, batchId)
+      }
+
+  private[graft] def invertedIndexBatch(batch: DataFrame, idCol: String,
+                                        textCol: String, stateDir: String,
+                                        numBuckets: Int, compactEvery: Int,
+                                        batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    val toks = batch
+      .select(col(idCol).as("doc"),
+              LlmOps.tokens(col(textCol), normalize = true).as("toks"))
+      .select(col("doc"), size(col("toks")).cast("long").as("dl"),
+              col("toks"))
+      .localCheckpoint() // read twice: postings + stats
+    val statsRow = toks
+      .agg(count(lit(1)).as("n_docs"),
+           coalesce(sum("dl"), lit(0L)).as("sum_dl")).head()
+    if (statsRow.getLong(0) == 0L) {
+      // empty batch: nothing to index, and an empty partitioned append
+      // would seed a parquet-less postings dir readers choke on
+      markCommitted(spark, stateDir, batchId)
+      return
+    }
+    toks.select(col("doc"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("doc", "dl", "token")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("tokb",
+                  pmod(xxhash64(col("token")), lit(numBuckets)).cast("int"))
+      .write.mode("append").partitionBy("tokb")
+      .parquet(s"$stateDir/postings")
+    spark.createDataFrame(
+        Seq((batchId, statsRow.getLong(0), statsRow.getLong(1))))
+      .toDF("batch", "n_docs", "sum_dl")
+      .write.mode("append").parquet(s"$stateDir/stats")
+    markCommitted(spark, stateDir, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Sources.compactPartitionedDir(spark, s"$stateDir/postings", "tokb")
+  }
+
+  /** BM25 over the [[invertedIndexSink]] store — query-time cost is
+    * O(touched buckets + matching postings), never O(corpus): the
+    * terms' hash buckets partition-prune the postings read, corpus
+    * stats come from the tiny per-batch partial table, and the scoring
+    * replays [[LlmOps.bm25Scores]]'s expression tree exactly
+    * (including the floor(·10⁶) integer grid), so a streaming-built
+    * index scores identically to a batch pass over the same corpus.
+    * `numBuckets` must match the sink's.
+    */
+  def bm25FromIndexState(spark: SparkSession, stateDir: String,
+                         terms: Seq[String], k1: Double = 1.2,
+                         b: Double = 0.75,
+                         numBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    // the terms' buckets, via the SAME xxhash64 the sink used (a tiny
+    // local job — replicating Spark's seed-42 xxhash in driver code
+    // would be a second implementation to keep in sync)
+    val touched = terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(numBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$stateDir/postings")
+      .filter(col("tokb").isin(touched: _*)) // partition-pruned
+      .filter(col("token").isin(terms: _*))
+    val stats = spark.read.parquet(s"$stateDir/stats")
+      .agg(sum("n_docs").cast("double").as("n_docs"),
+           (sum("sum_dl").cast("double") /
+             sum("n_docs").cast("double")).as("avgdl"))
+    val dfreq = post.groupBy("token")
+      .agg(countDistinct(col("doc")).cast("double").as("df"))
+    post
+      .select(col("doc"), col("dl").cast("double").as("dl"),
+              col("token"), col("tf").cast("double").as("tf"))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc")
+      .agg(sum(expr("CAST(floor(tscore * 1000000.0) AS BIGINT)"))
+             .as("bm25_e6"),
+           count(lit(1)).as("n_terms"))
+  }
+
   def incrementalAggSink(df: DataFrame, stateDir: String, checkpoint: String,
                          partitionCol: String, keyCols: Seq[String],
                          valueCol: String,

@@ -93,6 +93,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeComponentLabels: any batch split of a random pair set " +
+       "folds to the one-shot star labels") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val samples = Gen.listOfN(8,
+      Gen.zip(edgeList.suchThat(_.nonEmpty), Gen.choose(1, 4))).sample.get
+    samples.foreach { case (edges, nBatches) =>
+      val expected = bruteComponents(edges)
+      // slice the pair stream into batches; batch 1 seeds via the
+      // one-shot star, the rest fold in incrementally
+      val size = math.max(1, edges.size / nBatches)
+      val batches = edges.grouped(size).toList
+      var labels = LlmOps.connectedComponentsStar(
+        batches.head.toDF("a", "b"))
+      batches.tail.foreach { b =>
+        labels = LlmOps.mergeComponentLabels(labels, b.toDF("a", "b"))
+      }
+      val got = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges nBatches=$nBatches")
+    }
+  }
+
+  test("globalRowNumberInPlan: random multisets with heavy ties rank " +
+       "identically to the reference sort") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // values drawn from a TINY domain (0..5) force deep tie classes
+    // and near-empty buckets; ids are made unique for a total order
+    val rows: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.choose(0L, 5L))
+    val samples = Gen.listOfN(8, rows).sample.get
+    samples.foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      val expected = vs.zipWithIndex
+        .sortBy { case (v, i) => (v, i.toLong) }
+        .zipWithIndex
+        .map { case ((_, id), rn) => id.toLong -> (rn + 1).toLong }
+        .toMap
+      import org.apache.spark.sql.functions.col
+      val got = Relational.globalRowNumberInPlan(
+          df, col("v"), Seq(col("v"), col("id")), buckets = 4)
+        .select("id", "rn")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"vs=$vs")
+    }
+  }
+
   test("long chains: label propagation refuses to truncate; " +
        "alternating-star converges in O(log^2 n) rounds") {
     val spark = SparkSpec.session

@@ -774,6 +774,40 @@ class StreamingSpec extends SparkSpec {
     assert(cids === Set(0L, 1L))
   }
 
+  test("invertedIndexSink: the streaming-built index serves BM25 " +
+       "bit-identical to the one-shot batch scorer; replay is a " +
+       "no-op; an empty batch leaves no state") {
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select("doc_id", "text")
+    val st = Files.createTempDirectory("graft-invidx").toString
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // empty startup batch: committed, but no parquet-less store seeded
+    Streaming.invertedIndexBatch(docs.filter(lit(false)), "doc_id",
+                                 "text", st, 16, 0, 0L)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$st/_graft_commits/0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$st/postings")))
+    // two real batches build the standing index incrementally
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") < 250),
+                                 "doc_id", "text", st, 16, 0, 1L)
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") >= 250),
+                                 "doc_id", "text", st, 16, 0, 2L)
+    val terms = Seq("data", "query", "the")
+    def served() = Streaming.bm25FromIndexState(spark, st, terms)
+      .select(col("doc").as("id"), col("bm25_e6"), col("n_terms"))
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = LlmOps.bm25Scores(docs, "doc_id", "text", terms)
+      .select(col("doc_id").as("id"), col("bm25_e6"), col("n_terms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served() === oneShot && oneShot.nonEmpty)
+    // crash-window re-delivery with the marker intact: full no-op —
+    // the postings append is NOT idempotent, the marker is the guard
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") >= 250),
+                                 "doc_id", "text", st, 16, 0, 2L)
+    assert(served() === oneShot)
+  }
+
   test("scatterBatch: accumulated store == one-shot scatter of the " +
        "union, PCA from the store == batch PCA, replay is a no-op, " +
        "and a half-finished swap self-heals") {
