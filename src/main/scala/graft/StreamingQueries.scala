@@ -27,7 +27,50 @@ object StreamingQueries extends QueryPack {
     "q_stream_session" -> ((s, dir) =>
       Streaming.sessionStats(Tables(s, dir, "events"), col("ts"),
                              "30 minutes")
-        .orderBy("user_id", "s_start"))
+        .orderBy("user_id", "s_start")),
+
+    // T1/U1 END-TO-END UNDER THE ORACLE: the reference's continuous
+    // loop (Kafka-engine table → MV → ReplacingMergeTree merge,
+    // README.md:197-231,176) actually EXECUTED as a Structured
+    // Streaming job inside the key — a MemoryStream source feeds the
+    // events fixture in three micro-batches through
+    // [[Streaming.upsertSink]]'s bucketed merge, and the returned
+    // frame is the FINAL-state read, hash-checked against the plain
+    // latest-per-key SQL (the same oracle as the batch
+    // q_upsert_latest). The driver-side collect feeding MemoryStream
+    // is harness scaffolding standing in for a broker, not operator
+    // cost — the merge itself is the distributed bucketed upsert.
+    // Fresh temp state/checkpoint per invocation keeps repeated
+    // driver runs deterministic.
+    "q_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), col("value"))
+        .orderBy("event_id")
+        .as[(Long, java.sql.Timestamp, Long, String, Double)]
+        .collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-upsert").toString
+      val state = s"$scratch/state"
+      val stream =
+        MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val q = Streaming.upsertSink(
+        stream.toDF().toDF("user_id", "ts", "event_id", "event_type",
+                           "value"),
+        state, s"$scratch/ckpt", Seq("user_id"),
+        Seq("ts", "event_id")).start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
+        stream.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(state)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,6 +103,15 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, min(ts) AS s_start, count(*) AS n,
         |  round(sum(value), 4) AS sum_value
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id NULLS FIRST, s_start NULLS FIRST""".stripMargin
+        |ORDER BY user_id NULLS FIRST, s_start NULLS FIRST""".stripMargin,
+
+    // the streamed 3-batch upsert ends at exactly the batch latest
+    // state — same SQL as q_upsert_latest by design
+    "q_stream_upsert" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }
