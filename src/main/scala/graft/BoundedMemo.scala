@@ -54,7 +54,9 @@ private[graft] final class BoundedMemo[K, V](val cap: Int) {
       val lock = inFlight.computeIfAbsent(k, _ => new AnyRef)
       try lock.synchronized {
         get(k).getOrElse(putIfAbsent(k, f))
-      } finally inFlight.remove(k)
+      } finally inFlight.remove(k, lock) // two-arg: only drop OUR lock —
+      // a bare remove(k) could delete a NEWER lock a third thread just
+      // installed, widening the duplicate-compute window
     }
 
   def removeIf(p: K => Boolean): Unit = m.synchronized {

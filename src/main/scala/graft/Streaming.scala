@@ -186,11 +186,21 @@ object Streaming {
     * scan N times), then each route filters its topic, decodes through
     * the shared registry (per-topic reader schema, per-record writer
     * schema), applies its MV micros conversion, and merges into its own
-    * bucketed upsert state at `baseDir/<table>`. Topics with no route
-    * are dropped, mirroring the reference (a topic without an MV is
-    * simply never consumed into a final). Replay-safe with NO marker:
-    * every per-table merge is an idempotent deterministic collapse, so
-    * a re-delivered batch rewrites identical state for every table.
+    * bucketed upsert state at `baseDir/<table>`. With `quarantineDir`
+    * set, frames whose topic matches NO route land in
+    * `quarantineDir/__unrouted` raw (topic + value intact) instead of
+    * vanishing — the reference's documented growth path is precisely
+    * "user adds a table" (`README.md:277-278`), and forgetting the
+    * route must not silently lose that table's first events; once the
+    * route exists, the quarantined frames replay through
+    * [[multiTableBatch]] directly. Replay-safe with NO marker on the
+    * table legs: every per-table merge is an idempotent deterministic
+    * collapse, so a re-delivered batch rewrites identical state for
+    * every table (quarantine appends are at-least-once, like dead
+    * letters). The N table legs are independent writes to disjoint
+    * state dirs and run CONCURRENTLY (a bounded shared pool submitting
+    * jobs on the one SparkSession) — serial legs would inflate
+    * micro-batch latency linearly in N on the add-a-table growth path.
     */
   def multiTableSink(df: DataFrame, registry: Sources.SchemaById,
                      routes: Seq[TableRoute], baseDir: String,
@@ -225,7 +235,18 @@ object Streaming {
                                      quarantineDir: Option[String] = None)
       : Unit = {
     val cached = batch.localCheckpoint()
-    routes.foreach { rt =>
+    // route-miss leg FIRST: a topic matching no route is the silent-loss
+    // failure mode of the reference's add-a-table growth path — keep the
+    // raw frames (topic + value) replayable under __unrouted
+    quarantineDir.foreach { qdir =>
+      val unrouted = cached.filter(
+        !col("topic").isin(routes.map(_.topic): _*))
+      // write only when misses exist — an empty append would leave a
+      // parquet-less dir readers can't infer from
+      if (!unrouted.isEmpty)
+        unrouted.write.mode("append").parquet(s"$qdir/__unrouted")
+    }
+    def runLeg(rt: TableRoute): Unit = {
       val part = cached.filter(col("topic") === rt.topic)
       val decoded = quarantineDir match {
         case None =>
@@ -247,7 +268,41 @@ object Streaming {
       upsertBatch(transformed, s"$baseDir/${rt.table}", rt.keys,
                   rt.version, numBuckets)
     }
+    // independent writes to disjoint dirs: submit concurrently. Spark
+    // job submission is thread-safe; with the default FIFO scheduler the
+    // legs' stages interleave on free cores (configure a fair-scheduler
+    // pool named "graft-router" to weight them explicitly). Failures
+    // propagate: the micro-batch fails if ANY leg fails, exactly like
+    // the serial form, so checkpoint/replay semantics are unchanged.
+    if (routes.size <= 1) routes.foreach(runLeg)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = routerPool
+      val legs = routes.map(rt => Future {
+        cached.sparkSession.sparkContext
+          .setLocalProperty("spark.scheduler.pool", "graft-router")
+        runLeg(rt)
+      })
+      // surface the FIRST failure after all legs settle (Future.sequence
+      // would abandon still-running legs mid-write on the first error)
+      val settled = legs.map(f => Await.ready(f, Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+    }
   }
+
+  /** Bounded shared pool for [[multiTableBatch]]'s concurrent route
+    * legs — daemon threads so a stuck leg never blocks JVM exit.
+    */
+  private lazy val routerPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-router")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Continuous projection maintenance — the full ClickHouse loop in one
     * sink: each micro-batch appends its raw rows to `baseDir` AND folds
@@ -785,7 +840,11 @@ object Streaming {
     * the product is bounded by 10⁴·n. The store is O(k·dims) rows
     * regardless of history; the FIRST batch Forgy-seeds it (md5-
     * smallest ids, n = 0, so the first merge lands exactly on the
-    * batch means). Crash discipline = [[scatterBatch]]'s: tmp→dir swap
+    * batch means). Startup batches with fewer than k live vectors
+    * STASH their coordinates in `pending/batch=<id>` partitions
+    * (idempotent overwrite) and fold into the first successful seed —
+    * no pre-seed vector is ever dropped from the statistics. Crash
+    * discipline = [[scatterBatch]]'s: tmp→dir swap
     * with a `_merged_<id>` tag, marker outside the swapped dir.
     * Serve/classify with [[assignWithCentroidState]].
     */
@@ -817,7 +876,23 @@ object Streaming {
               if e.getCondition == "PATH_NOT_FOUND" ||
                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
         }
-      val x = LlmOps.intCoords(batch).localCheckpoint()
+      val xb = LlmOps.intCoords(batch).localCheckpoint()
+      // until the store seeds, sub-k batches STASH their coordinates in
+      // a pending dir (per-batch partition overwrite = replay-idempotent)
+      // instead of being dropped — once seeding succeeds the pending
+      // vectors fold into the very first merge, so no pre-seed vector is
+      // ever excluded from the centroid statistics
+      val pending = new org.apache.hadoop.fs.Path(s"$stateDir/pending")
+      val x = (if (centsOpt.isEmpty && fs.exists(pending))
+          (try spark.read.parquet(pending.toString)
+             .filter(col("batch") =!= batchId) // a crashed attempt's own stash
+             .select("vec_id", "i", "x")
+             .unionByName(xb)
+           catch {
+             // only empty partition dirs → no schema → no pending
+             case _: org.apache.spark.sql.AnalysisException => xb
+           })
+        else xb).localCheckpoint()
       // vectors that actually SURVIVE coordinate extraction: a vec_id
       // whose embedding is null/empty contributes zero coordinate
       // rows, so counting raw batch ids would overstate seedability
@@ -825,14 +900,16 @@ object Streaming {
       // centroid rows — the <k lock-in through the back door)
       val live = x.select("vec_id").distinct().localCheckpoint()
       if (centsOpt.isEmpty && live.count() < k) {
-        // no store yet and the batch can't seed k distinct centroids
-        // (an empty startup micro-batch is the common case — e.g.
-        // Trigger.AvailableNow over a source with nothing buffered).
-        // Seeding from it would commit a <k-row store that is then
+        // no store yet and batch + pending can't seed k distinct
+        // centroids (an empty startup micro-batch is the common case —
+        // e.g. Trigger.AvailableNow over a source with nothing
+        // buffered). Seeding would commit a <k-row store that is then
         // PERMANENT — every later batch only folds into existing cids,
-        // so the sink would silently never reach k clusters. Mark the
-        // batch committed WITHOUT writing state so seeding retries on
-        // the next adequate batch.
+        // so the sink would silently never reach k clusters. Stash this
+        // batch's own coordinates and retry seeding on the next batch.
+        if (!xb.isEmpty)
+          xb.write.mode("overwrite")
+            .parquet(s"$stateDir/pending/batch=$batchId")
         markCommitted(spark, stateDir, batchId)
         return
       }
@@ -862,6 +939,13 @@ object Streaming {
       if (fs.exists(state)) fs.delete(state, true)
       fs.rename(tmp, state)
     }
+    // once a centroid store exists, any pending stash has been folded
+    // into it (the seeding merge unions pending coords) — clear it here,
+    // AFTER the swap, so a crash-replay that skips the merge block still
+    // drops the stale stash
+    val pendingDone = new org.apache.hadoop.fs.Path(s"$stateDir/pending")
+    if (fs.exists(state) && fs.exists(pendingDone))
+      fs.delete(pendingDone, true)
     markCommitted(spark, stateDir, batchId)
   }
 
@@ -879,24 +963,34 @@ object Streaming {
     * streaming form of the lexical-retrieval state behind
     * [[LlmOps.bm25Scores]]: a growing corpus indexes each batch ONCE
     * and the standing store serves lexical queries with no history
-    * rescan. Two append-only legs per batch (commit-marker replay
-    * guard — appends are not idempotent):
+    * rescan. Both legs are IDEMPOTENT per-batch partition overwrites
+    * (the [[substrCoverageBatch]] discipline) — a crash anywhere
+    * inside the batch replays to identical state, so tf/df/n_docs can
+    * never inflate (a plain append would double-count postings when a
+    * crash lands between the postings write and the marker):
     *
-    *  - `postings/`: (token, doc, dl, tf) hive-partitioned by
-    *    `tokb = pmod(xxhash64(token), numBuckets)` — a query's terms
-    *    prune the read to their buckets. dl rides denormalized on
-    *    every posting so serving never joins a doc table.
-    *  - `stats/`: one (batch, n_docs, sum_dl) partial row per batch —
-    *    integer partials merge by addition, so corpus-wide N and
-    *    avgdl come from a tiny O(batches) scan.
+    *  - `postings/batch=<id>/`: (token, doc, dl, tf) hive-partitioned
+    *    by `tokb = pmod(xxhash64(token), numBuckets)` under the
+    *    batch's OWN partition — a query's terms prune the read to
+    *    their buckets (tokb pruning works below the batch level), and
+    *    a replay overwrite-replaces exactly this batch's contribution.
+    *    dl rides denormalized on every posting so serving never joins
+    *    a doc table.
+    *  - `stats/batch=<id>/`: one (n_docs, sum_dl) partial row per
+    *    batch (the batch id IS the partition) — integer partials
+    *    merge by addition, so corpus-wide N and avgdl come from a
+    *    tiny O(batches) scan.
     *
     * Serving ([[bm25FromIndexState]]) replays the EXACT batch scoring
     * arithmetic (same idf/tf saturation expression tree, same
     * floor(·10⁶) integerization), so the spec pins streaming-built ==
     * one-shot [[LlmOps.bm25Scores]] on the concatenated corpus,
-    * bit-for-bit. `compactEvery` folds each posting bucket back to
-    * one file every N batches ([[Sources.compactPartitionedDir]]) —
-    * the dedupAgainstHistorySink hygiene rule.
+    * bit-for-bit. `compactEvery` > 0: at the START of every Nth
+    * batch, all prior posting partitions consolidate into one merged
+    * `batch=-1` history partition (still tokb-sub-partitioned)
+    * through a tmp→rename swap — crash recovery promotes a complete
+    * tmp on the next batch, and an interrupted swap can never lose
+    * token buckets the way an in-place overwrite could.
     */
   def invertedIndexSink(df: DataFrame, idCol: String, textCol: String,
                         stateDir: String, checkpoint: String,
@@ -916,6 +1010,31 @@ object Streaming {
                                         batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (alreadyCommitted(spark, stateDir, batchId)) return
+    val post = new org.apache.hadoop.fs.Path(s"$stateDir/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/postings.tmp")
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: the compaction swap below can die between delete
+    // and rename — promote a complete tmp before touching state
+    if (!fs.exists(post) && fs.exists(tmp)) fs.rename(tmp, post)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        fs.exists(post)) {
+      try {
+        val merged = spark.read.parquet(post.toString)
+          .filter(col("batch") =!= batchId) // a crashed attempt's leftover
+          .select("doc", "dl", "token", "tf", "tokb")
+          .repartition(col("tokb")) // one file per bucket after the fold
+          .localCheckpoint() // sever lineage: we replace the source below
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.mode("overwrite").partitionBy("tokb")
+          .parquet(s"$stateDir/postings.tmp/batch=-1")
+        fs.delete(post, true)
+        fs.rename(tmp, post)
+      } catch {
+        // a store of only empty partition dirs has no readable schema —
+        // nothing to compact
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
+    }
     val toks = batch
       .select(col(idCol).as("doc"),
               LlmOps.tokens(col(textCol), normalize = true).as("toks"))
@@ -936,15 +1055,13 @@ object Streaming {
       .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("tokb",
                   pmod(xxhash64(col("token")), lit(numBuckets)).cast("int"))
-      .write.mode("append").partitionBy("tokb")
-      .parquet(s"$stateDir/postings")
-    spark.createDataFrame(
-        Seq((batchId, statsRow.getLong(0), statsRow.getLong(1))))
-      .toDF("batch", "n_docs", "sum_dl")
-      .write.mode("append").parquet(s"$stateDir/stats")
+      .write.mode("overwrite").partitionBy("tokb")
+      .parquet(s"$stateDir/postings/batch=$batchId")
+    spark.createDataFrame(Seq((statsRow.getLong(0), statsRow.getLong(1))))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1) // one partial row: one file
+      .write.mode("overwrite").parquet(s"$stateDir/stats/batch=$batchId")
     markCommitted(spark, stateDir, batchId)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      Sources.compactPartitionedDir(spark, s"$stateDir/postings", "tokb")
   }
 
   /** BM25 over the [[invertedIndexSink]] store — query-time cost is

@@ -233,7 +233,8 @@ class PipelineSpec extends SparkSpec {
 
   test("multi-table fan-out: one stream carries two tables' envelopes " +
        "through one foreachBatch; each final matches its per-table " +
-       "batch replay; replay is a no-op; unrouted topics are dropped") {
+       "batch replay; replay is a no-op; unrouted topics quarantine " +
+       "raw and replay once their route exists") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-fanout").toString
     val ckpt = Files.createTempDirectory("graft-fanout-ckpt").toString
@@ -337,8 +338,13 @@ class PipelineSpec extends SparkSpec {
     assert(ordersGot() === ordersExp &&
            ordersExp === Set((10L, 700L), (11L, 900L)))
 
-    // the unrouted topic landed nowhere
+    // the unrouted topic landed in NO final, but was NOT silently
+    // lost: the route-miss leg kept its raw frame replayable
     assert(!new java.io.File(s"$base/ghost").exists())
+    val unrouted = spark.read.parquet(s"$quarantine/__unrouted")
+    assert(unrouted.count() === 1 &&
+           unrouted.select("topic").as[String].head() ===
+             "shop.public.ghost")
 
     // crash-window re-delivery of batch 2: every merge is idempotent,
     // so the replayed batch leaves both finals unchanged; the
@@ -352,5 +358,18 @@ class PipelineSpec extends SparkSpec {
       registry, routes, base, 4, Some(quarantine))
     assert(usersGot() === usersExp && ordersGot() === ordersExp)
     assert(spark.read.parquet(s"$quarantine/users").count() === 2)
+
+    // the README:277-278 growth path closes the loop: the user adds the
+    // missing route, then replays the quarantined frames straight
+    // through the router (N = 3 routes — the concurrent-leg path) —
+    // zero silent loss end to end, and the two existing finals are
+    // untouched by the replay
+    val ghostRoute = Streaming.TableRoute("shop.public.ghost", "ghost",
+      avroSchemaJson, decodedSchema, Seq("user_id"), Seq("updated_at"))
+    Streaming.multiTableBatch(unrouted.select("topic", "value"), registry,
+      routes :+ ghostRoute, base, 4, Some(quarantine))
+    assert(spark.read.parquet(s"$base/ghost")
+      .select("user_id").as[Long].collect().toSeq === Seq(9L))
+    assert(usersGot() === usersExp && ordersGot() === ordersExp)
   }
 }

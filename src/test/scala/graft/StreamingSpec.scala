@@ -744,9 +744,9 @@ class StreamingSpec extends SparkSpec {
     assert(got(1000L) != got(1001L))
   }
 
-  test("kmeansBatch: an empty or <k first batch does NOT seed — it " +
-       "commits with no state write and seeding retries on the next " +
-       "adequate batch") {
+  test("kmeansBatch: an empty or <k first batch does NOT seed — its " +
+       "vectors stash in a pending dir and fold into the first " +
+       "adequate batch's seed, so no pre-seed vector is lost") {
     def mkVecs(ids: Range): org.apache.spark.sql.DataFrame =
       spark.createDataFrame(ids.map { kk =>
         val sgn = if (kk % 2 == 0) 1.0 else -1.0
@@ -763,15 +763,21 @@ class StreamingSpec extends SparkSpec {
     Streaming.kmeansBatch(mkVecs(0 until 0), st, 2, 0L)
     assert(fs.exists(p(s"$st/_graft_commits/0")))
     assert(!fs.exists(p(s"$st/centroids")))
-    // a 1-distinct-vector batch (< k = 2) must not seed either
+    // a 1-distinct-vector batch (< k = 2) must not seed either — but
+    // its vector STASHES instead of vanishing
     Streaming.kmeansBatch(mkVecs(0 until 1), st, 2, 1L)
     assert(fs.exists(p(s"$st/_graft_commits/1")))
     assert(!fs.exists(p(s"$st/centroids")))
-    // the first ADEQUATE batch seeds the full k clusters
-    Streaming.kmeansBatch(mkVecs(0 until 40), st, 2, 2L)
-    val cids = spark.read.parquet(s"$st/centroids")
-      .select("cid").distinct().as[Long].collect().toSet
-    assert(cids === Set(0L, 1L))
+    assert(fs.exists(p(s"$st/pending/batch=1")))
+    // the first ADEQUATE batch seeds the full k clusters AND folds the
+    // stashed vector into the statistics: 40 batch vectors + 1 pending
+    // observation = 41 per dimension, and the stash is cleared
+    Streaming.kmeansBatch(mkVecs(40 until 80), st, 2, 2L)
+    val cents = spark.read.parquet(s"$st/centroids")
+      .select("cid", "i", "n").as[(Long, Long, Long)].collect()
+    assert(cents.map(_._1).distinct.toSet === Set(0L, 1L))
+    assert(cents.filter(_._2 == 1L).map(_._3).sum === 41L)
+    assert(!fs.exists(p(s"$st/pending")))
   }
 
   test("invertedIndexSink: the streaming-built index serves BM25 " +
@@ -801,10 +807,56 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id").as("id"), col("bm25_e6"), col("n_terms"))
       .as[(Long, Long, Long)].collect().toSet
     assert(served() === oneShot && oneShot.nonEmpty)
-    // crash-window re-delivery with the marker intact: full no-op —
-    // the postings append is NOT idempotent, the marker is the guard
+    // crash-window re-delivery with the marker intact: full no-op
     Streaming.invertedIndexBatch(docs.filter(col("doc_id") >= 250),
                                  "doc_id", "text", st, 16, 0, 2L)
+    assert(served() === oneShot)
+    // crash BETWEEN the postings write and the marker: replay with the
+    // marker CLEARED must also be a no-op — both legs are idempotent
+    // per-batch partition overwrites, so tf/df/n_docs can never inflate
+    // (a plain append here would double batch 2's postings and stats)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$st/_graft_commits/2"),
+              false)
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") >= 250),
+                                 "doc_id", "text", st, 16, 0, 2L)
+    assert(served() === oneShot)
+  }
+
+  test("invertedIndexBatch: compaction folds prior batches into one " +
+       "batch=-1 history partition through a tmp swap; serving and a " +
+       "half-finished swap recovery are unchanged") {
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select("doc_id", "text")
+    val st = Files.createTempDirectory("graft-invidx-c").toString
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") < 150),
+                                 "doc_id", "text", st, 16, 2, 0L)
+    Streaming.invertedIndexBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "doc_id", "text", st, 16, 2, 1L)
+    // batch 2 compacts batches 0+1 into batch=-1 at its start, then
+    // writes its own partition
+    Streaming.invertedIndexBatch(docs.filter(col("doc_id") >= 300),
+                                 "doc_id", "text", st, 16, 2, 2L)
+    val parts = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$st/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts === Set("batch=-1", "batch=2"))
+    val terms = Seq("data", "query", "the")
+    def served() = Streaming.bm25FromIndexState(spark, st, terms)
+      .select(col("doc").as("id"), col("bm25_e6"), col("n_terms"))
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = LlmOps.bm25Scores(docs, "doc_id", "text", terms)
+      .select(col("doc_id").as("id"), col("bm25_e6"), col("n_terms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served() === oneShot && oneShot.nonEmpty)
+    // a crash between the swap's delete and rename leaves only the
+    // complete tmp — the next batch promotes it before reading state
+    fs.rename(new org.apache.hadoop.fs.Path(s"$st/postings"),
+              new org.apache.hadoop.fs.Path(s"$st/postings.tmp"))
+    Streaming.invertedIndexBatch(docs.filter(lit(false)), "doc_id",
+                                 "text", st, 16, 2, 3L)
     assert(served() === oneShot)
   }
 
