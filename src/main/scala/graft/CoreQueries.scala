@@ -169,6 +169,24 @@ object CoreQueries extends QueryPack {
         .select("event_id", "rn")
         .orderBy("event_id")),
 
+    // Skew-aware auto-dispatch under PLANTED leading-value skew: 3/4 of
+    // the rows collapse onto one leading value (event_id % 4 != 0 -> 0),
+    // so the in-plan form's value-range bucketing would funnel 75% of
+    // the corpus through ONE window task — the exact per-bucket count
+    // probe measures that and dispatches to the sampled-split form
+    // (Relational.globalRowNumberAuto). Same total-order rank either
+    // way; the oracle pins it.
+    "q_global_rownum_skew" -> ((s, dir) =>
+      Relational.globalRowNumberAuto(
+        Tables(s, dir, "events")
+          .withColumn("skew_lead",
+            when(col("event_id") % 4 =!= 0, lit(0L))
+              .otherwise(col("event_id"))),
+        col("skew_lead"),
+        Seq(col("skew_lead"), col("event_id")))
+        .select("event_id", "rn")
+        .orderBy("event_id")),
+
     // Salted skew join (result must equal the plain equi-join).
     "q_salted_join" -> ((s, dir) => {
       val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -401,6 +419,13 @@ object CoreQueries extends QueryPack {
     "q_global_rownum_inplan" ->
       """SELECT event_id,
         |  row_number() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    "q_global_rownum_skew" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY
+        |    CASE WHEN event_id % 4 <> 0 THEN 0 ELSE event_id END,
+        |    event_id) AS rn
         |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q_salted_join" ->

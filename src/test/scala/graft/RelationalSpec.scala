@@ -365,6 +365,55 @@ class RelationalSpec extends SparkSpec {
     assert(viaScalable === viaWindow)
   }
 
+  test("globalRowNumberAuto: the exact bucket-count probe dispatches " +
+       "the sampled-split form under planted leading-value skew and " +
+       "the in-plan form on uniform input; both match the rank oracle") {
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    // uniform: doc_id is unique and dense — every value-range bucket
+    // holds ~1/1024 of the corpus, nowhere near the 20% dispatch bar
+    assert(Relational.rankFormFor(docs, col("doc_id")) ===
+           Relational.InPlanForm)
+    // planted skew: 3/4 of the rows collapse onto one leading value,
+    // so the in-plan form would sort 75% of the corpus in ONE task
+    val skewed = docs.withColumn("lead",
+      when(col("doc_id") % 4 =!= 0, lit(0L)).otherwise(col("doc_id")))
+    assert(Relational.rankFormFor(skewed, col("lead")) ===
+           Relational.SampledSplitForm)
+    // and the probe itself measures the true share
+    val share = Relational.leadingBucketShare(skewed, col("lead"), 1024)
+    assert(share > 0.7 && share < 0.8, s"share=$share")
+    // both dispatch outcomes produce THE total-order rank
+    import org.apache.spark.sql.expressions.Window
+    def oracle(df: org.apache.spark.sql.DataFrame, lead: String) =
+      df.withColumn("rn", row_number().over(
+          Window.orderBy(col(lead), col("doc_id"))).cast("long"))
+        .select("doc_id", "rn").orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+    assert(Relational.globalRowNumberAuto(skewed, col("lead"),
+             Seq(col("lead"), col("doc_id")))
+             .select("doc_id", "rn").orderBy("doc_id")
+             .as[(Long, Long)].collect().toSeq ===
+           oracle(skewed, "lead"))
+    assert(Relational.globalRowNumberAuto(docs, col("doc_id"),
+             Seq(col("doc_id")))
+             .select("doc_id", "rn").orderBy("doc_id")
+             .as[(Long, Long)].collect().toSeq ===
+           oracle(docs, "doc_id"))
+    // the prefix-sum pair dispatches off the same probe and agrees too
+    val viaAuto = Relational.globalPrefixSumAuto(
+        skewed.withColumn("v", col("n_chars")), col("lead"),
+        Seq(col("lead"), col("doc_id")), "v")
+      .select("doc_id", "cumsum").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val viaWindow = skewed.withColumn("cumsum",
+        sum("n_chars").over(Window.orderBy(col("lead"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cumsum").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(viaAuto === viaWindow)
+  }
+
   test("zorder2 interleaves bits; one Z layout prunes filters on BOTH " +
        "dimensions where a linear sort serves only its own") {
     // bit-level contract against a reference interleave
