@@ -1,44 +1,63 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec,
-  GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan,
-  TakeOrderedAndProjectExec}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, LessThan,
-  LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.{CollectLimitExec, ColumnarToRowExec,
+  FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec,
+  LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec,
+  WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+  EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+  LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
   ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+  CartesianProductExec}
 import org.apache.spark.sql.catalyst.optimizer.BuildRight
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
-/** Plan-audit helper. Two modes:
+/** Plan-audit helper. Three modes:
   *
   *  - `runMain graft.Explain <query> <sfDir>` — print one query's physical
   *    plan (truncated).
   *  - `runMain graft.Explain audit <sfDir>` — sweep every SparkEntry query
   *    and flag 100 TB red flags: cartesian products, unexpected
-  *    nested-loop joins, single-partition exchanges, oversized plans.
-  *    Whitelisted keys are not exempt from scrutiny: each whitelist
-  *    entry's JUSTIFICATION is re-checked mechanically on the plan tree
+  *    nested-loop joins, single-partition exchanges, filters that never
+  *    reached their scan, oversized plans. Whitelisted keys are not
+  *    exempt from scrutiny: each whitelist entry's JUSTIFICATION is
+  *    re-checked mechanically on the plan tree
   *    ([[unjustifiedSinglePartition]]/[[unjustifiedNestedLoop]]), so a
   *    whitelisted key whose plan stops satisfying its own justification
-  *    is flagged again.
+  *    is flagged again. Static inspection: AQE off (the adaptive
+  *    wrapper's pre-EnsureRequirements tree hides exchanges).
+  *  - `runMain graft.Explain audit-aqe <sfDir>` — the AQE-PARITY sweep:
+  *    bench and production run AQE-on, so a broadcast demotion or an
+  *    AQE-inserted shape could diverge from the audited static plan
+  *    unseen. This mode EXECUTES each key (AQE on) and re-runs every
+  *    check on the runtime-final adaptive plan, descending through
+  *    query-stage boundaries.
   */
 object Explain {
 
   /** Every node of the physical tree, descending through the AQE
-    * wrapper, reused exchanges, and subquery plans (scalar subqueries
-    * host their own exchanges — q_tpch_q22's avg(acctbal) shape).
+    * wrapper, query stages, reused exchanges, and subquery plans
+    * (scalar subqueries host their own exchanges — q_tpch_q22's
+    * avg(acctbal) shape). `aqeFinal` picks which side of the adaptive
+    * wrapper to descend: the pre-EnsureRequirements input (static
+    * audit) or the runtime-current plan (executed-plan audit).
     */
-  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] =
+  private[graft] def walk(p: SparkPlan,
+                          aqeFinal: Boolean = false): Seq[SparkPlan] =
     p +: (p match {
-      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
-      case r: ReusedExchangeExec => walk(r.child)
-      case _ => (p.children ++ p.subqueries).flatMap(walk)
+      case a: AdaptiveSparkPlanExec =>
+        walk(if (aqeFinal) org.apache.spark.sql.graft.AqeBridge.currentPlan(a)
+             else a.inputPlan, aqeFinal)
+      case r: ReusedExchangeExec => walk(r.child, aqeFinal)
+      case q: QueryStageExec => walk(q.plan, aqeFinal)
+      case _ => (p.children ++ p.subqueries).flatMap(walk(_, aqeFinal))
     })
 
   /** The mechanical form of every whitelist justification: rows
@@ -86,6 +105,7 @@ object Explain {
       } => true
     case a: AdaptiveSparkPlanExec => rowBounded(a.inputPlan)
     case r: ReusedExchangeExec => rowBounded(r.child)
+    case q: QueryStageExec => rowBounded(q.plan)
     case leaf if leaf.children.isEmpty => false
     case other => other.children.forall(rowBounded)
   }
@@ -118,8 +138,9 @@ object Explain {
     * `globalOrderExpected` key these violate the whitelist's own
     * justification ("moves one pre-aggregated row per partition").
     */
-  private[graft] def unjustifiedSinglePartition(p: SparkPlan): Seq[SparkPlan] =
-    walk(p).collect {
+  private[graft] def unjustifiedSinglePartition(
+      p: SparkPlan, aqeFinal: Boolean = false): Seq[SparkPlan] =
+    walk(p, aqeFinal).collect {
       case e: ShuffleExchangeExec
           if e.outputPartitioning == SinglePartition &&
              !rowBounded(e.child) => e
@@ -131,11 +152,122 @@ object Explain {
     * side may be arbitrarily large; the broadcast side must provably
     * not be raw data.
     */
-  private[graft] def unjustifiedNestedLoop(p: SparkPlan): Seq[SparkPlan] =
-    walk(p).collect {
+  private[graft] def unjustifiedNestedLoop(
+      p: SparkPlan, aqeFinal: Boolean = false): Seq[SparkPlan] =
+    walk(p, aqeFinal).collect {
       case j: BroadcastNestedLoopJoinExec
           if !rowBounded(if (j.buildSide == BuildRight) j.right else j.left)
             => j
+    }
+
+  /** TRUE iff at least one parquet scan in the tree proves scan-level
+    * pruning: a pushed data filter (the `PushedFilters` the reader
+    * evaluates against row-group stats) or a partition filter (hive-dir
+    * pruning). For [[pushdownExpected]] keys — whose semantics put a
+    * selective predicate right on a table — an unpruned scan means the
+    * engine is reading 100 TB to answer a filtered question.
+    */
+  private[graft] def scanPruned(p: SparkPlan,
+                                aqeFinal: Boolean = false): Boolean =
+    walk(p, aqeFinal).exists {
+      case s: FileSourceScanExec =>
+        s.partitionFilters.nonEmpty ||
+        s.metadata.get("PushedFilters").exists(v => v.nonEmpty && v != "[]")
+      case _ => false
+    }
+
+  /** FilterExec sitting DIRECTLY over a parquet scan (through the
+    * columnar/codegen pass-throughs) carrying clearly-pushable
+    * conjuncts (attribute-vs-literal comparisons / IN / null tests on
+    * atomic types) while the scan itself received NO data filters and
+    * NO partition filters — the mechanical smell of a pushdown that
+    * silently stopped working (Catalyst pushes those shapes into
+    * `dataFilters` whenever the planner is healthy, even for formats
+    * that can't translate them further).
+    */
+  private[graft] def unpushedFilterOverScan(
+      p: SparkPlan, aqeFinal: Boolean = false): Seq[SparkPlan] =
+    walk(p, aqeFinal).collect {
+      case f: FilterExec if scanBelow(f.child).exists(s =>
+            s.dataFilters.isEmpty && s.partitionFilters.isEmpty) &&
+          conjuncts(f.condition).exists(pushableConjunct) => f
+    }
+
+  /** The parquet scan reachable from `p` through ONLY the pass-through
+    * wrappers codegen inserts between a filter and its scan.
+    */
+  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] =
+    p match {
+      case s: FileSourceScanExec => Some(s)
+      case c: ColumnarToRowExec => scanBelow(c.child)
+      case i: InputAdapter => scanBelow(i.child)
+      case w: WholeStageCodegenExec => scanBelow(w.child)
+      case q: QueryStageExec => scanBelow(q.plan)
+      case _ => None
+    }
+
+  /** A conjunct every file source can at least record as a data filter:
+    * a deterministic attribute-vs-literal comparison, IN-list, or null
+    * test on an atomic-typed column. If even these never reached the
+    * scan, pushdown is broken — complex/derived predicates are
+    * legitimately left above and prove nothing.
+    */
+  private def pushableConjunct(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    def atomic(a: AttributeReference): Boolean = a.dataType match {
+      // anything non-nested: AtomicType itself is protected[sql]
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.VariantType => false
+      case _ => true
+    }
+    e match {
+      case EqualTo(a: AttributeReference, _: Literal) => atomic(a)
+      case EqualTo(_: Literal, a: AttributeReference) => atomic(a)
+      case LessThan(a: AttributeReference, _: Literal) => atomic(a)
+      case LessThan(_: Literal, a: AttributeReference) => atomic(a)
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => atomic(a)
+      case LessThanOrEqual(_: Literal, a: AttributeReference) => atomic(a)
+      case GreaterThan(a: AttributeReference, _: Literal) => atomic(a)
+      case GreaterThan(_: Literal, a: AttributeReference) => atomic(a)
+      case GreaterThanOrEqual(a: AttributeReference, _: Literal) => atomic(a)
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => atomic(a)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) => atomic(a)
+      case IsNull(a: AttributeReference) => atomic(a)
+      case IsNotNull(a: AttributeReference) => atomic(a)
+      case _ => false
+    }
+  }
+
+  // Keys whose semantics put a selective predicate (or partition
+  // filter) directly on a base-table scan: the audit asserts the
+  // pushdown actually REACHED the FileSourceScanExec — at 100 TB an
+  // unpruned scan behind these is a full-corpus read for a filtered
+  // answer.
+  private val pushdownExpected = Set(
+    "q_filter",     // three pushable lineitem predicates
+    "q_filter_in",  // IN-list predicate
+    "q_tpch_q6")    // the classic pushdown-sensitive scan-agg
+  // (q_filter_null filters a DERIVED nullif() column inside a
+  //  disjunction — legitimately unpushable, so it proves nothing)
+
+  // Keys whose scale story is COLUMN pruning: the named column must
+  // never appear in any scan's output (a metadata-only media read that
+  // drags the payload bytes through the scan reads the whole 100 TB to
+  // answer a catalog question).
+  private val colPruneExpected = Map(
+    "q_multimodal_meta" -> "text") // payload source column
+
+  /** TRUE iff some parquet scan in the tree reads `column` — the
+    * column-pruning audit for [[colPruneExpected]] keys.
+    */
+  private[graft] def scanReadsColumn(p: SparkPlan, column: String,
+                                     aqeFinal: Boolean = false): Boolean =
+    walk(p, aqeFinal).exists {
+      case s: FileSourceScanExec => s.output.exists(_.name == column)
+      case _ => false
     }
 
   // Queries where a nested-loop/cartesian operator is the intended plan
@@ -268,46 +400,74 @@ object Explain {
     "q_pack_sequences_inplan") // offset window over the pre-aggregated
                                // bucket-sum rows (same shape)
 
+  /** The audit flag set for one named query's physical tree. `aqeFinal`
+    * selects which side of adaptive wrappers the node walk descends.
+    */
+  private[graft] def auditFlags(name: String, phys: SparkPlan,
+                                aqeFinal: Boolean): Seq[String] = {
+    val nodes = walk(phys, aqeFinal)
+    val plan = phys.toString
+    Seq(
+      "CartesianProduct" ->
+        nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "BroadcastNestedLoopJoin" ->
+        (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+         !nestedLoopExpected(name)),
+      "SinglePartition-exchange" ->
+        (nodes.exists {
+          case e: ShuffleExchangeExec =>
+            e.outputPartitioning == SinglePartition
+          case _ => false
+        } && !globalOrderExpected(name)),
+      // whitelisted keys: re-check the justification itself on
+      // the plan tree — the whitelist is not a free pass
+      "BNLJ-unjustified-broadcast-side" ->
+        (nestedLoopExpected(name) &&
+         !quadraticBaseline.contains(name) &&
+         unjustifiedNestedLoop(phys, aqeFinal).nonEmpty),
+      "quadratic-baseline-sibling-missing" ->
+        quadraticBaseline.get(name)
+          .exists(sib => !SparkEntry.queries.contains(sib)),
+      "SinglePartition-unjustified-input" ->
+        (globalOrderExpected(name) &&
+         unjustifiedSinglePartition(phys, aqeFinal).nonEmpty),
+      // scan-level pruning: pushdown-sensitive keys must show a pruned
+      // scan; NO key may carry a pushable filter its scan never saw
+      "pushdown-missing" ->
+        (pushdownExpected(name) && !scanPruned(phys, aqeFinal)),
+      "column-prune-missing" ->
+        colPruneExpected.get(name)
+          .exists(c => scanReadsColumn(phys, c, aqeFinal)),
+      "filter-over-unpruned-scan" ->
+        unpushedFilterOverScan(phys, aqeFinal).nonEmpty,
+      "plan>200KB" -> (plan.length > 200000)
+    ).collect { case (f, true) => f }
+  }
+
   def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val aqe = mode == "audit-aqe"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // static plan inspection wants the POST-EnsureRequirements tree:
       // under AQE the wrapper's inputPlan carries no exchange nodes yet,
-      // which would silently blind the SinglePartition checks
-      .config("spark.sql.adaptive.enabled", "false")
+      // which would silently blind the SinglePartition checks. The
+      // audit-aqe mode instead EXECUTES each key with AQE on and audits
+      // the runtime-final adaptive plan — what bench/production run.
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args(0) match {
-      case "audit" =>
+    mode match {
+      case "audit" | "audit-aqe" =>
         val dir = args(1)
         var flagged = 0
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
-            val phys = fn(spark, dir).queryExecution.executedPlan
-            val plan = phys.toString
-            val flags = Seq(
-              "CartesianProduct" -> plan.contains("CartesianProduct"),
-              "BroadcastNestedLoopJoin" ->
-                (plan.contains("BroadcastNestedLoopJoin") &&
-                 !nestedLoopExpected(name)),
-              "SinglePartition-exchange" ->
-                (plan.contains("Exchange SinglePartition") &&
-                 !globalOrderExpected(name)),
-              // whitelisted keys: re-check the justification itself on
-              // the plan tree — the whitelist is not a free pass
-              "BNLJ-unjustified-broadcast-side" ->
-                (nestedLoopExpected(name) &&
-                 !quadraticBaseline.contains(name) &&
-                 unjustifiedNestedLoop(phys).nonEmpty),
-              "quadratic-baseline-sibling-missing" ->
-                quadraticBaseline.get(name)
-                  .exists(sib => !SparkEntry.queries.contains(sib)),
-              "SinglePartition-unjustified-input" ->
-                (globalOrderExpected(name) &&
-                 unjustifiedSinglePartition(phys).nonEmpty),
-              "plan>200KB" -> (plan.length > 200000)
-            ).collect { case (f, true) => f }
+            val df = fn(spark, dir)
+            if (aqe) df.collect() // drive AQE to its runtime-final plan
+            val phys = df.queryExecution.executedPlan
+            val flags = auditFlags(name, phys, aqe)
             if (flags.nonEmpty) {
               flagged += 1
               println(s"[audit] $name: ${flags.mkString(", ")}")

@@ -83,4 +83,73 @@ class ExplainAuditSpec extends SparkSpec {
     assert(Explain.unjustifiedNestedLoop(
       frac.queryExecution.executedPlan).nonEmpty)
   }
+
+  test("scan pruning: a pushed-down parquet filter certifies scanPruned; " +
+       "a deliberately broken filter-over-bare-scan is flagged; healthy " +
+       "plans are not") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val docs = Tables(spark, sf("documents"), "documents")
+    // healthy pushdown: the predicate reaches the scan
+    val pushed = docs.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan
+    assert(Explain.scanPruned(pushed))
+    assert(Explain.unpushedFilterOverScan(pushed).isEmpty)
+    // a bare scan proves nothing
+    val bare = docs.queryExecution.executedPlan
+    assert(!Explain.scanPruned(bare))
+    assert(Explain.unpushedFilterOverScan(bare).isEmpty)
+    // DELIBERATELY BROKEN pushdown: a FilterExec carrying a clearly
+    // pushable attribute=literal conjunct stacked directly on a scan
+    // that received no data/partition filters — the audit must flag it
+    val scan = Explain.walk(bare)
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.dataFilters.isEmpty && scan.partitionFilters.isEmpty)
+    val broken = FilterExec(
+      EqualTo(scan.output.find(_.name == "doc_id").get, Literal(7L)), scan)
+    assert(Explain.unpushedFilterOverScan(broken).nonEmpty)
+    // a non-pushable (derived/disjunctive) residual above a bare scan
+    // is legitimate — no false flag
+    val residual = FilterExec(
+      org.apache.spark.sql.catalyst.expressions.Or(
+        EqualTo(scan.output.find(_.name == "doc_id").get, Literal(7L)),
+        EqualTo(scan.output.find(_.name == "lang").get, Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+          org.apache.spark.sql.types.StringType))), scan)
+    assert(Explain.unpushedFilterOverScan(residual).isEmpty)
+  }
+
+  test("column pruning: the metadata-only media read never scans the " +
+       "payload source column; a payload read does") {
+    val metaPlan = SparkEntry.queries("q_multimodal_meta")(
+      spark, sf("documents"))
+    assert(!Explain.scanReadsColumn(
+      metaPlan.queryExecution.executedPlan, "text"))
+    val full = Tables(spark, sf("documents"), "documents")
+      .select("doc_id", "text")
+    assert(Explain.scanReadsColumn(
+      full.queryExecution.executedPlan, "text"))
+  }
+
+  test("audit-aqe walk: the executed-plan descent sees the exchanges " +
+       "inside query stages that the static inputPlan descent is blind " +
+       "to after execution") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Tables(spark, sf("documents"), "documents")
+        .groupBy("lang").count()
+      df.collect() // drive AQE to the runtime-final plan
+      val phys = df.queryExecution.executedPlan
+      assert(phys.isInstanceOf[AdaptiveSparkPlanExec])
+      val finalNodes = Explain.walk(phys, aqeFinal = true)
+      // the final plan's shuffle lives inside a query-stage boundary —
+      // the aqeFinal walk descends into it
+      assert(finalNodes.exists(_.isInstanceOf[ShuffleExchangeExec]))
+      // and the full flag set runs clean on the executed plan
+      assert(Explain.auditFlags("spec_groupby", phys,
+                                aqeFinal = true).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
