@@ -47,35 +47,45 @@ object ClickHouse {
       url.toLowerCase(java.util.Locale.ROOT)
         .startsWith("jdbc:clickhouse:")
 
+    /** Recursive ClickHouse-name → (catalyst type, inner nullability)
+      * parse. `Nullable(...)` normally arrives via the driver's
+      * nullable FLAG, not the type string — but accept the wrapped
+      * spelling anywhere (some driver versions pass it through, and
+      * inside `Array(Nullable(T))` it is the only representation).
+      */
+    private def parseChType(name: String): Option[(DataType, Boolean)] = {
+      val t = name.trim
+      if (t.startsWith("Nullable(") && t.endsWith(")"))
+        parseChType(t.stripPrefix("Nullable(").stripSuffix(")"))
+          .map { case (d, _) => (d, true) }
+      else if (t.startsWith("Array(") && t.endsWith(")"))
+        parseChType(t.stripPrefix("Array(").stripSuffix(")"))
+          .map { case (d, n) => (ArrayType(d, containsNull = n), false) }
+      else scalarChType(t).map((_, false))
+    }
+
+    private def scalarChType(base: String): Option[DataType] = base match {
+      case "UInt8" | "Int8" | "Int16"   => Some(ShortType)
+      case "UInt16" | "Int32"           => Some(IntegerType)
+      case "UInt32" | "Int64" | "UInt64" => Some(LongType)
+      case "Float32"                    => Some(FloatType)
+      case "Float64"                    => Some(DoubleType)
+      case "String" | "FixedString"     => Some(StringType)
+      case "Date" | "Date32"            => Some(DateType)
+      case "DateTime"                   => Some(TimestampType)
+      case n if n.startsWith("DateTime64") => Some(TimestampType)
+      case n if n.startsWith("FixedString(") => Some(StringType)
+      case n if n.startsWith("Decimal(") =>
+        val Array(p, s) =
+          n.stripPrefix("Decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        Some(DecimalType(p, s))
+      case _ => None
+    }
+
     override def getCatalystType(sqlType: Int, typeName: String,
                                  size: Int,
-                                 md: MetadataBuilder): Option[DataType] = {
-      // JDBC metadata reports the BASE name; Nullable(...) arrives via
-      // the driver's nullable flag, not the type string — but accept
-      // the wrapped spelling too (some driver versions pass it through)
-      val base = typeName.trim match {
-        case n if n.startsWith("Nullable(") && n.endsWith(")") =>
-          n.stripPrefix("Nullable(").stripSuffix(")")
-        case n => n
-      }
-      base match {
-        case "UInt8" | "Int8" | "Int16"   => Some(ShortType)
-        case "UInt16" | "Int32"           => Some(IntegerType)
-        case "UInt32" | "Int64" | "UInt64" => Some(LongType)
-        case "Float32"                    => Some(FloatType)
-        case "Float64"                    => Some(DoubleType)
-        case "String" | "FixedString"     => Some(StringType)
-        case "Date" | "Date32"            => Some(DateType)
-        case "DateTime"                   => Some(TimestampType)
-        case n if n.startsWith("DateTime64") => Some(TimestampType)
-        case n if n.startsWith("FixedString(") => Some(StringType)
-        case n if n.startsWith("Decimal(") =>
-          val Array(p, s) =
-            n.stripPrefix("Decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
-          Some(DecimalType(p, s))
-        case _ => None
-      }
-    }
+                                 md: MetadataBuilder): Option[DataType] =
+      parseChType(typeName).map(_._1)
 
     override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
       case ShortType     => Some(JdbcType("Int16", java.sql.Types.SMALLINT))
@@ -90,6 +100,19 @@ object ClickHouse {
       case d: DecimalType =>
         Some(JdbcType(s"Decimal(${d.precision}, ${d.scale})",
                       java.sql.Types.DECIMAL))
+      // the engine's own embedding tables are ArrayType(FloatType) —
+      // the north-star store needs Array(Float32) in both directions.
+      // Null ELEMENTS wrap as Array(Nullable(T)); ClickHouse forbids
+      // Nullable(Array(...)), so a nested array with containsNull has
+      // no legal spelling and stays unmapped (clear error upstream).
+      case ArrayType(et, containsNull) =>
+        getJDBCType(et).collect {
+          case inner if !(containsNull && et.isInstanceOf[ArrayType]) =>
+            val elem = if (containsNull)
+              s"Nullable(${inner.databaseTypeDefinition})"
+            else inner.databaseTypeDefinition
+            JdbcType(s"Array($elem)", java.sql.Types.ARRAY)
+        }
       case _ => None
     }
 
@@ -121,7 +144,15 @@ object ClickHouse {
         .map(_.databaseTypeDefinition)
         .getOrElse(throw new IllegalArgumentException(
           s"no ClickHouse mapping for column ${f.name}: ${f.dataType}")))
-    if (f.nullable) s"Nullable($base)" else base
+    if (f.nullable) {
+      // ClickHouse rejects Nullable(Array(...)) — the CH idiom for an
+      // absent array is the empty array; the schema must say so
+      require(!f.dataType.isInstanceOf[ArrayType],
+        s"column ${f.name}: ClickHouse does not support " +
+        "Nullable(Array(...)) — mark the array column non-nullable " +
+        "(empty array is the ClickHouse idiom for absent)")
+      s"Nullable($base)"
+    } else base
   }
 
   /** `CREATE TABLE` DDL for a MergeTree-family target — the

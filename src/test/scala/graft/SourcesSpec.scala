@@ -530,6 +530,77 @@ class SourcesSpec extends SparkSpec {
     assert(d.quoteIdentifier("from") === "`from`")
   }
 
+  test("ClickHouse dialect Array types: the embedding-table shape " +
+       "round-trips both directions; Nullable(Array(...)) fails with " +
+       "the clear error") {
+    val d = ClickHouse.ClickHouseDialect
+    val md = new MetadataBuilder()
+    // read direction: the engine's embedding store column
+    assert(d.getCatalystType(java.sql.Types.ARRAY, "Array(Float32)", 0, md)
+             === Some(ArrayType(FloatType, containsNull = false)))
+    // null ELEMENTS arrive as Array(Nullable(T))
+    assert(d.getCatalystType(java.sql.Types.ARRAY,
+                             "Array(Nullable(Float32))", 0, md)
+             === Some(ArrayType(FloatType, containsNull = true)))
+    // nested arrays recurse
+    assert(d.getCatalystType(java.sql.Types.ARRAY,
+                             "Array(Array(Int64))", 0, md)
+             === Some(ArrayType(ArrayType(LongType, containsNull = false),
+                                containsNull = false)))
+    // write direction mirrors all three
+    assert(d.getJDBCType(ArrayType(FloatType, containsNull = false))
+             .map(_.databaseTypeDefinition) === Some("Array(Float32)"))
+    assert(d.getJDBCType(ArrayType(FloatType, containsNull = true))
+             .map(_.databaseTypeDefinition)
+             === Some("Array(Nullable(Float32))"))
+    assert(d.getJDBCType(
+               ArrayType(ArrayType(LongType, containsNull = false),
+                         containsNull = false))
+             .map(_.databaseTypeDefinition) === Some("Array(Array(Int64))"))
+    // Nullable(Array(...)) has no legal ClickHouse spelling: a nested
+    // array with null elements stays unmapped...
+    assert(d.getJDBCType(
+      ArrayType(ArrayType(LongType), containsNull = true)).isEmpty)
+    // ...and map/struct columns still fail with the clear DDL error
+    assert(d.getJDBCType(MapType(StringType, LongType)).isEmpty)
+  }
+
+  test("ClickHouse DDL: an embeddings table declares Array(Float32) " +
+       "and a nullable array column is rejected with the empty-array " +
+       "guidance") {
+    val emb = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+                  nullable = false)))
+    val ddl = ClickHouse.createTableDdl("shop.embeddings", emb,
+                                        Seq("vec_id"))
+    assert(ddl ===
+      """CREATE TABLE shop.embeddings
+        |(
+        |    vec_id Int64,
+        |    embedding Array(Float32)
+        |)
+        |ENGINE = ReplacingMergeTree
+        |ORDER BY (vec_id);""".stripMargin)
+    val nullableArr = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+                  nullable = true)))
+    val e = intercept[IllegalArgumentException] {
+      ClickHouse.createTableDdl("shop.embeddings", nullableArr,
+                                Seq("vec_id"))
+    }
+    assert(e.getMessage.contains("empty array"))
+    // unsupported element types keep the clear no-mapping error
+    val mapCol = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType), nullable = false)))
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouse.createTableDdl("shop.embeddings", mapCol, Seq("vec_id"))
+    }
+    assert(e2.getMessage.contains("no ClickHouse mapping"))
+  }
+
   test("truncateToDateTimeGrid snaps timestamps to the second grid " +
        "DateTime stores, leaving other columns untouched") {
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-05-01 10:20:30.123456"),
