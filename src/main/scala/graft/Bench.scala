@@ -56,6 +56,7 @@ object Bench {
     // incremental forms write an index store — pipeline cost, not query
     // serving; their batch siblings above carry the bench signal)
     "q_dedup_ngram_jaccard", "q_dedup_exact_substr", "q_dedup_rewrite",
+    "q_decontaminate",
     "q_dedup_components", "q_dedup_cluster_keep", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",

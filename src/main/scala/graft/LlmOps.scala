@@ -385,6 +385,32 @@ object LlmOps {
     }.longValue()
   }
 
+  /** Benchmark decontamination (the GPT-3 Appendix-C / Llama n-gram
+    * rule): training documents sharing ANY k-token shingle with an
+    * eval/benchmark set are flagged with their distinct-hit count, so
+    * the pipeline can drop or audit them before training — the
+    * train/test-leakage gate every LLM data pipeline runs. Scale
+    * shape: the benchmark is tiny next to the corpus, so its DISTINCT
+    * shingle set BROADCASTS and the corpus streams through one hash
+    * equi-join keyed on the shingle — no corpus self-join, no shuffle
+    * of the corpus text; cost is O(corpus shingles) + the broadcast
+    * build. (Same shingle relation as [[ngramJaccardPairs]]; contrast
+    * with [[ngramContainmentPairs]], which mines containment WITHIN
+    * one corpus and must self-join.)
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int): DataFrame = {
+    def sh(df: DataFrame) = df.select(
+      col(idCol).as("doc"),
+      explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+    sh(docs)
+      .join(broadcast(sh(evalDocs).select("s").distinct()), "s")
+      .groupBy("doc")
+      // count(1) IS the distinct-hit count: [[shingles]] dedups per doc
+      // and the broadcast side is distinct, so no joined row repeats
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         partCol: String, shingleK: Int, minJaccard: Double,
                         selfJoinBudget: Long = NgramSelfJoinBudget)

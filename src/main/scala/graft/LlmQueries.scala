@@ -2200,21 +2200,16 @@ object LlmQueries extends QueryPack {
         .orderBy("source")
     }),
 
-    // L1: benchmark decontamination — flag training docs sharing any
-    // 8-token shingle with the eval set (the standard n-gram overlap
-    // pass). Eval shingle set is small → broadcast; training docs never
-    // shuffle.
+    // L1: benchmark decontamination ([[LlmOps.decontaminate]]) — flag
+    // training docs sharing any 8-token shingle with the eval set (the
+    // standard n-gram overlap pass). Eval shingle set is small →
+    // broadcast; training docs never shuffle.
     "q_decontaminate" -> ((s, dir) => {
-      def sh(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"),
-                  explode(LlmOps.shingles(LlmOps.tokens(col("text")), 8))
-                    .as("s"))
       val docs = Tables(s, dir, "documents")
-      val evalSh = sh(docs.filter(col("doc_id") < 20))
-        .select("s").distinct()
-      sh(docs.filter(col("doc_id") >= 20))
-        .join(broadcast(evalSh), "s")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      LlmOps.decontaminate(docs.filter(col("doc_id") >= 20),
+                           docs.filter(col("doc_id") < 20),
+                           "doc_id", "text", 8)
+        .select(col("doc").as("doc_id"), col("n_hits"))
         .orderBy("doc_id")
     }),
 

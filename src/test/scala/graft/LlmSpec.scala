@@ -1249,4 +1249,28 @@ class LlmSpec extends SparkSpec {
     assert(m0.count() === 0L)
     assert(v0.select("sym").as[Seq[String]].head() === Seq("a", "a"))
   }
+
+  test("decontaminate flags exactly the training docs sharing a " +
+       "k-shingle with the eval set, counts distinct hits, and keeps " +
+       "the eval side broadcast") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"), // hits 'quick brown fox'
+      (2L, "completely unrelated words here today"),  // clean
+      (3L, "quick brown fox quick brown fox again"),  // same hit twice
+      (4L, "ab")                                      // < k tokens: no shingles
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = LlmOps.decontaminate(train, eval_, "doc_id", "text", 3)
+      .select(col("doc").as("doc_id"), col("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    // eval shingles: {a quick brown, quick brown fox, brown fox appears}
+    // doc 1 shares 'quick brown fox' (1 hit); doc 3 contains it twice
+    // but distinct-counts once; docs 2 and 4 are clean
+    assert(got === Map(1L -> 1L, 3L -> 1L))
+    // scale shape: the eval side is an explicit broadcast hash join
+    val plan = LlmOps.decontaminate(train, eval_, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastExchange"), plan.take(2000))
+  }
 }
