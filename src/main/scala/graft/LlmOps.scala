@@ -735,6 +735,9 @@ object LlmOps {
                              stride: Int = 1, numBuckets: Int = 16,
                              compactFileThreshold: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
+    // a crash inside a prior compaction swap may have stranded the
+    // complete store under its tmp name — promote/drop before reading
+    Sources.recoverCompactedDir(spark, storeDir)
     val sh = substrShingles(newDocs, idCol, textCol, w, stride)
       .localCheckpoint() // reused: batch counts + dup marking
     val batchCounts = sh.groupBy("h").agg(count(lit(1)).as("n"))
@@ -861,7 +864,11 @@ object LlmOps {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                             schema)
     def readStore(path: String,
-                  schema: org.apache.spark.sql.types.StructType) =
+                  schema: org.apache.spark.sql.types.StructType) = {
+      // promote/drop a stranded compaction tmp BEFORE the read — the
+      // PATH_NOT_FOUND fallback below would otherwise misread a
+      // mid-swap crash as "no history yet" and silently reset the store
+      Sources.recoverCompactedDir(spark, path)
       try spark.read.parquet(path)
       catch {
         case e: org.apache.spark.sql.AnalysisException
@@ -869,6 +876,7 @@ object LlmOps {
                e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           emptyStore(schema)
       }
+    }
     // batch-local shingles + signatures (same shapes as the batch form)
     val sh = newDocs.select(
       col(idCol).as("doc"),

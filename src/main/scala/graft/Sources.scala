@@ -526,15 +526,47 @@ object Sources {
     }
   }
 
+  private[graft] val CompactTmpSuffix = ".compact.tmp"
+
   def compactPartitionedDir(spark: SparkSession, dir: String,
                             partitionCol: String): Unit = {
+    // whole-dir tmp→rename swap, NOT an in-place dynamic overwrite: the
+    // in-place commit deletes each target partition dir before renaming
+    // its replacement in, so a crash inside that window LOSES the
+    // partition outright — and compaction runs after the batch marker,
+    // so nothing would ever retry it. With the swap, a crash leaves
+    // either the complete old dir or the complete new one;
+    // [[recoverCompactedDir]] (called by consumers before reading)
+    // promotes a stranded complete tmp.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = spark.read.parquet(dir)
       .repartition(col(partitionCol))
-      .localCheckpoint() // cut the scan lineage: we overwrite the source
+      .localCheckpoint() // cut the scan lineage: we replace the source
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     current.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
-      .parquet(dir)
+      .parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Crash recovery for [[compactPartitionedDir]]'s swap — call before
+    * reading a compacted store: a crash between the swap's delete and
+    * rename leaves only the complete tmp (promote it); a crash before
+    * the delete leaves the complete dir plus a duplicate tmp (drop the
+    * tmp — reading both would double every row).
+    */
+  private[graft] def recoverCompactedDir(spark: SparkSession,
+                                         dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) {
+      if (fs.exists(p)) fs.delete(tmp, true)
+      else fs.rename(tmp, p)
+    }
   }
 
   /** S7: columnar append sink (the MV's `TO shop.users` insert,

@@ -50,6 +50,64 @@ object Streaming {
       .create(p, true).close()
   }
 
+  /** Crash-safe ADDITIVE merge of one batch into a hive-partitioned
+    * state store — the write discipline behind the incremental-agg /
+    * distinct / top-k / EMA sinks. The in-place dynamic overwrite those
+    * merges previously used has two torn-crash failure modes: the
+    * commit's per-partition delete→rename window can LOSE a partition
+    * outright, and a crash after a partial commit makes the replay
+    * recompute against HALF-merged state — the merge is additive, so
+    * the re-merged partitions double-count the batch.
+    *
+    * Discipline: `merged` (the post-merge rows for every touched
+    * partition, computed from the PRE-batch state) stages beside the
+    * store under `<stateDir>.merge_batch=<id>` with a completeness tag,
+    * then exactly those partition dirs swap in (delete target, rename
+    * staged — each partition flips atomically). A replay that finds the
+    * tag skips the recompute and RESUMES the swap (already-renamed
+    * partitions are simply no longer listed in the staging dir); the
+    * marker commits BEFORE the staging cleanup, so a committed batch
+    * can never be recomputed against post-batch state.
+    */
+  private[graft] def mergeTouchedPartitions(
+      spark: SparkSession, stateDir: String, partitionCol: String,
+      batchId: Long)(merged: => DataFrame): Unit = {
+    val state = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      stateDir + s".merge_batch=$batchId")
+    val tag = new org.apache.hadoop.fs.Path(tmp, "_complete")
+    // stranded staging of a PRIOR batch (crash between its marker and
+    // cleanup) is safe to drop: were that batch uncommitted, the engine
+    // would be replaying IT right now, not this one
+    val parent = state.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = state.getName + ".merge_batch="
+      fs.listStatus(parent).map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix) &&
+                     p.getName != tmp.getName)
+        .foreach(p => fs.delete(p, true))
+    }
+    if (!fs.exists(tag)) {
+      val m = merged
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      m.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(tmp.toString)
+      fs.create(tag, true).close()
+    }
+    fs.mkdirs(state)
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory &&
+                    st.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(state, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    markCommitted(spark, stateDir, batchId)
+    fs.delete(tmp, true)
+  }
+
   /** T1/T2: continuous ingest — append each micro-batch to a parquet dir
     * (the MV's `TO shop.users` insert) with exactly-once progress:
     * checkpointing bounds re-delivery to the in-flight batch and the
@@ -506,6 +564,10 @@ object Streaming {
             .dropDuplicates("__h")
           val touched = hashed.select("__bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
+          // a prior compaction swap may have crashed mid-rename: promote
+          // the stranded store before the PATH_NOT_FOUND fallback could
+          // misread it as an empty history
+          Sources.recoverCompactedDir(spark, storeDir)
           val seen =
             try spark.read.parquet(storeDir)
               .filter(col("__bucket").isin(touched: _*)) // partition-pruned
@@ -1118,51 +1180,60 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // a replayed batch would merge its partials TWICE — skip it
-        if (!alreadyCommitted(spark, stateDir, batchId)) {
-          val groupCols = (partitionCol +: keyCols).map(col)
-          val partial = batch.groupBy(groupCols: _*)
-            .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
-          val touched = partial.select(partitionCol).distinct()
-            .collect().map(_.get(0)).toSeq
-          val current =
-            try spark.read.parquet(stateDir)
-              .filter(col(partitionCol).isin(touched: _*))
-              .localCheckpoint() // cut the scan lineage before overwrite
-            catch {
-              // no state yet: dir absent, or holding only the hidden
-              // _graft_commits markers (no parquet to infer from)
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" ||
-                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row], partial.schema)
-            }
-          current.unionByName(partial)
-            .groupBy(groupCols: _*)
-            .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCol)
-            .parquet(stateDir)
-          markCommitted(spark, stateDir, batchId)
-          // same lifecycle hygiene as dedupAgainstHistorySink: the
-          // shuffle scatters a hive partition's rows over many tasks,
-          // so each touched partition re-materializes as several small
-          // files per batch; every N-th batch folds each partition back
-          // to one file (identical content, single quiesced writer)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
-        }
+        incrementalAggBatch(batch, stateDir, partitionCol, keyCols,
+                            valueCol, compactEvery, batchId)
       }
+
+  /** One [[incrementalAggSink]] micro-batch (package-private so the
+    * spec can drive crash windows directly). Replay-safe at every
+    * crash point via [[mergeTouchedPartitions]].
+    */
+  private[graft] def incrementalAggBatch(batch: DataFrame, stateDir: String,
+                                         partitionCol: String,
+                                         keyCols: Seq[String],
+                                         valueCol: String, compactEvery: Int,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // a replayed committed batch would merge its partials TWICE — skip
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    Sources.recoverCompactedDir(spark, stateDir)
+    val groupCols = (partitionCol +: keyCols).map(col)
+    mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
+      val partial = batch.groupBy(groupCols: _*)
+        .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+      val touched = partial.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      val current =
+        try spark.read.parquet(stateDir)
+          .filter(col(partitionCol).isin(touched: _*))
+        catch {
+          // no state yet: dir absent, or holding only the hidden
+          // _graft_commits markers (no parquet to infer from)
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], partial.schema)
+        }
+      current.unionByName(partial)
+        .groupBy(groupCols: _*)
+        .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+    }
+    // same lifecycle hygiene as dedupAgainstHistorySink: the merge
+    // re-materializes each touched partition every batch; every N-th
+    // batch folds each partition back to one file (identical content,
+    // single quiesced writer, crash-safe tmp swap)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Sources.compactPartitionedDir(spark, stateDir, partitionCol)
+  }
 
   /** [[incrementalAggSink]]'s distinct-count sibling — the
     * AggregatingMergeTree uniqState/uniqMerge analog: the maintained state
     * is a MERGEABLE Datasketches-HLL sketch per (partition, key), not a
     * number. Each micro-batch sketches ITSELF (`hll_sketch_agg`), reads
     * only the touched `partitionCol` partitions, merges via
-    * `hll_union_agg`, and dynamic-overwrites just those partitions —
+    * `hll_union_agg`, and swaps just those partitions in through the
+    * staged [[mergeTouchedPartitions]] discipline —
     * so a cross-batch duplicate visitor is never double-counted even
     * though no batch ever sees another batch's raw rows, and per-batch
     * cost is O(batch footprint × sketch), never O(history).
@@ -1178,30 +1249,27 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, stateDir, batchId)) {
+          Sources.recoverCompactedDir(spark, stateDir)
           val groupCols = (partitionCol +: keyCols).map(col)
-          val partial = batch.groupBy(groupCols: _*)
-            .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
-          val touched = partial.select(partitionCol).distinct()
-            .collect().map(_.get(0)).toSeq
-          val current =
-            try spark.read.parquet(stateDir)
-              .filter(col(partitionCol).isin(touched: _*))
-              .localCheckpoint()
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" ||
-                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row], partial.schema)
-            }
-          current.unionByName(partial)
-            .groupBy(groupCols: _*)
-            .agg(hll_union_agg(col("sk")).as("sk"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCol)
-            .parquet(stateDir)
-          markCommitted(spark, stateDir, batchId)
+          mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
+            val partial = batch.groupBy(groupCols: _*)
+              .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+            val touched = partial.select(partitionCol).distinct()
+              .collect().map(_.get(0)).toSeq
+            val current =
+              try spark.read.parquet(stateDir)
+                .filter(col(partitionCol).isin(touched: _*))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" ||
+                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], partial.schema)
+              }
+            current.unionByName(partial)
+              .groupBy(groupCols: _*)
+              .agg(hll_union_agg(col("sk")).as("sk"))
+          }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             Sources.compactPartitionedDir(spark, stateDir, partitionCol)
         }
@@ -1219,7 +1287,8 @@ object Streaming {
     * sibling of [[incrementalDistinctSink]]: the maintained state is a
     * mergeable ApproxTopK sketch per (partition, key). Each micro-batch
     * accumulates ITSELF, reads only the touched `partitionCol` partitions,
-    * re-combines, and dynamic-overwrites just those partitions — item
+    * re-combines, and swaps just those partitions in (staged
+    * [[mergeTouchedPartitions]] discipline) — item
     * counts keep accumulating across batches although no batch sees
     * another's raw rows, and per-batch cost is O(batch footprint ×
     * sketch), never O(history). Read with [[topKEstimates]].
@@ -1235,31 +1304,30 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, stateDir, batchId)) {
+          Sources.recoverCompactedDir(spark, stateDir)
           val groupCols = (partitionCol +: keyCols).map(col)
-          val partial = batch.groupBy(groupCols: _*)
-            .agg(expr(s"approx_top_k_accumulate($itemCol, $maxItemsTracked)")
-                   .as("st"))
-          val touched = partial.select(partitionCol).distinct()
-            .collect().map(_.get(0)).toSeq
-          val current =
-            try spark.read.parquet(stateDir)
-              .filter(col(partitionCol).isin(touched: _*))
-              .localCheckpoint()
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" ||
-                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row], partial.schema)
-            }
-          current.unionByName(partial)
-            .groupBy(groupCols: _*)
-            .agg(expr(s"approx_top_k_combine(st, $maxItemsTracked)").as("st"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCol)
-            .parquet(stateDir)
-          markCommitted(spark, stateDir, batchId)
+          mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
+            val partial = batch.groupBy(groupCols: _*)
+              .agg(expr(
+                  s"approx_top_k_accumulate($itemCol, $maxItemsTracked)")
+                .as("st"))
+            val touched = partial.select(partitionCol).distinct()
+              .collect().map(_.get(0)).toSeq
+            val current =
+              try spark.read.parquet(stateDir)
+                .filter(col(partitionCol).isin(touched: _*))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" ||
+                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], partial.schema)
+              }
+            current.unionByName(partial)
+              .groupBy(groupCols: _*)
+              .agg(expr(s"approx_top_k_combine(st, $maxItemsTracked)")
+                .as("st"))
+          }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             Sources.compactPartitionedDir(spark, stateDir, partitionCol)
         }
@@ -1273,8 +1341,8 @@ object Streaming {
     * the batch's own sorted slice) and composes onto the stored value —
     * per-batch cost is O(batch + touched state), the event history is
     * never rescanned. State = one row per entity in hash-bucketed hive
-    * partitions (same pruned-read + dynamic-overwrite mechanics as
-    * [[upsertSink]]); replay-guarded by commit markers because
+    * partitions (pruned reads + the staged [[mergeTouchedPartitions]]
+    * swap); replay-guarded by commit markers because
     * composition is NOT idempotent. Requires batches be time-ordered
     * per entity (an event stream consumed in order): an event older
     * than the stored accumulator cannot be folded retroactively.
@@ -1290,45 +1358,41 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, stateDir, batchId)) {
-          val summaries = Analytics.emaBucketSummaries(
-              batch, keyCol, tsCol, tieCol, valCol, alpha, _ => lit(0))
-            .select(col(keyCol), col("__d"), col("__p"), col("__ps"))
-            .withColumn("__bucket",
-              pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
-          val touched = summaries.select("__bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val current =
-            try spark.read.parquet(stateDir)
-              .filter(col("__bucket").isin(touched: _*))
-              .localCheckpoint() // cut the scan lineage before overwrite
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" ||
-                     e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    summaries.schema(keyCol),
-                    org.apache.spark.sql.types.StructField(
-                      "ema", org.apache.spark.sql.types.DoubleType),
-                    org.apache.spark.sql.types.StructField(
-                      "__bucket",
-                      org.apache.spark.sql.types.IntegerType))))
-            }
-          current.withColumnRenamed("__bucket", "__bc")
-            .join(summaries.withColumnRenamed("__bucket", "__bs"),
-                  Seq(keyCol), "full_outer")
-            .select(col(keyCol),
-                    when(col("__d").isNull, col("ema"))       // untouched
-                      .when(col("ema").isNull, col("__ps"))   // first seen
-                      .otherwise(col("ema") * col("__d") + col("__p"))
-                      .as("ema"),
-                    coalesce(col("__bc"), col("__bs")).as("__bucket"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(stateDir)
-          markCommitted(spark, stateDir, batchId)
+          mergeTouchedPartitions(spark, stateDir, "__bucket", batchId) {
+            val summaries = Analytics.emaBucketSummaries(
+                batch, keyCol, tsCol, tieCol, valCol, alpha, _ => lit(0))
+              .select(col(keyCol), col("__d"), col("__p"), col("__ps"))
+              .withColumn("__bucket",
+                pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+            val touched = summaries.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val current =
+              try spark.read.parquet(stateDir)
+                .filter(col("__bucket").isin(touched: _*))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" ||
+                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row],
+                    org.apache.spark.sql.types.StructType(Seq(
+                      summaries.schema(keyCol),
+                      org.apache.spark.sql.types.StructField(
+                        "ema", org.apache.spark.sql.types.DoubleType),
+                      org.apache.spark.sql.types.StructField(
+                        "__bucket",
+                        org.apache.spark.sql.types.IntegerType))))
+              }
+            current.withColumnRenamed("__bucket", "__bc")
+              .join(summaries.withColumnRenamed("__bucket", "__bs"),
+                    Seq(keyCol), "full_outer")
+              .select(col(keyCol),
+                      when(col("__d").isNull, col("ema"))     // untouched
+                        .when(col("ema").isNull, col("__ps")) // first seen
+                        .otherwise(col("ema") * col("__d") + col("__p"))
+                        .as("ema"),
+                      coalesce(col("__bc"), col("__bs")).as("__bucket"))
+          }
         }
       }
 

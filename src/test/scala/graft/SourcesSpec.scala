@@ -214,6 +214,36 @@ class SourcesSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compactPartitionedDir swap recovery: a crash between delete " +
+       "and rename strands the complete tmp (promoted on recover); a " +
+       "crash before the delete leaves a duplicate tmp (dropped)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-r")
+      .toString + "/store"
+    Seq((1L, 0), (2L, 1)).toDF("v", "b")
+      .write.mode("append").partitionBy("b").parquet(dir)
+    val expect = spark.read.parquet(dir).select("v", "b")
+      .as[(Long, Int)].collect().sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = dir + Sources.CompactTmpSuffix
+    // crash between delete and rename: only the complete tmp survives
+    fs.rename(p(dir), p(tmp))
+    Sources.recoverCompactedDir(spark, dir)
+    assert(fs.exists(p(dir)) && !fs.exists(p(tmp)))
+    assert(spark.read.parquet(dir).select("v", "b")
+      .as[(Long, Int)].collect().sorted === expect)
+    // crash BEFORE the delete: dir is complete, tmp is a duplicate —
+    // recovery must drop the tmp (promoting it would double every row)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(dir), fs, p(tmp), false,
+      spark.sparkContext.hadoopConfiguration)
+    Sources.recoverCompactedDir(spark, dir)
+    assert(fs.exists(p(dir)) && !fs.exists(p(tmp)))
+    assert(spark.read.parquet(dir).select("v", "b")
+      .as[(Long, Int)].collect().sorted === expect)
+  }
+
   test("unwrapCdc surfaces after-images and delete tombstones") {
     val img = StructType(Seq(StructField("user_id", LongType),
                              StructField("account_type", StringType)))

@@ -283,6 +283,53 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-02", "view", 2L, 12.0)))
   }
 
+  test("mergeTouchedPartitions: a replay that finds the completeness " +
+       "tag RESUMES the swap instead of recomputing — the interrupted " +
+       "partition lands, the already-swapped one is not double-merged") {
+    val st = Files.createTempDirectory("graft-mtp").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // batch 0 seeds two partitions with n=1 each
+    Streaming.mergeTouchedPartitions(spark, st, "part", 0L) {
+      Seq((0, 1L), (1, 1L)).toDF("part", "n")
+    }
+    assert(spark.read.parquet(st).select("part", "n")
+      .as[(Int, Long)].collect().toSet === Set((0, 1L), (1, 1L)))
+    // simulate batch 1 crashing MID-SWAP: the staged merge (n=2 for
+    // both partitions, computed from pre-batch state) is complete and
+    // tagged; partition part=0 already swapped in; part=1 still staged;
+    // no marker yet
+    val tmp = s"$st.merge_batch=1"
+    Seq((0, 2L), (1, 2L)).toDF("part", "n")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    fs.create(p(s"$tmp/_complete"), true).close()
+    fs.delete(p(s"$st/part=0"), true)
+    fs.rename(p(s"$tmp/part=0"), p(s"$st/part=0"))
+    // the replay: merged must NOT be recomputed (it would see the
+    // half-merged state and double-count part=0 to n=3)
+    var recomputed = false
+    Streaming.mergeTouchedPartitions(spark, st, "part", 1L) {
+      recomputed = true
+      Seq((0, 3L), (1, 2L)).toDF("part", "n") // the WRONG recompute
+    }
+    assert(!recomputed)
+    assert(spark.read.parquet(st).select("part", "n")
+      .as[(Int, Long)].collect().toSet === Set((0, 2L), (1, 2L)))
+    // marker committed, staging cleaned
+    assert(fs.exists(p(s"$st/_graft_commits/1")) && !fs.exists(p(tmp)))
+    // and a stranded staging dir of a COMMITTED prior batch is dropped
+    // at the next batch's entry instead of leaking forever
+    Seq((9, 9L)).toDF("part", "n")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    Streaming.mergeTouchedPartitions(spark, st, "part", 2L) {
+      Seq((0, 5L), (1, 5L)).toDF("part", "n")
+    }
+    assert(!fs.exists(p(tmp)))
+    assert(spark.read.parquet(st).select("part", "n")
+      .as[(Int, Long)].collect().toSet === Set((0, 5L), (1, 5L)))
+  }
+
   test("incremental distinct sink: cross-batch duplicates never double-" +
        "count, untouched partitions survive, estimate == one-shot sketch") {
     implicit val sqlCtx = spark.sqlContext
