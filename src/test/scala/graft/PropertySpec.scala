@@ -142,6 +142,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("globalRowNumberAuto: random distributions — skewed or uniform, " +
+       "whatever form the probe picks ranks identically to the " +
+       "reference sort, and the probe measures the true max share") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // value domains from pathological (1 value = total skew) through
+    // tiny (deep ties) to wide (near-uniform): the dispatch must be an
+    // optimization, never a semantics change
+    val domains = Seq(0L, 3L, 50L, 5000L)
+    val gens = domains.map(d => Gen.nonEmptyListOf(Gen.choose(0L, d)))
+    gens.foreach { g =>
+      val vs = Gen.listOfN(3, g).sample.get
+      vs.foreach { sample =>
+        val df = sample.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+          .toDF("v", "id")
+        val expected = sample.zipWithIndex
+          .sortBy { case (v, i) => (v, i.toLong) }
+          .zipWithIndex
+          .map { case ((_, id), rn) => id.toLong -> (rn + 1).toLong }
+          .toMap
+        val got = Relational.globalRowNumberAuto(
+            df, col("v"), Seq(col("v"), col("id")), buckets = 8)
+          .select("id", "rn")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"sample=$sample")
+        // the probe is EXACT: recompute max bucket share by hand with
+        // the same floor map the plan uses
+        val lo = sample.min.toDouble
+        val hi = sample.max.toDouble
+        val byBucket = sample.groupBy(v =>
+          math.min(7L, math.floor((v - lo) * 8 / (hi - lo + 1.0)).toLong))
+        val trueShare =
+          byBucket.values.map(_.size).max.toDouble / sample.size
+        val probed = Relational.leadingBucketShare(df, col("v"), 8)
+        assert(math.abs(probed - trueShare) < 1e-9,
+               s"probe=$probed true=$trueShare sample=$sample")
+      }
+    }
+  }
+
   test("long chains: label propagation refuses to truncate; " +
        "alternating-star converges in O(log^2 n) rounds") {
     val spark = SparkSpec.session
