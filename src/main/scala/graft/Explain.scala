@@ -465,7 +465,11 @@ object Explain {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val df = fn(spark, dir)
-            if (aqe) df.collect() // drive AQE to its runtime-final plan
+            // drive AQE to its runtime-final plan WITHOUT materializing
+            // the result on the driver (collect() of a row-heavy key
+            // would OOM the local[4] audit on larger scale factors):
+            // toRdd executes the SAME queryExecution the audit reads
+            if (aqe) df.queryExecution.toRdd.foreach(_ => ())
             val phys = df.queryExecution.executedPlan
             val flags = auditFlags(name, phys, aqe)
             if (flags.nonEmpty) {

@@ -548,6 +548,18 @@ object Sources {
     current.write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(tmp.toString)
+    // the store dir may ALSO hold the sink's _graft_commits replay
+    // markers (the incremental agg/sketch sinks compact the same dir
+    // their markers live in) — the swap must carry them across or a
+    // post-compaction crash replays every batch the markers recorded,
+    // double-counting additive state. COPY (not move) so a crash
+    // before the delete leaves the original dir fully intact.
+    val markers = new org.apache.hadoop.fs.Path(p, "_graft_commits")
+    if (fs.exists(markers))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, markers, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_commits"),
+        false, spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     fs.rename(tmp, p)
   }

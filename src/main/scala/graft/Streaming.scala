@@ -50,6 +50,18 @@ object Streaming {
       .create(p, true).close()
   }
 
+  /** Null-aware membership test for a touched-partition list: a plain
+    * `isin(touched)` evaluates to NULL — filtered out — for stored
+    * null-partition rows, which would exclude the accumulated null
+    * group from the merge and silently reset it to the batch's own
+    * contribution on every swap.
+    */
+  private[graft] def inTouched(c: Column, touched: Seq[Any]): Column = {
+    val nonNull = touched.filterNot(_ == null)
+    val base = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+    if (touched.exists(_ == null)) base || c.isNull else base
+  }
+
   /** Crash-safe ADDITIVE merge of one batch into a hive-partitioned
     * state store — the write discipline behind the incremental-agg /
     * distinct / top-k / EMA sinks. The in-place dynamic overwrite those
@@ -297,8 +309,10 @@ object Streaming {
     // failure mode of the reference's add-a-table growth path — keep the
     // raw frames (topic + value) replayable under __unrouted
     quarantineDir.foreach { qdir =>
+      // null-topic frames match NO route leg (=== is null-false), and a
+      // bare !isin would be null too — they must quarantine, not vanish
       val unrouted = cached.filter(
-        !col("topic").isin(routes.map(_.topic): _*))
+        col("topic").isNull || !col("topic").isin(routes.map(_.topic): _*))
       // write only when misses exist — an empty append would leave a
       // parquet-less dir readers can't infer from
       if (!unrouted.isEmpty)
@@ -337,9 +351,19 @@ object Streaming {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = routerPool
+      // re-stamp the CALLER's job group onto every pool thread per
+      // submission: pool workers were spawned by whichever batch first
+      // used them and inherit THAT thread's local properties, so
+      // without this a second query's legs would run under the first
+      // query's group (mis-scoping cancelJobGroup on stop()) and a
+      // restarted query's stop() could not cancel its own legs
+      val sc = cached.sparkSession.sparkContext
+      val callerProps = Seq("spark.jobGroup.id", "spark.job.description",
+                            "spark.job.interruptOnCancel")
+        .map(k => k -> sc.getLocalProperty(k))
       val legs = routes.map(rt => Future {
-        cached.sparkSession.sparkContext
-          .setLocalProperty("spark.scheduler.pool", "graft-router")
+        callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        sc.setLocalProperty("spark.scheduler.pool", "graft-router")
         runLeg(rt)
       })
       // surface the FIRST failure after all legs settle (Future.sequence
@@ -1205,7 +1229,7 @@ object Streaming {
         .collect().map(_.get(0)).toSeq
       val current =
         try spark.read.parquet(stateDir)
-          .filter(col(partitionCol).isin(touched: _*))
+          .filter(inTouched(col(partitionCol), touched))
         catch {
           // no state yet: dir absent, or holding only the hidden
           // _graft_commits markers (no parquet to infer from)
@@ -1258,7 +1282,7 @@ object Streaming {
               .collect().map(_.get(0)).toSeq
             val current =
               try spark.read.parquet(stateDir)
-                .filter(col(partitionCol).isin(touched: _*))
+                .filter(inTouched(col(partitionCol), touched))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if e.getCondition == "PATH_NOT_FOUND" ||
@@ -1315,7 +1339,7 @@ object Streaming {
               .collect().map(_.get(0)).toSeq
             val current =
               try spark.read.parquet(stateDir)
-                .filter(col(partitionCol).isin(touched: _*))
+                .filter(inTouched(col(partitionCol), touched))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if e.getCondition == "PATH_NOT_FOUND" ||

@@ -373,6 +373,28 @@ class PipelineSpec extends SparkSpec {
     assert(usersGot() === usersExp && ordersGot() === ordersExp)
   }
 
+  test("route-miss quarantine catches NULL-topic frames: === and !isin " +
+       "are both null-false, so without the explicit isNull leg the " +
+       "frame would vanish from every leg AND the quarantine") {
+    val registry = Sources.StaticSchemaRegistry(Map(7 -> avroSchemaJson))
+    val base = Files.createTempDirectory("graft-nulltopic").toString
+    val quarantine = Files.createTempDirectory("graft-nulltopic-q").toString
+    val rt = Streaming.TableRoute("t.a", "t_a", avroSchemaJson,
+      decodedSchema, Seq("user_id"), Seq("updated_at"))
+    val batch = Seq(
+        (Option.empty[String], frame(1, "u1", "Gold", 1000000L)),
+        (Some("t.a"), frame(2, "u2", "Gold", 2000000L)))
+      .toDF("topic", "value")
+    Streaming.multiTableBatch(batch, registry, Seq(rt), base, 4,
+                              Some(quarantine))
+    // the routed frame landed; the null-topic frame quarantined raw
+    assert(spark.read.parquet(s"$base/t_a")
+      .select("user_id").as[Long].collect().toSeq === Seq(2L))
+    val unrouted = spark.read.parquet(s"$quarantine/__unrouted")
+    assert(unrouted.count() === 1 &&
+           unrouted.select("topic").as[Option[String]].head().isEmpty)
+  }
+
   test("router legs: one concurrent 3-route batch produces finals " +
        "identical to three serial single-route batches, and the " +
        "latency delta is reported") {

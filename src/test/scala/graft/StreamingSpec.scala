@@ -330,6 +330,47 @@ class StreamingSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSet === Set((0, 5L), (1, 5L)))
   }
 
+  test("incrementalAggBatch: a NULL partition value accumulates across " +
+       "batches like any other (isin alone would silently reset the " +
+       "null group to each batch's own contribution)") {
+    val st = Files.createTempDirectory("graft-iagg-null").toString + "/state"
+    def batchDf(v: Double) = Seq(
+        (Option.empty[String], "click", v),
+        (Some("2024-01-01"), "click", v))
+      .toDF("day", "event_type", "value")
+    Streaming.incrementalAggBatch(batchDf(1.0), st, "day",
+                                  Seq("event_type"), "value", 0, 0L)
+    Streaming.incrementalAggBatch(batchDf(2.0), st, "day",
+                                  Seq("event_type"), "value", 0, 1L)
+    val out = spark.read.parquet(st)
+      .select(col("day"), col("n"), col("sum_value"))
+      .as[(Option[String], Long, Double)].collect().toSet
+    assert(out === Set((None, 2L, 3.0), (Some("2024-01-01"), 2L, 3.0)))
+  }
+
+  test("incremental agg compaction carries the replay markers across " +
+       "the swap: a replayed batch after compaction is still a no-op") {
+    val st = Files.createTempDirectory("graft-iagg-cm").toString + "/state"
+    def batchDf(v: Double) = Seq(("2024-01-01", "click", v))
+      .toDF("day", "event_type", "value")
+    // compactEvery=2 -> compaction fires right after batch 1 commits
+    Streaming.incrementalAggBatch(batchDf(1.0), st, "day",
+                                  Seq("event_type"), "value", 2, 0L)
+    Streaming.incrementalAggBatch(batchDf(2.0), st, "day",
+                                  Seq("event_type"), "value", 2, 1L)
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the swap must have carried the markers — without that, this
+    // replay would re-merge batch 1 and double-count
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$st/_graft_commits/1")))
+    Streaming.incrementalAggBatch(batchDf(2.0), st, "day",
+                                  Seq("event_type"), "value", 2, 1L)
+    val out = spark.read.parquet(st).select("n", "sum_value")
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 3.0)))
+  }
+
   test("incremental distinct sink: cross-batch duplicates never double-" +
        "count, untouched partitions survive, estimate == one-shot sketch") {
     implicit val sqlCtx = spark.sqlContext
