@@ -2213,6 +2213,19 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The short-n-gram variant at a 2% modular eval split: 3-token
+    // shingles flag ~250 docs at sf0.01 where the strict 8-gram key
+    // flags 1-2 — the aggressive end of the decontamination dial, and a
+    // far denser hash surface for the same broadcast-join shape.
+    "q_decontaminate_3gram" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      LlmOps.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+                           docs.filter(col("doc_id") % 50 === 0),
+                           "doc_id", "text", 3)
+        .select(col("doc").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // L1g: dedup REWRITE — the cleaned corpus after removing every
     // duplicated 8-token chunk except its corpus-wide first occurrence
     // (C4's "remove all but one of any three-sentence span" pass, chunk
@@ -3124,6 +3137,20 @@ object LlmQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_hits
         |FROM sh JOIN ev USING (s)
         |WHERE doc_id >= 20
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q_decontaminate_3gram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q_dedup_chunks" ->
