@@ -910,10 +910,30 @@ object Streaming {
   /** Top principal component served from the [[scatterSink]] store —
     * the O(dims²) read + driver-side iteration, no corpus pass.
     */
+  /** Read-only crash tolerance for swap-disciplined state dirs: if the
+    * live dir is missing but its tmp sibling exists, SERVE from the
+    * tmp — with the tmp-write → delete → rename order, a missing live
+    * dir implies the tmp is complete (the delete only runs after the
+    * tagged tmp finished). No mutation here: the owning sink's entry
+    * recovery performs the actual promote; serving merely refuses to
+    * fail (or worse, silently see an empty store) inside the crash
+    * window.
+    */
+  private def serveDir(spark: SparkSession, live: String,
+                       tmp: String): String = {
+    val p = new org.apache.hadoop.fs.Path(live)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp))) tmp
+    else live
+  }
+
   def pcaFromScatterState(spark: SparkSession, stateDir: String,
                           iters: Int): DataFrame =
-    LlmOps.pcaFromPartials(spark.read.parquet(s"$stateDir/scatter"),
-                           iters)
+    LlmOps.pcaFromPartials(
+      spark.read.parquet(serveDir(spark, s"$stateDir/scatter",
+                                  s"$stateDir/scatter.tmp")),
+      iters)
 
   /** Streaming MINI-BATCH k-means (Sculley 2010's web-scale variant in
     * the exact-integer discipline) — online clustering for embedding
@@ -1043,7 +1063,9 @@ object Streaming {
                               stateDir: String): DataFrame =
     LlmOps.assignToCentroids(
       LlmOps.intCoords(df),
-      spark.read.parquet(s"$stateDir/centroids").select("cid", "i", "c"))
+      spark.read.parquet(serveDir(spark, s"$stateDir/centroids",
+                                  s"$stateDir/centroids.tmp"))
+        .select("cid", "i", "c"))
 
   /** Incrementally-maintained INVERTED INDEX + BM25 statistics — the
     * streaming form of the lexical-retrieval state behind
@@ -1170,7 +1192,9 @@ object Streaming {
     val touched = terms.toDF("token")
       .select(pmod(xxhash64(col("token")), lit(numBuckets)).cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$stateDir/postings")
+    val post = spark.read
+      .parquet(serveDir(spark, s"$stateDir/postings",
+                        s"$stateDir/postings.tmp"))
       .filter(col("tokb").isin(touched: _*)) // partition-pruned
       .filter(col("token").isin(terms: _*))
     val stats = spark.read.parquet(s"$stateDir/stats")

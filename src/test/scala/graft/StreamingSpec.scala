@@ -830,6 +830,13 @@ class StreamingSpec extends SparkSpec {
     val got = Streaming.assignWithCentroidState(probes, spark, st)
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
     assert(got(1000L) != got(1001L))
+    // crash window between the state swap's delete and rename: serving
+    // reads the stranded complete tmp instead of failing
+    fs.rename(new org.apache.hadoop.fs.Path(s"$st/centroids"),
+              new org.apache.hadoop.fs.Path(s"$st/centroids.tmp"))
+    val gotTmp = Streaming.assignWithCentroidState(probes, spark, st)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(gotTmp === got)
   }
 
   test("kmeansBatch: an empty or <k first batch does NOT seed — its " +
@@ -940,9 +947,11 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(served() === oneShot && oneShot.nonEmpty)
     // a crash between the swap's delete and rename leaves only the
-    // complete tmp — the next batch promotes it before reading state
+    // complete tmp — SERVING inside the crash window reads the tmp
+    // (read-only fallback), and the next batch promotes it for real
     fs.rename(new org.apache.hadoop.fs.Path(s"$st/postings"),
               new org.apache.hadoop.fs.Path(s"$st/postings.tmp"))
+    assert(served() === oneShot)
     Streaming.invertedIndexBatch(docs.filter(lit(false)), "doc_id",
                                  "text", st, 16, 2, 3L)
     assert(served() === oneShot)
