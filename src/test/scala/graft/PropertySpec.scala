@@ -183,6 +183,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ClickHouse type mapping: random nested array types round-trip " +
+       "write-name -> read-type exactly (for the invertible scalar " +
+       "subset)") {
+    import org.apache.spark.sql.types._
+    val d = ClickHouse.ClickHouseDialect
+    val md = new MetadataBuilder()
+    // scalars whose CH name maps back to the SAME catalyst type
+    // (BooleanType -> UInt8 -> ShortType is deliberately lossy and
+    // excluded; Date/Timestamp excluded only to keep the generator flat)
+    val invertible: Gen[DataType] = Gen.oneOf(
+      ShortType, IntegerType, LongType, FloatType, DoubleType,
+      StringType, DecimalType(20, 0), DecimalType(9, 4))
+    def arrays(depth: Int): Gen[DataType] =
+      if (depth == 0) invertible
+      else Gen.frequency(
+        2 -> invertible,
+        1 -> (for {
+          inner <- arrays(depth - 1)
+          // null ELEMENTS are only spellable for scalar elements
+          // (Nullable(Array) is illegal in ClickHouse)
+          cn <- if (inner.isInstanceOf[ArrayType]) Gen.const(false)
+                else Gen.oneOf(true, false)
+        } yield ArrayType(inner, cn)))
+    check(forAll(arrays(3)) { dt =>
+      d.getJDBCType(dt).forall { j =>
+        d.getCatalystType(0, j.databaseTypeDefinition, 0, md)
+          .contains(dt)
+      } && d.getJDBCType(dt).nonEmpty
+    })
+  }
+
   test("long chains: label propagation refuses to truncate; " +
        "alternating-star converges in O(log^2 n) rounds") {
     val spark = SparkSpec.session
