@@ -915,9 +915,13 @@ object Streaming {
     * tmp — with the tmp-write → delete → rename order, a missing live
     * dir implies the tmp is complete (the delete only runs after the
     * tagged tmp finished). No mutation here: the owning sink's entry
-    * recovery performs the actual promote; serving merely refuses to
-    * fail (or worse, silently see an empty store) inside the crash
-    * window.
+    * recovery performs the actual promote. This NARROWS the failure
+    * window rather than closing it: the path choice races the owner's
+    * promote (a concurrent rename between this check and the read's
+    * file listing can still surface PATH_NOT_FOUND — retry on the live
+    * path), but a serving call inside a QUIESCED crash window, the
+    * common case, now succeeds instead of failing until the next
+    * batch.
     */
   private def serveDir(spark: SparkSession, live: String,
                        tmp: String): String = {
@@ -1242,9 +1246,14 @@ object Streaming {
                                          valueCol: String, compactEvery: Int,
                                          batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // a replayed committed batch would merge its partials TWICE — skip
+    // recovery FIRST: a compaction crash in the delete->rename window
+    // leaves the store (markers included — the swap carries them) only
+    // under the tmp name, so checking the marker before promoting it
+    // would read a deleted dir, miss the commit, and double-merge
     if (alreadyCommitted(spark, stateDir, batchId)) return
     Sources.recoverCompactedDir(spark, stateDir)
+    // re-check: the marker may have just been promoted with the store
+    if (alreadyCommitted(spark, stateDir, batchId)) return
     val groupCols = (partitionCol +: keyCols).map(col)
     mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
       val partial = batch.groupBy(groupCols: _*)
@@ -1296,8 +1305,10 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // recover BEFORE trusting the marker check: a compaction crash
+        // strands the store (and its markers) under the tmp name
+        Sources.recoverCompactedDir(spark, stateDir)
         if (!alreadyCommitted(spark, stateDir, batchId)) {
-          Sources.recoverCompactedDir(spark, stateDir)
           val groupCols = (partitionCol +: keyCols).map(col)
           mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
             val partial = batch.groupBy(groupCols: _*)
@@ -1327,7 +1338,9 @@ object Streaming {
     * estimates from the stored sketches — O(state rows), raw events never
     * touched. */
   def distinctEstimates(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+    spark.read
+      .parquet(serveDir(spark, stateDir,
+                        stateDir + Sources.CompactTmpSuffix))
       .withColumn("approx_distinct", hll_sketch_estimate(col("sk")))
       .drop("sk")
 
@@ -1351,8 +1364,10 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // recover BEFORE trusting the marker check: a compaction crash
+        // strands the store (and its markers) under the tmp name
+        Sources.recoverCompactedDir(spark, stateDir)
         if (!alreadyCommitted(spark, stateDir, batchId)) {
-          Sources.recoverCompactedDir(spark, stateDir)
           val groupCols = (partitionCol +: keyCols).map(col)
           mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
             val partial = batch.groupBy(groupCols: _*)
@@ -1454,7 +1469,9 @@ object Streaming {
     * raw events never touched. */
   def topKEstimates(spark: SparkSession, stateDir: String,
                     k: Int): DataFrame = {
-    val st = spark.read.parquet(stateDir)
+    val st = spark.read
+      .parquet(serveDir(spark, stateDir,
+                        stateDir + Sources.CompactTmpSuffix))
     val keep = st.columns.filterNot(_ == "st").map(col)
     st.select(keep :+
         explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"): _*)

@@ -371,6 +371,33 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((2L, 3.0)))
   }
 
+  test("incrementalAggBatch: replay into a compaction crash window " +
+       "(store stranded under .compact.tmp, markers inside) promotes " +
+       "first and is a NO-OP — checking the marker before recovery " +
+       "would double-merge") {
+    val st = Files.createTempDirectory("graft-iagg-cw").toString + "/state"
+    def batchDf(v: Double) = Seq(("2024-01-01", "click", v))
+      .toDF("day", "event_type", "value")
+    // compactEvery=2: compaction runs right after batch 1's marker
+    Streaming.incrementalAggBatch(batchDf(1.0), st, "day",
+                                  Seq("event_type"), "value", 2, 0L)
+    Streaming.incrementalAggBatch(batchDf(2.0), st, "day",
+                                  Seq("event_type"), "value", 2, 1L)
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the compaction swap dying between delete and rename:
+    // the whole store (batch-1 marker included) exists ONLY as the tmp
+    fs.rename(new org.apache.hadoop.fs.Path(st),
+              new org.apache.hadoop.fs.Path(
+                st + Sources.CompactTmpSuffix))
+    // foreachBatch never returned -> streaming replays batch 1
+    Streaming.incrementalAggBatch(batchDf(2.0), st, "day",
+                                  Seq("event_type"), "value", 2, 1L)
+    val out = spark.read.parquet(st).select("n", "sum_value")
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 3.0))) // NOT (3, 5.0): no double merge
+  }
+
   test("incremental distinct sink: cross-batch duplicates never double-" +
        "count, untouched partitions survive, estimate == one-shot sketch") {
     implicit val sqlCtx = spark.sqlContext
