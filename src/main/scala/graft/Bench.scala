@@ -57,6 +57,9 @@ object Bench {
     // serving; their batch siblings above carry the bench signal)
     "q_dedup_ngram_jaccard", "q_dedup_exact_substr", "q_dedup_rewrite",
     "q_decontaminate",
+    // (q_decontaminate_3gram is excluded: it re-runs the same
+    // decontaminate broadcast-join shape at n=3 — benching it would
+    // double-count the stage q_decontaminate above already times)
     "q_dedup_components", "q_dedup_cluster_keep", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
