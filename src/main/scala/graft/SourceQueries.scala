@@ -159,6 +159,35 @@ object SourceQueries extends QueryPack {
              min("doc_id").as("id_min"),
              max("doc_id").as("id_max"))
         .orderBy("lang")
+    }),
+
+    // S5 END-TO-END UNDER THE ORACLE: Debezium envelope unwrap
+    // ([[Sources.unwrapCdc]] ≙ ExtractNewRecordState,
+    // `/root/reference/README.md:97` "after.state only") driven through
+    // a full change-stream collapse. The events table is framed as a
+    // deterministic Debezium envelope in-plan — `event_type = 'click'`
+    // rows become deletes (op 'd', image in `before`), everything else
+    // upserts (op 'u', image in `after`) — then unwrapped, collapsed to
+    // the latest version per entity ([[Cdc.latest]]), and filtered of
+    // entities whose LAST change was the delete tombstone: the
+    // ReplacingMergeTree final-state read the reference pipeline serves.
+    // The oracle recomputes the same survivor set straight off the
+    // events table, so a hash match certifies op routing, before/after
+    // image selection, and tombstone handling end to end.
+    "q_cdc_unwrap" -> ((s, dir) => {
+      val payload = struct(col("event_id"), col("ts"), col("user_id"),
+                           col("event_type"), col("value"))
+      val isDelete = col("event_type") === "click"
+      val enveloped = Tables(s, dir, "events").select(
+        struct(
+          when(isDelete, lit("d")).otherwise(lit("u")).as("op"),
+          when(isDelete, payload).as("before"),
+          when(!isDelete, payload).as("after")).as("envelope"))
+      val unwrapped = Sources.unwrapCdc(enveloped)
+      Cdc.latest(unwrapped, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .filter(col("op") =!= "d")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id")
     })
   )
 
@@ -248,6 +277,16 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  min(doc_id) AS id_min, max(doc_id) AS id_max
         |FROM documents GROUP BY lang
-        |ORDER BY lang NULLS FIRST""".stripMargin
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // Survivors = entities whose latest change (by ts, event_id) was not
+    // the 'click'→delete tombstone — recomputed straight off events.
+    "q_cdc_unwrap" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type <> 'click'
+        |ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }

@@ -70,6 +70,100 @@ object StreamingQueries extends QueryPack {
       s.read.parquet(state)
         .select("user_id", "ts", "event_id", "event_type", "value")
         .orderBy("user_id")
+    }),
+
+    // T7 END-TO-END UNDER THE ORACLE: streaming dedup
+    // ([[Streaming.streamingDedup]] — watermark-bounded dropDuplicates,
+    // ReplacingMergeTree's online analog) actually EXECUTED: the events
+    // fixture streams in TIME ORDER (so the watermark never outruns a
+    // first occurrence) through three micro-batches, each batch carrying
+    // every row TWICE (in-batch duplicates) plus a resend of the
+    // previous batch's tail (cross-batch duplicates against retained
+    // state). The appended output must be exactly one row per event_id —
+    // the plain events table — hash-checked by the oracle. Fresh temp
+    // dirs per invocation keep repeated driver runs deterministic; the
+    // collect feeding MemoryStream is broker stand-in scaffolding, as in
+    // q_stream_upsert.
+    "q_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+        .orderBy("ts", "event_id")
+        .as[(Long, java.sql.Timestamp, Long, String, Double)]
+        .collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-dedup").toString
+      val stream =
+        MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val deduped = Streaming.streamingDedup(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type",
+                           "value"),
+        "ts", "2 hours", Seq("event_id"))
+      val q = Streaming.appendSink(deduped, s"$scratch/out",
+                                   s"$scratch/ckpt").start()
+      val slices = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        // resent tail rows sit at the previous batch's max event time —
+        // 2 h above the watermark, so dedup state still holds them
+        val resend =
+          if (i > 0) slices(i - 1).takeRight(10) else Array.empty[
+            (Long, java.sql.Timestamp, Long, String, Double)]
+        stream.addData((resend ++ slice ++ slice).toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(s"$scratch/out")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // T6 END-TO-END UNDER THE ORACLE: watermark late-row drop
+    // ([[Streaming.watermarkedTumblingCounts]]) actually EXECUTED with a
+    // deliberately out-of-order feed. Batch 1 = the ON-TIME rows (last
+    // 12 h, including the global max ts) — after it the watermark sits
+    // at max−10 min. Batch 2 = everything OLDER than the cutoff: every
+    // such row's 10-min window closed at least 11 h 50 min before the
+    // watermark, so the stateful aggregate drops ALL of them — the
+    // documented discard semantics, observed not asserted. Batch 3 is
+    // one far-future flush sentinel whose only job is to push the
+    // watermark past every real window so append mode emits them; its
+    // own window can never finalize (the watermark trails its event
+    // time by the lateness), so the sentinel itself is structurally
+    // excluded from the output. Result = tumbling counts of the on-time
+    // rows only, which is exactly the oracle's WHERE clause.
+    "q_stream_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Tables(s, dir, "events").select(col("ts"), col("event_type"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val cutoff =
+        java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(12L * 3600))
+      val rows = ev.orderBy("ts")
+        .as[(java.sql.Timestamp, String)].collect()
+      val (onTime, late) = rows.partition(_._1.compareTo(cutoff) >= 0)
+      val sentinel =
+        (java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(2L * 3600)),
+         "__flush")
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-wm").toString
+      val stream = MemoryStream[(java.sql.Timestamp, String)]
+      val agg = Streaming.watermarkedTumblingCounts(
+        stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
+        "10 minutes")
+      val q = Streaming.appendSink(agg, s"$scratch/out",
+                                   s"$scratch/ckpt").start()
+      Seq(onTime.toSeq, late.toSeq, Seq(sentinel)).foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(s"$scratch/out")
+        .select("w_start", "event_type", "n")
+        .orderBy("w_start", "event_type")
     })
   )
 
@@ -112,6 +206,22 @@ object StreamingQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // every event sent 2-3 times across the batches; the streamed dedup
+    // must end at exactly the plain events table
+    "q_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin,
+
+    // only the last-12h rows survive the watermark; the late batch's
+    // windows all closed >11h before the watermark and must vanish
+    "q_stream_watermark" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '12 hours'
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
   )
 }
