@@ -164,6 +164,45 @@ object StreamingQueries extends QueryPack {
       s.read.parquet(s"$scratch/out")
         .select("w_start", "event_type", "n")
         .orderBy("w_start", "event_type")
+    }),
+
+    // T8 END-TO-END UNDER THE ORACLE: the incremental per-key state
+    // sink ([[Streaming.incrementalAggSink]] — the AggregatingMergeTree
+    // / SummingMergeTree analog: per-batch partials merged into a
+    // hive-partitioned state store through the staged
+    // mergeTouchedPartitions crash discipline) actually EXECUTED over a
+    // three-micro-batch feed. The summed value rides the floor-e4
+    // integer grid (long sums are exact and associative, so the
+    // batch-merge order can never move a hash), and the final STATE
+    // READ — not a recomputation — must equal the plain batch
+    // group-by: cross-batch merge, touched-partition pruning, and
+    // marker replay protection all sit on the hash path.
+    "q_stream_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+                floor(col("value") * 10000).cast("long").as("value_i"))
+        .orderBy("event_type", "user_id", "value_i")
+        .as[(String, Long, Long)]
+        .collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-agg").toString
+      val state = s"$scratch/state"
+      val stream = MemoryStream[(String, Long, Long)]
+      val q = Streaming.incrementalAggSink(
+        stream.toDF().toDF("event_type", "user_id", "value_i"),
+        state, s"$scratch/ckpt", "event_type", Seq("user_id"),
+        "value_i").start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
+        stream.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(state)
+        .select("event_type", "user_id", "n", "sum_value")
+        .orderBy("event_type", "user_id")
     })
   )
 
@@ -222,6 +261,15 @@ object StreamingQueries extends QueryPack {
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '12 hours'
         |GROUP BY w_start, event_type
-        |ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
+        |ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    // the three-batch incremental state store must END at the plain
+    // batch group-by (floor-e4 integer sums are merge-order-exact)
+    "q_stream_agg" ->
+      """SELECT event_type, user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value
+        |FROM events GROUP BY event_type, user_id
+        |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
   )
 }
