@@ -302,6 +302,9 @@ object Explain {
     "q_sample_temperature", // cross vs broadcast one-row global max rate
     "q_theta_segments",     // cross of two one-row sketch aggregates
     "q_text_bm25",          // cross vs broadcast one-row (N, avgdl) stats
+    "q_stream_bm25",        // same serve shape over the streaming-built
+                            // index: one-row (N, avgdl) stats cross +
+                            // broadcast per-term df (bounded by |terms|)
     "q_agg_ks_test",        // cross vs broadcast one-row (n1, n2) totals
     "q_text_ngram_lm",      // cross vs broadcast one-row vocabulary size
     "q_dsir",               // cross vs broadcast one-row token totals
@@ -363,6 +366,8 @@ object Explain {
     "q_dedup_embed_lsh",       // two one-row counts (n_lsh, n_exact)
                                // crossed for the recall certificate
     "q_text_bm25",             // one-row corpus-stats aggregate (N, avgdl)
+    "q_stream_bm25",           // same one-row stats aggregate, read off
+                               // the per-batch partial table
     "q_agg_ols",               // one-row normal-equation sums: one
                                // pre-aggregated partial row per partition
     "q_dsir",                  // one-row corpus/target token totals over

@@ -933,6 +933,43 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), col("bm25_e6"), col("n_terms"))
         .orderBy("doc_id")),
 
+    // T8+L6 END-TO-END UNDER THE ORACLE: the streaming inverted-index
+    // store ([[Streaming.invertedIndexSink]] — idempotent per-batch
+    // partition overwrites, this round's replay-duplication fix) built
+    // over a three-micro-batch documents feed WITH a mid-run compaction
+    // (compactEvery = 2 folds batches 0-1 through the tmp-swap
+    // discipline while batch 2 is still inbound), then served by
+    // [[Streaming.bm25FromIndexState]] — which must score IDENTICALLY
+    // to the one-pass batch scorer (same oracle CTE as q_text_bm25):
+    // a lost posting, a replay-duplicated posting, or drifted corpus
+    // stats all move the floor-e6 hash.
+    "q_stream_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .as[(Long, String)]
+        .collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-bm25").toString
+      val state = s"$scratch/state"
+      val stream = MemoryStream[(Long, String)]
+      val q = Streaming.invertedIndexSink(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        state, s"$scratch/ckpt", numBuckets = 16,
+        compactEvery = 2).start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
+        stream.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      Streaming.bm25FromIndexState(s, state, BmTerms)
+        .select(col("doc").as("doc_id"), col("bm25_e6"), col("n_terms"))
+        .orderBy("doc_id")
+    }),
+
     // L6d: inverted-index posting lists for the same query vocabulary —
     // token → (document frequency, first ≤50 postings). The posting cap
     // is enforced BEFORE any collection: distinct (token, doc_id) pairs →
@@ -3485,6 +3522,17 @@ object LlmQueries extends QueryPack {
     // floor(tscore·10⁶) longs summed (order-invariant integers; the
     // HUGEINT sum is cast back to BIGINT).
     "q_text_bm25" ->
+      s"""$bm25CtePrefix
+         |SELECT doc_id,
+         |  CAST(sum(CAST(floor(tscore * 1000000.0) AS BIGINT))
+         |    AS BIGINT) AS bm25_e6,
+         |  count(*) AS n_terms
+         |FROM tsc GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // the streaming-built index must serve the SAME scores as the
+    // batch pass — identical CTE by construction
+    "q_stream_bm25" ->
       s"""$bm25CtePrefix
          |SELECT doc_id,
          |  CAST(sum(CAST(floor(tscore * 1000000.0) AS BIGINT))
