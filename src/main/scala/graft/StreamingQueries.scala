@@ -156,10 +156,14 @@ object StreamingQueries extends QueryPack {
         "10 minutes")
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      Seq(onTime.toSeq, late.toSeq, Seq(sentinel)).foreach { batch =>
-        stream.addData(batch)
-        q.processAllAvailable()
-      }
+      // nonEmpty guard: a future fixture whose events all fall inside
+      // the cutoff would make the late batch empty, and MemoryStream
+      // has no reason to accept a zero-row add
+      Seq(onTime.toSeq, late.toSeq, Seq(sentinel))
+        .filter(_.nonEmpty).foreach { batch =>
+          stream.addData(batch)
+          q.processAllAvailable()
+        }
       q.stop()
       s.read.parquet(s"$scratch/out")
         .select("w_start", "event_type", "n")
