@@ -960,11 +960,7 @@ object LlmQueries extends QueryPack {
         stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
         state, s"$scratch/ckpt", numBuckets = 16,
         compactEvery = 2).start()
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
-        stream.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
+      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
       Streaming.bm25FromIndexState(s, state, BmTerms)
         .select(col("doc").as("doc_id"), col("bm25_e6"), col("n_terms"))
         .orderBy("doc_id")

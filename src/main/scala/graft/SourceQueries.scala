@@ -177,12 +177,17 @@ object SourceQueries extends QueryPack {
     "q_cdc_unwrap" -> ((s, dir) => {
       val payload = struct(col("event_id"), col("ts"), col("user_id"),
                            col("event_type"), col("value"))
-      val isDelete = col("event_type") === "click"
+      // null-SAFE delete predicate: a NULL event_type must frame as an
+      // upsert WITH its image intact — a three-valued `!isDelete` would
+      // leave both before and after NULL and silently drop the row's
+      // real columns (latent until a fixture ships a NULL event_type)
+      val isDelete = coalesce(col("event_type") === "click", lit(false))
       val enveloped = Tables(s, dir, "events").select(
         struct(
           when(isDelete, lit("d")).otherwise(lit("u")).as("op"),
           when(isDelete, payload).as("before"),
-          when(!isDelete, payload).as("after")).as("envelope"))
+          when(isDelete, lit(null)).otherwise(payload).as("after"))
+          .as("envelope"))
       val unwrapped = Sources.unwrapCdc(enveloped)
       Cdc.latest(unwrapped, Seq("user_id"), Seq(col("ts"), col("event_id")))
         .filter(col("op") =!= "d")
@@ -280,13 +285,15 @@ object SourceQueries extends QueryPack {
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
     // Survivors = entities whose latest change (by ts, event_id) was not
-    // the 'click'→delete tombstone — recomputed straight off events.
+    // the 'click'→delete tombstone — recomputed straight off events. A
+    // NULL event_type is an upsert (the Spark side's null-safe framing),
+    // so the tombstone filter must keep it: OR IS NULL.
     "q_cdc_unwrap" ->
       """SELECT user_id, ts, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events) t
-        |WHERE rn = 1 AND event_type <> 'click'
+        |WHERE rn = 1 AND (event_type <> 'click' OR event_type IS NULL)
         |ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }

@@ -22,6 +22,24 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  /** Broker stand-in loop shared by the oracled streaming keys
+    * (q_stream_upsert/_agg/_bm25): feed `rows` into a MemoryStream in
+    * `batches` roughly equal, order-preserving slices, draining the
+    * running query after each, then stop it. Harness scaffolding for
+    * the driver contract, not operator cost — the sinks under test do
+    * the distributed work.
+    */
+  def feedMemoryBatches[T](
+      stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      rows: Seq[T], q: org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Int = 3): Unit = {
+    rows.grouped(math.max(1, rows.length / batches + 1)).foreach { s =>
+      stream.addData(s)
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
   /** T1: the reference MV's transform, generalized — project + rename +
     * epoch-micros conversion (`README.md:222-230`): takes a CDC after-image
     * frame with epoch-micro columns and produces the final-table shape.

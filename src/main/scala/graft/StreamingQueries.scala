@@ -62,11 +62,7 @@ object StreamingQueries extends QueryPack {
                            "value"),
         state, s"$scratch/ckpt", Seq("user_id"),
         Seq("ts", "event_id")).start()
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
-        stream.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
+      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
       s.read.parquet(state)
         .select("user_id", "ts", "event_id", "event_type", "value")
         .orderBy("user_id")
@@ -106,12 +102,23 @@ object StreamingQueries extends QueryPack {
                                    s"$scratch/ckpt").start()
       val slices = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
       slices.zipWithIndex.foreach { case (slice, i) =>
-        // resent tail rows sit at the previous batch's max event time —
-        // 2 h above the watermark, so dedup state still holds them
+        // resend only previous-batch tail rows INSIDE the 2 h lateness
+        // of that batch's max event time (the watermark): those provably
+        // probe retained dedup STATE. Tail rows older than the lateness
+        // would just be dropped by the late filter — duplicate-safe too,
+        // but exercising nothing (at sf0.001 a fixed 10-row tail spans
+        // ~6.5 h of event time, so most of it would be late). The
+        // previous max itself always qualifies, so every cross-batch
+        // seam tests the state path at least once.
         val resend =
-          if (i > 0) slices(i - 1).takeRight(10) else Array.empty[
-            (Long, java.sql.Timestamp, Long, String, Double)]
-        stream.addData((resend ++ slice ++ slice).toSeq)
+          if (i == 0) Seq.empty
+          else {
+            val prevMaxMs = slices(i - 1).last._2.getTime
+            slices(i - 1)
+              .filter(_._2.getTime >= prevMaxMs - 2L * 3600 * 1000)
+              .takeRight(10).toSeq
+          }
+        stream.addData(resend ++ slice ++ slice)
         q.processAllAvailable()
       }
       q.stop()
@@ -138,36 +145,54 @@ object StreamingQueries extends QueryPack {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val ev = Tables(s, dir, "events").select(col("ts"), col("event_type"))
-      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      val cutoff =
-        java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(12L * 3600))
-      val rows = ev.orderBy("ts")
+      // one scan: collect time-ordered, max = last. NULL ts rows are
+      // excluded up front — the oracle's `ts >= cutoff` drops them via
+      // three-valued logic, and a driver-side compareTo would NPE.
+      val rows = Tables(s, dir, "events")
+        .select(col("ts"), col("event_type"))
+        .filter(col("ts").isNotNull)
+        .orderBy("ts")
         .as[(java.sql.Timestamp, String)].collect()
-      val (onTime, late) = rows.partition(_._1.compareTo(cutoff) >= 0)
-      val sentinel =
-        (java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(2L * 3600)),
-         "__flush")
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft-stream-wm").toString
-      val stream = MemoryStream[(java.sql.Timestamp, String)]
-      val agg = Streaming.watermarkedTumblingCounts(
-        stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
-        "10 minutes")
-      val q = Streaming.appendSink(agg, s"$scratch/out",
-                                   s"$scratch/ckpt").start()
-      // nonEmpty guard: a future fixture whose events all fall inside
-      // the cutoff would make the late batch empty, and MemoryStream
-      // has no reason to accept a zero-row add
-      Seq(onTime.toSeq, late.toSeq, Seq(sentinel))
-        .filter(_.nonEmpty).foreach { batch =>
-          stream.addData(batch)
-          q.processAllAvailable()
-        }
-      q.stop()
-      s.read.parquet(s"$scratch/out")
-        .select("w_start", "event_type", "n")
-        .orderBy("w_start", "event_type")
+      if (rows.isEmpty) {
+        // empty fixture: the oracle returns zero rows; match its shape
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("w_start",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } else {
+        val maxTs = rows.last._1
+        val cutoff =
+          java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(12L * 3600))
+        val (onTime, late) = rows.partition(_._1.compareTo(cutoff) >= 0)
+        val sentinel =
+          (java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(2L * 3600)),
+           "__flush")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-stream-wm").toString
+        val stream = MemoryStream[(java.sql.Timestamp, String)]
+        val agg = Streaming.watermarkedTumblingCounts(
+          stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
+          "10 minutes")
+        val q = Streaming.appendSink(agg, s"$scratch/out",
+                                     s"$scratch/ckpt").start()
+        // nonEmpty guard: a future fixture whose events all fall inside
+        // the cutoff would make the late batch empty, and MemoryStream
+        // has no reason to accept a zero-row add
+        Seq(onTime.toSeq, late.toSeq, Seq(sentinel))
+          .filter(_.nonEmpty).foreach { batch =>
+            stream.addData(batch)
+            q.processAllAvailable()
+          }
+        q.stop()
+        s.read.parquet(s"$scratch/out")
+          .select("w_start", "event_type", "n")
+          .orderBy("w_start", "event_type")
+      }
     }),
 
     // T8 END-TO-END UNDER THE ORACLE: the incremental per-key state
@@ -199,11 +224,7 @@ object StreamingQueries extends QueryPack {
         stream.toDF().toDF("event_type", "user_id", "value_i"),
         state, s"$scratch/ckpt", "event_type", Seq("user_id"),
         "value_i").start()
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { slice =>
-        stream.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
+      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
       s.read.parquet(state)
         .select("event_type", "user_id", "n", "sum_value")
         .orderBy("event_type", "user_id")
