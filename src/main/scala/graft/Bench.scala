@@ -82,12 +82,12 @@ object Bench {
     "q_agg_ols", "q_array_seq", "q_agg_winsorize",
     // streaming batch-equivalents + semi-structured + sampling
     // (q_stream_upsert, q_stream_dedup, q_stream_watermark,
-    // q_stream_agg and q_stream_bm25 are excluded: each spins up a real
-    // multi-micro-batch Structured Streaming run over a MemoryStream
-    // harness feed — checkpoint + sink state lifecycle cost, not query
-    // serving; their batch-equivalents q_upsert_latest / q_dedup_key /
-    // q_stream_tumbling / q_agg_basic / q_text_bm25 carry the bench
-    // signal.
+    // q_stream_agg, q_stream_bm25 and q_stream_dedup_hist are excluded:
+    // each spins up a real multi-micro-batch Structured Streaming run
+    // over a MemoryStream harness feed — checkpoint + sink state
+    // lifecycle cost, not query serving; their batch-equivalents
+    // q_upsert_latest / q_dedup_key / q_stream_tumbling / q_agg_basic /
+    // q_text_bm25 / q_dedup_exact carry the bench signal.
     // q_cdc_unwrap is excluded: it re-runs the q_upsert_latest
     // latest-per-key window over an in-plan envelope wrap/unwrap —
     // benching it would double-count that stage)

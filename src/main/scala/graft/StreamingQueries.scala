@@ -228,6 +228,49 @@ object StreamingQueries extends QueryPack {
       s.read.parquet(state)
         .select("event_type", "user_id", "n", "sum_value")
         .orderBy("event_type", "user_id")
+    }),
+
+    // T7+L1 END-TO-END UNDER THE ORACLE: continuous exact dedup against
+    // the FULL corpus history ([[Streaming.dedupAgainstHistorySink]] —
+    // hash-bucketed append-only seen-store, per-batch anti-join,
+    // compactEvery = 2 fires the store compaction swap mid-run). Each
+    // batch resends the previous batch's tail, so the history anti-join
+    // provably suppresses cross-batch duplicates at EVERY scale factor
+    // (sf0.1 also carries 8 genuine duplicate texts). The output rows
+    // reduce to content md5s — which batch-internal row of a duplicate
+    // text survives is parallelism-dependent, but its CONTENT is not —
+    // so the appended corpus must equal exactly the distinct text set: a
+    // duplicate slipping the anti-join, a store hash lost by compaction
+    // (re-emission later), or a dropped novel row all move the hash.
+    "q_stream_dedup_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .as[(Long, String)]
+        .collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-dhist").toString
+      val out = s"$scratch/out"
+      val stream = MemoryStream[(Long, String)]
+      val q = Streaming.dedupAgainstHistorySink(
+        stream.toDF().toDF("doc_id", "text"), "text", out,
+        s"$scratch/store", s"$scratch/ckpt", numBuckets = 16,
+        compactEvery = 2).start()
+      val slices = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val resend =
+          if (i == 0) Seq.empty[(Long, String)]
+          else slices(i - 1).takeRight(5).toSeq
+        stream.addData(resend ++ slice)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(out)
+        .select(md5(col("text")).as("text_md5"))
+        .orderBy("text_md5")
     })
   )
 
@@ -295,6 +338,12 @@ object StreamingQueries extends QueryPack {
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
         |    AS sum_value
         |FROM events GROUP BY event_type, user_id
-        |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
+    // duplicates resent across batches (plus sf0.1's 8 genuine ones)
+    // must all be suppressed: the deduped corpus = the distinct text set
+    "q_stream_dedup_hist" ->
+      """SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        |ORDER BY text_md5 NULLS FIRST""".stripMargin
   )
 }
