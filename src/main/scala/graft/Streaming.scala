@@ -23,18 +23,35 @@ import org.apache.spark.sql.Row
 object Streaming {
 
   /** Broker stand-in loop shared by the oracled streaming keys
-    * (q_stream_upsert/_agg/_bm25): feed `rows` into a MemoryStream in
-    * `batches` roughly equal, order-preserving slices, draining the
-    * running query after each, then stop it. Harness scaffolding for
-    * the driver contract, not operator cost — the sinks under test do
-    * the distributed work.
+    * (q_stream_upsert/_agg/_bm25/_dedup_hist): feed `rows` into a
+    * MemoryStream in `batches` roughly equal, order-preserving slices,
+    * draining the running query after each, then stop it. Harness
+    * scaffolding for the driver contract, not operator cost — the
+    * sinks under test do the distributed work.
+    *
+    * `resendPrior` > 0 (DEDUP-shaped sinks only — an additive sink
+    * would double-count): each batch after the first is prefixed with
+    * an every-Nth deterministic sample of ≈`resendPrior` rows drawn
+    * from ALL prior slices, so the sink must suppress duplicates whose
+    * state entered the store in ANY earlier batch — including before a
+    * mid-run store compaction, which puts compaction durability across
+    * the store's hash buckets on the oracle path, not just the last
+    * batch's tail.
     */
   def feedMemoryBatches[T](
       stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       rows: Seq[T], q: org.apache.spark.sql.streaming.StreamingQuery,
-      batches: Int = 3): Unit = {
-    rows.grouped(math.max(1, rows.length / batches + 1)).foreach { s =>
-      stream.addData(s)
+      batches: Int = 3, resendPrior: Int = 0): Unit = {
+    val slices = rows.grouped(math.max(1, rows.length / batches + 1)).toSeq
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val prior = slices.take(i).flatten
+      val resend =
+        if (resendPrior <= 0 || prior.isEmpty) Seq.empty[T]
+        else {
+          val step = math.max(1, prior.length / resendPrior)
+          prior.indices.by(step).map(prior).toSeq
+        }
+      stream.addData(resend ++ slice)
       q.processAllAvailable()
     }
     q.stop()

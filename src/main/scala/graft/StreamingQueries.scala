@@ -234,14 +234,18 @@ object StreamingQueries extends QueryPack {
     // the FULL corpus history ([[Streaming.dedupAgainstHistorySink]] —
     // hash-bucketed append-only seen-store, per-batch anti-join,
     // compactEvery = 2 fires the store compaction swap mid-run). Each
-    // batch resends the previous batch's tail, so the history anti-join
-    // provably suppresses cross-batch duplicates at EVERY scale factor
-    // (sf0.1 also carries 8 genuine duplicate texts). The output rows
-    // reduce to content md5s — which batch-internal row of a duplicate
-    // text survives is parallelism-dependent, but its CONTENT is not —
-    // so the appended corpus must equal exactly the distinct text set: a
-    // duplicate slipping the anti-join, a store hash lost by compaction
-    // (re-emission later), or a dropped novel row all move the hash.
+    // batch after the first resends a ~32-row every-Nth sample of ALL
+    // prior rows (feedMemoryBatches resendPrior), so the history
+    // anti-join must suppress duplicates whose hashes landed across the
+    // store's buckets in ANY earlier batch — batch 2's resends probe
+    // the store AFTER the compaction swap, putting compaction
+    // durability on the oracle path (sf0.1 also carries 8 genuine
+    // duplicate texts). The output rows reduce to content md5s — which
+    // batch-internal row of a duplicate text survives is
+    // parallelism-dependent, but its CONTENT is not — so the appended
+    // corpus must equal exactly the distinct text set: a duplicate
+    // slipping the anti-join, a store hash lost by compaction
+    // (re-emission), or a dropped novel row all move the hash.
     "q_stream_dedup_hist" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -251,26 +255,28 @@ object StreamingQueries extends QueryPack {
         .orderBy("doc_id")
         .as[(Long, String)]
         .collect()
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft-stream-dhist").toString
-      val out = s"$scratch/out"
-      val stream = MemoryStream[(Long, String)]
-      val q = Streaming.dedupAgainstHistorySink(
-        stream.toDF().toDF("doc_id", "text"), "text", out,
-        s"$scratch/store", s"$scratch/ckpt", numBuckets = 16,
-        compactEvery = 2).start()
-      val slices = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val resend =
-          if (i == 0) Seq.empty[(Long, String)]
-          else slices(i - 1).takeRight(5).toSeq
-        stream.addData(resend ++ slice)
-        q.processAllAvailable()
+      if (rows.isEmpty) {
+        // empty fixture: the oracle returns zero rows; match its shape
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("text_md5",
+              org.apache.spark.sql.types.StringType))))
+      } else {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-stream-dhist").toString
+        val out = s"$scratch/out"
+        val stream = MemoryStream[(Long, String)]
+        val q = Streaming.dedupAgainstHistorySink(
+          stream.toDF().toDF("doc_id", "text"), "text", out,
+          s"$scratch/store", s"$scratch/ckpt", numBuckets = 16,
+          compactEvery = 2).start()
+        Streaming.feedMemoryBatches(stream, rows.toSeq, q,
+                                    resendPrior = 32)
+        s.read.parquet(out)
+          .select(md5(col("text")).as("text_md5"))
+          .orderBy("text_md5")
       }
-      q.stop()
-      s.read.parquet(out)
-        .select(md5(col("text")).as("text_md5"))
-        .orderBy("text_md5")
     })
   )
 
