@@ -60,7 +60,14 @@ object Bench {
     // (q_decontaminate_3gram is excluded: it re-runs the same
     // decontaminate broadcast-join shape at n=3 — benching it would
     // double-count the stage q_decontaminate above already times)
-    "q_dedup_components", "q_dedup_cluster_keep", "q_dedup_embed",
+    // q_dedup_components_star is the PRODUCTION connected-components
+    // path (star contraction, O(log n) rounds) — the one the bench
+    // should watch for drift. The O(diameter) label-prop twin
+    // q_dedup_components is excluded: it exists as the components
+    // ORACLE BASELINE (throws on non-convergence) that users should
+    // not run at scale; benching it measured drift on the wrong plan
+    // for four rounds.
+    "q_dedup_components_star", "q_dedup_cluster_keep", "q_dedup_embed",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
     // (PQ / IVF-PQ serve through their recall-certificate keys since
@@ -80,18 +87,23 @@ object Bench {
     "q_text_chunk",
     // closed-form stats + array sequence functions
     "q_agg_ols", "q_array_seq", "q_agg_winsorize",
-    // streaming batch-equivalents + semi-structured + sampling
-    // (q_stream_upsert, q_stream_dedup, q_stream_watermark,
-    // q_stream_agg, q_stream_bm25 and q_stream_dedup_hist are excluded:
-    // each spins up a real multi-micro-batch Structured Streaming run
+    // semi-structured + sampling
+    // (ALL q_stream_* keys are excluded since r12: every one —
+    // q_stream_upsert, q_stream_dedup, q_stream_watermark,
+    // q_stream_agg, q_stream_bm25, q_stream_dedup_hist, and now the
+    // executed q_stream_tumbling / q_stream_sliding / q_stream_session
+    // — spins up a real multi-micro-batch Structured Streaming run
     // over a MemoryStream harness feed — checkpoint + sink state
-    // lifecycle cost, not query serving; their batch-equivalents
-    // q_upsert_latest / q_dedup_key / q_stream_tumbling / q_agg_basic /
-    // q_text_bm25 / q_dedup_exact carry the bench signal.
+    // lifecycle cost, not query serving. The batch shapes carry the
+    // bench signal: q_upsert_latest / q_dedup_key / q_dedup_exact /
+    // q_agg_basic / q_text_bm25 for the sinks, q_agg_by_day (the
+    // date-trunc tumbling grouping) for windowed counts, and
+    // q_funnel / q_path_analysis for the per-user ordered-window
+    // shape sessionization reduces to.
     // q_cdc_unwrap is excluded: it re-runs the q_upsert_latest
     // latest-per-key window over an in-plan envelope wrap/unwrap —
     // benching it would double-count that stage)
-    "q_stream_tumbling", "q_stream_session", "q_json_extract", "q_variant",
+    "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
     "q_projection_route", "q_pipeline_shard",
     // (q_projection_route_filtered re-runs q_projection_route's build +

@@ -61,7 +61,39 @@ object ClickHouse {
       else if (t.startsWith("Array(") && t.endsWith(")"))
         parseChType(t.stripPrefix("Array(").stripSuffix(")"))
           .map { case (d, n) => (ArrayType(d, containsNull = n), false) }
+      else if (t.startsWith("Map(") && t.endsWith(")"))
+        splitTopLevel(t.stripPrefix("Map(").stripSuffix(")")) match {
+          case Seq(k, v) =>
+            for {
+              (kd, kNull) <- parseChType(k)
+              (vd, vNull) <- parseChType(v)
+              if !kNull // CH map keys are never Nullable
+            } yield (MapType(kd, vd, valueContainsNull = vNull), false)
+          case _ => None
+        }
       else scalarChType(t).map((_, false))
+    }
+
+    /** split "K, V" on the top-level comma only — nested parameterized
+      * types (`Map(String, Decimal(10, 2))`) carry commas of their own
+      */
+    private def splitTopLevel(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            out += s.substring(start, i); start = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += s.substring(start)
+      out.result().map(_.trim)
     }
 
     private def scalarChType(base: String): Option[DataType] = base match {
@@ -113,6 +145,32 @@ object ClickHouse {
             else inner.databaseTypeDefinition
             JdbcType(s"Array($elem)", java.sql.Types.ARRAY)
         }
+      // the events table's parsed `props` shape is MapType(String,
+      // String) — ClickHouse's native `Map(K, V)`. Keys are restricted
+      // by CH to string/integer/date-time-ish types and are never
+      // Nullable (Spark map keys can't be null either — aligned);
+      // values may wrap as Nullable(V), but Nullable(Map(...)) and
+      // Nullable/composite KEYS have no legal CH spelling and stay
+      // unmapped (clear error upstream, same policy as Array).
+      case MapType(kt, vt, valueContainsNull) =>
+        val keyOk = kt match {
+          case StringType | ShortType | IntegerType | LongType |
+               DateType | TimestampType => true
+          case _ => false
+        }
+        if (!keyOk) None
+        else for {
+          k <- getJDBCType(kt)
+          v <- getJDBCType(vt)
+          if !(valueContainsNull &&
+               (vt.isInstanceOf[ArrayType] || vt.isInstanceOf[MapType]))
+        } yield {
+          val value = if (valueContainsNull)
+            s"Nullable(${v.databaseTypeDefinition})"
+          else v.databaseTypeDefinition
+          JdbcType(s"Map(${k.databaseTypeDefinition}, $value)",
+                   java.sql.Types.OTHER)
+        }
       case _ => None
     }
 
@@ -145,12 +203,15 @@ object ClickHouse {
         .getOrElse(throw new IllegalArgumentException(
           s"no ClickHouse mapping for column ${f.name}: ${f.dataType}")))
     if (f.nullable) {
-      // ClickHouse rejects Nullable(Array(...)) — the CH idiom for an
-      // absent array is the empty array; the schema must say so
-      require(!f.dataType.isInstanceOf[ArrayType],
+      // ClickHouse rejects Nullable(Array(...)) and Nullable(Map(...))
+      // — the CH idiom for an absent collection is the empty one; the
+      // schema must say so
+      require(!f.dataType.isInstanceOf[ArrayType] &&
+              !f.dataType.isInstanceOf[MapType],
         s"column ${f.name}: ClickHouse does not support " +
-        "Nullable(Array(...)) — mark the array column non-nullable " +
-        "(empty array is the ClickHouse idiom for absent)")
+        s"Nullable(${f.dataType.simpleString}) — mark the collection " +
+        "column non-nullable (the empty collection is the ClickHouse " +
+        "idiom for absent)")
       s"Nullable($base)"
     } else base
   }

@@ -394,17 +394,24 @@ object LlmOps {
     * shingle set BROADCASTS and the corpus streams through one hash
     * equi-join keyed on the shingle — no corpus self-join, no shuffle
     * of the corpus text; cost is O(corpus shingles) + the broadcast
-    * build. (Same shingle relation as [[ngramJaccardPairs]]; contrast
-    * with [[ngramContainmentPairs]], which mines containment WITHIN
-    * one corpus and must self-join.)
+    * build. Both sides hash their shingles to 64-bit BEFORE the join
+    * (the [[shingleRelation]] discipline): at a real eval-suite size
+    * (10⁵ docs × k-gram fan-out) broadcasting raw k-token STRINGS is
+    * several× the bytes of the 8-byte hashed form, and the broadcast
+    * build is the one driver/executor-memory-bound piece of the plan.
+    * xxhash64 is injective on this corpus (pinned by `q_hash_xx`'s
+    * collision oracle), so the distinct-hit count is unchanged.
+    * (Contrast with [[ngramContainmentPairs]], which mines containment
+    * WITHIN one corpus and must self-join.)
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, shingleK: Int): DataFrame = {
     def sh(df: DataFrame) = df.select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("sh"))
     sh(docs)
-      .join(broadcast(sh(evalDocs).select("s").distinct()), "s")
+      .join(broadcast(sh(evalDocs).select("sh").distinct()), "sh")
       .groupBy("doc")
       // count(1) IS the distinct-hit count: [[shingles]] dedups per doc
       // and the broadcast side is distinct, so no joined row repeats

@@ -528,19 +528,35 @@ object Sources {
 
   private[graft] val CompactTmpSuffix = ".compact.tmp"
 
+  /** Completeness seal for the compaction tmp: created INSIDE the tmp
+    * only after the parquet write AND the marker copy finished, so its
+    * presence — not the live dir's existence — is the proof the tmp is
+    * promotable. `fs.delete(liveDir)` is not atomic on local FS or
+    * object stores: a crash mid-delete leaves a PARTIAL live dir next
+    * to the complete tmp, and a recovery that trusted "live exists ⇒
+    * live complete" would drop the only complete copy.
+    */
+  private[graft] val CompactCompleteTag = "_graft_compact_complete"
+
   def compactPartitionedDir(spark: SparkSession, dir: String,
                             partitionCol: String): Unit = {
     // whole-dir tmp→rename swap, NOT an in-place dynamic overwrite: the
     // in-place commit deletes each target partition dir before renaming
     // its replacement in, so a crash inside that window LOSES the
     // partition outright — and compaction runs after the batch marker,
-    // so nothing would ever retry it. With the swap, a crash leaves
-    // either the complete old dir or the complete new one;
-    // [[recoverCompactedDir]] (called by consumers before reading)
-    // promotes a stranded complete tmp.
+    // so nothing would ever retry it. With the swap + the
+    // [[CompactCompleteTag]] seal, a crash leaves either the complete
+    // old dir (tmp unsealed → dropped) or a sealed complete tmp;
+    // [[recoverCompactedDir]] (called by consumers before reading, and
+    // here on entry) promotes a sealed tmp — finishing the live-dir
+    // delete if the crash tore it — and discards an unsealed one.
     val p = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a prior compaction may have crashed mid-swap: promote/discard its
+    // tmp BEFORE reading (reading a half-deleted live dir would bake
+    // the loss into the new compacted copy)
+    recoverCompactedDir(spark, dir)
     val current = spark.read.parquet(dir)
       .repartition(col(partitionCol))
       .localCheckpoint() // cut the scan lineage: we replace the source
@@ -560,15 +576,28 @@ object Sources {
         fs, markers, fs,
         new org.apache.hadoop.fs.Path(tmp, "_graft_commits"),
         false, spark.sparkContext.hadoopConfiguration)
+    // seal LAST, after data + markers — from here on the tmp, not the
+    // live dir, is the authoritative copy
+    fs.create(new org.apache.hadoop.fs.Path(tmp, CompactCompleteTag),
+              true).close()
     fs.delete(p, true)
     fs.rename(tmp, p)
+    // best-effort hygiene: the seal rode the rename into the live dir;
+    // underscore-prefixed so readers ignore it either way
+    fs.delete(new org.apache.hadoop.fs.Path(p, CompactCompleteTag), false)
   }
 
   /** Crash recovery for [[compactPartitionedDir]]'s swap — call before
-    * reading a compacted store: a crash between the swap's delete and
-    * rename leaves only the complete tmp (promote it); a crash before
-    * the delete leaves the complete dir plus a duplicate tmp (drop the
-    * tmp — reading both would double every row).
+    * reading a compacted store. A SEALED tmp (carries
+    * [[CompactCompleteTag]]) is complete and strictly as-new-as the
+    * live dir, while the live dir may be HALF-DELETED (fs.delete is
+    * not atomic) — so a sealed tmp is promoted unconditionally: finish
+    * deleting whatever remains of the live dir, then rename. An
+    * unsealed tmp is a torn compaction write; the live dir is still
+    * fully intact (the seal precedes the delete), so drop the tmp —
+    * reading both would double every row. Unsealed tmp with NO live
+    * dir only arises for stores written before the seal existed;
+    * promote it as the only copy (the pre-seal recovery semantics).
     */
   private[graft] def recoverCompactedDir(spark: SparkSession,
                                          dir: String): Unit = {
@@ -576,7 +605,14 @@ object Sources {
     val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) {
-      if (fs.exists(p)) fs.delete(tmp, true)
+      val tmpSealed =
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, CompactCompleteTag))
+      if (tmpSealed) {
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(tmp, p)
+        fs.delete(new org.apache.hadoop.fs.Path(p, CompactCompleteTag),
+                  false)
+      } else if (fs.exists(p)) fs.delete(tmp, true)
       else fs.rename(tmp, p)
     }
   }

@@ -42,17 +42,25 @@ object Streaming {
       stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       rows: Seq[T], q: org.apache.spark.sql.streaming.StreamingQuery,
       batches: Int = 3, resendPrior: Int = 0): Unit = {
-    val slices = rows.grouped(math.max(1, rows.length / batches + 1)).toSeq
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val prior = slices.take(i).flatten
+    // index-arithmetic slicing: beyond the caller's `rows` (the
+    // documented broker stand-in), the driver retains NOTHING — no
+    // materialized slice list, and the every-Nth prior-row resend
+    // sample (~resendPrior rows probing cross-batch dedup/merge state)
+    // is recomputed per batch as O(resendPrior) index lookups into
+    // `rows` instead of re-flattening all prior slices
+    val n = rows.length
+    val sliceLen = math.max(1, n / batches + 1)
+    var start = 0
+    while (start < n) {
       val resend =
-        if (resendPrior <= 0 || prior.isEmpty) Seq.empty[T]
+        if (resendPrior <= 0 || start == 0) Seq.empty[T]
         else {
-          val step = math.max(1, prior.length / resendPrior)
-          prior.indices.by(step).map(prior).toSeq
+          val step = math.max(1, start / resendPrior)
+          (0 until start by step).map(rows)
         }
-      stream.addData(resend ++ slice)
+      stream.addData(resend ++ rows.slice(start, math.min(n, start + sliceLen)))
       q.processAllAvailable()
+      start += sliceLen
     }
     q.stop()
   }
@@ -97,6 +105,140 @@ object Streaming {
     if (touched.exists(_ == null)) base || c.isNull else base
   }
 
+  /** True iff `dir` carries a completion tag — a `_merged_*` file (the
+    * swap sinks' seal) or [[Sources.CompactCompleteTag]] (the
+    * whole-dir compaction's). The tag is created INSIDE the tmp only
+    * after its parquet write finished, so tag presence — never the
+    * live dir's mere existence — is the proof a tmp is complete and
+    * promotable/servable.
+    */
+  private[graft] def hasMergedTag(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) &&
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("_merged_") || n == Sources.CompactCompleteTag
+      }
+
+  /** Entry recovery for the tagged tmp→live swap shared by the scatter /
+    * k-means / projection / inverted-index sinks. Two torn-crash shapes:
+    *
+    *  - TAGGED tmp: complete and strictly newer than whatever remains of
+    *    the live dir. The swap's `fs.delete(live)` is NOT atomic — a
+    *    crash mid-delete leaves a PARTIAL live dir, so "live exists ⇒
+    *    keep live" would re-merge against half a store (or, on the
+    *    first seeding batch where live never existed, an unconditional
+    *    promote would install a torn tmp). Promote unconditionally:
+    *    finish deleting the live dir, then rename.
+    *  - UNTAGGED tmp: the writer died before sealing it — the live dir
+    *    (if the store ever seeded) is still fully intact, and on a
+    *    first-batch crash neither dir exists and the replay recomputes.
+    *    Drop the tmp.
+    */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 live: org.apache.hadoop.fs.Path,
+                                 tmp: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(tmp)) {
+      if (hasMergedTag(fs, tmp)) {
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(tmp, live)
+      } else fs.delete(tmp, true)
+    }
+
+  /** Idempotent per-batch append — the effectively-once replacement for
+    * `mode("append")` on a replayable micro-batch: the batch
+    * materializes BESIDE the destination, then its files move in under
+    * deterministic `batch<id>-<i>` names (optionally inside single-level
+    * `partitionBy` hive dirs), a replay clearing its own name prefix
+    * first. A plain append writes fresh UUID part files, so a crash
+    * between the append and the batch marker would duplicate the
+    * batch's rows on replay; with deterministic names the replayed
+    * append overwrites exactly itself.
+    */
+  private[graft] def idempotentAppend(batch: DataFrame, dir: String,
+                                      batchId: Long,
+                                      partitionCol: Option[String] = None)
+      : Unit = {
+    val spark = batch.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + s".batch$batchId.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = batch.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
+    val prefix = s"batch$batchId-"
+    def moveIn(from: org.apache.hadoop.fs.Path,
+               to: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(to)
+      fs.listStatus(to)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.listStatus(from)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName) // stable task-file order across replays
+        .zipWithIndex
+        .foreach { case (st, i) =>
+          fs.rename(st.getPath,
+                    new org.apache.hadoop.fs.Path(to, f"$prefix$i%05d.parquet"))
+        }
+    }
+    partitionCol match {
+      case None => moveIn(tmp, dst)
+      case Some(c) =>
+        fs.listStatus(tmp)
+          .filter(st => st.isDirectory &&
+                        st.getPath.getName.startsWith(c + "="))
+          .foreach(st => moveIn(
+            st.getPath,
+            new org.apache.hadoop.fs.Path(dst, st.getPath.getName)))
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Staged, RESUMABLE overwrite of the touched `partitionCol`
+    * partitions of a state store — the crash-safe replacement for an
+    * in-place dynamic partition overwrite, whose commit deletes each
+    * target partition dir before renaming its replacement in: a crash
+    * inside that window loses the partition outright, and a replay
+    * that recomputes against the half-committed store bakes the loss
+    * in. Here `merged` (the complete post-merge content of every
+    * touched partition, computed from PRE-batch state) stages beside
+    * the store under `<stateDir><stagingSuffix>` with a `_complete`
+    * tag, then exactly those partition dirs swap in (delete target,
+    * rename staged — each partition flips atomically). A replay that
+    * finds the tag skips the recompute and RESUMES the swap
+    * (already-renamed partitions are simply no longer listed in the
+    * staging dir). The staging dir is NOT cleaned here: callers whose
+    * merge is non-idempotent must commit their batch marker BEFORE
+    * deleting it (see [[mergeTouchedPartitions]]); idempotent callers
+    * ([[upsertBatch]]) delete it right after.
+    */
+  private[graft] def stagedPartitionSwap(
+      spark: SparkSession, stateDir: String, partitionCol: String,
+      stagingSuffix: String)(merged: => DataFrame)
+      : org.apache.hadoop.fs.Path = {
+    val state = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + stagingSuffix)
+    val tag = new org.apache.hadoop.fs.Path(tmp, "_complete")
+    if (!fs.exists(tag)) {
+      val m = merged
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      m.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(tmp.toString)
+      fs.create(tag, true).close()
+    }
+    fs.mkdirs(state)
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory &&
+                    st.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(state, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    tmp
+  }
+
   /** Crash-safe ADDITIVE merge of one batch into a hive-partitioned
     * state store — the write discipline behind the incremental-agg /
     * distinct / top-k / EMA sinks. The in-place dynamic overwrite those
@@ -121,9 +263,7 @@ object Streaming {
       batchId: Long)(merged: => DataFrame): Unit = {
     val state = new org.apache.hadoop.fs.Path(stateDir)
     val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      stateDir + s".merge_batch=$batchId")
-    val tag = new org.apache.hadoop.fs.Path(tmp, "_complete")
+    val suffix = s".merge_batch=$batchId"
     // stranded staging of a PRIOR batch (crash between its marker and
     // cleanup) is safe to drop: were that batch uncommitted, the engine
     // would be replaying IT right now, not this one
@@ -132,33 +272,22 @@ object Streaming {
       val prefix = state.getName + ".merge_batch="
       fs.listStatus(parent).map(_.getPath)
         .filter(p => p.getName.startsWith(prefix) &&
-                     p.getName != tmp.getName)
+                     p.getName != state.getName + suffix)
         .foreach(p => fs.delete(p, true))
     }
-    if (!fs.exists(tag)) {
-      val m = merged
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      m.write.mode("overwrite").partitionBy(partitionCol)
-        .parquet(tmp.toString)
-      fs.create(tag, true).close()
-    }
-    fs.mkdirs(state)
-    fs.listStatus(tmp)
-      .filter(st => st.isDirectory &&
-                    st.getPath.getName.startsWith(partitionCol + "="))
-      .foreach { st =>
-        val dst = new org.apache.hadoop.fs.Path(state, st.getPath.getName)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(st.getPath, dst)
-      }
+    val tmp = stagedPartitionSwap(spark, stateDir, partitionCol,
+                                  suffix)(merged)
     markCommitted(spark, stateDir, batchId)
     fs.delete(tmp, true)
   }
 
   /** T1/T2: continuous ingest — append each micro-batch to a parquet dir
     * (the MV's `TO shop.users` insert) with exactly-once progress:
-    * checkpointing bounds re-delivery to the in-flight batch and the
-    * commit marker makes the replayed append a no-op.
+    * checkpointing bounds re-delivery to the in-flight batch, the
+    * commit marker makes a fully-committed replay a no-op, and the
+    * [[idempotentAppend]] deterministic file names make a replay INSIDE
+    * the append→marker crash window overwrite itself instead of
+    * duplicating the batch's rows.
     */
   def appendSink(df: DataFrame, outDir: String, checkpoint: String)
       : DataStreamWriter[Row] =
@@ -167,7 +296,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!alreadyCommitted(batch.sparkSession, outDir, batchId)) {
-          batch.write.mode("append").parquet(outDir)
+          idempotentAppend(batch, outDir, batchId)
           markCommitted(batch.sparkSession, outDir, batchId)
         }
       }
@@ -230,6 +359,8 @@ object Streaming {
                                  keys: Seq[String], version: Seq[String],
                                  numBuckets: Int): Unit = {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withBucket = batch.withColumn("__bucket",
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int"))
     // ≤ numBuckets small ints — a bounded driver-side list, not data
@@ -237,31 +368,42 @@ object Streaming {
       .collect().map(_.getInt(0)).toSeq
     // an EMPTY batch (routine for a multi-table route whose topic is
     // quiet this batch) merges nothing — and must not create an
-    // empty/parquet-less store a later read would choke on
+    // empty/parquet-less store a later read would choke on. A tagged
+    // staging can't be stranded here either: the engine only delivers
+    // an empty batch after the prior batch's foreachBatch RETURNED,
+    // which deletes its staging last.
     if (touched.isEmpty) return
-    val current =
-      try spark.read.parquet(stateDir)
-        .filter(col("__bucket").isin(touched: _*)) // partition-pruned
-        // eager materialization of ONLY the touched buckets: cuts the
-        // file-scan lineage so the dynamic overwrite below isn't
-        // "overwriting a path being read", without a temp-dir rename
-        .localCheckpoint()
-      catch {
-        // first batch only: state dir doesn't exist yet (or holds no
-        // parquet to infer from). Anything else (permission, corrupt
-        // footer, ...) must surface.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-               e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], withBucket.schema)
-      }
-    Cdc.latest(current.unionByName(withBucket), keys, version.map(col))
-      .sortWithinPartitions(keys.map(col): _*)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(stateDir)
+    // staged swap, not an in-place dynamic overwrite: the in-place
+    // commit's delete→rename window can LOSE a bucket, and the replay's
+    // recompute against the torn store would bake the loss in (the
+    // pre-batch keys of that bucket absent from this batch vanish). The
+    // fixed staging name is safe — micro-batches are serialized per
+    // query and multi-table legs write disjoint store dirs — and the
+    // merge is an idempotent collapse, so resume-without-recompute on
+    // replay converges without commit markers.
+    val staging = stagedPartitionSwap(spark, stateDir, "__bucket",
+                                      ".merge_upsert") {
+      val current =
+        try spark.read.parquet(stateDir)
+          .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+          // eager materialization of ONLY the touched buckets: cuts the
+          // file-scan lineage so the swap below isn't replacing a path
+          // being read
+          .localCheckpoint()
+        catch {
+          // first batch only: state dir doesn't exist yet (or holds no
+          // parquet to infer from). Anything else (permission, corrupt
+          // footer, ...) must surface.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], withBucket.schema)
+        }
+      Cdc.latest(current.unionByName(withBucket), keys, version.map(col))
+        .sortWithinPartitions(keys.map(col): _*)
+    }
+    fs.delete(staging, true)
   }
 
   /** Per-table route for [[multiTableSink]]. `topic` selects the
@@ -471,28 +613,11 @@ object Streaming {
     val proj = new org.apache.hadoop.fs.Path(projDir)
     val tmp = new org.apache.hadoop.fs.Path(projDir + ".tmp")
     val fs = proj.getFileSystem(hc)
-    // crash recovery: the swap below can die between delete and
-    // rename — if only the complete tmp copy exists, promote it
-    // before reading state
-    if (!fs.exists(proj) && fs.exists(tmp)) fs.rename(tmp, proj)
+    // crash recovery for the tagged swap (torn tmp writes, half-deleted
+    // live dirs): promote a tagged tmp, drop an untagged one
+    recoverSwap(fs, proj, tmp)
     // (1) idempotent base append
-    val basePath = new org.apache.hadoop.fs.Path(baseDir)
-    val baseTmp = new org.apache.hadoop.fs.Path(
-      baseDir + s".batch$batchId.tmp")
-    batch.write.mode("overwrite").parquet(baseTmp.toString)
-    fs.mkdirs(basePath)
-    val prefix = s"batch$batchId-"
-    fs.listStatus(basePath)
-      .filter(_.getPath.getName.startsWith(prefix))
-      .foreach(st => fs.delete(st.getPath, false))
-    fs.listStatus(baseTmp)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex
-      .foreach { case (st, i) =>
-        fs.rename(st.getPath,
-                  new org.apache.hadoop.fs.Path(basePath, f"$prefix$i%05d.parquet"))
-      }
-    fs.delete(baseTmp, true)
+    idempotentAppend(batch, baseDir, batchId)
     // (2) merge partials — unless this batch's tag says it already did
     val tag = s"_merged_$batchId"
     if (!fs.exists(new org.apache.hadoop.fs.Path(proj, tag))) {
@@ -582,24 +707,64 @@ object Streaming {
                                 lateness: String): DataFrame =
     tumblingCounts(df.withWatermark(tsCol, lateness), col(tsCol), width)
 
+  /** T4 under a watermark — the streaming-executable form of
+    * [[slidingCounts]] (append mode needs the watermark to finalize
+    * windows; per-window state is bounded by lateness/slide).
+    */
+  def watermarkedSlidingCounts(df: DataFrame, tsCol: String, width: String,
+                               slide: String, lateness: String): DataFrame =
+    slidingCounts(df.withWatermark(tsCol, lateness), col(tsCol), width,
+                  slide)
+
+  /** T5 under a watermark: true streaming sessionization —
+    * `session_window` keeps per-(user, open-session) state across
+    * micro-batches and MERGES sessions when a later batch's row lands
+    * inside the gap of an open one (the cross-batch semantics the
+    * batch [[sessionStats]] gets for free from a global sort). The
+    * summed value arrives pre-integerized (`value_e4` on the floor-e4
+    * grid) so the cross-batch merge order can never move a result
+    * bit — long addition is exact and associative, double addition is
+    * not. Append mode emits a session only once its gap has closed
+    * under the watermark.
+    */
+  def watermarkedSessionStats(df: DataFrame, tsCol: String, gap: String,
+                              lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value_e4").as("sum_value_e4"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+              col("n"), col("sum_value_e4"))
+
   /** T7+L1: continuous exact dedup against the FULL corpus history — each
     * micro-batch keeps only rows whose content hash has never been seen,
     * appends them to `outDir`, and records their hashes in a seen-store.
-    * The store is hash-bucketed (`__bucket = pmod(hash, numBuckets)` hive
-    * partitions) and APPEND-ONLY: a batch partition-prunes its read to
-    * the buckets it touches and appends only novel hashes, so per-batch
-    * cost is O(touched buckets), no rewrite ever — the incremental form
-    * of `q_dedup_exact` that a standing 100 TB corpus needs (new shards
-    * dedup against years of history without rescanning it).
+    * The store is per-batch hive partitions with hash-bucket
+    * sub-partitions (`batch=<id>/__bucket=<pmod(hash,numBuckets)>`): a
+    * batch partition-prunes its candidate read to the buckets it
+    * touches and writes only novel hashes under its OWN partition, so
+    * per-batch cost is O(touched buckets), no rewrite ever — the
+    * incremental form of `q_dedup_exact` that a standing 100 TB corpus
+    * needs (new shards dedup against years of history without
+    * rescanning it).
     *
-    * `compactEvery` > 0 folds store hygiene into the lifecycle: every
-    * N-th batch rewrites each store bucket to one file
-    * ([[Sources.compactPartitionedDir]]). Without it, O(10⁴) batches
-    * leave thousands of small files per bucket and the candidate-lookup
-    * read amplifies on listing + task scheduling. Running inside
-    * foreachBatch means the single writer is quiesced by construction;
-    * content is identical before/after, so a crash mid-compaction at
-    * worst re-runs it.
+    * Replay safety, effectively-once on BOTH legs: the candidate read
+    * EXCLUDES the batch's own store partition, so a replay always
+    * anti-joins against exactly the pre-batch history and recomputes
+    * the same novel set regardless of where the crashed attempt died;
+    * the outDir append is an [[idempotentAppend]] (deterministic file
+    * names, replay overwrites itself); the store write is an overwrite
+    * of the batch's own partition dir. The marker commits last.
+    *
+    * `compactEvery` > 0 folds store hygiene into the lifecycle: at the
+    * START of every N-th batch, all prior partitions consolidate into
+    * one merged `batch=-1` history partition (still bucket
+    * sub-partitioned) through the tagged tmp→rename swap
+    * ([[recoverSwap]] promotes a complete tmp, discards a torn one).
+    * Without compaction, O(10⁴) batches leave thousands of small files
+    * per bucket and the candidate-lookup read amplifies on listing +
+    * task scheduling. Running inside foreachBatch means the single
+    * writer is quiesced by construction; content is identical
+    * before/after, so a crash mid-compaction at worst re-runs it.
     */
   def dedupAgainstHistorySink(df: DataFrame, contentCol: String,
                               outDir: String, storeDir: String,
@@ -610,53 +775,81 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // the seen-store anti-join already makes a FULL replay a no-op;
-        // the marker closes the partial-failure window (outDir appended,
-        // store append crashed → replay would re-append the rows)
-        if (!alreadyCommitted(spark, outDir, batchId)) {
-          val hashed = batch
-            .withColumn("__h", xxhash64(col(contentCol)))
-            .withColumn("__bucket",
-                        pmod(col("__h"), lit(numBuckets)).cast("int"))
-            // first occurrence within the batch wins
-            .dropDuplicates("__h")
-          val touched = hashed.select("__bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          // a prior compaction swap may have crashed mid-rename: promote
-          // the stranded store before the PATH_NOT_FOUND fallback could
-          // misread it as an empty history
-          Sources.recoverCompactedDir(spark, storeDir)
-          val seen =
-            try spark.read.parquet(storeDir)
-              .filter(col("__bucket").isin(touched: _*)) // partition-pruned
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition == "PATH_NOT_FOUND" =>
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField(
-                      "__h", org.apache.spark.sql.types.LongType),
-                    org.apache.spark.sql.types.StructField(
-                      "__bucket", org.apache.spark.sql.types.IntegerType))))
-            }
-          val novel = hashed
-            .join(seen.select(col("__h")), Seq("__h"), "left_anti")
-            .localCheckpoint() // two writes below; mine the batch once
-          // outDir BEFORE store: a crash between the two replays the batch
-          // with the hashes still absent from the store → duplicate rows
-          // in outDir (at-least-once on that batch). The reverse order
-          // would make the replayed anti-join drop the rows → data loss.
-          novel.drop("__h", "__bucket")
-            .write.mode("append").parquet(outDir)
-          novel.select(col("__h"), col("__bucket"))
-            .write.mode("append").partitionBy("__bucket").parquet(storeDir)
-          markCommitted(spark, outDir, batchId)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            Sources.compactPartitionedDir(spark, storeDir, "__bucket")
-        }
+        dedupHistoryBatch(batch, contentCol, outDir, storeDir, numBuckets,
+                          compactEvery, batchId)
       }
+
+  /** One [[dedupAgainstHistorySink]] micro-batch (package-private so
+    * the crash-injection spec can drive every FS boundary directly).
+    */
+  private[graft] def dedupHistoryBatch(batch: DataFrame,
+                                       contentCol: String, outDir: String,
+                                       storeDir: String, numBuckets: Int,
+                                       compactEvery: Int,
+                                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, outDir, batchId)) return
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".tmp")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery for the compaction swap: tagged tmp wins over any
+    // (possibly half-deleted) live dir; untagged torn write is dropped
+    recoverSwap(fs, store, tmp)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        fs.exists(store)) {
+      try {
+        val merged = spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId) // a crashed attempt's leftover
+          .select("__h", "__bucket")
+          .repartition(col("__bucket")) // one file per bucket post-fold
+          .localCheckpoint() // sever lineage: we replace the source below
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$storeDir.tmp/batch=-1")
+        fs.create(new org.apache.hadoop.fs.Path(
+          tmp, s"_merged_compact_$batchId"), true).close()
+        fs.delete(store, true)
+        fs.rename(tmp, store)
+      } catch {
+        // a store of only empty partition dirs has no readable schema —
+        // nothing to compact
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
+    }
+    val hashed = batch
+      .withColumn("__h", xxhash64(col(contentCol)))
+      .withColumn("__bucket",
+                  pmod(col("__h"), lit(numBuckets)).cast("int"))
+      // first occurrence within the batch wins
+      .dropDuplicates("__h")
+    val touched = hashed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val seen =
+      (if (touched.isEmpty || !fs.exists(store))
+         spark.range(0).select(col("id").as("__h"))
+       else
+         try spark.read.parquet(storeDir)
+           .filter(col("batch") =!= batchId) // pre-batch history only
+           .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+           .select("__h")
+         catch {
+           // only empty partition dirs → no schema → no history
+           case _: org.apache.spark.sql.AnalysisException =>
+             spark.range(0).select(col("id").as("__h"))
+         })
+    val novel = hashed
+      .join(seen, Seq("__h"), "left_anti")
+      .localCheckpoint() // two writes below; mine the batch once
+    // outDir BEFORE store: with the reverse order a crash between the
+    // two would make the replayed anti-join drop the rows → data loss.
+    // (The own-partition exclusion above makes the replayed novel set
+    // identical either way; the ordering is defense in depth.)
+    idempotentAppend(novel.drop("__h", "__bucket"), outDir, batchId)
+    novel.select(col("__h"), col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$storeDir/batch=$batchId")
+    markCommitted(spark, outDir, batchId)
+  }
 
   /** Streaming ExactSubstr coverage sink: every micro-batch of documents
     * is scored against the accumulated window-hash store — history PLUS
@@ -669,10 +862,10 @@ object Streaming {
     * OVERWRITE of the batch's own partition dir (idempotent on replay),
     * and the scoring read EXCLUDES the batch's own partition — so a
     * replay that crashed after the store write still scores against
-    * exactly the pre-batch history. The outDir append stays
-    * at-least-once inside the crash window (the dedupAgainstHistorySink
-    * contract); the batch marker commits last and makes a fully
-    * committed replay a no-op.
+    * exactly the pre-batch history — and therefore recomputes the SAME
+    * coverage rows, which the [[idempotentAppend]] outDir leg
+    * overwrites in place (effectively-once); the batch marker commits
+    * last and makes a fully committed replay a no-op.
     *
     * `compactEvery` > 0: at the START of every Nth batch, all prior
     * partitions consolidate into one merged `batch=-1` history partition
@@ -709,9 +902,10 @@ object Streaming {
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val tmp = new org.apache.hadoop.fs.Path(storeDir + ".tmp")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: the compaction swap can die between delete and
-    // rename — promote a complete tmp before reading state
-    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    // crash recovery for the compaction swap: promote a TAGGED tmp even
+    // over a surviving (possibly half-deleted) live dir; drop an
+    // untagged torn write
+    recoverSwap(fs, store, tmp)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
         fs.exists(store)) {
       try {
@@ -723,6 +917,8 @@ object Streaming {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         merged.write.mode("overwrite").partitionBy("hb")
           .parquet(s"${storeDir}.tmp/batch=-1")
+        fs.create(new org.apache.hadoop.fs.Path(
+          tmp, s"_merged_compact_$batchId"), true).close()
         fs.delete(store, true)
         fs.rename(tmp, store)
       } catch {
@@ -766,7 +962,10 @@ object Streaming {
         sh.join(dupHashes, "h").select(col("doc"), col("pos")), w)
       .withColumnRenamed("doc", idCol)
       .localCheckpoint() // materialize BEFORE any store mutation
-    cov.write.mode("append").parquet(outDir)
+    // deterministic across replays (the store read excluded this
+    // batch's own partition), so the idempotent append upgrades the
+    // outDir leg from at-least-once to effectively-once
+    idempotentAppend(cov, outDir, batchId)
     counts.withColumn("hb", pmod(col("h"), lit(numBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy("hb")
       .parquet(s"$storeDir/batch=$batchId")
@@ -784,8 +983,10 @@ object Streaming {
     * hash buckets, excludes its own partition (crash-replay sees
     * pre-batch history), and in-lifecycle compaction folds the store to
     * each key's latest `lookback` rows — the bound that makes state
-    * O(keys × lookback), never O(stream). Alerts append at-least-once
-    * to `outDir` (replay is duplicate-only, marker-gated).
+    * O(keys × lookback), never O(stream). Alerts reach `outDir` through
+    * [[idempotentAppend]] (replay recomputes the same flags against the
+    * unchanged pre-batch history and overwrites its own files —
+    * effectively-once, marker-gated).
     */
   def zscoreAlertSink(df: DataFrame, outDir: String, storeDir: String,
                       checkpoint: String, keyCol: String, tsCol: String,
@@ -816,8 +1017,9 @@ object Streaming {
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val tmp = new org.apache.hadoop.fs.Path(storeDir + ".tmp")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: promote a complete tmp left by a died compaction
-    if (!fs.exists(store) && fs.exists(tmp)) fs.rename(tmp, store)
+    // crash recovery for the compaction swap: tagged tmp wins over any
+    // (possibly half-deleted) live dir; untagged torn write is dropped
+    recoverSwap(fs, store, tmp)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
         fs.exists(store)) {
       try {
@@ -835,6 +1037,8 @@ object Streaming {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         folded.write.mode("overwrite").partitionBy("__bucket")
           .parquet(s"${storeDir}.tmp/batch=-1")
+        fs.create(new org.apache.hadoop.fs.Path(
+          tmp, s"_merged_compact_$batchId"), true).close()
         fs.delete(store, true)
         fs.rename(tmp, store)
       } catch {
@@ -871,7 +1075,9 @@ object Streaming {
       .select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
               col("checked"), col("anomaly"))
       .localCheckpoint() // materialize BEFORE any store mutation
-    flags.write.mode("append").parquet(outDir)
+    // deterministic across replays (history read excluded this batch's
+    // own partition) → idempotent append = effectively-once alerts
+    idempotentAppend(flags, outDir, batchId)
     b.write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$storeDir/batch=$batchId")
     markCommitted(spark, outDir, batchId)
@@ -918,9 +1124,9 @@ object Streaming {
     val state = new org.apache.hadoop.fs.Path(s"$stateDir/scatter")
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/scatter.tmp")
     val fs = state.getFileSystem(hc)
-    // crash recovery: a swap that died between delete and rename left
-    // only the complete tmp copy — promote it before reading
-    if (!fs.exists(state) && fs.exists(tmp)) fs.rename(tmp, state)
+    // crash recovery for the tagged swap below (incl. torn first-batch
+    // writes and half-deleted live dirs)
+    recoverSwap(fs, state, tmp)
     val tag = s"_merged_$batchId"
     if (!fs.exists(new org.apache.hadoop.fs.Path(state, tag))) {
       val partial = LlmOps.scatterPartials(batch)
@@ -946,25 +1152,25 @@ object Streaming {
     * the O(dims²) read + driver-side iteration, no corpus pass.
     */
   /** Read-only crash tolerance for swap-disciplined state dirs: if the
-    * live dir is missing but its tmp sibling exists, SERVE from the
-    * tmp — with the tmp-write → delete → rename order, a missing live
-    * dir implies the tmp is complete (the delete only runs after the
-    * tagged tmp finished). No mutation here: the owning sink's entry
-    * recovery performs the actual promote. This NARROWS the failure
-    * window rather than closing it: the path choice races the owner's
-    * promote (a concurrent rename between this check and the read's
-    * file listing can still surface PATH_NOT_FOUND — retry on the live
-    * path), but a serving call inside a QUIESCED crash window, the
-    * common case, now succeeds instead of failing until the next
-    * batch.
+    * tmp sibling exists AND carries a `_merged_*` completion tag, SERVE
+    * from the tmp — it is complete by construction and strictly as new
+    * as the live dir, which a crash mid-`fs.delete(live)` may have left
+    * HALF-DELETED (so "live exists" proves nothing). An untagged tmp is
+    * a torn write: serve the live path (on a first-batch torn write
+    * neither dir holds complete state and the read correctly fails). No
+    * mutation here: the owning sink's entry recovery performs the
+    * actual promote. This NARROWS the failure window rather than
+    * closing it: the path choice races the owner's promote (a
+    * concurrent rename between this check and the read's file listing
+    * can still surface PATH_NOT_FOUND — retry on the live path), but a
+    * serving call inside a QUIESCED crash window, the common case, now
+    * succeeds instead of failing until the next batch.
     */
   private def serveDir(spark: SparkSession, live: String,
                        tmp: String): String = {
-    val p = new org.apache.hadoop.fs.Path(live)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tmp))) tmp
-    else live
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasMergedTag(fs, t)) tmp else live
   }
 
   def pcaFromScatterState(spark: SparkSession, stateDir: String,
@@ -1011,7 +1217,10 @@ object Streaming {
     val state = new org.apache.hadoop.fs.Path(s"$stateDir/centroids")
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/centroids.tmp")
     val fs = state.getFileSystem(hc)
-    if (!fs.exists(state) && fs.exists(tmp)) fs.rename(tmp, state)
+    // tagged-swap recovery: on the FIRST seeding batch the live dir has
+    // never existed, so a torn tmp write must be detected by the tag,
+    // not inferred from the live dir being absent
+    recoverSwap(fs, state, tmp)
     val tag = s"_merged_$batchId"
     if (!fs.exists(new org.apache.hadoop.fs.Path(state, tag))) {
       val centsOpt =
@@ -1160,9 +1369,13 @@ object Streaming {
     val post = new org.apache.hadoop.fs.Path(s"$stateDir/postings")
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/postings.tmp")
     val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: the compaction swap below can die between delete
-    // and rename — promote a complete tmp before touching state
-    if (!fs.exists(post) && fs.exists(tmp)) fs.rename(tmp, post)
+    // crash recovery for the compaction swap below: a TAGGED tmp is the
+    // complete compacted store and must be promoted even if (part of)
+    // the live postings dir survived a torn delete — gating on
+    // !exists(post) would rebuild from the partial store and silently
+    // drop token buckets from every future BM25 score. An untagged tmp
+    // is a torn compaction write (live store intact) — dropped.
+    recoverSwap(fs, post, tmp)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
         fs.exists(post)) {
       try {
@@ -1174,6 +1387,10 @@ object Streaming {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         merged.write.mode("overwrite").partitionBy("tokb")
           .parquet(s"$stateDir/postings.tmp/batch=-1")
+        // seal the tmp — only now does the swap prefer it over the live
+        // dir ([[recoverSwap]] / [[serveDir]] both key on this tag)
+        fs.create(new org.apache.hadoop.fs.Path(
+          tmp, s"_merged_compact_$batchId"), true).close()
         fs.delete(post, true)
         fs.rename(tmp, post)
       } catch {
@@ -1281,13 +1498,13 @@ object Streaming {
                                          valueCol: String, compactEvery: Int,
                                          batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // recovery FIRST: a compaction crash in the delete->rename window
-    // leaves the store (markers included — the swap carries them) only
-    // under the tmp name, so checking the marker before promoting it
-    // would read a deleted dir, miss the commit, and double-merge
-    if (alreadyCommitted(spark, stateDir, batchId)) return
+    // recovery FIRST, unconditionally: a compaction crash in the
+    // delete->rename window leaves the store (markers included — the
+    // swap carries them) only under the sealed tmp, and a torn delete
+    // can even leave a PARTIAL live dir whose surviving marker would
+    // pass the check while the store itself is half gone — so promote/
+    // discard the tmp before trusting any marker
     Sources.recoverCompactedDir(spark, stateDir)
-    // re-check: the marker may have just been promoted with the store
     if (alreadyCommitted(spark, stateDir, batchId)) return
     val groupCols = (partitionCol +: keyCols).map(col)
     mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
@@ -1339,35 +1556,48 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // recover BEFORE trusting the marker check: a compaction crash
-        // strands the store (and its markers) under the tmp name
-        Sources.recoverCompactedDir(spark, stateDir)
-        if (!alreadyCommitted(spark, stateDir, batchId)) {
-          val groupCols = (partitionCol +: keyCols).map(col)
-          mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
-            val partial = batch.groupBy(groupCols: _*)
-              .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
-            val touched = partial.select(partitionCol).distinct()
-              .collect().map(_.get(0)).toSeq
-            val current =
-              try spark.read.parquet(stateDir)
-                .filter(inTouched(col(partitionCol), touched))
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getCondition == "PATH_NOT_FOUND" ||
-                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                  spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[Row], partial.schema)
-              }
-            current.unionByName(partial)
-              .groupBy(groupCols: _*)
-              .agg(hll_union_agg(col("sk")).as("sk"))
-          }
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
-        }
+        incrementalDistinctBatch(batch, stateDir, partitionCol, keyCols,
+                                 distinctCol, compactEvery, batchId)
       }
+
+  /** One [[incrementalDistinctSink]] micro-batch (package-private so
+    * the crash-injection spec can drive every FS boundary directly).
+    */
+  private[graft] def incrementalDistinctBatch(batch: DataFrame,
+                                              stateDir: String,
+                                              partitionCol: String,
+                                              keyCols: Seq[String],
+                                              distinctCol: String,
+                                              compactEvery: Int,
+                                              batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // recover BEFORE trusting the marker check: a compaction crash
+    // strands the store (and its markers) under the tmp name
+    Sources.recoverCompactedDir(spark, stateDir)
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    val groupCols = (partitionCol +: keyCols).map(col)
+    mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
+      val partial = batch.groupBy(groupCols: _*)
+        .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+      val touched = partial.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      val current =
+        try spark.read.parquet(stateDir)
+          .filter(inTouched(col(partitionCol), touched))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], partial.schema)
+        }
+      current.unionByName(partial)
+        .groupBy(groupCols: _*)
+        .agg(hll_union_agg(col("sk")).as("sk"))
+    }
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Sources.compactPartitionedDir(spark, stateDir, partitionCol)
+  }
 
   /** The read side of [[incrementalDistinctSink]]: per-key distinct-count
     * estimates from the stored sketches — O(state rows), raw events never
@@ -1401,35 +1631,53 @@ object Streaming {
         val spark = batch.sparkSession
         // recover BEFORE trusting the marker check: a compaction crash
         // strands the store (and its markers) under the tmp name
-        Sources.recoverCompactedDir(spark, stateDir)
-        if (!alreadyCommitted(spark, stateDir, batchId)) {
-          val groupCols = (partitionCol +: keyCols).map(col)
-          mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
-            val partial = batch.groupBy(groupCols: _*)
-              .agg(expr(
-                  s"approx_top_k_accumulate($itemCol, $maxItemsTracked)")
-                .as("st"))
-            val touched = partial.select(partitionCol).distinct()
-              .collect().map(_.get(0)).toSeq
-            val current =
-              try spark.read.parquet(stateDir)
-                .filter(inTouched(col(partitionCol), touched))
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getCondition == "PATH_NOT_FOUND" ||
-                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                  spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[Row], partial.schema)
-              }
-            current.unionByName(partial)
-              .groupBy(groupCols: _*)
-              .agg(expr(s"approx_top_k_combine(st, $maxItemsTracked)")
-                .as("st"))
-          }
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            Sources.compactPartitionedDir(spark, stateDir, partitionCol)
-        }
+        incrementalTopKBatch(batch, stateDir, partitionCol, keyCols,
+                             itemCol, maxItemsTracked, compactEvery,
+                             batchId)
       }
+
+  /** One [[incrementalTopKSink]] micro-batch (package-private so the
+    * crash-injection spec can drive every FS boundary directly).
+    */
+  private[graft] def incrementalTopKBatch(batch: DataFrame,
+                                          stateDir: String,
+                                          partitionCol: String,
+                                          keyCols: Seq[String],
+                                          itemCol: String,
+                                          maxItemsTracked: Int,
+                                          compactEvery: Int,
+                                          batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // recover BEFORE trusting the marker check: a compaction crash
+    // strands the store (and its markers) under the tmp name
+    Sources.recoverCompactedDir(spark, stateDir)
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    val groupCols = (partitionCol +: keyCols).map(col)
+    mergeTouchedPartitions(spark, stateDir, partitionCol, batchId) {
+      val partial = batch.groupBy(groupCols: _*)
+        .agg(expr(
+            s"approx_top_k_accumulate($itemCol, $maxItemsTracked)")
+          .as("st"))
+      val touched = partial.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      val current =
+        try spark.read.parquet(stateDir)
+          .filter(inTouched(col(partitionCol), touched))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], partial.schema)
+        }
+      current.unionByName(partial)
+        .groupBy(groupCols: _*)
+        .agg(expr(s"approx_top_k_combine(st, $maxItemsTracked)")
+          .as("st"))
+    }
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Sources.compactPartitionedDir(spark, stateDir, partitionCol)
+  }
 
   /** Incrementally-maintained per-entity EMA — the streaming face of
     * [[Analytics.emaBucketed]], and the reason its affine decomposition
@@ -1454,45 +1702,57 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!alreadyCommitted(spark, stateDir, batchId)) {
-          mergeTouchedPartitions(spark, stateDir, "__bucket", batchId) {
-            val summaries = Analytics.emaBucketSummaries(
-                batch, keyCol, tsCol, tieCol, valCol, alpha, _ => lit(0))
-              .select(col(keyCol), col("__d"), col("__p"), col("__ps"))
-              .withColumn("__bucket",
-                pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
-            val touched = summaries.select("__bucket").distinct()
-              .collect().map(_.getInt(0)).toSeq
-            val current =
-              try spark.read.parquet(stateDir)
-                .filter(col("__bucket").isin(touched: _*))
-              catch {
-                case e: org.apache.spark.sql.AnalysisException
-                    if e.getCondition == "PATH_NOT_FOUND" ||
-                       e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-                  spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[Row],
-                    org.apache.spark.sql.types.StructType(Seq(
-                      summaries.schema(keyCol),
-                      org.apache.spark.sql.types.StructField(
-                        "ema", org.apache.spark.sql.types.DoubleType),
-                      org.apache.spark.sql.types.StructField(
-                        "__bucket",
-                        org.apache.spark.sql.types.IntegerType))))
-              }
-            current.withColumnRenamed("__bucket", "__bc")
-              .join(summaries.withColumnRenamed("__bucket", "__bs"),
-                    Seq(keyCol), "full_outer")
-              .select(col(keyCol),
-                      when(col("__d").isNull, col("ema"))     // untouched
-                        .when(col("ema").isNull, col("__ps")) // first seen
-                        .otherwise(col("ema") * col("__d") + col("__p"))
-                        .as("ema"),
-                      coalesce(col("__bc"), col("__bs")).as("__bucket"))
-          }
-        }
+        incrementalEmaBatch(batch, stateDir, keyCol, tsCol, tieCol,
+                            valCol, alpha, numBuckets, batchId)
       }
+
+  /** One [[incrementalEmaSink]] micro-batch (package-private so the
+    * crash-injection spec can drive every FS boundary directly).
+    */
+  private[graft] def incrementalEmaBatch(batch: DataFrame,
+                                         stateDir: String, keyCol: String,
+                                         tsCol: String, tieCol: String,
+                                         valCol: String, alpha: Double,
+                                         numBuckets: Int,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (alreadyCommitted(spark, stateDir, batchId)) return
+    mergeTouchedPartitions(spark, stateDir, "__bucket", batchId) {
+      val summaries = Analytics.emaBucketSummaries(
+          batch, keyCol, tsCol, tieCol, valCol, alpha, _ => lit(0))
+        .select(col(keyCol), col("__d"), col("__p"), col("__ps"))
+        .withColumn("__bucket",
+          pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+      val touched = summaries.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val current =
+        try spark.read.parquet(stateDir)
+          .filter(col("__bucket").isin(touched: _*))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                summaries.schema(keyCol),
+                org.apache.spark.sql.types.StructField(
+                  "ema", org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField(
+                  "__bucket",
+                  org.apache.spark.sql.types.IntegerType))))
+        }
+      current.withColumnRenamed("__bucket", "__bc")
+        .join(summaries.withColumnRenamed("__bucket", "__bs"),
+              Seq(keyCol), "full_outer")
+        .select(col(keyCol),
+                when(col("__d").isNull, col("ema"))     // untouched
+                  .when(col("ema").isNull, col("__ps")) // first seen
+                  .otherwise(col("ema") * col("__d") + col("__p"))
+                  .as("ema"),
+                coalesce(col("__bc"), col("__bs")).as("__bucket"))
+    }
+  }
 
   /** The read side of [[incrementalEmaSink]] (hides the bucketing
     * column). */

@@ -2,32 +2,143 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Batch-equivalent checks for the streaming operators (SURVEY.md §2.9
-  * T3/T4/T5): the same Streaming.* transform applied to the bounded events
-  * table, oracle-checked in DuckDB (time_bucket for tumbling/sliding,
-  * gaps-and-islands for session windows). Batch/stream parity itself is
-  * asserted in StreamingSpec with MemoryStream.
+/** Streaming operators under the cross-engine oracle (SURVEY.md §2.9).
+  * T3/T4/T5 EXECUTE as real multi-batch Structured Streaming runs
+  * inside the key (MemoryStream feed, out-of-order rows across batch
+  * seams, append-mode emission under a watermark), hash-checked in
+  * DuckDB (time_bucket for tumbling/sliding, gaps-and-islands for
+  * session windows). Additional batch/stream parity is asserted in
+  * StreamingSpec with MemoryStream.
   */
 object StreamingQueries extends QueryPack {
 
+  /** The executed-window-key feed: the fixture's rows PSEUDO-SHUFFLED
+    * (ordered by xxhash64 of a unique id) so every batch seam carries
+    * out-of-order event times, split into `batches` micro-batches,
+    * then one far-future flush sentinel. The watermark lateness covers
+    * the fixture's whole time span, so the shuffle drops nothing; the
+    * sentinel pushes the watermark past every real window so append
+    * mode emits them, while its own window can never finalize (the
+    * watermark trails its event time by the lateness) — structurally
+    * excluded from the output, no post-filter that could push below
+    * EventTimeWatermark. The driver-side collect is broker stand-in
+    * scaffolding (bounded by the fixture), as in q_stream_upsert.
+    */
+  private def feedShuffled[T](
+      stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      rows: Array[T], sentinel: T,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Int = 3): Unit = {
+    val sliceLen = math.max(1, rows.length / batches + 1)
+    var start = 0
+    while (start < rows.length) {
+      stream.addData(
+        rows.slice(start, math.min(rows.length, start + sliceLen)).toSeq)
+      q.processAllAvailable()
+      start += sliceLen
+    }
+    stream.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  // fixture event times span 30 days; a 45-day lateness makes the
+  // deliberately shuffled feed drop nothing, and sentinel = max + 46 d
+  // puts the final watermark (sentinel − lateness = max + 1 d) past
+  // every real window end without ever finalizing the sentinel's own
+  private val WindowLateness = "45 days"
+  private def sentinelTs(maxTs: java.sql.Timestamp): java.sql.Timestamp =
+    java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(46L * 24 * 3600))
+
   val queries: Map[String, Q] = Map(
-    // T3: 10-minute tumbling counts per event type.
-    "q_stream_tumbling" -> ((s, dir) =>
-      Streaming.tumblingCounts(Tables(s, dir, "events"), col("ts"),
-                               "10 minutes")
-        .orderBy("w_start", "event_type")),
+    // T3 EXECUTED: 10-minute tumbling counts per event type as a real
+    // 3-batch streaming run — the seam-crossing out-of-order rows land
+    // in windows whose state is already open from earlier batches, so
+    // cross-batch window-state merge sits on the hash path.
+    "q_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+                xxhash64(col("event_id")).as("h"))
+        .filter(col("ts").isNotNull) // driver-side max would NPE
+        .orderBy("h")
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-tumb").toString
+      val stream = MemoryStream[(java.sql.Timestamp, String)]
+      val agg = Streaming.watermarkedTumblingCounts(
+        stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
+        WindowLateness)
+      val q = Streaming.appendSink(agg, s"$scratch/out",
+                                   s"$scratch/ckpt").start()
+      feedShuffled(stream, rows,
+                   (sentinelTs(rows.map(_._1).max), "__flush"), q)
+      s.read.parquet(s"$scratch/out")
+        .select("w_start", "event_type", "n")
+        .orderBy("w_start", "event_type")
+    }),
 
-    // T4: 10-minute windows sliding by 5 (every event lands in 2 windows).
-    "q_stream_sliding" -> ((s, dir) =>
-      Streaming.slidingCounts(Tables(s, dir, "events"), col("ts"),
-                              "10 minutes", "5 minutes")
-        .orderBy("w_start")),
+    // T4 EXECUTED: 10-minute windows sliding by 5 (every event lands in
+    // 2 windows) as a real streaming run, same protocol as T3.
+    "q_stream_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("ts"), xxhash64(col("event_id")).as("h"))
+        .filter(col("ts").isNotNull)
+        .orderBy("h")
+        .select(col("ts"))
+        .as[java.sql.Timestamp].collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-slide").toString
+      val stream = MemoryStream[java.sql.Timestamp]
+      val agg = Streaming.watermarkedSlidingCounts(
+        stream.toDF().toDF("ts"), "ts", "10 minutes", "5 minutes",
+        WindowLateness)
+      val q = Streaming.appendSink(agg, s"$scratch/out",
+                                   s"$scratch/ckpt").start()
+      feedShuffled(stream, rows, sentinelTs(rows.max), q)
+      s.read.parquet(s"$scratch/out")
+        .select("w_start", "n")
+        .orderBy("w_start")
+    }),
 
-    // T5: 30-minute-gap sessionization per user.
-    "q_stream_session" -> ((s, dir) =>
-      Streaming.sessionStats(Tables(s, dir, "events"), col("ts"),
-                             "30 minutes")
-        .orderBy("user_id", "s_start")),
+    // T5 EXECUTED: 30-minute-gap sessionization per user as a real
+    // streaming run — session_window keeps per-(user, open-session)
+    // STATE across micro-batches and must MERGE sessions when a
+    // seam-crossing out-of-order row lands inside an open gap; the
+    // summed value rides the floor-e4 integer grid so merge order can
+    // never move the hash. Oracle = the gaps-and-islands SQL.
+    "q_stream_session" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+                floor(col("value") * 10000).cast("long").as("value_e4"),
+                xxhash64(col("event_id")).as("h"))
+        .filter(col("ts").isNotNull)
+        .orderBy("h")
+        .select(col("user_id"), col("ts"), col("value_e4"))
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-sess").toString
+      val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val agg = Streaming.watermarkedSessionStats(
+        stream.toDF().toDF("user_id", "ts", "value_e4"), "ts",
+        "30 minutes", WindowLateness)
+      val q = Streaming.appendSink(agg, s"$scratch/out",
+                                   s"$scratch/ckpt").start()
+      feedShuffled(stream, rows,
+                   (-1L, sentinelTs(rows.map(_._2).max), 0L), q)
+      s.read.parquet(s"$scratch/out")
+        .select("user_id", "s_start", "n", "sum_value_e4")
+        .orderBy("user_id", "s_start")
+    }),
 
     // T1/U1 END-TO-END UNDER THE ORACLE: the reference's continuous
     // loop (Kafka-engine table → MV → ReplacingMergeTree merge,
@@ -100,8 +211,13 @@ object StreamingQueries extends QueryPack {
         "ts", "2 hours", Seq("event_id"))
       val q = Streaming.appendSink(deduped, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      val slices = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
-      slices.zipWithIndex.foreach { case (slice, i) =>
+      // index-based slicing: no second materialized copy of the fixture
+      // lives on the driver beyond `rows` itself (broker stand-in)
+      val sliceLen = math.max(1, rows.length / 3 + 1)
+      var start = 0
+      while (start < rows.length) {
+        val slice = rows.slice(start, math.min(rows.length,
+                                               start + sliceLen)).toSeq
         // resend only previous-batch tail rows INSIDE the 2 h lateness
         // of that batch's max event time (the watermark): those provably
         // probe retained dedup STATE. Tail rows older than the lateness
@@ -111,15 +227,16 @@ object StreamingQueries extends QueryPack {
         // previous max itself always qualifies, so every cross-batch
         // seam tests the state path at least once.
         val resend =
-          if (i == 0) Seq.empty
+          if (start == 0) Seq.empty
           else {
-            val prevMaxMs = slices(i - 1).last._2.getTime
-            slices(i - 1)
+            val prevMaxMs = rows(start - 1)._2.getTime
+            rows.slice(math.max(0, start - 10), start)
               .filter(_._2.getTime >= prevMaxMs - 2L * 3600 * 1000)
-              .takeRight(10).toSeq
+              .toSeq
           }
         stream.addData(resend ++ slice ++ slice)
         q.processAllAvailable()
+        start += sliceLen
       }
       q.stop()
       s.read.parquet(s"$scratch/out")
@@ -295,9 +412,12 @@ object StreamingQueries extends QueryPack {
         |WHERE ts >= w_start AND ts < w_start + INTERVAL '10 minutes'
         |GROUP BY w_start ORDER BY w_start NULLS FIRST""".stripMargin,
 
+    // the streamed run sums on the floor-e4 integer grid (exact,
+    // merge-order-independent) — the oracle integerizes identically
     "q_stream_session" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts,
+        |    CAST(floor(value * 10000) AS BIGINT) AS value_e4,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_session
@@ -308,7 +428,7 @@ object StreamingQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, min(ts) AS s_start, count(*) AS n,
-        |  round(sum(value), 4) AS sum_value
+        |  CAST(sum(value_e4) AS BIGINT) AS sum_value_e4
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id NULLS FIRST, s_start NULLS FIRST""".stripMargin,
 

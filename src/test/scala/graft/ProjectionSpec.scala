@@ -230,19 +230,26 @@ class ProjectionSpec extends SparkSpec {
     } finally ProjectionRouter.clear()
   }
 
-  test("projectionSink crash recovery: an orphaned tmp state (crash " +
-       "between delete and rename) is promoted before the next merge") {
+  test("projectionSink crash recovery: an orphaned TAGGED tmp state " +
+       "(crash between delete and rename — the tag always precedes the " +
+       "delete) is promoted before the next merge; an UNTAGGED tmp is " +
+       "a torn write and is discarded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-pcrash")
       .toString
     val base = s"$dir/base"
     val proj = s"$dir/proj"
-    // simulate the crash window: the swap deleted proj and died before
-    // renaming the complete tmp copy into place
+    val fs = new org.apache.hadoop.fs.Path(proj)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: the swap sealed the tmp (a real swap
+    // creates the _merged_<id> tag BEFORE deleting the live dir),
+    // deleted proj, and died before renaming the complete copy in
     Seq(("a", 2L, 3L, 1L, 2L, 2L))
       .toDF("k", "cnt", "sum_v", "min_v", "max_v", "nn_v")
       .write.parquet(proj + ".tmp")
+    fs.create(new org.apache.hadoop.fs.Path(proj + ".tmp/_merged_prev"),
+              true).close()
     val stream = MemoryStream[(String, Long)]
     val q = Streaming.projectionSink(stream.toDS().toDF("k", "v"),
                                      base, proj, s"$dir/ckpt",
@@ -257,9 +264,27 @@ class ProjectionSpec extends SparkSpec {
     assert(partials === Array(("a", 3L, 13L, 1L, 10L),
                               ("b", 1L, 5L, 5L, 5L)))
     // and the tmp dir was consumed by the swap, not left behind
-    val fs = new org.apache.hadoop.fs.Path(proj)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(proj + ".tmp")))
+    // an UNTAGGED tmp beside a live store is a torn write (the writer
+    // died before sealing it): dropped, live state merged as usual
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pcrash2")
+      .toString
+    val proj2 = s"$dir2/proj"
+    Seq(("zz", 99L, 99L, 99L, 99L, 99L))
+      .toDF("k", "cnt", "sum_v", "min_v", "max_v", "nn_v")
+      .write.parquet(proj2 + ".tmp") // no _merged_* tag
+    val stream2 = MemoryStream[(String, Long)]
+    val q2 = Streaming.projectionSink(stream2.toDS().toDF("k", "v"),
+                                      s"$dir2/base", proj2,
+                                      s"$dir2/ckpt", Seq("k"), Seq("v"))
+      .start()
+    stream2.addData(("a", 1L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.read.parquet(proj2)
+      .select("k", "cnt", "sum_v").orderBy("k")
+      .as[(String, Long, Long)].collect()
+    assert(got2 === Array(("a", 1L, 1L))) // torn rows did NOT leak in
   }
 
   test("the packaged q_projection_route really executes through the " +

@@ -591,8 +591,51 @@ class SourcesSpec extends SparkSpec {
     // array with null elements stays unmapped...
     assert(d.getJDBCType(
       ArrayType(ArrayType(LongType), containsNull = true)).isEmpty)
-    // ...and map/struct columns still fail with the clear DDL error
-    assert(d.getJDBCType(MapType(StringType, LongType)).isEmpty)
+    // ...and struct columns still fail with the clear DDL error
+    assert(d.getJDBCType(StructType(Seq(
+      StructField("a", LongType)))).isEmpty)
+  }
+
+  test("ClickHouse dialect Map types: the events-props shape " +
+       "round-trips both directions; illegal key/value shapes stay " +
+       "unmapped") {
+    val d = ClickHouse.ClickHouseDialect
+    val md = new MetadataBuilder()
+    // read direction: CH Map(String, String) → Spark MapType
+    assert(d.getCatalystType(java.sql.Types.OTHER,
+                             "Map(String, String)", 0, md)
+             === Some(MapType(StringType, StringType,
+                              valueContainsNull = false)))
+    // Nullable VALUES arrive as Map(K, Nullable(V))
+    assert(d.getCatalystType(java.sql.Types.OTHER,
+                             "Map(String, Nullable(Int64))", 0, md)
+             === Some(MapType(StringType, LongType,
+                              valueContainsNull = true)))
+    // nested parameterized value types split on the TOP-LEVEL comma
+    assert(d.getCatalystType(java.sql.Types.OTHER,
+                             "Map(String, Decimal(10, 2))", 0, md)
+             === Some(MapType(StringType, DecimalType(10, 2),
+                              valueContainsNull = false)))
+    // Nullable KEYS have no legal CH spelling
+    assert(d.getCatalystType(java.sql.Types.OTHER,
+                             "Map(Nullable(String), Int64)", 0, md)
+             .isEmpty)
+    // write direction mirrors
+    assert(d.getJDBCType(MapType(StringType, StringType,
+                                 valueContainsNull = false))
+             .map(_.databaseTypeDefinition)
+             === Some("Map(String, String)"))
+    assert(d.getJDBCType(MapType(StringType, LongType,
+                                 valueContainsNull = true))
+             .map(_.databaseTypeDefinition)
+             === Some("Map(String, Nullable(Int64))"))
+    // CH restricts map KEYS to string/integer/date-time types
+    assert(d.getJDBCType(MapType(DoubleType, StringType)).isEmpty)
+    // Nullable(Map(...))-valued VALUES (collection value with nulls)
+    // have no legal spelling
+    assert(d.getJDBCType(MapType(StringType,
+                                 MapType(StringType, StringType),
+                                 valueContainsNull = true)).isEmpty)
   }
 
   test("ClickHouse DDL: an embeddings table declares Array(Float32) " +
@@ -620,15 +663,46 @@ class SourcesSpec extends SparkSpec {
       ClickHouse.createTableDdl("shop.embeddings", nullableArr,
                                 Seq("vec_id"))
     }
-    assert(e.getMessage.contains("empty array"))
-    // unsupported element types keep the clear no-mapping error
-    val mapCol = StructType(Seq(
+    assert(e.getMessage.contains("empty collection"))
+    // unsupported column types keep the clear no-mapping error
+    val structCol = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
-      StructField("m", MapType(StringType, LongType), nullable = false)))
+      StructField("m", StructType(Seq(StructField("a", LongType))),
+                  nullable = false)))
     val e2 = intercept[IllegalArgumentException] {
-      ClickHouse.createTableDdl("shop.embeddings", mapCol, Seq("vec_id"))
+      ClickHouse.createTableDdl("shop.embeddings", structCol,
+                                Seq("vec_id"))
     }
     assert(e2.getMessage.contains("no ClickHouse mapping"))
+  }
+
+  test("ClickHouse DDL: an events-props table declares " +
+       "Map(String, String) and a nullable map column is rejected " +
+       "with the empty-collection guidance") {
+    val props = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("props", MapType(StringType, StringType,
+                                   valueContainsNull = false),
+                  nullable = false)))
+    val ddl = ClickHouse.createTableDdl("shop.event_props", props,
+                                        Seq("event_id"))
+    assert(ddl ===
+      """CREATE TABLE shop.event_props
+        |(
+        |    event_id Int64,
+        |    props Map(String, String)
+        |)
+        |ENGINE = ReplacingMergeTree
+        |ORDER BY (event_id);""".stripMargin)
+    val nullableMap = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("props", MapType(StringType, StringType),
+                  nullable = true)))
+    val e = intercept[IllegalArgumentException] {
+      ClickHouse.createTableDdl("shop.event_props", nullableMap,
+                                Seq("event_id"))
+    }
+    assert(e.getMessage.contains("empty collection"))
   }
 
   test("truncateToDateTimeGrid snaps timestamps to the second grid " +

@@ -225,20 +225,22 @@ class StreamingSpec extends SparkSpec {
     val q = Streaming.dedupAgainstHistorySink(
       stream.toDF().toDF("text"), "text", out, store, ckpt,
       numBuckets = 2, compactEvery = 4).start()
-    Seq(Seq("aa", "bb"), Seq("cc", "dd"), Seq("ee", "ff")).foreach { b =>
+    Seq(Seq("aa", "bb"), Seq("cc", "dd"), Seq("ee", "ff"),
+        Seq("gg", "hh")).foreach { b =>
       stream.addData(b); q.processAllAvailable()
     }
-    val filesBefore = Sources.dataFileCount(spark, store) // 3 appends
-    stream.addData(Seq("gg", "hh"))
-    q.processAllAvailable() // 4th batch triggers the compaction
-    val filesAfter = Sources.dataFileCount(spark, store)
-    assert(filesBefore >= 3) // one+ file per append — the growth problem
-    assert(filesAfter <= 2,  // ≤ one file per hive bucket after rewrite
-           s"expected <= 2 files after compaction, got $filesAfter")
-    // dedup against the compacted history still behaves identically
+    val filesBefore = Sources.dataFileCount(spark, store) // 4 appends
+    assert(filesBefore >= 4) // one+ file per append — the growth problem
+    // batch 4 compacts batches 0-3 into batch=-1 at its START, then
+    // writes its own novel partition — dedup behaves identically
     stream.addData(Seq("aa", "gg", "ii")) // two known, one novel
     q.processAllAvailable()
     q.stop()
+    val filesAfter = Sources.dataFileCount(spark, store)
+    // ≤ one file per hive bucket under batch=-1 + batch 4's own novel
+    // partition (≤ one file per touched bucket)
+    assert(filesAfter <= 4,
+           s"expected <= 4 files after compaction, got $filesAfter")
     val kept = spark.read.parquet(out).select("text").as[String]
       .collect().sorted
     assert(kept === Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",

@@ -47,7 +47,11 @@ def keys_by_module():
 
 
 def latest_correctness():
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    # sort by NUMERIC round: lexicographic order puts _r9 after _r11
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)", os.path.basename(f)).group(1)),
+    )
     if not files:
         return None, {}
     return os.path.basename(files[-1]), json.load(open(files[-1]))
