@@ -68,7 +68,13 @@ object Bench {
     // not run at scale; benching it measured drift on the wrong plan
     // for four rounds.
     "q_dedup_components_star", "q_dedup_cluster_keep", "q_dedup_embed",
-    "q_dedup_embed_lsh", "q_dedup_semantic",
+    // q_dedup_embed_lsh_pairs is the PRODUCTION banded-LSH path alone.
+    // The fused q_dedup_embed_lsh is excluded: it carries the exact
+    // all-pairs recall BASELINE inside the key (O(n²) by design — the
+    // round-12 second-decade run measured the fused key at e = 1.81
+    // purely from that certificate stage), so benching it measures
+    // the ground-truth twin, not the operator users run at scale.
+    "q_dedup_embed_lsh_pairs", "q_dedup_semantic",
     "q_cosine_sim", "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_ivf",
     // (PQ / IVF-PQ serve through their recall-certificate keys since
     // r9 — same annPqTopK/annIvfPqTopK serving path, plus the exact
@@ -163,10 +169,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those keys
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    // keys — ANY packaged key qualifies (incl. non-headline
+    // oracle-baseline twins, e.g. for drift adjudication runs),
+    // headline members keep print order, the rest follow sorted
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val qs = headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    val names = only match {
+      case Some(set) =>
+        headline.filter(set) ++
+          (set -- headline.toSet).toSeq.sorted
+      case None => headline
+    }
+    val qs = names.filter(SparkEntry.queries.contains)
       .map(n => n -> SparkEntry.queries(n))
     // Warm-up pass at the target SF (codegen + JIT + file-listing caches).
     qs.foreach { case (_, fn) =>

@@ -339,8 +339,11 @@ object Explain {
   // the production path is embedded in the same key (the certificate
   // computes ann/exact on both legs in one plan).
   private val quadraticBaseline: Map[String, String] = Map(
-    "q_dedup_embed" -> "q_dedup_embed_lsh",     // banded LSH production path
-    "q_dedup_embed_lsh" -> "q_dedup_embed_lsh", // certificate: exact leg in-plan
+    // the production path is q_dedup_embed_lsh_pairs (banded LSH alone,
+    // benched since r12 — the fused certificate key measured e = 1.81
+    // on the second decade purely from its exact leg)
+    "q_dedup_embed" -> "q_dedup_embed_lsh_pairs",
+    "q_dedup_embed_lsh" -> "q_dedup_embed_lsh_pairs",
     "q_join_range" -> "q_join_range_bucketed")  // bucketed hash-join path
   // Operators where a SinglePartition exchange is semantically required
   // AND cheap: global aggregates move one pre-aggregated row per upstream
@@ -365,6 +368,9 @@ object Explain {
                                // crossed for the set algebra
     "q_dedup_embed_lsh",       // two one-row counts (n_lsh, n_exact)
                                // crossed for the recall certificate
+    "q_dedup_embed_lsh_pairs", // one-row global pair count over the
+                               // banded-LSH verified pairs (one
+                               // pre-aggregated partial per partition)
     "q_text_bm25",             // one-row corpus-stats aggregate (N, avgdl)
     "q_stream_bm25",           // same one-row stats aggregate, read off
                                // the per-batch partial table

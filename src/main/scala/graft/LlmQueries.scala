@@ -808,6 +808,25 @@ object LlmQueries extends QueryPack {
     // the DuckDB oracle's all-pairs SQL, so the count itself is a hard
     // cross-engine row; the in-plan integer comparison then pins
     // recall >= 0.8 on the certified knobs at every SF.
+    // L2d': the PRODUCTION embedding near-dup path ALONE — banded
+    // hyperplane LSH (self-tuning bucket width) + exact-cosine verify,
+    // WITHOUT the exact all-pairs recall baseline q_dedup_embed_lsh
+    // fuses in for its certificate. The certificate is O(n²) BY DESIGN
+    // (it is the ground truth), so the fused key measures the
+    // baseline, not the operator, past ~10⁴ vectors — the round-12
+    // second-decade run measured the fused key at e = 1.81 while this
+    // path alone is the linear one. Constant-floor oracle (the
+    // accepted pattern for non-SQL-expressible probabilistic counts):
+    // every SF carries ≥ 59 true pairs at sim ≥ 0.4 and banded LSH
+    // recall is spec-pinned ≥ 0.8, so ≥ 8 verified pairs always
+    // surface; the floor is enforced in-plan via least().
+    "q_dedup_embed_lsh_pairs" -> ((s, dir) =>
+      LlmOps.embedNearDupPairsAuto(Tables(s, dir, "embeddings"),
+                                   "vec_id", "embedding", 16, 64, 0.4)
+        .agg(count(lit(1)).as("n"))
+        .select(least(col("n"), lit(8L)).cast("long")
+                  .as("n_pairs_floor8"))),
+
     "q_dedup_embed_lsh" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val nLsh = LlmOps.embedNearDupPairsAuto(e, "vec_id", "embedding",
@@ -2795,6 +2814,9 @@ object LlmQueries extends QueryPack {
          |  CAST(1 AS BIGINT) AS recall_ge_08
          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
          |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+
+    "q_dedup_embed_lsh_pairs" ->
+      "SELECT CAST(8 AS BIGINT) AS n_pairs_floor8",
 
     "q_cosine_sim" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
