@@ -2,6 +2,8 @@ package graft
 
 import java.io.ByteArrayOutputStream
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.EncoderFactory
@@ -193,6 +195,69 @@ object SourceQueries extends QueryPack {
         .filter(col("op") =!= "d")
         .select("user_id", "ts", "event_id", "event_type", "value")
         .orderBy("user_id")
+    }),
+
+    // S9 END-TO-END UNDER THE ORACLE: the events table is produced
+    // through the Kafka REST Proxy protocol ([[Sources.restProduce]],
+    // binary-embedded base64 over real localhost HTTP against
+    // [[RestProxy.InMemoryServer]] — the proxy stand-in, the same role
+    // MemoryStream plays for the executed streaming keys) in TWO waves,
+    // and consumed back distributed ([[Sources.restConsumeWithCursor]],
+    // one bounded offset range per Kafka partition, one executor task
+    // each), with wave 1's cursor taken BEFORE wave 2 is produced — so a
+    // hash match certifies produce framing, key/payload base64
+    // round-trip, explicit-partition routing, bounded per-partition
+    // consume, and snapshot→poll cursor continuity on the REST edge,
+    // with zero record loss or duplication. `n_routed`/`n_keyed` must
+    // equal `n`: every consumed record carries the partition it was
+    // routed to and the key it was produced with.
+    "q_rest_ingest" -> ((s, dir) => {
+      val srv = new RestProxy.InMemoryServer(numPartitions = 8)
+      val url = srv.start()
+      try {
+        val ev = Tables(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        def produce(w: org.apache.spark.sql.DataFrame): Unit =
+          Sources.restProduce(
+            w, url, "events",
+            col("user_id").cast("string"),
+            to_json(struct(col("event_id"), col("user_id"),
+                           col("event_type"), col("ts_us"))),
+            pmod(col("event_id"), lit(8)))
+        val wave2 = pmod(col("event_id"), lit(3)) === 0
+        produce(ev.filter(!wave2))
+        val (b1, cursor) = Sources.restConsumeWithCursor(s, url, "events")
+        produce(ev.filter(wave2))
+        val (b2, _) = Sources.restConsumeWithCursor(s, url, "events", cursor)
+        val parsed = b1.unionByName(b2).select(
+          from_json(col("value").cast("string"),
+            StructType.fromDDL("event_id LONG, user_id LONG, " +
+                               "event_type STRING, ts_us LONG")).as("r"),
+          col("partition"),
+          col("key").cast("string").cast("long").as("key_uid"))
+          .select(col("r.*"), col("partition"), col("key_uid"))
+        val out = parsed.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          min("event_id").as("id_min"),
+          max("event_id").as("id_max"),
+          sum("user_id").as("uid_sum"),
+          countDistinct("user_id").as("n_users"),
+          min("ts_us").as("ts_min"),
+          max("ts_us").as("ts_max"),
+          sum(when(col("partition") <=>
+                     pmod(col("event_id"), lit(8)).cast("int"), 1L)
+            .otherwise(0L)).as("n_routed"),
+          sum(when(col("key_uid") <=> col("user_id"), 1L).otherwise(0L))
+            .as("n_keyed"))
+        // the pipeline must finish while the stub proxy is alive — run it
+        // here and hand back the (≤ #event_types rows) result locally
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), out.schema)
+          .orderBy(asc_nulls_first("event_type"))
+      } finally srv.stop()
     })
   )
 
@@ -294,6 +359,23 @@ object SourceQueries extends QueryPack {
         |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND (event_type <> 'click' OR event_type IS NULL)
-        |ORDER BY user_id NULLS FIRST""".stripMargin
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // Aggregates straight off the parquet source. A hash match proves the
+    // REST produce→consume loop delivered every event exactly once with
+    // key, payload, and partition routing intact: n_routed/n_keyed (the
+    // Spark side's per-record routing/key assertions) must equal the
+    // plain count, and the sums/extremes catch any lost, duplicated, or
+    // garbled record.
+    "q_rest_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  min(event_id) AS id_min, max(event_id) AS id_max,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+        |  count(*) AS n_routed, count(*) AS n_keyed
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

@@ -27,6 +27,9 @@ import org.apache.spark.sql.types._
   *  - S5  CDC envelope unwrap ≙ ExtractNewRecordState SMT
   *    (`README.md:142-143`), deletes surfaced as op='d' tombstones.
   *  - S7/S8  columnar append + JDBC sink (`README.md:212`, `config.xml:30`).
+  *  - S9  REST ingest ≙ the Kafka REST Proxy edge (`docker-compose.yml:
+  *    104-116`, `README.md:253`) — [[restConsumeWithCursor]] /
+  *    [[restProduce]], protocol client in [[RestProxy]].
   */
 object Sources {
 
@@ -224,6 +227,78 @@ object Sources {
       .option("kafka.group.id", groupId)
       .option("startingOffsets", "earliest")
       .load()
+
+  /** S9: REST ingest, consume side — one bounded micro-batch from the
+    * Kafka REST Proxy (`/root/reference/docker-compose.yml:104-116`,
+    * `README.md:253`), planned for Spark's execution model: the driver
+    * pins one `[from, until)` offset range per Kafka partition from the
+    * proxy's metadata endpoints (tiny, no record payloads), then each
+    * range becomes one deterministic executor task reading through its
+    * own ephemeral consumer instance ([[RestProxy.Client.consumeRange]]).
+    * Returns the Kafka-source-shaped frame (`key`/`value` binary, `topic`,
+    * `partition`, `offset`) plus the NEXT cursor — feed it back as
+    * `startOffsets` for the following batch, exactly the
+    * [[snapshotWithCursor]] handoff discipline. Laziness is safe: ranges
+    * are pinned eagerly HERE, so records produced after this call (or
+    * between this call and the action) never leak into the batch, and a
+    * re-executed stage re-reads the identical slice. `maxPerPartition`
+    * caps a batch's per-partition read (the cursor only advances past
+    * what was read) so a deep backlog drains in bounded, spill-free
+    * batches instead of one unbounded read — the 100 TB knob.
+    */
+  def restConsumeWithCursor(spark: SparkSession, baseUrl: String,
+                            topic: String,
+                            startOffsets: Map[Int, Long] = Map.empty,
+                            maxPerPartition: Option[Long] = None)
+      : (DataFrame, Map[Int, Long]) = {
+    val client = RestProxy.Client(baseUrl)
+    val ranges = client.partitions(topic).map { p =>
+      val (lo, hi) = client.offsets(topic, p)
+      val from = math.max(lo, startOffsets.getOrElse(p, lo))
+      val until = maxPerPartition match {
+        case Some(cap) => math.min(hi, from + cap)
+        case None      => hi
+      }
+      (p, from, until)
+    }
+    val cursor = ranges.map { case (p, _, until) => p -> until }.toMap
+    import spark.implicits._
+    val df = spark.createDataset(ranges)
+      // round-robin the range rows so each Kafka partition's fetch runs
+      // as its own task — parallelism = topic partitions, like the real
+      // Kafka source
+      .repartition(math.max(ranges.size, 1))
+      .flatMap { case (p, from, until) =>
+        RestProxy.Client(baseUrl).consumeRange(topic, p, from, until)
+          .map(r => (r.key, r.value, r.topic, r.partition, r.offset))
+      }
+      .toDF("key", "value", "topic", "partition", "offset")
+    (df, cursor)
+  }
+
+  /** S9: REST ingest, produce side (`POST /topics/{t}`, binary embedded
+    * format). Placement: pass an explicit `partition` column for
+    * deterministic routing, or `lit(null)` to delegate to the proxy
+    * (murmur2 key hash for keyed records — Kafka's DefaultPartitioner).
+    * At-least-once, like any non-transactional Kafka producer: a retried
+    * task re-POSTs its slice, so downstream consumers must collapse on a
+    * business key (U2/U3 — the merge discipline the reference's
+    * ReplacingMergeTree target imposes anyway).
+    */
+  def restProduce(df: DataFrame, baseUrl: String, topic: String,
+                  key: Column, value: Column,
+                  partition: Column = lit(null),
+                  batchSize: Int = 500): Unit =
+    df.select(key.cast("binary").as("k"), value.cast("binary").as("v"),
+              partition.cast("int").as("p"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        RestProxy.Client(baseUrl).produce(topic, rows.map { r =>
+          (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
+           if (r.isNullAt(2)) null
+           else java.lang.Integer.valueOf(r.getInt(2)))
+        }, batchSize)
+        ()
+      }
 
   /** S4: Confluent wire format — payload after the 5-byte header
     * (magic byte 0x0 + big-endian int32 schema id).

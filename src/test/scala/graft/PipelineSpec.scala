@@ -436,4 +436,51 @@ class PipelineSpec extends SparkSpec {
          f"concurrent ${parallelMs}%.0f ms " +
          f"(${serialMs / parallelMs}%.2fx)")
   }
+
+  test("REST-edge topology: Confluent-framed changes produced through the " +
+       "Kafka REST Proxy protocol (S9), drained in cursor micro-batches, " +
+       "decoded (S4) and merged (U1) — duplicate delivery collapsed, no " +
+       "row lost at the batch seam") {
+    val srv = new RestProxy.InMemoryServer(numPartitions = 2)
+    val url = srv.start()
+    try {
+      val state = Files.createTempDirectory("graft-rest").toString + "/users"
+      def produce(frames: Seq[(Long, Array[Byte])]): Unit =
+        Sources.restProduce(
+          frames.toDF("uid", "value"), url, "shop.public.users",
+          col("uid").cast("string"), col("value"), pmod(col("uid"), lit(2)))
+      // one REST micro-batch: bounded consume from the cursor → the SAME
+      // decode + MV transform + bucketed merge the Kafka leg uses
+      def drainInto(cursor: Map[Int, Long]): Map[Int, Long] = {
+        val (batch, next) = Sources.restConsumeWithCursor(
+          spark, url, "shop.public.users", cursor)
+        val decoded = Sources.decodeAvro(
+          batch, Sources.confluentPayload(col("value")), avroSchemaJson,
+          decodedSchema)
+        Streaming.upsertBatch(
+          Streaming.mvTransform(decoded, Seq.empty)
+            .withColumn("updated_ts",
+                        Functions.microsToTimestampSecond(col("updated_at"))),
+          state, Seq("user_id"), Seq("updated_at"), numBuckets = 16)
+        next
+      }
+      produce(Seq(
+        1L -> frame(1, "user1", "Bronze", 1000000L),
+        2L -> frame(2, "user2", "Silver", 1000000L),
+        3L -> frame(3, "user3", "Gold", 1000000L)))
+      val c1 = drainInto(Map.empty)
+      produce(Seq(
+        3L -> frame(3, "user3", "Gold", 1000000L),   // duplicate delivery
+        2L -> frame(2, "user2", "Gold", 2000000L),   // post-batch upgrade
+        4L -> frame(4, "user4", "Bronze", 2000000L)))// post-batch insert
+      val c2 = drainInto(c1)
+      assert(c2.values.sum === 6L)
+      val got = spark.read.parquet(state)
+        .select(col("user_id"), col("account_type"),
+                col("updated_ts").cast("long"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === Set((1L, "Bronze", 1L), (2L, "Gold", 2L),
+                         (3L, "Gold", 1L), (4L, "Bronze", 2L)))
+    } finally srv.stop()
+  }
 }

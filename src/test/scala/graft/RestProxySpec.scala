@@ -1,0 +1,202 @@
+package graft
+
+import java.io.IOException
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+/** S9 REST ingest: the v2 protocol client, the in-memory proxy stand-in,
+  * and the Spark-level produce/consume path — all over real localhost
+  * HTTP (SURVEY.md §2.1 S9). The contract under test is the one the
+  * reference's `cp-kafka-rest` edge exposes: binary embedded format
+  * (base64), explicit/keyed/round-robin placement, consumer-instance
+  * assign+seek+poll, and offset bookkeeping.
+  */
+class RestProxySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withServer[A](numPartitions: Int = 4, maxPoll: Int = 500)(
+      f: (RestProxy.InMemoryServer, RestProxy.Client) => A): A = {
+    val srv = new RestProxy.InMemoryServer(numPartitions, maxPoll)
+    val url = srv.start()
+    try f(srv, RestProxy.Client(url))
+    finally srv.stop()
+  }
+
+  private def rec(k: String, v: String, p: Integer = null) =
+    (if (k == null) null else k.getBytes(UTF_8), v.getBytes(UTF_8), p)
+
+  test("produce to explicit partitions, consumeRange reads exactly the range") {
+    withServer() { (_, c) =>
+      c.produce("t", Iterator(
+        rec("a", "v0", 1), rec("b", "v1", 1), rec("c", "v2", 1),
+        rec("d", "w0", 2)))
+      assert(c.partitions("t") == Seq(0, 1, 2, 3))
+      assert(c.offsets("t", 1) == (0L, 3L))
+      assert(c.offsets("t", 0) == (0L, 0L))
+      val got = c.consumeRange("t", 1, 1, 3)
+      assert(got.map(r => (r.partition, r.offset,
+                           new String(r.value, UTF_8))) ==
+        Seq((1, 1L, "v1"), (1, 2L, "v2")))
+      assert(new String(got.head.key, UTF_8) == "b")
+    }
+  }
+
+  test("keyed records without partition follow murmur2 key hash; unkeyed round-robin evenly") {
+    withServer(numPartitions = 4) { (_, c) =>
+      val keys = (0 until 40).map(i => s"k$i")
+      c.produce("keyed", keys.iterator.map(k => rec(k, s"v-$k")))
+      keys.foreach { k =>
+        val expected = RestProxy.keyPartition(k.getBytes(UTF_8), 4)
+        val (_, end) = c.offsets("keyed", expected)
+        val hit = c.consumeRange("keyed", expected, 0, end)
+          .exists(r => new String(r.key, UTF_8) == k)
+        assert(hit, s"key $k must land on murmur2 partition $expected")
+      }
+      c.produce("rr", Iterator.tabulate(40)(i => rec(null, s"u$i")))
+      val perPart = (0 until 4).map(p => c.offsets("rr", p)._2)
+      assert(perPart == Seq(10L, 10L, 10L, 10L))
+    }
+  }
+
+  test("null key and null value round-trip as nulls") {
+    withServer() { (_, c) =>
+      c.produce("n", Iterator((null, "only-value".getBytes(UTF_8),
+                               java.lang.Integer.valueOf(0)),
+                              ("only-key".getBytes(UTF_8), null,
+                               java.lang.Integer.valueOf(0))))
+      val got = c.consumeRange("n", 0, 0, 2)
+      assert(got(0).key == null &&
+             new String(got(0).value, UTF_8) == "only-value")
+      assert(new String(got(1).key, UTF_8) == "only-key" &&
+             got(1).value == null)
+    }
+  }
+
+  test("consumeRange paginates across polls and preserves offset order") {
+    withServer(numPartitions = 1, maxPoll = 100) { (_, c) =>
+      c.produce("big", Iterator.tabulate(1200)(i => rec(null, s"m$i", 0)))
+      val got = c.consumeRange("big", 0, 0, 1200)
+      assert(got.size == 1200)
+      assert(got.map(_.offset) == (0L until 1200L))
+      assert(new String(got(777).value, UTF_8) == "m777")
+    }
+  }
+
+  test("unknown topic and out-of-range partition surface proxy-style errors") {
+    withServer() { (_, c) =>
+      val e1 = intercept[IOException](c.partitions("nope"))
+      assert(e1.getMessage.contains("404") &&
+             e1.getMessage.contains("40401"))
+      c.produce("t2", Iterator(rec("a", "v", 0)))
+      val e2 = intercept[IOException](c.offsets("t2", 99))
+      assert(e2.getMessage.contains("40402"))
+    }
+  }
+
+  test("consumeRange beyond the log fails loudly instead of hanging or truncating silently") {
+    withServer() { (_, c) =>
+      c.produce("short", Iterator(rec("a", "v", 0)))
+      val e = intercept[IllegalStateException](
+        c.consumeRange("short", 0, 0, 5))
+      assert(e.getMessage.contains("truncated"))
+    }
+  }
+
+  test("restConsumeWithCursor: distributed read, cursor continuity, no loss or duplication") {
+    withServer(numPartitions = 3) { (srv, c) =>
+      val url = c.baseUrl
+      val wave1 = (0 until 90).map(i => (s"k$i", s"w1-$i"))
+      Sources.restProduce(
+        wave1.toDF("k", "v"), url, "ev", col("k"), col("v"),
+        pmod(xxhash64(col("k")), lit(3)))
+      val (df1, cur1) = Sources.restConsumeWithCursor(spark, url, "ev")
+      val got1 = df1.select(col("value").cast("string")).as[String].collect()
+      assert(got1.sorted.toSeq == wave1.map(_._2).sorted)
+      assert(cur1.values.sum == 90L)
+
+      val wave2 = (90 until 120).map(i => (s"k$i", s"w2-$i"))
+      Sources.restProduce(
+        wave2.toDF("k", "v"), url, "ev", col("k"), col("v"),
+        pmod(xxhash64(col("k")), lit(3)))
+      val (df2, cur2) = Sources.restConsumeWithCursor(spark, url, "ev", cur1)
+      val got2 = df2.select(col("value").cast("string")).as[String].collect()
+      assert(got2.sorted.toSeq == wave2.map(_._2).sorted)
+      assert(cur2.values.sum == 120L)
+      // a third batch from the latest cursor is empty, not an error
+      val (df3, _) = Sources.restConsumeWithCursor(spark, url, "ev", cur2)
+      assert(df3.count() == 0)
+    }
+  }
+
+  test("ranges are pinned at plan time: records produced after the call never leak in") {
+    withServer(numPartitions = 2) { (_, c) =>
+      val url = c.baseUrl
+      Sources.restProduce(
+        Seq(("a", "old0"), ("b", "old1")).toDF("k", "v"), url, "pin",
+        col("k"), col("v"), pmod(xxhash64(col("k")), lit(2)))
+      val (df, cursor) = Sources.restConsumeWithCursor(spark, url, "pin")
+      // produced AFTER planning, BEFORE the action below
+      Sources.restProduce(
+        Seq(("c", "new0")).toDF("k", "v"), url, "pin",
+        col("k"), col("v"), pmod(xxhash64(col("k")), lit(2)))
+      val got = df.select(col("value").cast("string")).as[String].collect()
+      assert(got.sorted.toSeq == Seq("old0", "old1"))
+      val (dfNext, _) = Sources.restConsumeWithCursor(spark, url, "pin", cursor)
+      assert(dfNext.select(col("value").cast("string"))
+        .as[String].collect().toSeq == Seq("new0"))
+    }
+  }
+
+  test("maxPerPartition bounds a batch; the cursor drains the backlog over multiple batches") {
+    withServer(numPartitions = 2) { (_, c) =>
+      val url = c.baseUrl
+      Sources.restProduce(
+        (0 until 50).map(i => (s"k$i", s"v$i")).toDF("k", "v"), url, "bk",
+        col("k"), col("v"), pmod(xxhash64(col("k")), lit(2)))
+      var cursor = Map.empty[Int, Long]
+      var total = 0L
+      var batches = 0
+      var drained = false
+      while (!drained) {
+        val (df, next) = Sources.restConsumeWithCursor(
+          spark, url, "bk", cursor, maxPerPartition = Some(10L))
+        val n = df.count()
+        assert(n <= 20, "a batch must respect the per-partition cap")
+        total += n
+        batches += 1
+        drained = n == 0
+        cursor = next
+      }
+      assert(total == 50L)
+      assert(batches >= 3, "the cap must force multiple batches")
+    }
+  }
+
+  test("HttpSchemaRegistry resolves ids over real HTTP and caches per id") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/schemas/ids/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val id = ex.getRequestURI.getPath.split("/").last.toInt
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      node.put("schema",
+        s"""{"type":"record","name":"r$id","fields":[]}""")
+      val bytes = mapper.writeValueAsBytes(node)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val reg = Sources.HttpSchemaRegistry(
+        s"http://127.0.0.1:${srv.getAddress.getPort}")
+      assert(reg(7).contains("\"name\":\"r7\""))
+      assert(reg(7).contains("\"name\":\"r7\"")) // served from cache
+      assert(reg(9).contains("\"name\":\"r9\""))
+      assert(hits.get() == 2, "one HTTP fetch per distinct id")
+    } finally srv.stop(0)
+  }
+}
