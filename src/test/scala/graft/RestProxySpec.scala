@@ -173,6 +173,67 @@ class RestProxySpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary binary keys/values round-trip bit-exact " +
+       "through base64 framing, and broker-side keyed placement matches " +
+       "the client-side murmur2 computation") {
+    import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+    // empty arrays, high bytes, invalid-UTF-8 sequences — the payloads a
+    // string-typed test never exercises
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)
+    val recordsGen: Gen[List[(Array[Byte], Array[Byte])]] =
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.oneOf(bytesGen, Gen.const(null: Array[Byte])), bytesGen))
+    withServer(numPartitions = 4) { (_, c) =>
+      val topicSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(60),
+        Prop.forAll(recordsGen) { recs =>
+          val t = s"prop${topicSeq.incrementAndGet()}"
+          c.produce(t, recs.iterator.map { case (k, v) => (k, v, null) })
+          val got = (0 until 4).flatMap { p =>
+            val (_, end) = c.offsets(t, p)
+            c.consumeRange(t, p, 0, end)
+          }
+          val placementOk = got.forall(r =>
+            r.key == null ||
+              r.partition == RestProxy.keyPartition(r.key, 4))
+          def ms(xs: Seq[(Seq[Byte], Seq[Byte])]) =
+            xs.groupBy(identity).view.mapValues(_.size).toMap
+          val sent = ms(recs.map { case (k, v) =>
+            (if (k == null) null else k.toSeq, v.toSeq) })
+          val received = ms(got.map(r =>
+            (if (r.key == null) null else r.key.toSeq, r.value.toSeq)))
+          placementOk && sent == received
+        })
+      assert(res.passed, res.status.toString)
+    }
+  }
+
+  test("concurrent producers: offsets stay dense and unique, no record " +
+       "lost under 16-way contention on one partition") {
+    withServer(numPartitions = 2) { (_, c) =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val futures = (0 until 16).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          // batchSize=1 → 50 separate POSTs per thread, maximal interleave
+          def call(): Long = c.produce("hot",
+            Iterator.tabulate(50)(i => rec(null, s"t$t-m$i", 0)),
+            batchSize = 1)
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      assert(c.offsets("hot", 0) == (0L, 800L))
+      val got = c.consumeRange("hot", 0, 0, 800)
+      assert(got.map(_.offset) == (0L until 800L))
+      val values = got.map(r => new String(r.value, UTF_8)).toSet
+      assert(values.size == 800)
+      assert((0 until 16).forall(t =>
+        (0 until 50).forall(i => values.contains(s"t$t-m$i"))))
+    }
+  }
+
   test("HttpSchemaRegistry resolves ids over real HTTP and caches per id") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val srv = com.sun.net.httpserver.HttpServer.create(
