@@ -300,6 +300,136 @@ object Sources {
         ()
       }
 
+  /** S9+T2: the persisted consume cursor for the REST ingest loop — the
+    * engine-side stand-in for the consumer group's committed offsets
+    * (the real proxy's `POST .../offsets`, which only lives as long as
+    * the consumer instance does; a restart-safe pipeline needs its own
+    * durable commit, exactly like Spark's Kafka source keeps offsets in
+    * its checkpoint rather than in the group).
+    *
+    * Commit discipline: one fully-written versioned file published by a
+    * single atomic rename (`cursor-<n>`, monotonic). Read takes the
+    * HIGHEST version that PARSES — an empty or torn file (a crash
+    * between create and content reaching disk) is skipped, falling back
+    * to the previous commit, so the worst crash outcome is a replay of
+    * one batch (at-least-once), never a skipped or half-applied cursor.
+    * Older versions are pruned only AFTER a successful publish; a crash
+    * mid-prune leaves extra history, never ambiguity. Single writer per
+    * cursor dir (one ingest loop per topic), like any consumer group
+    * member.
+    */
+  def readRestCursor(spark: SparkSession, dir: String): Map[Int, Long] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return Map.empty
+    val versions = fs.listStatus(d).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case CursorName(n) => Some((n.toLong, p))
+          case _             => None
+        }
+      }
+      .sortBy(-_._1)
+    versions.view.flatMap { case (_, p) =>
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(bytes)
+        // a committed cursor is always a non-empty JSON object; anything
+        // else (zero bytes parse to a missing node, not an error) is a
+        // torn publication
+        if (node == null || !node.isObject || node.isEmpty) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Some(node.properties().asScala
+            .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+        }
+      } catch {
+        // torn/empty publication — fall back to the previous commit
+        case _: Exception => None
+      }
+    }.headOption.getOrElse(Map.empty)
+  }
+
+  private val CursorName = "cursor-(\\d+)".r
+
+  private[graft] def writeRestCursor(spark: SparkSession, dir: String,
+                                     cursor: Map[Int, Long]): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = if (!fs.exists(d)) Seq.empty
+               else fs.listStatus(d).toSeq.map(_.getPath).flatMap { p =>
+                 p.getName match {
+                   case CursorName(n) => Some((n.toLong, p))
+                   case _             => None
+                 }
+               }
+    val next = prev.map(_._1).maxOption.getOrElse(0L) + 1
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    cursor.toSeq.sortBy(_._1)
+      .foreach { case (p, o) => node.put(p.toString, o) }
+    val tmp = new org.apache.hadoop.fs.Path(d, s"_tmp_cursor_$next")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"cursor-$next"))
+    // best-effort prune of superseded versions — read ignores them
+    prev.foreach { case (_, p) =>
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** S9+T2: one crash-safe micro-batch of the REST ingest loop — consume
+    * everything (or up to `maxPerPartition`) past the last COMMITTED
+    * cursor, run `process` on it, then commit the new cursor. The commit
+    * happens strictly AFTER `process` returns, so a crash anywhere in
+    * the window replays the same batch from the same offsets on restart:
+    * at-least-once delivery, which the store-side batch functions this
+    * pairs with ([[Streaming.upsertBatch]], `idempotentAppend`, the
+    * incremental-agg markers) already absorb idempotently — the same
+    * contract every Kafka consumer of the reference's topics lives
+    * under. An empty batch commits nothing (no cursor churn on an idle
+    * loop). Returns the committed cursor.
+    */
+  def restIngestBatch(spark: SparkSession, baseUrl: String, topic: String,
+                      cursorDir: String,
+                      maxPerPartition: Option[Long] = None)
+                     (process: DataFrame => Unit): Map[Int, Long] = {
+    val committed = readRestCursor(spark, cursorDir)
+    val (batch, next) =
+      restConsumeWithCursor(spark, baseUrl, topic, committed,
+                            maxPerPartition)
+    val moved = next.exists { case (p, until) =>
+      committed.getOrElse(p, 0L) < until
+    }
+    if (!moved) return committed
+    process(batch)
+    writeRestCursor(spark, cursorDir, next)
+    next
+  }
+
+  /** S9: drain the topic's backlog in bounded crash-safe batches until a
+    * batch moves no offset. Returns the number of non-empty batches run.
+    */
+  def restIngestDrain(spark: SparkSession, baseUrl: String, topic: String,
+                      cursorDir: String, maxPerPartition: Long)
+                     (process: DataFrame => Unit): Int = {
+    var n = 0
+    var prev = readRestCursor(spark, cursorDir)
+    var moved = true
+    while (moved) {
+      val cur = restIngestBatch(spark, baseUrl, topic, cursorDir,
+                                Some(maxPerPartition))(process)
+      moved = cur != prev
+      if (moved) n += 1
+      prev = cur
+    }
+    n
+  }
+
   /** S4: Confluent wire format — payload after the 5-byte header
     * (magic byte 0x0 + big-endian int32 schema id).
     */

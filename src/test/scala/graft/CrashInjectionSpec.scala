@@ -211,8 +211,58 @@ class CrashInjectionSpec extends SparkSpec {
                                       "v", alpha = 0.5, numBuckets = 2, i)
       },
       root => rows(Streaming.readEmaState(spark, s"$root/st")) ++
-              markers(s"$root/st"))
+              markers(s"$root/st")),
+
+    // S9 ingest loop: consume-from-committed-cursor → upsert → commit
+    // cursor. The proxy stand-in lives OUTSIDE the faulted filesystem
+    // (broker state survives the crash, as a real broker's does); the
+    // swept boundaries are the store's staged swap plus the cursor's
+    // tmp-create → rename → prune sequence. Replay contract: a crash
+    // before the cursor commit redelivers the batch from the previous
+    // committed offsets (at-least-once), the versioned upsert absorbs
+    // the redelivery, and the cursor CONTENT (not its version count)
+    // converges to the produced end offsets.
+    SinkCase("restIngest", 3,
+      (root, i) => {
+        // topic derived from the full root string: every crash branch
+        // gets its own broker log, with no hash-collision risk of two
+        // branches sharing (and double-counting) one
+        val topic = "t" + root.replaceAll("[^A-Za-z0-9]", "_")
+        val c = RestProxy.Client(restStubUrl)
+        val batches = Seq(
+          Seq((1L, 1L, "x"), (2L, 1L, "y")),
+          Seq((1L, 2L, "x2"), (3L, 1L, "z")),
+          Seq((2L, 2L, "y2")))
+        // produce is idempotent per batch index: on a replay the
+        // records are already in the (unfaulted) broker log
+        val have =
+          try c.partitions(topic).map(p => c.offsets(topic, p)._2).sum
+          catch { case _: java.io.IOException => 0L }
+        if (have < batches.take(i + 1).map(_.size).sum)
+          c.produce(topic, batches(i).iterator.map { case (id, ver, v) =>
+            (id.toString.getBytes("UTF-8"),
+             s"$id:$ver:$v".getBytes("UTF-8"),
+             java.lang.Integer.valueOf((id % 2).toInt))
+          })
+        Sources.restIngestBatch(spark, restStubUrl, topic,
+                                s"$root/cursor") { df =>
+          val parsed = df
+            .select(split(col("value").cast("string"), ":").as("f"))
+            .select(col("f")(0).cast("long").as("id"),
+                    col("f")(1).cast("long").as("ver"),
+                    col("f")(2).as("payload"))
+          Streaming.upsertBatch(parsed, s"$root/state",
+                                Seq("id"), Seq("ver"), 2)
+        }
+        ()
+      },
+      root => rows(Streaming.readUpsertState(spark, s"$root/state")) ++
+        Seq("cursor:" + Sources.readRestCursor(spark, s"$root/cursor")
+          .toSeq.sorted.mkString(",")))
   )
+
+  private lazy val restStubUrl: String =
+    new RestProxy.InMemoryServer(numPartitions = 2).start()
 
   private def isInjected(t: Throwable): Boolean = FaultFs.caused(t)
 

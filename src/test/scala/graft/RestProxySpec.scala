@@ -234,6 +234,68 @@ class RestProxySpec extends SparkSpec {
     }
   }
 
+  test("persisted cursor: versioned publish, torn-newest fallback, " +
+       "at-least-once replay after a failed batch, bounded drain") {
+    withServer(numPartitions = 2) { (_, c) =>
+      val url = c.baseUrl
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-rest-cursor").toString + "/cur"
+
+      // 1. versioned publish + read-back
+      Sources.writeRestCursor(spark, dir, Map(0 -> 3L, 1 -> 5L))
+      assert(Sources.readRestCursor(spark, dir) == Map(0 -> 3L, 1 -> 5L))
+      Sources.writeRestCursor(spark, dir, Map(0 -> 7L, 1 -> 5L))
+      assert(Sources.readRestCursor(spark, dir) == Map(0 -> 7L, 1 -> 5L))
+
+      // 2. a torn newest version (zero bytes — the crash shape between
+      // create and content reaching disk) falls back to the previous
+      // committed cursor instead of failing or resetting to zero
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "cursor-99"), Array.empty[Byte])
+      assert(Sources.readRestCursor(spark, dir) == Map(0 -> 7L, 1 -> 5L))
+
+      // 3. ingest loop: a batch whose process THROWS commits nothing;
+      // the retry redelivers the same records
+      val cdir = java.nio.file.Files
+        .createTempDirectory("graft-rest-cursor2").toString + "/cur"
+      Sources.restProduce(
+        (0 until 30).map(i => (s"k$i", s"v$i")).toDF("k", "v"), url, "lp",
+        col("k"), col("v"), pmod(xxhash64(col("k")), lit(2)))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      intercept[RuntimeException] {
+        Sources.restIngestBatch(spark, url, "lp", cdir) { df =>
+          seen += df.count()
+          throw new RuntimeException("downstream died mid-batch")
+        }
+      }
+      assert(Sources.readRestCursor(spark, cdir).isEmpty,
+             "a failed batch must not advance the cursor")
+      val cur = Sources.restIngestBatch(spark, url, "lp", cdir) { df =>
+        seen += df.count()
+      }
+      assert(seen.toSeq == Seq(30L, 30L), "retry must redeliver the batch")
+      assert(cur.values.sum == 30L)
+
+      // 4. an idle batch moves nothing and writes no cursor version
+      val before = new java.io.File(cdir).list().toSeq
+      assert(Sources.restIngestBatch(spark, url, "lp", cdir)(
+               _ => fail("process must not run on an empty batch")) == cur)
+      assert(new java.io.File(cdir).list().toSeq == before)
+
+      // 5. drain: a deep backlog crosses in bounded batches
+      Sources.restProduce(
+        (30 until 80).map(i => (s"k$i", s"v$i")).toDF("k", "v"), url, "lp",
+        col("k"), col("v"), pmod(xxhash64(col("k")), lit(2)))
+      var total = 0L
+      val nb = Sources.restIngestDrain(spark, url, "lp", cdir,
+                                       maxPerPartition = 10L) { df =>
+        val n = df.count(); assert(n <= 20); total += n
+      }
+      assert(total == 50L && nb >= 3)
+      assert(Sources.readRestCursor(spark, cdir).values.sum == 80L)
+    }
+  }
+
   test("HttpSchemaRegistry resolves ids over real HTTP and caches per id") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val srv = com.sun.net.httpserver.HttpServer.create(
