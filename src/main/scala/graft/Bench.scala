@@ -109,12 +109,13 @@ object Bench {
     // q_cdc_unwrap is excluded: it re-runs the q_upsert_latest
     // latest-per-key window over an in-plan envelope wrap/unwrap —
     // benching it would double-count that stage.
-    // q_rest_ingest is excluded for the same lifecycle reason as the
-    // q_stream_* keys: it spins an in-JVM REST-proxy stand-in and
-    // measures HTTP produce/consume round-trips against it — edge
-    // transport cost through a simulated broker, not query serving;
-    // q_scan / q_agg_basic carry the bench signal for what follows
-    // the ingest edge)
+    // q_rest_ingest and q_rest_stream are excluded for the same
+    // lifecycle reason as the q_stream_* keys: both spin an in-JVM
+    // REST-proxy stand-in and measure HTTP produce/consume round-trips
+    // against it (q_rest_stream additionally a full Structured
+    // Streaming checkpoint lifecycle) — edge transport cost through a
+    // simulated broker, not query serving; q_scan / q_agg_basic carry
+    // the bench signal for what follows the ingest edge)
     "q_json_extract", "q_variant",
     "q_sample_hash", "q_sample_weighted", "q_hash", "q_zorder",
     "q_projection_route", "q_pipeline_shard",

@@ -258,6 +258,87 @@ object SourceQueries extends QueryPack {
           new java.util.ArrayList[Row](rows.asJava), out.schema)
           .orderBy(asc_nulls_first("event_type"))
       } finally srv.stop()
+    }),
+
+    // S9 AS A STRUCTURED STREAMING SOURCE, EXECUTED UNDER THE ORACLE:
+    // the same two-wave events feed as q_rest_ingest, but consumed
+    // through `spark.readStream.format("graft-rest")` ([[RestProxySource]],
+    // a DataSource V2 MicroBatchStream) with the ENGINE owning the
+    // offset lifecycle — per-trigger admission caps force multiple
+    // micro-batches, the stream is STOPPED between the waves, and the
+    // restart resumes from the checkpoint's offset log. The exactly-once
+    // file-sink output must aggregate to the same per-type
+    // counts/sums/extremes as the raw events table, with the same
+    // per-record routing and key assertions as q_rest_ingest — so a hash
+    // match certifies the source's offset planning, admission control,
+    // checkpoint resume, and reader, end to end through the engine.
+    "q_rest_stream" -> ((s, dir) => {
+      val srv = new RestProxy.InMemoryServer(numPartitions = 4)
+      val url = srv.start()
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_rest_stream_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode)
+      val out = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      try {
+        // fresh run: the tmp sink/checkpoint must not carry a previous
+        // invocation's batches
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val ev = Tables(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        def produce(w: org.apache.spark.sql.DataFrame): Unit =
+          Sources.restProduce(
+            w, url, "events",
+            col("user_id").cast("string"),
+            to_json(struct(col("event_id"), col("user_id"),
+                           col("event_type"), col("ts_us"))),
+            pmod(col("event_id"), lit(4)))
+        def runOnce(): Unit = {
+          val q = s.readStream.format("graft-rest")
+            .option("url", url).option("topic", "events")
+            .option("maxRecordsPerPartition", "4096")
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val wave2 = pmod(col("event_id"), lit(3)) === 0
+        produce(ev.filter(!wave2))
+        runOnce()
+        produce(ev.filter(wave2)) // arrives while the stream is DOWN
+        runOnce()                 // checkpoint restart picks it up
+        val parsed = s.read.parquet(out).select(
+          from_json(col("value").cast("string"),
+            StructType.fromDDL("event_id LONG, user_id LONG, " +
+                               "event_type STRING, ts_us LONG")).as("r"),
+          col("partition"),
+          col("key").cast("string").cast("long").as("key_uid"))
+          .select(col("r.*"), col("partition"), col("key_uid"))
+        val agg = parsed.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          min("event_id").as("id_min"),
+          max("event_id").as("id_max"),
+          sum("user_id").as("uid_sum"),
+          countDistinct("user_id").as("n_users"),
+          min("ts_us").as("ts_min"),
+          max("ts_us").as("ts_max"),
+          sum(when(col("partition") <=>
+                     pmod(col("event_id"), lit(4)).cast("int"), 1L)
+            .otherwise(0L)).as("n_routed"),
+          sum(when(col("key_uid") <=> col("user_id"), 1L).otherwise(0L))
+            .as("n_keyed"))
+        val rows = agg.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), agg.schema)
+          .orderBy(asc_nulls_first("event_type"))
+      } finally srv.stop()
     })
   )
 
@@ -368,6 +449,20 @@ object SourceQueries extends QueryPack {
     // plain count, and the sums/extremes catch any lost, duplicated, or
     // garbled record.
     "q_rest_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  min(event_id) AS id_min, max(event_id) AS id_max,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+        |  count(*) AS n_routed, count(*) AS n_keyed
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // Identical aggregates to q_rest_ingest: the streaming-source run
+    // must deliver exactly the same record set through the engine's
+    // checkpointed micro-batches as the batch consume path does.
+    "q_rest_stream" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
         |  min(event_id) AS id_min, max(event_id) AS id_max,
