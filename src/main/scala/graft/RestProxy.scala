@@ -104,52 +104,62 @@ object RestProxy {
     /** Read exactly `[from, until)` of one partition through an ephemeral
       * consumer instance (create → assign → seek → poll* → delete).
       * Deterministic for a fixed range — the property that makes a Spark
-      * task retry/speculative re-run safe. Strict: the range IS the
-      * caller's micro-batch slice, bounded by
-      * [[Sources.restConsumeWithCursor]]'s `maxPerPartition` knob.
+      * task retry/speculative re-run safe. Strict convenience over
+      * [[consumeRangeIterator]] with guaranteed instance cleanup; for
+      * ranges that should stream through a task without materializing
+      * (an uncapped backlog drain) use the iterator form.
       */
     def consumeRange(topic: String, partition: Int, from: Long, until: Long,
                      group: String = "graft-range"): Seq[RestRecord] = {
-      if (from >= until) return Seq.empty
-      val inst = mapper.readTree(http(
+      val it = consumeRangeIterator(topic, partition, from, until, group)
+      try it.toSeq finally it.close()
+    }
+
+    /** Lazily-paginated `[from, until)` read: one proxy poll per demand,
+      * O(one poll) records resident at a time — the shape a Spark
+      * `PartitionReader` or `flatMap` pulls through a task without ever
+      * holding the whole range (the 100 TB backlog case). The consumer
+      * instance is created on first pull and deleted at exhaustion or
+      * [[RangeIterator.close]]; if a task dies between the two, the
+      * instance leaks until the proxy's idle timeout reaps it
+      * (`consumer.instance.timeout.ms`, a real proxy's standard
+      * behavior) — callers that can, should close() in a finally.
+      */
+    def consumeRangeIterator(topic: String, partition: Int, from: Long,
+                             until: Long, group: String = "graft-range")
+        : RangeIterator =
+      new RangeIterator(this, topic, partition, from, until, group)
+
+    private[graft] def createInstance(group: String): String =
+      mapper.readTree(http(
         "POST", s"$baseUrl/consumers/$group",
         Some("""{"format":"binary","auto.offset.reset":"earliest"}"""), V2))
         .get("instance_id").asText()
-      val iuri = s"$baseUrl/consumers/$group/instances/$inst"
-      try {
-        http("POST", s"$iuri/assignments",
-             Some(s"""{"partitions":[{"topic":"$topic","partition":$partition}]}"""),
-             V2)
-        http("POST", s"$iuri/positions",
-             Some(s"""{"offsets":[{"topic":"$topic","partition":$partition,"offset":$from}]}"""),
-             V2)
-        val out = ArrayBuffer.empty[RestRecord]
-        var next = from
-        while (next < until) {
-          val recs = mapper.readTree(http(
-            "GET", s"$iuri/records?timeout=1000&max_bytes=1048576",
-            None, BinaryV2))
-          if (!recs.elements().hasNext)
-            throw new IllegalStateException(
-              s"consume of $topic/$partition truncated at offset $next " +
-              s"of [$from,$until): the broker no longer serves a range " +
-              "it advertised — retention expired mid-read?")
-          recs.elements().asScala.foreach { r =>
-            val off = r.get("offset").asLong()
-            if (off < until) {
-              out += RestRecord(
-                r.get("topic").asText(), r.get("partition").asInt(), off,
-                b64Field(r, "key"), b64Field(r, "value"))
-            }
-            next = math.max(next, off + 1)
-          }
-        }
-        out.toSeq
-      } finally {
-        try http("DELETE", iuri, None, V2)
-        catch { case _: IOException => () } // cleanup is best-effort
-      }
+
+    private[graft] def assignSeek(iuri: String, topic: String,
+                                  partition: Int, from: Long): Unit = {
+      http("POST", s"$iuri/assignments",
+           Some(s"""{"partitions":[{"topic":"$topic","partition":$partition}]}"""),
+           V2)
+      http("POST", s"$iuri/positions",
+           Some(s"""{"offsets":[{"topic":"$topic","partition":$partition,"offset":$from}]}"""),
+           V2)
     }
+
+    private[graft] def pollOnce(iuri: String): Seq[RestRecord] =
+      mapper.readTree(http(
+        "GET", s"$iuri/records?timeout=1000&max_bytes=1048576",
+        None, BinaryV2))
+        .elements().asScala.map { r =>
+          RestRecord(
+            r.get("topic").asText(), r.get("partition").asInt(),
+            r.get("offset").asLong(), b64Field(r, "key"),
+            b64Field(r, "value"))
+        }.toSeq
+
+    private[graft] def deleteInstance(iuri: String): Unit =
+      try http("DELETE", iuri, None, V2)
+      catch { case _: IOException => () } // cleanup is best-effort
 
     private def b64Field(node: JsonNode, field: String): Array[Byte] = {
       val f = node.get(field)
@@ -177,6 +187,54 @@ object RestProxy {
         }
         new String(conn.getInputStream.readAllBytes(), UTF_8)
       } finally conn.disconnect()
+    }
+  }
+
+  /** One bounded partition range as a lazy pull iterator — see
+    * [[Client.consumeRangeIterator]]. Not thread-safe (one task, one
+    * iterator, like any `PartitionReader`).
+    */
+  final class RangeIterator(client: Client, topic: String, partition: Int,
+                            from: Long, until: Long, group: String)
+      extends Iterator[RestRecord] with AutoCloseable {
+    private var iuri: String = _
+    private var buf: Iterator[RestRecord] = Iterator.empty
+    private var nextOff = from
+    private var closed = false
+
+    override def hasNext: Boolean = {
+      if (closed) return false
+      while (!buf.hasNext && nextOff < until) poll()
+      if (buf.hasNext) true
+      else { close(); false }
+    }
+
+    override def next(): RestRecord = {
+      if (!hasNext) throw new NoSuchElementException("range exhausted")
+      buf.next()
+    }
+
+    override def close(): Unit = {
+      if (!closed) {
+        closed = true
+        if (iuri != null) client.deleteInstance(iuri)
+      }
+    }
+
+    private def poll(): Unit = {
+      if (iuri == null) {
+        val inst = client.createInstance(group)
+        iuri = s"${client.baseUrl}/consumers/$group/instances/$inst"
+        client.assignSeek(iuri, topic, partition, from)
+      }
+      val recs = client.pollOnce(iuri)
+      if (recs.isEmpty)
+        throw new IllegalStateException(
+          s"consume of $topic/$partition truncated at offset $nextOff " +
+          s"of [$from,$until): the broker no longer serves a range it " +
+          "advertised — retention expired mid-read?")
+      recs.foreach(r => nextOff = math.max(nextOff, r.offset + 1))
+      buf = recs.iterator.filter(_.offset < until)
     }
   }
 
@@ -278,6 +336,12 @@ object RestProxy {
     def stop(): Unit = synchronized {
       if (server != null) { server.stop(0); server = null }
     }
+
+    /** Live consumer-instance count — lets tests assert that readers
+      * free their instances (a real proxy reaps leaks by idle timeout;
+      * the stand-in makes the leak observable instead).
+      */
+    def activeConsumers: Int = consumers.size()
 
     private def log(topic: String) =
       topics.computeIfAbsent(topic,

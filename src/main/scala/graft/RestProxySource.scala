@@ -170,8 +170,11 @@ private[graft] class RestPartitionReaderFactory
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[RestInputPartition]
     new PartitionReader[InternalRow] {
+      // lazily-paginated pull — one poll resident at a time, and the
+      // consumer instance is freed on close() even if the task stops
+      // mid-range (limit pushdown, task kill)
       private val it = RestProxy.Client(ip.url)
-        .consumeRange(ip.topic, ip.partition, ip.from, ip.until).iterator
+        .consumeRangeIterator(ip.topic, ip.partition, ip.from, ip.until)
       private var cur: RestProxy.RestRecord = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
@@ -180,7 +183,7 @@ private[graft] class RestPartitionReaderFactory
       override def get(): InternalRow =
         InternalRow(cur.key, cur.value, UTF8String.fromString(cur.topic),
                     cur.partition, cur.offset)
-      override def close(): Unit = ()
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -269,7 +269,9 @@ object Sources {
       // Kafka source
       .repartition(math.max(ranges.size, 1))
       .flatMap { case (p, from, until) =>
-        RestProxy.Client(baseUrl).consumeRange(topic, p, from, until)
+        // lazily-paginated pull: one poll's records resident at a time,
+        // never the whole range — the task streams an uncapped backlog
+        RestProxy.Client(baseUrl).consumeRangeIterator(topic, p, from, until)
           .map(r => (r.key, r.value, r.topic, r.partition, r.offset))
       }
       .toDF("key", "value", "topic", "partition", "offset")

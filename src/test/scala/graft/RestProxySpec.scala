@@ -234,6 +234,27 @@ class RestProxySpec extends SparkSpec {
     }
   }
 
+  test("consumeRangeIterator: lazy pagination, mid-range close frees the " +
+       "consumer instance, exhaustion frees it too") {
+    withServer(numPartitions = 1, maxPoll = 10) { (srv, c) =>
+      c.produce("lz", Iterator.tabulate(100)(i => rec(null, s"m$i", 0)))
+      // mid-range close: pull 25 of [0, 100) (crosses poll pages), stop
+      val it = c.consumeRangeIterator("lz", 0, 0, 100)
+      val head = it.take(25).toSeq
+      assert(head.map(_.offset) == (0L until 25L))
+      assert(srv.activeConsumers == 1, "instance live while mid-range")
+      it.close()
+      assert(srv.activeConsumers == 0, "close() must free the instance")
+      // exhaustion: draining the iterator frees the instance by itself
+      val it2 = c.consumeRangeIterator("lz", 0, 90, 100)
+      assert(it2.map(_.offset).toSeq == (90L until 100L))
+      assert(srv.activeConsumers == 0, "exhaustion must free the instance")
+      // strict form still cleans up
+      assert(c.consumeRange("lz", 0, 0, 100).size == 100)
+      assert(srv.activeConsumers == 0)
+    }
+  }
+
   test("persisted cursor: versioned publish, torn-newest fallback, " +
        "at-least-once replay after a failed batch, bounded drain") {
     withServer(numPartitions = 2) { (_, c) =>
