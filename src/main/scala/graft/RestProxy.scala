@@ -94,8 +94,20 @@ object RestProxy {
           if (p == null) rec.putNull("partition")
           else rec.put("partition", p.intValue())
         }
-        http("POST", s"$baseUrl/topics/$topic",
-             Some(mapper.writeValueAsString(root)), BinaryV2)
+        val resp = mapper.readTree(http(
+          "POST", s"$baseUrl/topics/$topic",
+          Some(mapper.writeValueAsString(root)), BinaryV2))
+        // the proxy reports per-record failures INSIDE a 200 response —
+        // ignoring them silently drops records (e.g. a partition out of
+        // range); surface the first one
+        resp.get("offsets").elements().asScala
+          .find(o => o.get("error_code") != null &&
+                     !o.get("error_code").isNull)
+          .foreach { o =>
+            throw new IOException(
+              s"produce to $topic rejected a record: error_code=" +
+              s"${o.get("error_code")} ${o.get("error")}")
+          }
         n += batch.size
       }
       n
@@ -221,21 +233,26 @@ object RestProxy {
       }
     }
 
-    private def poll(): Unit = {
-      if (iuri == null) {
-        val inst = client.createInstance(group)
-        iuri = s"${client.baseUrl}/consumers/$group/instances/$inst"
-        client.assignSeek(iuri, topic, partition, from)
+    private def poll(): Unit =
+      try {
+        if (iuri == null) {
+          val inst = client.createInstance(group)
+          iuri = s"${client.baseUrl}/consumers/$group/instances/$inst"
+          client.assignSeek(iuri, topic, partition, from)
+        }
+        val recs = client.pollOnce(iuri)
+        if (recs.isEmpty)
+          throw new IllegalStateException(
+            s"consume of $topic/$partition truncated at offset $nextOff " +
+            s"of [$from,$until): the broker no longer serves a range it " +
+            "advertised — retention expired mid-read?")
+        recs.foreach(r => nextOff = math.max(nextOff, r.offset + 1))
+        buf = recs.iterator.filter(_.offset < until)
+      } catch {
+        // free the instance before surfacing the failure — the caller
+        // sees the exception either way, the broker shouldn't see a leak
+        case e: Throwable => close(); throw e
       }
-      val recs = client.pollOnce(iuri)
-      if (recs.isEmpty)
-        throw new IllegalStateException(
-          s"consume of $topic/$partition truncated at offset $nextOff " +
-          s"of [$from,$until): the broker no longer serves a range it " +
-          "advertised — retention expired mid-read?")
-      recs.foreach(r => nextOff = math.max(nextOff, r.offset + 1))
-      buf = recs.iterator.filter(_.offset < until)
-    }
   }
 
   /** Kafka's DefaultPartitioner key hash (murmur2, public algorithm from

@@ -144,7 +144,10 @@ private[graft] class RestMicroBatchStream(url: String, topic: String,
     val s = start.asInstanceOf[RestOffset].offsets
     val e = end.asInstanceOf[RestOffset].offsets
     e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
-      val from = s.getOrElse(p, 0L)
+      // a partition absent from the checkpointed start (added to the
+      // topic mid-stream) begins at the BROKER's beginning offset, not
+      // 0 — retention may already have trimmed the log's head
+      val from = s.getOrElse(p, client.offsets(topic, p)._1)
       if (from < until) Some(RestInputPartition(url, topic, p, from, until))
       else None
     }.toArray

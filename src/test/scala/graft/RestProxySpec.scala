@@ -91,6 +91,11 @@ class RestProxySpec extends SparkSpec {
       c.produce("t2", Iterator(rec("a", "v", 0)))
       val e2 = intercept[IOException](c.offsets("t2", 99))
       assert(e2.getMessage.contains("40402"))
+      // a per-record failure rides INSIDE a 200 produce response — the
+      // client must surface it, not silently drop the record
+      val e3 = intercept[IOException](
+        c.produce("t2", Iterator(rec("a", "lost?", 99))))
+      assert(e3.getMessage.contains("error_code"))
     }
   }
 
