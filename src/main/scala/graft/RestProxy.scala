@@ -47,19 +47,21 @@ object RestProxy {
   /** Minimal v2 REST Proxy client. Serializable (carries only the URL);
     * every method opens short-lived `HttpURLConnection`s, so one instance
     * can be shared by a task without pooled state. Consumer instances are
-    * addressed via `{baseUrl}/consumers/{group}/instances/{id}` rather
-    * than the `base_uri` the proxy returns — the returned URI carries the
-    * proxy's internal advertised hostname (`KAFKA_REST_HOST_NAME:
-    * rest-proxy` in the reference compose), which executors outside that
-    * network cannot resolve.
+    * addressed via the proxy's returned `base_uri` when its host
+    * resolves (required for sticky routing behind a multi-node proxy),
+    * falling back to `{baseUrl}/consumers/{group}/instances/{id}` when
+    * it doesn't — the reference compose advertises an internal hostname
+    * (`KAFKA_REST_HOST_NAME: rest-proxy`) that executors outside that
+    * network cannot resolve. Transient transport faults (5xx, timeouts,
+    * torn bodies) retry bounded; instance expiry recovers in
+    * [[RangeIterator]].
     */
   final case class Client(baseUrl: String) extends Serializable {
     @transient private lazy val mapper = new ObjectMapper()
 
     /** Partition ids of `topic` (`GET /topics/{t}/partitions`). */
     def partitions(topic: String): Seq[Int] =
-      mapper.readTree(http("GET", s"$baseUrl/topics/$topic/partitions",
-                           None, V2))
+      httpJson("GET", s"$baseUrl/topics/$topic/partitions", None, V2)
         .elements().asScala.map(_.get("partition").asInt()).toSeq.sorted
 
     /** (beginning, end) offsets of one partition — end is exclusive, the
@@ -67,9 +69,9 @@ object RestProxy {
       * (`GET /topics/{t}/partitions/{p}/offsets`).
       */
     def offsets(topic: String, partition: Int): (Long, Long) = {
-      val n = mapper.readTree(http(
+      val n = httpJson(
         "GET", s"$baseUrl/topics/$topic/partitions/$partition/offsets",
-        None, V2))
+        None, V2)
       (n.get("beginning_offset").asLong(), n.get("end_offset").asLong())
     }
 
@@ -94,9 +96,9 @@ object RestProxy {
           if (p == null) rec.putNull("partition")
           else rec.put("partition", p.intValue())
         }
-        val resp = mapper.readTree(http(
+        val resp = httpJson(
           "POST", s"$baseUrl/topics/$topic",
-          Some(mapper.writeValueAsString(root)), BinaryV2))
+          Some(mapper.writeValueAsString(root)), BinaryV2)
         // the proxy reports per-record failures INSIDE a 200 response —
         // ignoring them silently drops records (e.g. a partition out of
         // range); surface the first one
@@ -142,26 +144,47 @@ object RestProxy {
         : RangeIterator =
       new RangeIterator(this, topic, partition, from, until, group)
 
-    private[graft] def createInstance(group: String): String =
-      mapper.readTree(http(
+    /** Create a consumer instance and return its REST URI. Prefers the
+      * proxy's advertised `base_uri` when its host actually resolves —
+      * behind a multi-node proxy or load balancer the advertised URI is
+      * the only one guaranteed to route follow-up assignment/poll/delete
+      * calls to the node that HOSTS the instance (a sticky-routing
+      * requirement of the real proxy). The reference compose advertises
+      * an internal hostname (`KAFKA_REST_HOST_NAME: rest-proxy`) that
+      * external executors cannot resolve, so when resolution fails we
+      * fall back to `baseUrl` — correct for a single-node endpoint,
+      * which that deployment is.
+      */
+    private[graft] def createInstance(group: String): String = {
+      val node = httpJson(
         "POST", s"$baseUrl/consumers/$group",
-        Some("""{"format":"binary","auto.offset.reset":"earliest"}"""), V2))
-        .get("instance_id").asText()
-
-    private[graft] def assignSeek(iuri: String, topic: String,
-                                  partition: Int, from: Long): Unit = {
-      http("POST", s"$iuri/assignments",
-           Some(s"""{"partitions":[{"topic":"$topic","partition":$partition}]}"""),
-           V2)
-      http("POST", s"$iuri/positions",
-           Some(s"""{"offsets":[{"topic":"$topic","partition":$partition,"offset":$from}]}"""),
-           V2)
+        Some("""{"format":"binary","auto.offset.reset":"earliest"}"""), V2)
+      val id = node.get("instance_id").asText()
+      val fallback = s"$baseUrl/consumers/$group/instances/$id"
+      Option(node.get("base_uri")).filterNot(_.isNull).map(_.asText())
+        .filter(u => u.nonEmpty && hostResolves(u))
+        .getOrElse(fallback)
     }
 
+    private def hostResolves(uri: String): Boolean =
+      try {
+        java.net.InetAddress.getByName(new URL(uri).getHost); true
+      } catch { case _: Exception => false }
+
+    private[graft] def assignSeek(iuri: String, topic: String,
+                                  partition: Int, from: Long): Unit =
+      retryingTransient(s"assign+seek $iuri") {
+        http("POST", s"$iuri/assignments",
+             Some(s"""{"partitions":[{"topic":"$topic","partition":$partition}]}"""),
+             V2)
+        http("POST", s"$iuri/positions",
+             Some(s"""{"offsets":[{"topic":"$topic","partition":$partition,"offset":$from}]}"""),
+             V2)
+      }
+
     private[graft] def pollOnce(iuri: String): Seq[RestRecord] =
-      mapper.readTree(http(
-        "GET", s"$iuri/records?timeout=1000&max_bytes=1048576",
-        None, BinaryV2))
+      httpJson("GET", s"$iuri/records?timeout=1000&max_bytes=1048576",
+               None, BinaryV2)
         .elements().asScala.map { r =>
           RestRecord(
             r.get("topic").asText(), r.get("partition").asInt(),
@@ -176,6 +199,45 @@ object RestProxy {
     private def b64Field(node: JsonNode, field: String): Array[Byte] = {
       val f = node.get(field)
       if (f == null || f.isNull) null else Base64.getDecoder.decode(f.asText())
+    }
+
+    /** Request + JSON parse under one retry scope, so a torn/truncated
+      * 200 body (parse failure) retries the same as a 5xx or a timeout.
+      */
+    private[graft] def httpJson(method: String, url: String,
+                                body: Option[String],
+                                contentType: String): JsonNode =
+      retryingTransient(s"$method $url") {
+        mapper.readTree(http(method, url, body, contentType))
+      }
+
+    /** Bounded retry for TRANSIENT transport faults only: HTTP 5xx,
+      * connect/read timeouts, torn bodies (premature EOF / unparseable
+      * 200 response). 4xx responses are semantic errors and surface
+      * immediately — instance expiry (40403) is recovered one level up
+      * ([[RangeIterator]] recreates + reseeks), everything else is the
+      * caller's bug. Produce POSTs retry too: the proxy has no
+      * transactional producer, so a replayed batch is the documented
+      * at-least-once duplicate the downstream merge keys absorb.
+      */
+    private def retryingTransient[T](what: String)(f: => T): T = {
+      val attempts = 4
+      var i = 0
+      while (true) {
+        i += 1
+        try return f
+        catch {
+          case e: HttpStatusException if e.code < 500 => throw e
+          case e @ (_: IOException |
+                    _: com.fasterxml.jackson.core.JacksonException)
+              if i < attempts =>
+            // linear backoff, bounded: transient proxy hiccups
+            // (restart, LB blip) clear in well under a second
+            Thread.sleep(100L * i)
+            val _ = e
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     private def http(method: String, url: String, body: Option[String],
@@ -195,12 +257,19 @@ object RestProxy {
         if (code >= 400) {
           val err = Option(conn.getErrorStream)
             .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
-          throw new IOException(s"$method $url -> HTTP $code: $err")
+          throw new HttpStatusException(code,
+            s"$method $url -> HTTP $code: $err")
         }
         new String(conn.getInputStream.readAllBytes(), UTF_8)
       } finally conn.disconnect()
     }
   }
+
+  /** An HTTP error response, status-code-typed so retry/recovery logic
+    * can distinguish transient 5xx from semantic 4xx.
+    */
+  final class HttpStatusException(val code: Int, msg: String)
+      extends IOException(msg)
 
   /** One bounded partition range as a lazy pull iterator — see
     * [[Client.consumeRangeIterator]]. Not thread-safe (one task, one
@@ -233,19 +302,52 @@ object RestProxy {
       }
     }
 
+    // instance expiry (proxy restart / idle-timeout reap — HTTP 404 on
+    // the instance URI, the real proxy's standard failure mode) is
+    // recovered in place: recreate + reseek at nextOff, bounded times
+    private var recreations = 0
+    private val MaxRecreations = 3
+    // a real cp-kafka-rest routinely returns an EMPTY records array on
+    // the first GET after create/assign/seek (the underlying consumer
+    // hasn't completed its initial fetch within the poll timeout), so an
+    // empty poll is retried a bounded number of times — only after the
+    // retries are exhausted AND the offsets endpoint confirms the range
+    // should still exist is it declared truncated
+    private val MaxEmptyPolls = 8
+
+    private def ensureInstance(): Unit =
+      if (iuri == null) {
+        iuri = client.createInstance(group)
+        client.assignSeek(iuri, topic, partition, nextOff)
+      }
+
+    private def pollRecovering(): Seq[RestRecord] =
+      try { ensureInstance(); client.pollOnce(iuri) }
+      catch {
+        case e: HttpStatusException
+            if e.code == 404 && recreations < MaxRecreations =>
+          recreations += 1
+          iuri = null
+          ensureInstance()
+          client.pollOnce(iuri)
+      }
+
     private def poll(): Unit =
       try {
-        if (iuri == null) {
-          val inst = client.createInstance(group)
-          iuri = s"${client.baseUrl}/consumers/$group/instances/$inst"
-          client.assignSeek(iuri, topic, partition, from)
+        var recs = pollRecovering()
+        var empties = 0
+        while (recs.isEmpty && empties < MaxEmptyPolls) {
+          empties += 1
+          Thread.sleep(math.min(100L * empties, 500L))
+          recs = pollRecovering()
         }
-        val recs = client.pollOnce(iuri)
-        if (recs.isEmpty)
+        if (recs.isEmpty) {
+          val (_, end) = client.offsets(topic, partition)
           throw new IllegalStateException(
             s"consume of $topic/$partition truncated at offset $nextOff " +
-            s"of [$from,$until): the broker no longer serves a range it " +
-            "advertised — retention expired mid-read?")
+            s"of [$from,$until) after $MaxEmptyPolls empty polls " +
+            s"(broker end offset now $end) — retention expired mid-read?")
+        }
         recs.foreach(r => nextOff = math.max(nextOff, r.offset + 1))
         buf = recs.iterator.filter(_.offset < until)
       } catch {

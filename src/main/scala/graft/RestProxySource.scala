@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructType, BinaryType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,14 +127,31 @@ private[graft] class RestMicroBatchStream(url: String, topic: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used instead")
 
+  /** The admission cap, taken from the ENGINE-SUPPLIED limit (which for
+    * a plain micro-batch trigger is [[getDefaultReadLimit]] passed back,
+    * but for `Trigger.AvailableNow` and future engine policies can be a
+    * composite or a different value). `maxRows` is interpreted per Kafka
+    * partition — the planning granularity of this source, and exactly
+    * what the `maxRecordsPerPartition` option that produces the default
+    * limit means. Unknown limit types fall back to all-available.
+    */
+  private def capOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows        => Some(r.maxRows())
+    case _: ReadAllAvailable   => None
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(l => capOf(l)).minOption
+    case _                     => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[RestOffset].offsets
+    val cap = capOf(limit)
     RestOffset(client.partitions(topic).map { p =>
       val (lo, hi) = client.offsets(topic, p)
       val f = math.max(lo, from.getOrElse(p, lo))
-      p -> (maxPerPartition match {
-        case Some(cap) => math.min(hi, f + cap)
-        case None      => hi
+      p -> (cap match {
+        case Some(c) => math.min(hi, f + c)
+        case None    => hi
       })
     }.toMap)
   }

@@ -251,6 +251,23 @@ object Sources {
                             startOffsets: Map[Int, Long] = Map.empty,
                             maxPerPartition: Option[Long] = None)
       : (DataFrame, Map[Int, Long]) = {
+    val (df, _, cursor) =
+      restConsumeRanges(spark, baseUrl, topic, startOffsets, maxPerPartition)
+    (df, cursor)
+  }
+
+  /** [[restConsumeWithCursor]] plus the batch's FROM offsets — the
+    * resolved `max(beginning, committed)` per partition, which is what
+    * "did this batch read anything" must be judged against: on a
+    * retention-trimmed partition (beginning > 0) with no prior cursor,
+    * `until == beginning ≠ 0`, and comparing against a 0 default would
+    * make an idle topic look moved.
+    */
+  private[graft] def restConsumeRanges(
+      spark: SparkSession, baseUrl: String, topic: String,
+      startOffsets: Map[Int, Long] = Map.empty,
+      maxPerPartition: Option[Long] = None)
+      : (DataFrame, Map[Int, Long], Map[Int, Long]) = {
     val client = RestProxy.Client(baseUrl)
     val ranges = client.partitions(topic).map { p =>
       val (lo, hi) = client.offsets(topic, p)
@@ -275,7 +292,7 @@ object Sources {
           .map(r => (r.key, r.value, r.topic, r.partition, r.offset))
       }
       .toDF("key", "value", "topic", "partition", "offset")
-    (df, cursor)
+    (df, ranges.map { case (p, from, _) => p -> from }.toMap, cursor)
   }
 
   /** S9: REST ingest, produce side (`POST /topics/{t}`, binary embedded
@@ -376,7 +393,14 @@ object Sources {
     val tmp = new org.apache.hadoop.fs.Path(d, s"_tmp_cursor_$next")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"cursor-$next"))
+    // HadoopFileSystem implementations commonly report rename failure by
+    // RETURNING false, not throwing — pruning after a silently failed
+    // publish would delete every surviving cursor and force a
+    // full-topic replay, so the failure must abort BEFORE the prune
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"cursor-$next")))
+      throw new java.io.IOException(
+        s"cursor publish failed: rename $tmp -> cursor-$next returned " +
+        "false; previous cursor versions left intact")
     // best-effort prune of superseded versions — read ignores them
     prev.foreach { case (_, p) =>
       try fs.delete(p, false)
@@ -401,11 +425,14 @@ object Sources {
                       maxPerPartition: Option[Long] = None)
                      (process: DataFrame => Unit): Map[Int, Long] = {
     val committed = readRestCursor(spark, cursorDir)
-    val (batch, next) =
-      restConsumeWithCursor(spark, baseUrl, topic, committed,
-                            maxPerPartition)
+    val (batch, from, next) =
+      restConsumeRanges(spark, baseUrl, topic, committed, maxPerPartition)
+    // "moved" compares until against the batch's resolved FROM offsets
+    // (max(beginning, committed)), not a 0 default — on a
+    // retention-trimmed partition with no prior cursor an idle topic
+    // must NOT look moved ("an empty batch commits nothing")
     val moved = next.exists { case (p, until) =>
-      committed.getOrElse(p, 0L) < until
+      from.getOrElse(p, until) < until
     }
     if (!moved) return committed
     process(batch)
