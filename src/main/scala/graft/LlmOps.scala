@@ -262,6 +262,26 @@ object LlmOps {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int, numHashes: Int, bands: Int,
                           minJaccard: Double): DataFrame = {
+    val (sh, counts, buckets) =
+      minhashSigRelation(docs, idCol, textCol, shingleK, numHashes, bands)
+    val cand = buckets.select(col("doc").as("a"), col("band"), col("bh"))
+      .join(buckets.select(col("doc").as("b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccard(sh, counts, cand, minJaccard)
+  }
+
+  /** The shared MinHash machinery behind [[minhashNearDupPairs]] (the
+    * pair-output contract) and [[minhashComponents]] (the clustering
+    * contract): hashed shingle relation, per-doc counts, and banded LSH
+    * bucket assignment. Returns (sh = (doc, s), counts = (doc, n_sh),
+    * buckets = (doc, band, bh)).
+    */
+  private def minhashSigRelation(docs: DataFrame, idCol: String,
+                                 textCol: String, shingleK: Int,
+                                 numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     // materialized once: the shingle relation feeds the signature agg, the
     // per-doc counts, and both sides of the verification join — without the
@@ -291,11 +311,17 @@ object LlmOps {
     val buckets = sig
       .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = buckets.select(col("doc").as("a"), col("band"), col("bh"))
-      .join(buckets.select(col("doc").as("b"), col("band"), col("bh")),
-            Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    (sh, counts, buckets)
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs against the
+    * hashed shingle relation — relational intersection count + the
+    * per-doc counts for the union term. Emits only pairs at
+    * `jaccard >= minJaccard`, rounded to 4 places.
+    */
+  private def verifyJaccard(sh: DataFrame, counts: DataFrame,
+                            cand: DataFrame,
+                            minJaccard: Double): DataFrame = {
     val inter = cand
       .join(sh.select(col("doc").as("a"), col("s")), "a")
       .join(sh.select(col("doc").as("b"), col("s")), Seq("b", "s"))
@@ -307,6 +333,111 @@ object LlmOps {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** L1→L2 duplicate-class skew guard: collapse EXACT duplicates
+    * (bit-identical `textCol` within the same `partCols` block) onto
+    * their min-id representative BEFORE near-dup mining. A class of m
+    * identical documents — boilerplate pages, the normal shape at
+    * 100 TB — otherwise puts m rows into the same LSH band bucket (and
+    * fully-overlapping PPJoin prefixes), producing ~m² candidate rows
+    * that all verify at J = 1; after the collapse the class costs ONE
+    * representative in the mine plus m−1 linear member edges.
+    *
+    * Returns (reps, memberEdges): `reps` keeps one full input row per
+    * distinct (block, text) — the minimum id; `memberEdges` is
+    * (a = rep, b = member) for every collapsed non-representative.
+    * Each member edge is a J = 1.0 pair by construction (identical
+    * text ⇒ identical shingle set, same block ⇒ the pair is in the
+    * blocked pair graph), so components over
+    * {mined pairs on reps} ∪ memberEdges equal components over the
+    * full pair graph EXACTLY — same partition, same per-component
+    * minimum (each rep is already its class minimum). Cost: one
+    * linear hash aggregate on (block, content hash) + one join back.
+    */
+  private[graft] def exactCollapse(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   partCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val keyNames = partCols :+ "__h"
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val repOf = hashed.groupBy(keyNames.map(col): _*)
+      .agg(min(col(idCol)).as("__rep"))
+    val withRep = hashed.join(repOf, keyNames)
+    val reps = withRep.filter(col(idCol) === col("__rep"))
+      .drop("__h", "__rep")
+    val memberEdges = withRep.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("a"), col(idCol).as("b"))
+    (reps, memberEdges)
+  }
+
+  /** L2-at-scale: near-dup CLUSTERING via MinHash LSH with both
+    * duplicate-class skew guards — the components-bound counterpart of
+    * [[minhashNearDupPairs]] (whose all-pairs contract is inherently
+    * quadratic in a duplicate class because the OUTPUT is the m² pair
+    * list; callers that only need clusters should take this form).
+    *
+    *  1. exact duplicates collapse to representatives first
+    *     ([[exactCollapse]]) — a 10k-copy boilerplate class never
+    *     reaches the LSH join, it contributes 10k−1 linear member
+    *     edges;
+    *  2. band buckets over the representatives are SIZE-PROBED (one
+    *     linear aggregate on (band, bh)): buckets at or under
+    *     `bucketCap` emit all intra-bucket pairs (the exact-recall
+    *     path — real corpora put near-dup classes of a handful of
+    *     docs here); buckets OVER the cap — a near-identical class
+    *     whose members share whole signature bands — emit O(m)
+    *     representative edges (doc → bucket-min) instead of ~m²
+    *     pairs: bucket-star edges preserve the bucket's connectivity
+    *     exactly;
+    *  3. every candidate edge from either branch is still verified
+    *     with exact shingle Jaccard >= `minJaccard` before it enters
+    *     the component graph.
+    *
+    * Returns (node, component = min reachable id) for every doc that
+    * has at least one edge (exact-dup members included); singletons
+    * are absent, as in [[connectedComponentsStar]].
+    */
+  def minhashComponents(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int, bands: Int,
+                        minJaccard: Double,
+                        bucketCap: Int = 64): DataFrame =
+    connectedComponentsStar(
+      minhashComponentEdges(docs, idCol, textCol, shingleK, numHashes,
+                            bands, minJaccard, bucketCap))
+
+  /** The edge relation behind [[minhashComponents]] — package-visible
+    * so the planted-duplicate-class spec can pin the candidate count
+    * at O(m), not O(m²).
+    */
+  private[graft] def minhashComponentEdges(
+      docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
+      numHashes: Int, bands: Int, minJaccard: Double,
+      bucketCap: Int): DataFrame = {
+    val (reps, memberEdges) =
+      exactCollapse(docs, idCol, textCol, Seq.empty)
+    val (sh, counts, buckets) =
+      minhashSigRelation(reps, idCol, textCol, shingleK, numHashes, bands)
+    // one linear aggregate sizes every band bucket and picks its min-id
+    // root; checkpointed because the small/star branches read it thrice
+    val sized = buckets.join(
+      buckets.groupBy("band", "bh")
+        .agg(count(lit(1)).as("m"), min(col("doc")).as("root")),
+      Seq("band", "bh"))
+      .localCheckpoint()
+    val small = sized.filter(col("m") <= bucketCap)
+    val smallCand = small.select(col("doc").as("a"), col("band"), col("bh"))
+      .join(small.select(col("doc").as("b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    // root = bucket min, so (root, doc) is already a < b oriented
+    val starCand = sized
+      .filter(col("m") > bucketCap && col("doc") =!= col("root"))
+      .select(col("root").as("a"), col("doc").as("b"))
+    val cand = smallCand.union(starCand).distinct()
+    memberEdges.union(
+      verifyJaccard(sh, counts, cand, minJaccard).select("a", "b"))
   }
 
   /** Exact n-gram Jaccard pairs, COST-BASED between two formulations
@@ -2023,6 +2154,14 @@ object LlmOps {
     * (survivor selection, leakage-safe splitting, reporting) reads it.
     * The raw q_dedup_components* keys stay unmemoized on purpose — they
     * ARE the benchmark of the clustering op itself.
+    *
+    * Skew-hardened: exact duplicates collapse to representatives
+    * BEFORE the mine ([[exactCollapse]], blocked on `langCol` so the
+    * lang-blocked pair semantics are preserved bit-for-bit); the
+    * member edges re-enter the graph as the J = 1 pairs they are, so
+    * the (node, component) output is IDENTICAL to mining the full
+    * corpus — a 10k-copy boilerplate class just never reaches the
+    * quadratic candidate space.
     */
   def jaccardComponents(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, k: Int,
@@ -2032,8 +2171,11 @@ object LlmOps {
     val key = s"$idCol/$textCol/$langCol/$k/$minSim#" +
       contentFingerprint(docs)
     ccCache.getOrElseCompute((spark, key)) {
+      val (reps, memberEdges) =
+        exactCollapse(docs, idCol, textCol, Seq(langCol))
       connectedComponentsStar(
-        ngramJaccardPairs(docs, idCol, textCol, langCol, k, minSim))
+        ngramJaccardPairs(reps, idCol, textCol, langCol, k, minSim)
+          .select("a", "b").union(memberEdges))
         .localCheckpoint()
     }
   }

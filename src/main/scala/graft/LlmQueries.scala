@@ -751,6 +751,36 @@ object LlmQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    // L2b'': duplicate-class skew certificate — the 100 TB hazard shape
+    // planted IN-PLAN and clustered through the hardened path: the
+    // corpus is documents plus a 2048-copy EXACT class and a 256-member
+    // NEAR class (one unique trailing token each; pairwise J = n/(n+2)
+    // >= 0.5), both cloned from the min-id doc. [[LlmOps
+    // .minhashComponents]] collapses the exact class to its
+    // representative before the LSH join (2047 linear member edges),
+    // and the near class — whose members share whole signature bands —
+    // trips the per-band-bucket size probe into O(m) bucket-star edges
+    // instead of ~m²/2 pairs; every surviving edge is still exact-
+    // Jaccard verified. The oracle replays the same math: collapse in
+    // SQL, exact pairs >= 0.5 over representatives, member edges back
+    // in, recursive-CTE components — the full (node, component) map
+    // hash-matches.
+    "q_dedup_minhash_dupclass" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents").select("doc_id", "text")
+      val seed = base.orderBy("doc_id").limit(1).select(col("text").as("t"))
+      val exactClass = seed
+        .select(explode(sequence(lit(0L), lit(2047L))).as("i"), col("t"))
+        .select((lit(9000000L) + col("i")).as("doc_id"),
+                col("t").as("text"))
+      val nearClass = seed
+        .select(explode(sequence(lit(0L), lit(255L))).as("i"), col("t"))
+        .select((lit(9500000L) + col("i")).as("doc_id"),
+                concat(col("t"), lit(" zzdup"), col("i")).as("text"))
+      val corpus = base.unionByName(exactClass).unionByName(nearClass)
+      LlmOps.minhashComponents(corpus, "doc_id", "text", 3, 32, 16, 0.5)
+        .orderBy("node")
+    }),
+
     // L2c: SimHash near-dup pairs. Driver-oracled since the portable
     // md5-prefix signature ([[LlmOps.simhash60]]): the DuckDB oracle
     // recomputes the 60-bit signature per document (same per-bit ±1
@@ -2422,10 +2452,15 @@ object LlmQueries extends QueryPack {
     }),
 
     // Capstone: the full training-shard prep pass in ONE plan — quality
-    // gate (length + stopword evidence) → exact-Jaccard near-dup mining →
-    // connected-components cluster resolution (keep the min-id survivor)
-    // → deterministic 50 % hash sample. Every stage is the scale-shaped
-    // variant used by its standalone query.
+    // gate (length + stopword evidence) → exact-dup collapse → exact-
+    // Jaccard near-dup mining over the representatives → connected-
+    // components cluster resolution (keep the min-id survivor) →
+    // deterministic 50 % hash sample. Every stage is the scale-shaped
+    // variant used by its standalone query. The collapse is the
+    // duplicate-class skew guard: a boilerplate class of m identical
+    // pages costs one representative in the mine plus m−1 linear member
+    // edges instead of m² candidates — and because each member edge IS
+    // a J = 1 pair of the blocked graph, the survivor set is unchanged.
     "q_pipeline_shard" -> ((s, dir) => {
       val toks = LlmOps.tokens(col("text"))
       val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
@@ -2434,9 +2469,12 @@ object LlmQueries extends QueryPack {
         .withColumn("n_stop", size(filter(toks,
           t => array_contains(stop, t))))
         .filter(col("n_tok") >= 20 && col("n_stop") >= 1)
-      val pairs = LlmOps.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      val (reps, memberEdges) =
+        LlmOps.exactCollapse(docs, "doc_id", "text", Seq("lang"))
+      val pairs = LlmOps.ngramJaccardPairs(reps, "doc_id", "text", "lang",
                                            3, 0.2)
-      val dropped = LlmOps.connectedComponentsStar(pairs)
+      val dropped = LlmOps.connectedComponentsStar(
+          pairs.select("a", "b").union(memberEdges))
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
@@ -2721,6 +2759,55 @@ object LlmQueries extends QueryPack {
         |JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
         |WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.5 AND b >= 250
         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin,
+
+    // Planted-class corpus, exact-collapsed in SQL (provably identical
+    // components: member edges are J = 1 pairs), exact Jaccard >= 0.5
+    // over representatives, recursive-CTE components over pair + member
+    // edges. Collapsing FIRST keeps the oracle itself linear in the
+    // 2048-copy class.
+    "q_dedup_minhash_dupclass" ->
+      """WITH RECURSIVE
+        |seed AS (SELECT text FROM documents ORDER BY doc_id LIMIT 1),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 9000000 + i, seed.text FROM range(0, 2048) r(i), seed
+        |  UNION ALL
+        |  SELECT 9500000 + i, seed.text || ' zzdup' || i
+        |  FROM range(0, 256) r(i), seed),
+        |rep AS (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM corpus),
+        |member AS (SELECT rep AS a, doc_id AS b FROM rep
+        |           WHERE doc_id <> rep),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM rep
+        |  WHERE doc_id = rep),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+        |  WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.5
+        |  UNION SELECT a, b FROM member),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+        |comp AS (SELECT x AS node, min(y) AS component FROM reach
+        |         GROUP BY x)
+        |SELECT node, component FROM comp
+        |ORDER BY node NULLS FIRST""".stripMargin,
 
     // Full SimHash replication: identical 60-bit md5-prefix signature
     // (per-bit ±1 sums), identical 4×15-bit band-agreement candidate

@@ -93,6 +93,58 @@ class LlmSpec extends SparkSpec {
       math.min(a, b) < 250 && math.max(a, b) >= 250 })
   }
 
+  test("duplicate-class skew guard: planted m-copy classes cost O(m) " +
+       "edges, not O(m^2), and cluster to the same components") {
+    // the 100 TB hazard shape: a boilerplate class of m identical pages
+    // plus a near-identical class (one unique trailing token each)
+    val words = (0 until 40).map(j => s"dup$j tok$j").mkString(" ")
+    def baseText(i: Int) =
+      (0 until 40).map(j => s"b${i}w$j").mkString(" ")
+    val m1 = 500; val m2 = 200
+    val rows =
+      (0 until 8).map(i => (i.toLong, baseText(i))) ++
+      (0 until m1).map(i => (1000L + i, words)) ++
+      (0 until m2).map(i => (2000L + i, words + s" zz$i"))
+    val df = rows.toDF("doc_id", "text")
+    val edges = LlmOps.minhashComponentEdges(
+      df, "doc_id", "text", 3, 32, 16, 0.5, bucketCap = 64)
+      .as[(Long, Long)].collect()
+    // O(m): m1-1 member edges from the exact collapse, ~m2 bucket-star
+    // edges (same (root, doc) pair in every band → distinct) plus a
+    // handful of perturbed-band small-bucket pairs. The unguarded
+    // candidate space is m1²/2 + m2²/2 ≈ 145k.
+    assert(edges.length < 2 * (m1 + m2),
+           s"edge count ${edges.length} is not O(m)")
+    // the exact class never reaches the LSH join: every edge touching
+    // it is a member edge from its representative
+    assert(edges.filter { case (a, b) =>
+      b >= 1000 && b < 1000 + m1 }.forall(_._1 == 1000L))
+    // correct clustering: all planted docs form ONE component rooted at
+    // the exact class minimum; unrelated base docs stay out
+    val comp = LlmOps.minhashComponents(df, "doc_id", "text", 3, 32, 16,
+                                        0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === m1 + m2)
+    assert(comp.values.toSet === Set(1000L))
+    assert(comp.keySet === ((0 until m1).map(1000L + _) ++
+                            (0 until m2).map(2000L + _)).toSet)
+    // equivalence with the unhardened path on a corpus small enough to
+    // afford all-pairs — star branch forced via a tiny bucketCap
+    val small = ((0 until 5).map(i => (i.toLong, baseText(i))) ++
+      (0 until 20).map(i => (100L + i, words)) ++
+      (0 until 10).map(i => (200L + i, words + s" zz$i")))
+      .toDF("doc_id", "text")
+    val hardened = LlmOps.connectedComponentsStar(
+      LlmOps.minhashComponentEdges(small, "doc_id", "text", 3, 32, 16,
+                                   0.5, bucketCap = 4)
+        .toDF("a", "b"))
+      .as[(Long, Long)].collect().toSet
+    val allPairs = LlmOps.connectedComponentsStar(
+      LlmOps.minhashNearDupPairs(small, "doc_id", "text", 3, 32, 16, 0.5))
+      .as[(Long, Long)].collect().toSet
+    assert(hardened === allPairs)
+  }
+
   test("minhash incremental store compaction collapses file counts and " +
        "leaves the next batch's results identical") {
     val dirA = java.nio.file.Files.createTempDirectory("graft-mhc")

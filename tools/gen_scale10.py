@@ -22,7 +22,15 @@ Construction (why it is the right 10x shape):
    images are decorrelated (E[cos] ~ 0).
 
 Seed fixed; output deterministic.
-Usage: python3 tools/gen_scale10.py [outdir]   (default /tmp/graft-sf1)
+Usage: python3 tools/gen_scale10.py [outdir] [--dupclass=EXACT,NEAR]
+       (default outdir /tmp/graft-sf1)
+--dupclass=EXACT,NEAR plants the duplicate-class skew hazard the permutation
+tiling deliberately does NOT grow: EXACT bit-identical copies of the
+min-id document (ids 90_000_000+) and NEAR near-identical copies (one
+unique trailing token each, pairwise J = n/(n+2); ids 95_000_000+) —
+e.g. --dupclass=10000,1000 for the 10k/1k certificate corpus. Flat
+wall time across --dupclass sizes is the measured evidence that
+minhashComponents' collapse + bucket-star guards hold.
 Driver-side tooling only (duckdb/pyarrow) - not part of the library.
 """
 import os
@@ -34,10 +42,16 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
+OUT = ARGS[0] if ARGS else "/tmp/graft-sf1"
 TILES = 10
 SEED = 20260815
+DUP_EXACT, DUP_NEAR = 0, 0
+for a in sys.argv[1:]:
+    if a.startswith("--dupclass="):
+        DUP_EXACT, DUP_NEAR = (int(x) for x in
+                               a.split("=", 1)[1].split(","))
 
 
 def gen_documents(con):
@@ -68,6 +82,22 @@ def gen_documents(con):
             out["lang"].append(lang)
             out["source"].append(source)
             out["n_chars"].append(len(t) if t is not None else None)
+    if DUP_EXACT or DUP_NEAR:
+        seed_text = base[0][1]
+        lang, source = base[0][2], base[0][3]
+        for i in range(DUP_EXACT):
+            out["doc_id"].append(90_000_000 + i)
+            out["text"].append(seed_text)
+            out["lang"].append(lang)
+            out["source"].append(source)
+            out["n_chars"].append(len(seed_text))
+        for i in range(DUP_NEAR):
+            t = f"{seed_text} zzdup{i}"
+            out["doc_id"].append(95_000_000 + i)
+            out["text"].append(t)
+            out["lang"].append(lang)
+            out["source"].append(source)
+            out["n_chars"].append(len(t))
     table = pa.table({
         "doc_id": pa.array(out["doc_id"], pa.int64()),
         "text": pa.array(out["text"], pa.string()),
@@ -122,8 +152,10 @@ def main():
         if f.endswith(".parquet") and f not in ("documents.parquet",
                                                 "embeddings.parquet"):
             shutil.copyfile(f"{SRC}/{f}", f"{OUT}/{f}")
+    dup = (f" dupclass={DUP_EXACT},{DUP_NEAR}"
+           if DUP_EXACT or DUP_NEAR else "")
     print(f"wrote {OUT}: documents={nd} embeddings={ne} "
-          f"(sf0.1 x {TILES} tiles, seed {SEED})")
+          f"(sf0.1 x {TILES} tiles, seed {SEED}{dup})")
 
 
 if __name__ == "__main__":
