@@ -56,7 +56,9 @@ object RestProxy {
     * torn bodies) retry bounded; instance expiry recovers in
     * [[RangeIterator]].
     */
-  final case class Client(baseUrl: String) extends Serializable {
+  final case class Client(baseUrl: String,
+                          connectTimeoutMs: Int = 10000,
+                          readTimeoutMs: Int = 30000) extends Serializable {
     @transient private lazy val mapper = new ObjectMapper()
 
     /** Partition ids of `topic` (`GET /topics/{t}/partitions`). */
@@ -182,9 +184,18 @@ object RestProxy {
              V2)
       }
 
+    /** One records GET, deliberately NOT transport-retried: a fetch
+      * that fails mid-flight (torn body, dropped connection, 5xx after
+      * the broker read) may ALREADY have advanced the server-side
+      * consumer position past records the client never received — a
+      * blind re-GET would silently skip them (at-most-once). The
+      * [[RangeIterator]] owns poll retries and re-seeks its next
+      * unread offset first.
+      */
     private[graft] def pollOnce(iuri: String): Seq[RestRecord] =
-      httpJson("GET", s"$iuri/records?timeout=1000&max_bytes=1048576",
-               None, BinaryV2)
+      jsonOrThrow("GET",
+                  s"$iuri/records?timeout=1000&max_bytes=1048576",
+                  None, BinaryV2)
         .elements().asScala.map { r =>
           RestRecord(
             r.get("topic").asText(), r.get("partition").asInt(),
@@ -203,13 +214,27 @@ object RestProxy {
 
     /** Request + JSON parse under one retry scope, so a torn/truncated
       * 200 body (parse failure) retries the same as a 5xx or a timeout.
+      * A body that truncates to NOTHING is the nastiest tear: Jackson
+      * parses "" to a MissingNode, which every iterator-shaped caller
+      * would silently read as an empty result (an empty partition list,
+      * an empty poll) — so it is rejected here as the transport fault
+      * it is, not returned.
       */
     private[graft] def httpJson(method: String, url: String,
                                 body: Option[String],
                                 contentType: String): JsonNode =
       retryingTransient(s"$method $url") {
-        mapper.readTree(http(method, url, body, contentType))
+        jsonOrThrow(method, url, body, contentType)
       }
+
+    private def jsonOrThrow(method: String, url: String,
+                            body: Option[String],
+                            contentType: String): JsonNode = {
+      val node = mapper.readTree(http(method, url, body, contentType))
+      if (node == null || node.isMissingNode)
+        throw new IOException(s"$method $url returned an empty/torn body")
+      node
+    }
 
     /** Bounded retry for TRANSIENT transport faults only: HTTP 5xx,
       * connect/read timeouts, torn bodies (premature EOF / unparseable
@@ -243,8 +268,8 @@ object RestProxy {
     private def http(method: String, url: String, body: Option[String],
                      contentType: String): String = {
       val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
-      conn.setConnectTimeout(10000)
-      conn.setReadTimeout(30000)
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
       conn.setRequestMethod(method)
       conn.setRequestProperty("Accept", contentType)
       body.foreach { b =>
@@ -307,6 +332,12 @@ object RestProxy {
     // recovered in place: recreate + reseek at nextOff, bounded times
     private var recreations = 0
     private val MaxRecreations = 3
+    // transient poll fetch failures (torn body, dropped connection,
+    // 5xx) are retried HERE, not at the transport layer: the failed
+    // fetch may already have advanced the server-side consumer position
+    // past records the client never received, so every retry RE-SEEKS
+    // the next unread offset first — at-least-once, never at-most-once
+    private val MaxPollRetries = 4
     // a real cp-kafka-rest routinely returns an EMPTY records array on
     // the first GET after create/assign/seek (the underlying consumer
     // hasn't completed its initial fetch within the poll timeout), so an
@@ -321,16 +352,32 @@ object RestProxy {
         client.assignSeek(iuri, topic, partition, nextOff)
       }
 
-    private def pollRecovering(): Seq[RestRecord] =
-      try { ensureInstance(); client.pollOnce(iuri) }
-      catch {
-        case e: HttpStatusException
-            if e.code == 404 && recreations < MaxRecreations =>
-          recreations += 1
-          iuri = null
+    private def pollRecovering(): Seq[RestRecord] = {
+      var attempts = 0
+      while (true) {
+        try {
           ensureInstance()
-          client.pollOnce(iuri)
+          return client.pollOnce(iuri)
+        } catch {
+          case e: HttpStatusException
+              if e.code == 404 && recreations < MaxRecreations =>
+            recreations += 1
+            iuri = null // recreate + reseek at nextOff via ensureInstance
+          case e: HttpStatusException if e.code < 500 => throw e
+          case e @ (_: IOException |
+                    _: com.fasterxml.jackson.core.JacksonException)
+              if attempts < MaxPollRetries =>
+            attempts += 1
+            Thread.sleep(100L * attempts)
+            // reseek before the re-poll: the torn fetch may have moved
+            // the server-side position past undelivered records
+            if (iuri != null)
+              try client.assignSeek(iuri, topic, partition, nextOff)
+              catch { case _: Exception => iuri = null }
+        }
       }
+      throw new IllegalStateException("unreachable")
+    }
 
     private def poll(): Unit =
       try {
