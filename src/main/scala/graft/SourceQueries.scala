@@ -28,6 +28,30 @@ object SourceQueries extends QueryPack {
       |{"name":"account_type","type":["null","string"],"default":null},
       |{"name":"updated_at","type":"long"}]}""".stripMargin
 
+  /** Generation 2 of the users schema: adds a nullable `tier` — the
+    * backward-compatible evolution the reference's registry
+    * compatibility mode permits (`README.md:138-141,260`).
+    */
+  private val gen2SchemaJson =
+    """{"type":"record","name":"users","fields":[
+      |{"name":"user_id","type":"long"},
+      |{"name":"username","type":["null","string"],"default":null},
+      |{"name":"account_type","type":["null","string"],"default":null},
+      |{"name":"updated_at","type":"long"},
+      |{"name":"tier","type":["null","string"],"default":null}]}"""
+      .stripMargin
+
+  /** An INCOMPATIBLE generation (user_id retyped long → string): what a
+    * registry with enforcement disabled lets a producer publish; the
+    * consumer must dead-letter, not crash.
+    */
+  private val poisonSchemaJson =
+    """{"type":"record","name":"users","fields":[
+      |{"name":"user_id","type":"string"},
+      |{"name":"username","type":["null","string"],"default":null},
+      |{"name":"account_type","type":["null","string"],"default":null},
+      |{"name":"updated_at","type":"long"}]}""".stripMargin
+
   private val usersSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("username", StringType),
@@ -339,6 +363,105 @@ object SourceQueries extends QueryPack {
           new java.util.ArrayList[Row](rows.asJava), agg.schema)
           .orderBy(asc_nulls_first("event_type"))
       } finally srv.stop()
+    }),
+
+    // S9+S4: SCHEMA EVOLUTION THROUGH THE STREAMING REST PATH, EXECUTED
+    // UNDER THE ORACLE — the reference's registry-compatibility story
+    // (`README.md:138-141,260`) composed end-to-end: Confluent-framed
+    // Avro produced through the proxy in TWO waves with the WRITER
+    // schema changing mid-stream (wave 1 = gen 1; wave 2 = gen 2 adding
+    // a nullable `tier`, plus frames claiming an INCOMPATIBLE schema id
+    // — user_id retyped to string, what a producer publishes when
+    // enforcement is off). The stream is STOPPED between waves;
+    // `graft-rest` resumes from its checkpoint, and
+    // [[Sources.decodeConfluentSafe]] runs INSIDE the stream: gen-1
+    // rows resolve against the gen-2 reader (tier defaults null),
+    // gen-2 rows decode fully, incompatible frames dead-letter instead
+    // of failing the query. Output: every decoded row plus one 'dead'
+    // row per poisoned frame — all derivable from the events table, so
+    // the full result hash-matches DuckDB.
+    "q_rest_stream_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new RestProxy.InMemoryServer(numPartitions = 4)
+      val url = srv.start()
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_rest_evolve_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode)
+      val out = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      try {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val users = Tables(s, dir, "events")
+          .select(col("user_id")).distinct()
+        val g1 = avroSchemaJson
+        val g2 = gen2SchemaJson
+        // executor-side Avro framing (one writer per partition — the
+        // mirror of decodeConfluentSafe's one-reader-per-partition)
+        def framed(w: org.apache.spark.sql.DataFrame,
+                   schemaId: Int): org.apache.spark.sql.DataFrame =
+          w.select(col("user_id")).as[Long].mapPartitions { it =>
+            val s1 = new Schema.Parser().parse(g1)
+            val s2 = new Schema.Parser().parse(g2)
+            val w1 = new GenericDatumWriter[GenericRecord](s1)
+            val w2 = new GenericDatumWriter[GenericRecord](s2)
+            it.map { uid =>
+              val gen2 = schemaId == 8
+              val rec = new GenericData.Record(if (gen2) s2 else s1)
+              rec.put("user_id", uid)
+              rec.put("username", s"u$uid")
+              rec.put("account_type",
+                      Seq("Bronze", "Silver", "Gold")((uid % 3).toInt))
+              rec.put("updated_at", 1700000000000000L + uid)
+              if (gen2) rec.put("tier", s"vip${uid % 4}")
+              val bos = new ByteArrayOutputStream()
+              val enc = EncoderFactory.get().binaryEncoder(bos, null)
+              (if (gen2) w2 else w1).write(rec, enc)
+              enc.flush()
+              (uid,
+               Array[Byte](0, 0, 0, 0, schemaId.toByte) ++ bos.toByteArray)
+            }
+          }.toDF("uid", "framed")
+        def produce(df: org.apache.spark.sql.DataFrame): Unit =
+          Sources.restProduce(df, url, "users",
+                              col("uid").cast("string"), col("framed"),
+                              pmod(col("uid"), lit(4)))
+        val registry = Sources.StaticSchemaRegistry(
+          Map(7 -> avroSchemaJson, 8 -> gen2SchemaJson,
+              9 -> poisonSchemaJson))
+        def runOnce(): Unit = {
+          val stream = s.readStream.format("graft-rest")
+            .option("url", url).option("topic", "users")
+            .option("maxRecordsPerPartition", "64")
+            .load()
+          val decoded = Sources.decodeConfluentSafe(
+            stream, col("value"), registry, gen2SchemaJson,
+            usersSchema.add(StructField("tier", StringType)))
+          val q = decoded.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val odd = pmod(col("user_id"), lit(2)) === 1
+        val poison = pmod(col("user_id"), lit(7)) === 0
+        produce(framed(users.filter(!odd), 7))
+        runOnce()
+        // generation 2 and the poison frames arrive while the stream
+        // is DOWN; the restart decodes them from the checkpoint on
+        produce(framed(users.filter(odd && !poison), 8))
+        produce(framed(users.filter(odd && poison), 9))
+        runOnce()
+        s.read.parquet(out)
+          .select(col("user_id"), col("username"), col("account_type"),
+                  col("tier"),
+                  when(col("__error").isNull, "ok").otherwise("dead")
+                    .as("status"))
+          .orderBy(asc_nulls_first("user_id"),
+                   asc_nulls_first("username"))
+      } finally srv.stop()
     })
   )
 
@@ -382,6 +505,26 @@ object SourceQueries extends QueryPack {
         |   make_timestamp(1700000000000004), 'vip'))
         |  AS t(user_id, username, account_type, updated_at, tier)
         |ORDER BY user_id""".stripMargin,
+
+    // The evolve stream's decoded output is fully derivable from the
+    // events table: even user_ids decode as gen 1 (tier null), odd
+    // non-poison ids as gen 2 (tier vip<uid%4>), and each poisoned
+    // frame (odd, uid % 7 = 0) dead-letters to one all-null 'dead' row.
+    "q_rest_stream_evolve" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT user_id,
+        |  'u' || CAST(user_id AS VARCHAR) AS username,
+        |  CASE CAST(user_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'Bronze' WHEN 1 THEN 'Silver' ELSE 'Gold'
+        |  END AS account_type,
+        |  CASE WHEN user_id % 2 = 1
+        |       THEN 'vip' || CAST(user_id % 4 AS VARCHAR) END AS tier,
+        |  'ok' AS status
+        |FROM u WHERE user_id % 2 = 0 OR user_id % 7 <> 0
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL, 'dead' FROM u
+        |WHERE user_id % 2 = 1 AND user_id % 7 = 0
+        |ORDER BY user_id NULLS FIRST, username NULLS FIRST""".stripMargin,
 
     // The stub codec is a declared deterministic fake (Multimodal.scala:37)
     // — a 31-rolling-hash of the payload bytes plus one LCG step per

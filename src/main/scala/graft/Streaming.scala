@@ -1822,6 +1822,63 @@ object Streaming {
       .withColumn("sum_value", round(col("sum_value"), 4))
   }
 
+  /** T2: clear torn artifacts a crash can leave in a Spark streaming
+    * checkpoint (and a file sink's manifest), so a restart can resume —
+    * the runbook operation made mechanical. Spark's offset/commit logs
+    * and the sink manifest publish batch files by temp-create → rename;
+    * a crash inside that window leaves (a) an orphan temp file, which
+    * Spark 4's fresh-checkpoint verification refuses to start over
+    * ([STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY]), or (b) a zero-byte /
+    * unparseable NEWEST batch file (empty temp renamed, content never
+    * flushed), which the log cannot deserialize on restart.
+    *
+    * Safe by construction:
+    *  - orphan temp files (names that are not pure batch numbers) were
+    *    never visible to any log — deleting them loses nothing;
+    *  - only the HIGHEST-numbered batch file is probed, and removed
+    *    only if unreadable. A torn offsets/N means batch N never ran
+    *    (offsets are written BEFORE the batch) — it is replanned.
+    *    A torn commits/N means batch N's sink commit already landed
+    *    (the sink manifest commits before the commit log) — the rerun
+    *    hits the manifest's "already committed" check and no-ops.
+    *    Parseable history is never touched.
+    *
+    * Verified by the `restStream` family of `CrashInjectionSpec`: with
+    * this recovery, a crash at EVERY mutating FS boundary of the
+    * checkpoint + sink converges bit-for-bit to the no-crash state.
+    */
+  def recoverStreamingCheckpoint(spark: SparkSession, checkpoint: String,
+                                 sinkDir: Option[String] = None): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = Seq(s"$checkpoint/offsets", s"$checkpoint/commits") ++
+      sinkDir.map(d => s"$d/_spark_metadata")
+    dirs.foreach { dir =>
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(conf)
+      if (fs.exists(d)) {
+        val st = fs.listStatus(d).toSeq.filter(_.isFile)
+        val (batchFiles, temps) =
+          st.partition(_.getPath.getName.matches("\\d+(\\.compact)?"))
+        temps.foreach(s => fs.delete(s.getPath, false))
+        batchFiles.sortBy(_.getPath.getName.takeWhile(_.isDigit).toLong)
+          .lastOption.foreach { s =>
+            val readable =
+              try {
+                val in = fs.open(s.getPath)
+                val head =
+                  try new String(in.readNBytes(2),
+                                 java.nio.charset.StandardCharsets.UTF_8)
+                  finally in.close()
+                // every structured-streaming metadata log serializes
+                // "v<version>\n..." — anything else is a torn write
+                head.startsWith("v")
+              } catch { case _: Exception => false }
+            if (!readable) fs.delete(s.getPath, false)
+          }
+      }
+    }
+  }
+
   /** T8b: `flatMapGroupsWithState` — the 0..n-outputs-per-group stateful
     * API. Emits one alert row each time a user's cumulative value crosses
     * another multiple of `step` (so a batch can produce zero alerts, or

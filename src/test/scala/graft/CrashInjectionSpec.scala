@@ -266,6 +266,122 @@ class CrashInjectionSpec extends SparkSpec {
 
   private def isInjected(t: Throwable): Boolean = FaultFs.caused(t)
 
+  // ---- 15th family: the DSv2 graft-rest STREAMING path --------------
+  // The preceding families sweep the engine's own staged-swap and
+  // cursor disciplines; q_rest_stream's durability instead rides
+  // Spark-owned files — the streaming checkpoint's offset/commit logs
+  // (HDFSMetadataLog temp-create → rename) and the file sink's
+  // _spark_metadata manifest. Pointing checkpoint AND sink at fault://
+  // sweeps a crash at every one of those boundaries across a
+  // stop/produce/restart seam; the resumed query must land the exact
+  // no-crash sink state (the manifest is the sink's exactly-once
+  // read view, so a replayed trigger must not double its rows).
+  test("crash sweep: restStream — Spark offset/commit logs and sink " +
+       "manifest on fault://, resume converges across a restart seam") {
+    fsRegistered
+    val base = "fault:///tmp/graft-crash/restStream"
+    wipe(base)
+
+    def topicOf(root: String) = "t" + root.replaceAll("[^A-Za-z0-9]", "_")
+
+    // broker state lives OUTSIDE the faulted filesystem (a real
+    // broker's does); produce is idempotent per wave via end offsets
+    def produceIdempotent(topic: String, upto: Long, lo: Int,
+                          hi: Int): Unit = {
+      val c = RestProxy.Client(restStubUrl)
+      val have =
+        try c.partitions(topic).map(p => c.offsets(topic, p)._2).sum
+        catch { case _: java.io.IOException => 0L }
+      if (have < upto)
+        c.produce(topic, (lo until hi).iterator.map(i =>
+          (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"),
+           java.lang.Integer.valueOf(i % 2))))
+    }
+
+    def runStream(root: String, topic: String): Unit = {
+      val q = spark.readStream.format("graft-rest")
+        .option("url", restStubUrl).option("topic", topic)
+        .option("maxRecordsPerPartition", "4") // multiple triggers/run
+        .load()
+        .selectExpr("partition", "offset", "CAST(value AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("path", s"$root/out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def run(root: String): Unit = {
+      val topic = topicOf(root)
+      produceIdempotent(topic, 15, 0, 15)
+      runStream(root, topic)
+      produceIdempotent(topic, 25, 15, 25) // arrives across the seam
+      runStream(root, topic)
+    }
+
+    // reading the out dir consults _spark_metadata — the documented
+    // exactly-once consumer view of a file-sink table
+    def observe(root: String): Seq[String] = pq(s"$root/out")
+
+    val refRoot = s"$base/ref"
+    run(refRoot)
+    val want = observe(refRoot)
+    assert(want.size == 25, s"reference run must sink 25 rows: $want")
+
+    val cntRoot = s"$base/cnt"
+    FaultFs.startCounting("/restStream/cnt/")
+    run(cntRoot)
+    val total = FaultFs.counter.get()
+    val kinds = (1L to total)
+      .map(k => FaultFs.ops.getOrDefault(k, "?")).toVector
+    FaultFs.disarm()
+    // streaming logs + manifest commit via temp-create → rename; the
+    // file sink never stages through _temporary dirs, so deletes are
+    // not required to appear
+    assert(total > 0 && kinds.contains("create") &&
+           kinds.contains("rename"),
+           s"expected create+rename among $total ops: " +
+             kinds.distinct.mkString(","))
+    assert(observe(cntRoot) === want)
+
+    var swept = 0
+    var fired = 0
+    for (k <- 1L to total) {
+      val modes = Seq("before") ++
+        (if (kinds(k.toInt - 1) == "delete") Seq("partial-delete")
+         else Nil) ++
+        (if (kinds(k.toInt - 1) == "create") Seq("empty-create")
+         else Nil)
+      for (m <- modes) {
+        val tag = s"k$k-$m"
+        val root = s"$base/$tag"
+        FaultFs.arm(s"/restStream/$tag/", k, m)
+        var crashed = false
+        try run(root)
+        catch {
+          case t: Throwable if isInjected(t) => crashed = true
+          case t: Throwable => FaultFs.disarm(); throw t
+        }
+        FaultFs.disarm()
+        if (crashed) {
+          fired += 1
+          // the restart runbook: clear torn temp/trailing artifacts the
+          // crash left in the Spark-owned logs, then resume
+          Streaming.recoverStreamingCheckpoint(spark, s"$root/ckpt",
+                                               Some(s"$root/out"))
+          run(root)
+        }
+        assert(observe(root) === want,
+               s"site $k mode $m diverged (crash fired=$crashed)")
+        swept += 1
+        wipe(root)
+      }
+    }
+    assert(fired > 0, "no armed site ever fired — marker mismatch?")
+    info(s"restStream: $swept runs over $total ops, $fired crashes fired")
+    wipe(base)
+  }
+
   for (sc <- sinks) test(s"crash sweep: ${sc.name} — replay converges " +
                          "bit-for-bit from every FS boundary") {
     fsRegistered
