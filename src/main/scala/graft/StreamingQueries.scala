@@ -50,58 +50,107 @@ object StreamingQueries extends QueryPack {
   private def sentinelTs(maxTs: java.sql.Timestamp): java.sql.Timestamp =
     java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(46L * 24 * 3600))
 
+  /** File-source feed for the executed window keys — the broker
+    * stand-in WITHOUT driver-side data staging: each slice writes as
+    * ONE parquet file into `feedDir` (executor write, executor read;
+    * no collect anywhere on the data path), with strictly increasing
+    * modification times so `readStream.parquet(feedDir)` under
+    * `maxFilesPerTrigger=1` replays them as ordered micro-batches —
+    * slices first, flush sentinel last. Slice membership is
+    * hash-assigned (`pmod(xxhash64(id), n)`), so every batch seam
+    * still carries out-of-order event times into windows whose state
+    * an earlier batch opened.
+    */
+  private def writeFileFeed(s: org.apache.spark.sql.SparkSession,
+                            feedDir: String,
+                            slices: Seq[org.apache.spark.sql.DataFrame])
+      : Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$feedDir/_stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file staged in $stage"))
+      val target =
+        new org.apache.hadoop.fs.Path(feedDir, f"slice-$i%02d.parquet")
+      if (!fs.rename(part, target))
+        throw new java.io.IOException(s"rename $part -> $target failed")
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      // deterministic oldest-first source ordering (sentinel last);
+      // the absolute epoch is irrelevant, only the strict increase and
+      // the < maxFileAge spread matter
+      fs.setTimes(target, 1700000000000L + i * 60000L, -1)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // T3 EXECUTED: 10-minute tumbling counts per event type as a real
-    // 3-batch streaming run — the seam-crossing out-of-order rows land
-    // in windows whose state is already open from earlier batches, so
-    // cross-batch window-state merge sits on the hash path.
+    // multi-batch streaming run — the seam-crossing out-of-order rows
+    // land in windows whose state is already open from earlier batches,
+    // so cross-batch window-state merge sits on the hash path. The feed
+    // is the FILE source ([[writeFileFeed]]): hash-assigned slices
+    // written as ordered parquet files and replayed one per trigger —
+    // no driver-side data staging anywhere in the key (the only
+    // collect is the 1-row max(ts) sentinel stat).
     "q_stream_tumbling" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("ts"), col("event_type"),
-                xxhash64(col("event_id")).as("h"))
-        .filter(col("ts").isNotNull) // driver-side max would NPE
-        .orderBy("h")
-        .select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)].collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-tumb").toString
-      val stream = MemoryStream[(java.sql.Timestamp, String)]
+      val src = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("ts"), col("event_type"),
+                pmod(xxhash64(col("event_id")), lit(3)).as("slice"))
+      val maxTs = src.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = s.sql(
+        s"SELECT TIMESTAMP '${sentinelTs(maxTs)}' AS ts, " +
+          "'__flush' AS event_type")
+      writeFileFeed(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("ts", "event_type")) :+ sentinel)
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/feed")
       val agg = Streaming.watermarkedTumblingCounts(
-        stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
-        WindowLateness)
+        stream, "ts", "10 minutes", WindowLateness)
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      feedShuffled(stream, rows,
-                   (sentinelTs(rows.map(_._1).max), "__flush"), q)
+      q.processAllAvailable()
+      q.stop()
       s.read.parquet(s"$scratch/out")
         .select("w_start", "event_type", "n")
         .orderBy("w_start", "event_type")
     }),
 
     // T4 EXECUTED: 10-minute windows sliding by 5 (every event lands in
-    // 2 windows) as a real streaming run, same protocol as T3.
+    // 2 windows) as a real streaming run, same file-source protocol as
+    // T3.
     "q_stream_sliding" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("ts"), xxhash64(col("event_id")).as("h"))
-        .filter(col("ts").isNotNull)
-        .orderBy("h")
-        .select(col("ts"))
-        .as[java.sql.Timestamp].collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-slide").toString
-      val stream = MemoryStream[java.sql.Timestamp]
+      val src = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("ts"),
+                pmod(xxhash64(col("event_id")), lit(3)).as("slice"))
+      val maxTs = src.agg(max("ts")).head().getTimestamp(0)
+      val sentinel =
+        s.sql(s"SELECT TIMESTAMP '${sentinelTs(maxTs)}' AS ts")
+      writeFileFeed(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("ts")) :+ sentinel)
+      val stream = s.readStream
+        .schema("ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/feed")
       val agg = Streaming.watermarkedSlidingCounts(
-        stream.toDF().toDF("ts"), "ts", "10 minutes", "5 minutes",
-        WindowLateness)
+        stream, "ts", "10 minutes", "5 minutes", WindowLateness)
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      feedShuffled(stream, rows, sentinelTs(rows.max), q)
+      q.processAllAvailable()
+      q.stop()
       s.read.parquet(s"$scratch/out")
         .select("w_start", "n")
         .orderBy("w_start")

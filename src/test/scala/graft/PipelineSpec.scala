@@ -483,4 +483,98 @@ class PipelineSpec extends SparkSpec {
                          (3L, "Gold", 1L), (4L, "Bronze", 2L)))
     } finally srv.stop()
   }
+
+  test("multi-topic REST routing under crash: N graft-rest topics drain " +
+       "through concurrent router legs into N upsert stores; duplicates " +
+       "collapse; one leg's crash corrupts no sibling; replay converges") {
+    // the reference's FAQ growth path (README.md:277-278): one topic per
+    // table + one MV each — here N bounded REST consumes union into the
+    // shared router batch, and the N legs run concurrently into
+    // disjoint upsert stores on a fault-injectable filesystem
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.fault.impl", "graft.FaultFs")
+    val srv = new RestProxy.InMemoryServer(numPartitions = 2)
+    val url = srv.start()
+    try {
+      val tables = Seq("users", "orders", "items")
+      val topics = tables.map(t => s"shop.public.$t")
+      val registry = Sources.StaticSchemaRegistry(Map(7 -> avroSchemaJson))
+      val root = "fault:///tmp/graft-mtroute"
+      val base = s"$root/state"
+      val ffs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ffs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val routes = tables.map(t => Streaming.TableRoute(
+        s"shop.public.$t", t, avroSchemaJson, decodedSchema,
+        Seq("user_id"), Seq("updated_at")))
+
+      def produce(topic: String, frames: Seq[(Long, Array[Byte])]): Unit =
+        Sources.restProduce(frames.toDF("uid", "value"), url, topic,
+                            col("uid").cast("string"), col("value"),
+                            pmod(col("uid"), lit(2)))
+
+      var cursors: Map[String, Map[Int, Long]] =
+        topics.map(_ -> Map.empty[Int, Long]).toMap
+      def drain(): Unit = {
+        val consumed = topics.map { t =>
+          val (df, next) =
+            Sources.restConsumeWithCursor(spark, url, t, cursors(t))
+          (t, df, next)
+        }
+        val batch = consumed.map(_._2).reduce(_ unionByName _)
+        Streaming.multiTableBatch(batch, registry, routes, base,
+                                  numBuckets = 4)
+        // cursors advance only after every leg lands: a crashed batch
+        // replays all topics from the same offsets (at-least-once, the
+        // legs' idempotent merges absorb it)
+        cursors = cursors ++ consumed.map { case (t, _, n) => t -> n }
+      }
+
+      def store(t: String): Set[(Long, String, Long)] =
+        Streaming.readUpsertState(spark, s"$base/$t")
+          .select(col("user_id"), col("account_type"),
+                  col("updated_at"))
+          .as[(Long, String, Long)].collect().toSet
+
+      tables.foreach { t =>
+        produce(s"shop.public.$t", Seq(
+          1L -> frame(1, s"$t-a", "Bronze", 1000000L),
+          2L -> frame(2, s"$t-b", "Silver", 1000000L)))
+      }
+      drain()
+      tables.foreach { t =>
+        produce(s"shop.public.$t", Seq(
+          2L -> frame(2, s"$t-b", "Silver", 1000000L), // dup delivery
+          2L -> frame(2, s"$t-b", "Gold", 2000000L),   // upgrade
+          3L -> frame(3, s"$t-c", "Bronze", 2000000L)))
+      }
+      drain()
+      val wave2 = tables.map(t => t -> store(t)).toMap
+      tables.foreach { t =>
+        assert(wave2(t) === Set((1L, "Bronze", 1000000L),
+                                (2L, "Gold", 2000000L),
+                                (3L, "Bronze", 2000000L)), t)
+      }
+
+      // wave 3 with a crash armed on the ORDERS leg's first mutating
+      // store operation — the sibling legs' stores must stay readable
+      // and uncorrupted, and the replayed batch must converge all three
+      tables.foreach { t =>
+        produce(s"shop.public.$t",
+                Seq(4L -> frame(4, s"$t-d", "Gold", 3000000L)))
+      }
+      FaultFs.arm("/graft-mtroute/state/orders/", 1, "before")
+      val e = intercept[Throwable] { drain() }
+      FaultFs.disarm()
+      assert(FaultFs.caused(e), s"expected the injected crash, got $e")
+      val expect3 = (t: String) => wave2(t) + ((4L, "Gold", 3000000L))
+      tables.filterNot(_ == "orders").foreach { t =>
+        val got = store(t)
+        assert(got === wave2(t) || got === expect3(t),
+               s"sibling $t corrupted by the orders-leg crash: $got")
+      }
+      drain() // cursors never advanced — full replay
+      tables.foreach(t => assert(store(t) === expect3(t), t))
+    } finally srv.stop()
+  }
 }
