@@ -24,7 +24,10 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.loads(f.read().strip())
+        d = json.loads(f.read().strip())
+    # BENCH_r{N}.json wraps the stdout line under 'parsed' (top-24
+    # subset only); bench_last.json is the flat full map
+    return d.get("parsed", d)
 
 
 def spread(art, key):
