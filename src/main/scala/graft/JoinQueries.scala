@@ -294,10 +294,12 @@ object JoinQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
-    // J7: cross join (bounded inputs only).
+    // J7: cross join (bounded inputs only) — the 25-row nation side is
+    // broadcast explicitly, matching the file's convention (the
+    // planner picks the same plan; the intent should be in the code).
     "q_join_cross" -> ((s, dir) =>
       Tables(s, dir, "region")
-        .crossJoin(Tables(s, dir, "nation"))
+        .crossJoin(broadcast(Tables(s, dir, "nation")))
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")),
 

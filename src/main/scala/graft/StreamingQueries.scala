@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Streaming operators under the cross-engine oracle (SURVEY.md §2.9).
-  * T3/T4/T5 EXECUTE as real multi-batch Structured Streaming runs
-  * inside the key (MemoryStream feed, out-of-order rows across batch
-  * seams, append-mode emission under a watermark), hash-checked in
-  * DuckDB (time_bucket for tumbling/sliding, gaps-and-islands for
-  * session windows). Additional batch/stream parity is asserted in
-  * StreamingSpec with MemoryStream.
+  * T3/T4/T5/T6 EXECUTE as real multi-batch Structured Streaming runs
+  * inside the key (file-source feed — [[feedFiles]] — with
+  * out-of-order rows across batch seams, append-mode emission under a
+  * watermark), hash-checked in DuckDB (time_bucket for tumbling/
+  * sliding, gaps-and-islands for session windows). Additional
+  * batch/stream parity is asserted in StreamingSpec with MemoryStream.
   */
 object StreamingQueries extends QueryPack {
 
@@ -53,38 +53,48 @@ object StreamingQueries extends QueryPack {
   /** File-source feed for the executed window keys — the broker
     * stand-in WITHOUT driver-side data staging: each slice writes as
     * ONE parquet file into `feedDir` (executor write, executor read;
-    * no collect anywhere on the data path), with strictly increasing
-    * modification times so `readStream.parquet(feedDir)` under
-    * `maxFilesPerTrigger=1` replays them as ordered micro-batches —
-    * slices first, flush sentinel last. Slice membership is
+    * no collect anywhere on the data path). [[feedFiles]] starts from
+    * an EMPTY feed dir and alternates write-one-file /
+    * `processAllAvailable()`, so each slice is exactly one
+    * micro-batch in exactly the given order BY CONSTRUCTION — no
+    * reliance on the source's internal file ordering (mtime ties and
+    * listing order are not a contract). Slice membership is
     * hash-assigned (`pmod(xxhash64(id), n)`), so every batch seam
     * still carries out-of-order event times into windows whose state
     * an earlier batch opened.
     */
-  private def writeFileFeed(s: org.apache.spark.sql.SparkSession,
-                            feedDir: String,
-                            slices: Seq[org.apache.spark.sql.DataFrame])
-      : Unit = {
+  private def writeSliceFile(s: org.apache.spark.sql.SparkSession,
+                             feedDir: String, i: Int,
+                             df: org.apache.spark.sql.DataFrame): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+    val stage = s"$feedDir/_stage_$i"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file staged in $stage"))
+    val target =
+      new org.apache.hadoop.fs.Path(feedDir, f"slice-$i%02d.parquet")
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Drive `q` through one micro-batch per slice: write slice i's file,
+    * drain, repeat — then stop. The feed dir must start empty.
+    */
+  private def feedFiles(s: org.apache.spark.sql.SparkSession,
+                        feedDir: String,
+                        slices: Seq[org.apache.spark.sql.DataFrame],
+                        q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
     slices.zipWithIndex.foreach { case (df, i) =>
-      val stage = s"$feedDir/_stage_$i"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(
-          s"no part file staged in $stage"))
-      val target =
-        new org.apache.hadoop.fs.Path(feedDir, f"slice-$i%02d.parquet")
-      if (!fs.rename(part, target))
-        throw new java.io.IOException(s"rename $part -> $target failed")
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      // deterministic oldest-first source ordering (sentinel last);
-      // the absolute epoch is irrelevant, only the strict increase and
-      // the < maxFileAge spread matter
-      fs.setTimes(target, 1700000000000L + i * 60000L, -1)
+      writeSliceFile(s, feedDir, i, df)
+      q.processAllAvailable()
     }
+    q.stop()
   }
 
   val queries: Map[String, Q] = Map(
@@ -92,8 +102,8 @@ object StreamingQueries extends QueryPack {
     // multi-batch streaming run — the seam-crossing out-of-order rows
     // land in windows whose state is already open from earlier batches,
     // so cross-batch window-state merge sits on the hash path. The feed
-    // is the FILE source ([[writeFileFeed]]): hash-assigned slices
-    // written as ordered parquet files and replayed one per trigger —
+    // is the FILE source ([[feedFiles]]): hash-assigned slices written
+    // as single parquet files, one per micro-batch by construction —
     // no driver-side data staging anywhere in the key (the only
     // collect is the 1-row max(ts) sentinel stat).
     "q_stream_tumbling" -> ((s, dir) => {
@@ -107,19 +117,19 @@ object StreamingQueries extends QueryPack {
       val sentinel = s.sql(
         s"SELECT TIMESTAMP '${sentinelTs(maxTs)}' AS ts, " +
           "'__flush' AS event_type")
-      writeFileFeed(s, s"$scratch/feed",
-        (0 until 3).map(i => src.filter(col("slice") === i)
-          .select("ts", "event_type")) :+ sentinel)
+      new org.apache.hadoop.fs.Path(s"$scratch/feed")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/feed"))
       val stream = s.readStream
         .schema("ts TIMESTAMP, event_type STRING")
-        .option("maxFilesPerTrigger", "1")
         .parquet(s"$scratch/feed")
       val agg = Streaming.watermarkedTumblingCounts(
         stream, "ts", "10 minutes", WindowLateness)
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
+      feedFiles(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("ts", "event_type")) :+ sentinel, q)
       s.read.parquet(s"$scratch/out")
         .select("w_start", "event_type", "n")
         .orderBy("w_start", "event_type")
@@ -138,19 +148,19 @@ object StreamingQueries extends QueryPack {
       val maxTs = src.agg(max("ts")).head().getTimestamp(0)
       val sentinel =
         s.sql(s"SELECT TIMESTAMP '${sentinelTs(maxTs)}' AS ts")
-      writeFileFeed(s, s"$scratch/feed",
-        (0 until 3).map(i => src.filter(col("slice") === i)
-          .select("ts")) :+ sentinel)
+      new org.apache.hadoop.fs.Path(s"$scratch/feed")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/feed"))
       val stream = s.readStream
         .schema("ts TIMESTAMP")
-        .option("maxFilesPerTrigger", "1")
         .parquet(s"$scratch/feed")
       val agg = Streaming.watermarkedSlidingCounts(
         stream, "ts", "10 minutes", "5 minutes", WindowLateness)
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
+      feedFiles(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("ts")) :+ sentinel, q)
       s.read.parquet(s"$scratch/out")
         .select("w_start", "n")
         .orderBy("w_start")
@@ -161,29 +171,36 @@ object StreamingQueries extends QueryPack {
     // STATE across micro-batches and must MERGE sessions when a
     // seam-crossing out-of-order row lands inside an open gap; the
     // summed value rides the floor-e4 integer grid so merge order can
-    // never move the hash. Oracle = the gaps-and-islands SQL.
+    // never move the hash. Oracle = the gaps-and-islands SQL. Fed
+    // through the file source like T3/T4 (no driver-side data
+    // staging; the sentinel uses user_id −1, outside the fixture's key
+    // space, and its session can never finalize under the watermark).
     "q_stream_session" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"),
-                floor(col("value") * 10000).cast("long").as("value_e4"),
-                xxhash64(col("event_id")).as("h"))
-        .filter(col("ts").isNotNull)
-        .orderBy("h")
-        .select(col("user_id"), col("ts"), col("value_e4"))
-        .as[(Long, java.sql.Timestamp, Long)].collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-sess").toString
-      val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val src = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+                floor(col("value") * 10000).cast("long").as("value_e4"),
+                pmod(xxhash64(col("event_id")), lit(3)).as("slice"))
+      val maxTs = src.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = s.sql(
+        s"SELECT CAST(-1 AS BIGINT) AS user_id, " +
+          s"TIMESTAMP '${sentinelTs(maxTs)}' AS ts, " +
+          "CAST(0 AS BIGINT) AS value_e4")
+      new org.apache.hadoop.fs.Path(s"$scratch/feed")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/feed"))
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value_e4 BIGINT")
+        .parquet(s"$scratch/feed")
       val agg = Streaming.watermarkedSessionStats(
-        stream.toDF().toDF("user_id", "ts", "value_e4"), "ts",
-        "30 minutes", WindowLateness)
+        stream, "ts", "30 minutes", WindowLateness)
       val q = Streaming.appendSink(agg, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      feedShuffled(stream, rows,
-                   (-1L, sentinelTs(rows.map(_._2).max), 0L), q)
+      feedFiles(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("user_id", "ts", "value_e4")) :+ sentinel, q)
       s.read.parquet(s"$scratch/out")
         .select("user_id", "s_start", "n", "sum_value_e4")
         .orderBy("user_id", "s_start")
@@ -308,18 +325,16 @@ object StreamingQueries extends QueryPack {
     // excluded from the output. Result = tumbling counts of the on-time
     // rows only, which is exactly the oracle's WHERE clause.
     "q_stream_watermark" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // one scan: collect time-ordered, max = last. NULL ts rows are
-      // excluded up front — the oracle's `ts >= cutoff` drops them via
-      // three-valued logic, and a driver-side compareTo would NPE.
-      val rows = Tables(s, dir, "events")
+      // file-source feed, like T3/T4/T5: slice 0 = the on-time rows
+      // (>= max − 12 h), slice 1 = everything OLDER arriving late
+      // behind them (an empty late file is a harmless 0-row trigger,
+      // unlike a MemoryStream add), slice 2 = the flush sentinel. The
+      // only driver-side value is the 1-row max(ts) stat.
+      val src = Tables(s, dir, "events")
         .select(col("ts"), col("event_type"))
         .filter(col("ts").isNotNull)
-        .orderBy("ts")
-        .as[(java.sql.Timestamp, String)].collect()
-      if (rows.isEmpty) {
+      val maxRow = src.agg(max("ts")).head()
+      if (maxRow.isNullAt(0)) {
         // empty fixture: the oracle returns zero rows; match its shape
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -331,30 +346,29 @@ object StreamingQueries extends QueryPack {
             org.apache.spark.sql.types.StructField("n",
               org.apache.spark.sql.types.LongType, nullable = false))))
       } else {
-        val maxTs = rows.last._1
+        val maxTs = maxRow.getTimestamp(0)
         val cutoff =
           java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(12L * 3600))
-        val (onTime, late) = rows.partition(_._1.compareTo(cutoff) >= 0)
-        val sentinel =
-          (java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(2L * 3600)),
-           "__flush")
+        val sentTs =
+          java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(2L * 3600))
         val scratch = java.nio.file.Files
           .createTempDirectory("graft-stream-wm").toString
-        val stream = MemoryStream[(java.sql.Timestamp, String)]
+        val sentinel = s.sql(
+          s"SELECT TIMESTAMP '$sentTs' AS ts, '__flush' AS event_type")
+        new org.apache.hadoop.fs.Path(s"$scratch/feed")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/feed"))
+        val stream = s.readStream
+          .schema("ts TIMESTAMP, event_type STRING")
+          .parquet(s"$scratch/feed")
         val agg = Streaming.watermarkedTumblingCounts(
-          stream.toDF().toDF("ts", "event_type"), "ts", "10 minutes",
-          "10 minutes")
+          stream, "ts", "10 minutes", "10 minutes")
         val q = Streaming.appendSink(agg, s"$scratch/out",
                                      s"$scratch/ckpt").start()
-        // nonEmpty guard: a future fixture whose events all fall inside
-        // the cutoff would make the late batch empty, and MemoryStream
-        // has no reason to accept a zero-row add
-        Seq(onTime.toSeq, late.toSeq, Seq(sentinel))
-          .filter(_.nonEmpty).foreach { batch =>
-            stream.addData(batch)
-            q.processAllAvailable()
-          }
-        q.stop()
+        feedFiles(s, s"$scratch/feed", Seq(
+          src.filter(col("ts") >= lit(cutoff)),
+          src.filter(col("ts") < lit(cutoff)),
+          sentinel), q)
         s.read.parquet(s"$scratch/out")
           .select("w_start", "event_type", "n")
           .orderBy("w_start", "event_type")
