@@ -114,6 +114,11 @@ object Bench {
     // q_cdc_unwrap is excluded: it re-runs the q_upsert_latest
     // latest-per-key window over an in-plan envelope wrap/unwrap —
     // benching it would double-count that stage.
+    // q_jdbc_stream is excluded for the same lifecycle reason: it
+    // measures Derby seeding plus a checkpointed two-run streaming
+    // lifecycle through the graft-jdbc source — ingest-edge transport,
+    // not query serving; q_scan / q_agg_basic carry the downstream
+    // signal.
     // q_rest_ingest and q_rest_stream are excluded for the same
     // lifecycle reason as the q_stream_* keys: both spin an in-JVM
     // REST-proxy stand-in and measure HTTP produce/consume round-trips

@@ -1,0 +1,408 @@
+package graft
+
+import java.sql.{Connection, DriverManager, ResultSet, Types}
+import java.util
+import java.util.Properties
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 as a FIRST-CLASS Structured Streaming source: a DataSource V2
+  * `MicroBatchStream` over a cursor-monotonic JDBC table, registered as
+  * `spark.readStream.format("graft-jdbc")`. This is the engine-owned
+  * form of the polling CDC capture the reference delegates to Debezium
+  * (`/root/reference/README.md:128` `pgoutput`,
+  * `docker-compose.yml:129` `wal_level=logical`): where WAL access
+  * isn't available, change capture becomes "rows whose monotonic cursor
+  * column moved past the last committed position" — the same contract
+  * as [[Sources.jdbcIncremental]], but with the STREAMING ENGINE owning
+  * the cursor lifecycle. Planned cursor ranges ride the checkpoint's
+  * offset log, restarts resume exactly where the last committed batch
+  * ended, and the file-sink commit log makes sink-side output
+  * exactly-once — no hand-rolled cursor store in the loop.
+  *
+  * Scale shape: the driver touches only METADATA queries at planning
+  * time (`max(cursor)`, per-rank boundary probes — each one
+  * index-served in a real database); the row data flows executor-side,
+  * one bounded `(lo, hi]` cursor range per input partition, so a
+  * 1000-executor cluster fans the poll out exactly like the partitioned
+  * snapshot source. Ranges are deterministic given (start, end], so
+  * task retries and speculation re-read identical slices.
+  *
+  * Source contract (the polling-CDC invariant, documented rather than
+  * assumed): rows are append-only with a monotonic `cursorColumn`
+  * (a sequence, an LSN stand-in, a commit timestamp). Admission caps
+  * are granular to CURSOR VALUES — rows tied at a boundary value are
+  * admitted together (a cursor value is atomic, exactly as a WAL
+  * position is), so a cap may overshoot by the tie width but can never
+  * split or lose a cursor position.
+  *
+  * Options: `url`, `table`, `cursorColumn` (required); `numPartitions`
+  * (per-batch read parallelism, default 4); `maxRowsPerBatch`
+  * (admission cap per trigger — the backlog-drain knob; unset = all
+  * available); `startingCursor` = `earliest` (default: the initial
+  * batch IS the snapshot — Debezium's `snapshot.mode=initial`) |
+  * `latest` (capture only rows after stream start) | a Long literal;
+  * `user`/`password`/`driver` (connection plumbing). The schema is
+  * inferred from JDBC metadata (`SELECT * WHERE 1=0`).
+  */
+class JdbcCdcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jdbc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = JdbcCdcSource.confOf(options)
+    JdbcCdcSource.withConnection(conf)(JdbcCdcSource.inferSchema(_, conf))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new JdbcCdcTable(schema,
+                     JdbcCdcSource.confOf(
+                       new CaseInsensitiveStringMap(properties)))
+}
+
+/** Connection + contract knobs, resolved once and shipped to executors
+  * (plain case class — serializable by construction).
+  */
+private[graft] case class JdbcCdcConf(url: String, table: String,
+                                      cursorColumn: String,
+                                      numPartitions: Int,
+                                      maxRowsPerBatch: Option[Long],
+                                      startingCursor: String,
+                                      user: Option[String],
+                                      password: Option[String],
+                                      driver: Option[String])
+
+object JdbcCdcSource {
+  private[graft] def confOf(o: CaseInsensitiveStringMap): JdbcCdcConf = {
+    def required(k: String): String = {
+      val v = o.get(k)
+      require(v != null && v.nonEmpty,
+              s"graft-jdbc: option '$k' is required")
+      v
+    }
+    JdbcCdcConf(
+      url = required("url"), table = required("table"),
+      cursorColumn = required("cursorColumn"),
+      numPartitions = Option(o.get("numPartitions")).map(_.toInt)
+        .getOrElse(4),
+      maxRowsPerBatch = Option(o.get("maxRowsPerBatch")).map(_.toLong),
+      startingCursor = Option(o.get("startingCursor"))
+        .getOrElse("earliest"),
+      user = Option(o.get("user")), password = Option(o.get("password")),
+      driver = Option(o.get("driver")))
+  }
+
+  private[graft] def withConnection[T](conf: JdbcCdcConf)
+                                      (f: Connection => T): T = {
+    conf.driver.foreach(Class.forName)
+    val props = new Properties()
+    conf.user.foreach(props.setProperty("user", _))
+    conf.password.foreach(props.setProperty("password", _))
+    val c = DriverManager.getConnection(conf.url, props)
+    try f(c) finally c.close()
+  }
+
+  /** Identifier quoting: every generated statement references columns by
+    * the EXACT name JDBC metadata reports, double-quoted — so tables
+    * created by Spark's JDBC writer (quoted lower-case columns) and
+    * hand-written DDL (unquoted → uppercased by e.g. Derby/Postgres
+    * folding) both resolve. The table name passes through as written,
+    * matching [[Sources.jdbcIncremental]]'s trusted-identifier contract.
+    */
+  private[graft] def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** JDBC metadata → Catalyst schema for the supported CDC column types.
+    * Unknown SQL types fail loudly at planning time rather than
+    * miscarrying data.
+    */
+  private[graft] def inferSchema(conn: Connection,
+                                 conf: JdbcCdcConf): StructType = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT * FROM ${conf.table} WHERE 1=0")
+      val md = rs.getMetaData
+      StructType((1 to md.getColumnCount).map { i =>
+        val dt = md.getColumnType(i) match {
+          case Types.BIGINT                       => LongType
+          case Types.INTEGER                      => IntegerType
+          case Types.SMALLINT | Types.TINYINT     => ShortType
+          case Types.DOUBLE | Types.FLOAT         => DoubleType
+          case Types.REAL                         => FloatType
+          case Types.VARCHAR | Types.CHAR | Types.LONGVARCHAR |
+               Types.CLOB                         => StringType
+          case Types.BOOLEAN | Types.BIT          => BooleanType
+          case Types.DECIMAL | Types.NUMERIC      =>
+            DecimalType(md.getPrecision(i), md.getScale(i))
+          case Types.TIMESTAMP                    => TimestampType
+          case Types.DATE                         => DateType
+          case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY |
+               Types.BLOB                         => BinaryType
+          case t => throw new IllegalArgumentException(
+            s"graft-jdbc: unsupported SQL type $t for column " +
+              md.getColumnName(i))
+        }
+        StructField(md.getColumnName(i), dt,
+                    md.isNullable(i) != java.sql.ResultSetMetaData
+                      .columnNoNulls)
+      })
+    } finally st.close()
+  }
+
+  /** The cursor column's exact stored name, resolved case-insensitively
+    * against the inferred schema (user writes `event_id`, Derby stores
+    * `EVENT_ID` — both must address the same column).
+    */
+  private[graft] def resolveCursor(schema: StructType,
+                                   cursorColumn: String): String =
+    schema.fields.map(_.name)
+      .find(_.equalsIgnoreCase(cursorColumn))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-jdbc: cursorColumn '$cursorColumn' not found among " +
+          schema.fields.map(_.name).mkString(", ")))
+}
+
+/** The ReadLimit → per-unit admission cap mapping shared by the
+  * engine-owned streaming edges ([[RestMicroBatchStream]] interprets it
+  * per Kafka partition, [[JdbcMicroBatchStream]] per trigger): honor
+  * the ENGINE-SUPPLIED limit — `maxRows` directly, the tightest member
+  * of a composite, all-available otherwise.
+  */
+private[graft] object AdmissionLimits {
+  def capOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows        => Some(r.maxRows())
+    case _: ReadAllAvailable   => None
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(capOf).minOption
+    case _                     => None
+  }
+}
+
+private[graft] class JdbcCdcTable(schema0: StructType, conf: JdbcCdcConf)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jdbc:${conf.table}"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new JdbcMicroBatchStream(conf, schema0)
+      }
+    }
+}
+
+/** Streaming offset = the cursor high-water mark already emitted — the
+  * single number a WAL position reduces to under the polling contract,
+  * serialized as the JSON object the checkpoint offset log stores.
+  */
+private[graft] case class JdbcCursorOffset(cursor: Long) extends Offset {
+  override def json(): String = s"""{"cursor":$cursor}"""
+}
+
+private[graft] object JdbcCursorOffset {
+  def fromJson(json: String): JdbcCursorOffset =
+    JdbcCursorOffset(new ObjectMapper().readTree(json)
+      .get("cursor").asLong())
+}
+
+private[graft] class JdbcMicroBatchStream(conf: JdbcCdcConf,
+                                          schema: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  import JdbcCdcSource.{q, withConnection}
+
+  private val cursorName = JdbcCdcSource.resolveCursor(schema,
+                                                       conf.cursorColumn)
+  private def cursorSql = q(cursorName)
+
+  private def scalarLong(sql: String): Option[Long] =
+    withConnection(conf) { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        rs.next()
+        val v = rs.getLong(1)
+        if (rs.wasNull()) None else Some(v)
+      } finally st.close()
+    }
+
+  override def initialOffset(): Offset =
+    JdbcCursorOffset(conf.startingCursor match {
+      case "earliest" => Long.MinValue // batch 0 IS the snapshot
+      case "latest"   =>
+        scalarLong(s"SELECT MAX($cursorSql) FROM ${conf.table}")
+          .getOrElse(Long.MinValue)
+      case n          => n.toLong
+    })
+
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxRowsPerBatch.map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  // with SupportsAdmissionControl the engine always calls the
+  // (start, limit) form; the argless form is unreachable by contract
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used instead")
+
+  /** Admit up to cap rows past `start`, landing the batch end on a
+    * CURSOR VALUE boundary: the end is `max(cursor)` over the first
+    * `cap` rows in cursor order — ties at that value ride along in
+    * planInputPartitions' `<=` bound (a cursor position is atomic; see
+    * the class doc). One metadata query, index-served on the cursor.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[JdbcCursorOffset].cursor
+    val end = AdmissionLimits.capOf(limit) match {
+      case None      =>
+        scalarLong(s"SELECT MAX($cursorSql) FROM ${conf.table} " +
+                     s"WHERE $cursorSql > $s")
+      case Some(cap) =>
+        scalarLong(
+          s"SELECT MAX(c) FROM (SELECT $cursorSql AS c FROM " +
+            s"${conf.table} WHERE $cursorSql > $s ORDER BY $cursorSql " +
+            s"FETCH FIRST $cap ROWS ONLY) b")
+    }
+    JdbcCursorOffset(end.getOrElse(s))
+  }
+
+  /** Split (start, end] into up to `numPartitions` contiguous cursor
+    * ranges at equi-ROW-COUNT rank boundaries — value-arithmetic splits
+    * would skew badly on sparse cursors (timestamps with gaps). Each
+    * boundary is one `OFFSET rank FETCH 1` probe, index-served
+    * server-side; the driver never touches row data.
+    */
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[JdbcCursorOffset].cursor
+    val e = end.asInstanceOf[JdbcCursorOffset].cursor
+    if (e <= s) return Array.empty
+    val bounds = splitBoundaries(s, e)
+    val los = s +: bounds
+    val his = bounds :+ e
+    los.zip(his).collect {
+      case (lo, hi) if lo < hi =>
+        JdbcRangePartition(conf, schema, cursorName, lo, hi)
+    }.toArray
+  }
+
+  /** Interior boundaries (exclusive of both ends), strictly increasing.
+    * Package-visible so the spec can pin range coverage and balance on
+    * a skewed cursor distribution directly.
+    */
+  private[graft] def splitBoundaries(s: Long, e: Long): Seq[Long] = {
+    val p = conf.numPartitions
+    if (p <= 1) return Seq.empty
+    val n = scalarLong(
+      s"SELECT COUNT(*) FROM ${conf.table} " +
+        s"WHERE $cursorSql > $s AND $cursorSql <= $e").getOrElse(0L)
+    if (n <= 1) return Seq.empty
+    (1 until p).map { i =>
+      val rank = i * n / p // rows BEFORE the boundary probe
+      scalarLong(
+        s"SELECT c FROM (SELECT $cursorSql AS c FROM ${conf.table} " +
+          s"WHERE $cursorSql > $s AND $cursorSql <= $e " +
+          s"ORDER BY $cursorSql OFFSET ${math.max(rank - 1, 0)} ROWS " +
+          s"FETCH NEXT 1 ROWS ONLY) b")
+    }.collect { case Some(b) if b > s && b < e => b }
+      .distinct.sorted
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcRangeReaderFactory()
+
+  override def deserializeOffset(json: String): Offset =
+    JdbcCursorOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] case class JdbcRangePartition(conf: JdbcCdcConf,
+                                             schema: StructType,
+                                             cursorName: String,
+                                             lo: Long, hi: Long)
+    extends InputPartition
+
+private[graft] class JdbcRangeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val ip = p.asInstanceOf[JdbcRangePartition]
+    new PartitionReader[InternalRow] {
+      import JdbcCdcSource.q
+      ip.conf.driver.foreach(Class.forName)
+      private val props = new Properties()
+      ip.conf.user.foreach(props.setProperty("user", _))
+      ip.conf.password.foreach(props.setProperty("password", _))
+      private val conn =
+        DriverManager.getConnection(ip.conf.url, props)
+      private val st = conn.createStatement()
+      // explicit schema-ordered column list: the ResultSet maps
+      // positionally onto the Catalyst row, whatever the table's
+      // physical column order
+      private val rs = st.executeQuery(
+        s"SELECT ${ip.schema.fields.map(f => q(f.name)).mkString(", ")} " +
+          s"FROM ${ip.conf.table} WHERE ${q(ip.cursorName)} > ${ip.lo} " +
+          s"AND ${q(ip.cursorName)} <= ${ip.hi}")
+
+      override def next(): Boolean = rs.next()
+
+      override def get(): InternalRow =
+        InternalRow.fromSeq(ip.schema.fields.zipWithIndex.map {
+          case (f, i) => JdbcRangeReaderFactory.value(rs, i + 1, f.dataType)
+        }.toIndexedSeq)
+
+      override def close(): Unit = {
+        rs.close(); st.close(); conn.close()
+      }
+    }
+  }
+}
+
+private[graft] object JdbcRangeReaderFactory {
+  /** One JDBC column → Catalyst internal value (null-checked via
+    * wasNull, the JDBC contract for primitive getters).
+    */
+  def value(rs: ResultSet, i: Int, dt: DataType): Any = {
+    val v: Any = dt match {
+      case LongType    => rs.getLong(i)
+      case IntegerType => rs.getInt(i)
+      case ShortType   => rs.getShort(i)
+      case DoubleType  => rs.getDouble(i)
+      case FloatType   => rs.getFloat(i)
+      case BooleanType => rs.getBoolean(i)
+      case StringType  => UTF8String.fromString(rs.getString(i))
+      case BinaryType  => rs.getBytes(i)
+      case d: DecimalType =>
+        val bd = rs.getBigDecimal(i)
+        if (bd == null) null
+        else org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+      case TimestampType =>
+        val t = rs.getTimestamp(i)
+        if (t == null) null
+        // getTime carries millis (nanos' top 6 digits fold in); add the
+        // sub-millisecond remainder for exact micros
+        else Math.multiplyExact(t.getTime, 1000L) +
+          (t.getNanos / 1000) % 1000
+      case DateType =>
+        val d = rs.getDate(i)
+        if (d == null) null else d.toLocalDate.toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft-jdbc: unsupported read type $other")
+    }
+    if (rs.wasNull()) null else v
+  }
+}

@@ -127,25 +127,16 @@ private[graft] class RestMicroBatchStream(url: String, topic: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used instead")
 
-  /** The admission cap, taken from the ENGINE-SUPPLIED limit (which for
-    * a plain micro-batch trigger is [[getDefaultReadLimit]] passed back,
-    * but for `Trigger.AvailableNow` and future engine policies can be a
-    * composite or a different value). `maxRows` is interpreted per Kafka
-    * partition — the planning granularity of this source, and exactly
-    * what the `maxRecordsPerPartition` option that produces the default
-    * limit means. Unknown limit types fall back to all-available.
-    */
-  private def capOf(limit: ReadLimit): Option[Long] = limit match {
-    case r: ReadMaxRows        => Some(r.maxRows())
-    case _: ReadAllAvailable   => None
-    case c: CompositeReadLimit =>
-      c.getReadLimits.toSeq.flatMap(l => capOf(l)).minOption
-    case _                     => None
-  }
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[RestOffset].offsets
-    val cap = capOf(limit)
+    // the admission cap comes from the ENGINE-SUPPLIED limit (for a
+    // plain micro-batch trigger that is [[getDefaultReadLimit]] passed
+    // back, but Trigger.AvailableNow and future engine policies can
+    // send a composite or a different value); `maxRows` is interpreted
+    // per Kafka partition — the planning granularity of this source,
+    // and exactly what the `maxRecordsPerPartition` option that
+    // produces the default limit means ([[AdmissionLimits]])
+    val cap = AdmissionLimits.capOf(limit)
     RestOffset(client.partitions(topic).map { p =>
       val (lo, hi) = client.offsets(topic, p)
       val f = math.max(lo, from.getOrElse(p, lo))

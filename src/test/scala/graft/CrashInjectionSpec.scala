@@ -382,6 +382,125 @@ class CrashInjectionSpec extends SparkSpec {
     wipe(base)
   }
 
+  // ---- 16th family: the DSv2 graft-jdbc STREAMING path --------------
+  // Same Spark-owned durability surface as restStream (offset/commit
+  // logs, file-sink manifest) but with the polling-CDC source's cursor
+  // offsets riding the checkpoint; the Derby feed lives OUTSIDE the
+  // faulted filesystem, as a real database's state does. Seeding is
+  // idempotent per wave via row counts, the seam splits on cursor
+  // value (the source's append-only contract).
+  test("crash sweep: jdbcStream — cursor offsets in Spark's checkpoint " +
+       "on fault://, resume converges across a restart seam") {
+    fsRegistered
+    val base = "fault:///tmp/graft-crash/jdbcStream"
+    wipe(base)
+    val url = "jdbc:derby:memory:graftcrash;create=true"
+
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); st.execute(sql); st.close() }
+      finally c.close()
+    }
+    def count(table: String): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } catch { case _: java.sql.SQLException => -1L }
+      finally c.close()
+    }
+    def tableOf(root: String) =
+      "t" + Integer.toHexString(root.hashCode).replace('-', 'm')
+
+    def seedIdempotent(table: String, upto: Int, lo: Int,
+                       hi: Int): Unit = {
+      if (count(table) < 0)
+        exec(s"CREATE TABLE $table (seq BIGINT NOT NULL, v VARCHAR(20))")
+      if (count(table) < upto)
+        (lo until hi).foreach(i =>
+          exec(s"INSERT INTO $table VALUES ($i, 'v$i')"))
+    }
+
+    def runStream(root: String, table: String): Unit = {
+      val q = spark.readStream.format("graft-jdbc")
+        .option("url", url).option("table", table)
+        .option("cursorColumn", "seq")
+        .option("maxRowsPerBatch", "4") // multiple triggers/run
+        .option("numPartitions", "2")
+        .load()
+        .selectExpr("seq", "v")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("path", s"$root/out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def run(root: String): Unit = {
+      val table = tableOf(root)
+      seedIdempotent(table, 15, 0, 15)
+      runStream(root, table)
+      seedIdempotent(table, 25, 15, 25) // arrives across the seam
+      runStream(root, table)
+    }
+
+    def observe(root: String): Seq[String] = pq(s"$root/out")
+
+    val refRoot = s"$base/ref"
+    run(refRoot)
+    val want = observe(refRoot)
+    assert(want.size == 25, s"reference run must sink 25 rows: $want")
+
+    val cntRoot = s"$base/cnt"
+    FaultFs.startCounting("/jdbcStream/cnt/")
+    run(cntRoot)
+    val total = FaultFs.counter.get()
+    val kinds = (1L to total)
+      .map(k => FaultFs.ops.getOrDefault(k, "?")).toVector
+    FaultFs.disarm()
+    assert(total > 0 && kinds.contains("create") &&
+           kinds.contains("rename"),
+           s"expected create+rename among $total ops: " +
+             kinds.distinct.mkString(","))
+    assert(observe(cntRoot) === want)
+
+    var swept = 0
+    var fired = 0
+    for (k <- 1L to total) {
+      val modes = Seq("before") ++
+        (if (kinds(k.toInt - 1) == "delete") Seq("partial-delete")
+         else Nil) ++
+        (if (kinds(k.toInt - 1) == "create") Seq("empty-create")
+         else Nil)
+      for (m <- modes) {
+        val tag = s"k$k-$m"
+        val root = s"$base/$tag"
+        FaultFs.arm(s"/jdbcStream/$tag/", k, m)
+        var crashed = false
+        try run(root)
+        catch {
+          case t: Throwable if isInjected(t) => crashed = true
+          case t: Throwable => FaultFs.disarm(); throw t
+        }
+        FaultFs.disarm()
+        if (crashed) {
+          fired += 1
+          Streaming.recoverStreamingCheckpoint(spark, s"$root/ckpt",
+                                               Some(s"$root/out"))
+          run(root)
+        }
+        assert(observe(root) === want,
+               s"site $k mode $m diverged (crash fired=$crashed)")
+        swept += 1
+        wipe(root)
+      }
+    }
+    assert(fired > 0, "no armed site ever fired — marker mismatch?")
+    info(s"jdbcStream: $swept runs over $total ops, $fired crashes fired")
+    wipe(base)
+  }
+
   for (sc <- sinks) test(s"crash sweep: ${sc.name} — replay converges " +
                          "bit-for-bit from every FS boundary") {
     fsRegistered

@@ -1,0 +1,235 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** S2 as an engine-owned Structured Streaming source ([[JdbcCdcSource]],
+  * `format("graft-jdbc")`): schema inference over the JDBC type matrix,
+  * cursor-granular admission control, rank-balanced range planning on a
+  * skewed cursor, restart-resume from the checkpoint offset log, and
+  * `startingCursor` semantics — all against embedded Derby, the same
+  * stand-in discipline as [[JdbcSpec]].
+  */
+class JdbcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftstream;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { val st = c.createStatement(); st.execute(sql); st.close() }
+    finally c.close()
+  }
+
+  private def tmp(tag: String): String =
+    sys.props("java.io.tmpdir") + s"/graft-jdbcstream-$tag-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    exec("""CREATE TABLE feed (
+           |  seq BIGINT NOT NULL,
+           |  uid BIGINT,
+           |  kind VARCHAR(20),
+           |  amount DOUBLE)""".stripMargin)
+    (1L to 20L).foreach { i =>
+      exec(s"INSERT INTO feed VALUES ($i, ${i % 5}, 'k${i % 3}', ${i}.5)")
+    }
+  }
+
+  private def readFeed(table: String, cursor: String,
+                       extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft-jdbc")
+      .option("url", url).option("table", table)
+      .option("cursorColumn", cursor)
+    extra.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
+  }
+
+  private def drainTo(df: org.apache.spark.sql.DataFrame, out: String,
+                      ckpt: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("schema inference covers the JDBC type matrix, values and NULLs " +
+       "decode exactly") {
+    exec("""CREATE TABLE typed (
+           |  seq BIGINT NOT NULL,
+           |  i INTEGER, sm SMALLINT, d DOUBLE, r REAL,
+           |  s VARCHAR(40), c CHAR(3), b BOOLEAN,
+           |  dcol DECIMAL(10,2), ts TIMESTAMP, dt DATE,
+           |  bin VARCHAR(8) FOR BIT DATA)""".stripMargin)
+    exec("INSERT INTO typed VALUES (1, 7, 3, 2.5, 1.25, 'hello', 'abc', " +
+         "true, 1234.56, TIMESTAMP('2024-03-01 12:34:56.789'), " +
+         "DATE('2024-03-02'), X'DEADBEEF')")
+    exec("INSERT INTO typed VALUES (2, NULL, NULL, NULL, NULL, NULL, " +
+         "NULL, NULL, NULL, NULL, NULL, NULL)")
+    val out = tmp("typed-out"); val ckpt = tmp("typed-ckpt")
+    drainTo(readFeed("typed", "seq"), out, ckpt)
+    val got = spark.read.parquet(out)
+    val byName = got.schema.fields.map(f => f.name.toLowerCase -> f.dataType)
+      .toMap
+    assert(byName("seq") === LongType)
+    assert(byName("i") === IntegerType)
+    assert(byName("sm") === ShortType)
+    assert(byName("d") === DoubleType)
+    assert(byName("r") === FloatType)
+    assert(byName("s") === StringType)
+    assert(byName("b") === BooleanType)
+    assert(byName("dcol") === DecimalType(10, 2))
+    assert(byName("ts") === TimestampType)
+    assert(byName("dt") === DateType)
+    assert(byName("bin") === BinaryType)
+    val r1 = got.filter(col("SEQ") === 1).collect()(0)
+    assert(r1.getAs[Int]("I") === 7)
+    assert(r1.getAs[Short]("SM") === 3.toShort)
+    assert(r1.getAs[Double]("D") === 2.5)
+    assert(r1.getAs[Float]("R") === 1.25f)
+    assert(r1.getAs[String]("S") === "hello")
+    assert(r1.getAs[String]("C") === "abc")
+    assert(r1.getAs[Boolean]("B") === true)
+    assert(r1.getAs[java.math.BigDecimal]("DCOL")
+      .compareTo(new java.math.BigDecimal("1234.56")) === 0)
+    assert(r1.getAs[java.sql.Timestamp]("TS").toInstant.toString
+             === "2024-03-01T12:34:56.789Z")
+    assert(r1.getAs[java.sql.Date]("DT").toLocalDate.toString
+             === "2024-03-02")
+    assert(r1.getAs[Array[Byte]]("BIN").toSeq
+             === Array(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte).toSeq)
+    val r2 = got.filter(col("SEQ") === 2).collect()(0)
+    (1 until r2.length).foreach(i => assert(r2.isNullAt(i),
+      s"column $i of the NULL row must decode as null"))
+  }
+
+  test("admission cap paces the backlog into multiple micro-batches, " +
+       "none larger than the cap (unique cursor)") {
+    val out = tmp("cap-out"); val ckpt = tmp("cap-ckpt")
+    val q = readFeed("feed", "seq", Map("maxRowsPerBatch" -> "6"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.sum === 20)
+    assert(batches.length >= 4, s"expected >=4 paced batches: " +
+      batches.mkString(","))
+    assert(batches.forall(_ <= 6), s"a batch exceeded the cap: " +
+      batches.mkString(","))
+    assert(spark.read.parquet(out).count() === 20)
+  }
+
+  test("cursor ties at the admission boundary ride together — atomic " +
+       "cursor values, no loss, no duplication") {
+    exec("CREATE TABLE tied (seq BIGINT NOT NULL, v BIGINT)")
+    // 4 distinct cursor values x 3 ties each; cap 2 forces every
+    // boundary to land mid-tie
+    for (s <- 1 to 4; t <- 1 to 3)
+      exec(s"INSERT INTO tied VALUES ($s, ${s * 10 + t})")
+    val out = tmp("tied-out"); val ckpt = tmp("tied-ckpt")
+    val q = readFeed("tied", "seq", Map("maxRowsPerBatch" -> "2"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 12)
+    assert(got.select("V").as[Long].collect().sorted.toSeq ===
+      (for (s <- 1 to 4; t <- 1 to 3) yield (s * 10 + t).toLong).sorted)
+    // every batch ends on a value boundary: each distinct seq appears
+    // in exactly one batch => 3 rows per non-empty batch here
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.forall(_ % 3 == 0),
+      s"a tie group was split across batches: ${batches.mkString(",")}")
+  }
+
+  test("restart resumes from the checkpoint offset log: rows arriving " +
+       "while the stream is down appear exactly once") {
+    exec("CREATE TABLE resume_feed (seq BIGINT NOT NULL, v VARCHAR(10))")
+    (1 to 8).foreach(i => exec(s"INSERT INTO resume_feed VALUES ($i, 'a$i')"))
+    val out = tmp("res-out"); val ckpt = tmp("res-ckpt")
+    drainTo(readFeed("resume_feed", "seq",
+                     Map("maxRowsPerBatch" -> "3")), out, ckpt)
+    // arrives across the seam, stream DOWN
+    (9 to 14).foreach(i => exec(s"INSERT INTO resume_feed VALUES ($i, 'a$i')"))
+    drainTo(readFeed("resume_feed", "seq",
+                     Map("maxRowsPerBatch" -> "3")), out, ckpt)
+    val got = spark.read.parquet(out).select("V").as[String].collect()
+    assert(got.sorted.toSeq === (1 to 14).map(i => s"a$i").sorted)
+  }
+
+  test("startingCursor=latest skips the existing table, captures only " +
+       "post-start changes") {
+    exec("CREATE TABLE tail_feed (seq BIGINT NOT NULL, v VARCHAR(10))")
+    (1 to 5).foreach(i => exec(s"INSERT INTO tail_feed VALUES ($i, 'old$i')"))
+    val out = tmp("tail-out"); val ckpt = tmp("tail-ckpt")
+    val q = readFeed("tail_feed", "seq",
+                     Map("startingCursor" -> "latest"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    try {
+      q.processAllAvailable()
+      (6 to 9).foreach(i =>
+        exec(s"INSERT INTO tail_feed VALUES ($i, 'new$i')"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).select("V").as[String].collect()
+    assert(got.sorted.toSeq === (6 to 9).map(i => s"new$i").sorted)
+  }
+
+  test("range planning splits a SKEWED cursor range at row-count rank " +
+       "boundaries: disjoint cover, balanced within one rank step") {
+    // 90% of rows clustered at the low end, a sparse tail at the top —
+    // value-arithmetic splits would put everything in one range
+    exec("CREATE TABLE skewed (seq BIGINT NOT NULL, v BIGINT)")
+    (1 to 90).foreach(i => exec(s"INSERT INTO skewed VALUES ($i, $i)"))
+    (1 to 10).foreach(i =>
+      exec(s"INSERT INTO skewed VALUES (${1000000 + i * 1000}, $i)"))
+    val opts = new CaseInsensitiveStringMap(Map(
+      "url" -> url, "table" -> "skewed", "cursorColumn" -> "seq",
+      "numPartitions" -> "4").asJava)
+    val conf = JdbcCdcSource.confOf(opts)
+    val schema = JdbcCdcSource.withConnection(conf)(
+      JdbcCdcSource.inferSchema(_, conf))
+    val stream = new JdbcMicroBatchStream(conf, schema)
+    val parts = stream
+      .planInputPartitions(JdbcCursorOffset(Long.MinValue),
+                           JdbcCursorOffset(Long.MaxValue - 1))
+      .map(_.asInstanceOf[JdbcRangePartition])
+    assert(parts.length === 4)
+    // contiguous disjoint cover of the planned span
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.hi === b.lo, "ranges must be contiguous")
+    }
+    // each range holds 100/4 = 25 rows (+/- the tie-free exactness here)
+    val counts = parts.map { p =>
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        val rs = st.executeQuery("SELECT COUNT(*) FROM skewed WHERE " +
+          s"seq > ${p.lo} AND seq <= ${p.hi}")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(counts.sum === 100)
+    assert(counts.forall(c => c >= 24 && c <= 26),
+      s"rank-balanced split expected ~25 rows each: ${counts.mkString(",")}")
+  }
+
+  test("Trigger.AvailableNow drains the backlog through the admission " +
+       "cap and terminates") {
+    exec("CREATE TABLE avnow (seq BIGINT NOT NULL, v BIGINT)")
+    (1 to 10).foreach(i => exec(s"INSERT INTO avnow VALUES ($i, $i)"))
+    val out = tmp("av-out"); val ckpt = tmp("av-ckpt")
+    val q = readFeed("avnow", "seq", Map("maxRowsPerBatch" -> "4"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    assert(spark.read.parquet(out).count() === 10)
+  }
+}

@@ -52,6 +52,10 @@ for a in sys.argv[1:]:
     if a.startswith("--dupclass="):
         DUP_EXACT, DUP_NEAR = (int(x) for x in
                                a.split("=", 1)[1].split(","))
+    if a.startswith("--tiles="):
+        # --tiles=100 builds the THIRD decade (same per-tile
+        # structure-preserving transforms, more tiles)
+        TILES = int(a.split("=", 1)[1])
 
 
 def gen_documents(con):
