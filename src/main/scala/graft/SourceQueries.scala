@@ -540,6 +540,75 @@ object SourceQueries extends QueryPack {
           .getConnection(s"jdbc:derby:memory:$db;drop=true")
         catch { case _: java.sql.SQLException => () }
       }
+    }),
+
+    // THE REFERENCE'S SIGNATURE FLOW, END TO END THROUGH THE ENGINE:
+    // source database → change stream → latest-state serving store
+    // (`/root/reference/README.md`'s PostgreSQL → Debezium →
+    // ReplacingMergeTree pipeline), composed from the engine-owned
+    // pieces: the `graft-jdbc` DSv2 source streams the Derby feed
+    // through checkpointed micro-batches (stop/restart seam as above),
+    // and every batch merges into the bucketed upsert store
+    // ([[Streaming.upsertSink]] — the crash-swept incremental sink) —
+    // so the final store is the latest row per user, whatever batch
+    // boundaries the admission cap produced. The hash oracle is the
+    // same latest-per-key SQL as q_upsert_latest: the composed
+    // streaming pipeline must land EXACTLY the batch semantics.
+    "q_jdbc_stream_upsert" -> ((s, dir) => {
+      val tag = Integer.toHexString(dir.hashCode)
+      val db = s"graftups_$tag"
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_jdbc_upsert_${s.sparkContext.applicationId}_$tag"
+      val state = s"$base/state"
+      val ckpt = s"$base/ckpt"
+      try {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        // change feed keyed by event_id (the WAL-position stand-in);
+        // null-ts rows are excluded on BOTH sides (a version column
+        // must order totally; the oracle mirrors the filter)
+        val ev = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+        def seed(w: org.apache.spark.sql.DataFrame): Unit =
+          Sources.jdbcSink(w.coalesce(4), url, "change_feed")
+        def runOnce(): Unit = {
+          val src = s.readStream.format("graft-jdbc")
+            .option("url", url).option("table", "change_feed")
+            .option("cursorColumn", "event_id")
+            .option("numPartitions", "4")
+            .option("maxRowsPerBatch", "4096")
+            .load()
+            .select(col("event_id").cast("long"),
+                    col("user_id").cast("long"), col("event_type"),
+                    col("value"), col("ts_us").cast("long"))
+          val q = Streaming.upsertSink(src, state, ckpt,
+                                       Seq("user_id"),
+                                       Seq("ts_us", "event_id")).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val Row(idLo: Long, idHi: Long) =
+          ev.agg(min("event_id"), max("event_id")).head()
+        val seam = idLo + (idHi - idLo) * 2 / 3
+        seed(ev.filter(col("event_id") <= seam))
+        runOnce()
+        seed(ev.filter(col("event_id") > seam)) // lands while DOWN
+        runOnce()
+        val out = s.read.parquet(state)
+          .select("user_id", "ts_us", "event_id", "event_type", "value")
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), out.schema)
+          .orderBy("user_id")
+      } finally {
+        try java.sql.DriverManager
+          .getConnection(s"jdbc:derby:memory:$db;drop=true")
+        catch { case _: java.sql.SQLException => () }
+      }
     })
   )
 
@@ -705,6 +774,18 @@ object SourceQueries extends QueryPack {
         |  count(DISTINCT user_id) AS n_users,
         |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max
         |FROM events GROUP BY event_type
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // The composed stream (graft-jdbc source → bucketed upsert store)
+    // must land exactly the batch latest-per-key semantics — the same
+    // SQL as q_upsert_latest, on the null-ts-filtered feed, with ts as
+    // the epoch-micros version column the Derby feed carries.
+    "q_jdbc_stream_upsert" ->
+      """SELECT user_id, ts_us, event_id, event_type, value FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL) t
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }
