@@ -38,20 +38,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * task retries and speculation re-read identical slices.
   *
   * Source contract (the polling-CDC invariant, documented rather than
-  * assumed): rows are append-only with a monotonic `cursorColumn`
-  * (a sequence, an LSN stand-in, a commit timestamp). Admission caps
-  * are granular to CURSOR VALUES — rows tied at a boundary value are
-  * admitted together (a cursor value is atomic, exactly as a WAL
-  * position is), so a cap may overshoot by the tie width but can never
-  * split or lose a cursor position.
+  * assumed): rows are append-only with a `cursorColumn` monotonic in
+  * COMMIT-VISIBILITY order, not merely assignment order. A WAL position
+  * has this property by construction; a sequence or insert-timestamp
+  * does NOT under concurrent writers — a transaction that allocated a
+  * lower cursor value but commits AFTER a poll becomes visible below an
+  * already-committed offset and would be silently skipped (the classic
+  * polling-CDC visibility race that WAL reading doesn't have). Where
+  * only an assignment-ordered cursor exists, set `lagWindow` > 0: the
+  * admitted high-water mark is held `lagWindow` cursor units behind the
+  * visible tip, so any transaction that commits within that window of
+  * its cursor allocation is still captured. (`lagWindow` trades bounded
+  * capture latency for correctness under bounded commit lag; it cannot
+  * defend an unbounded straggler — that needs a true commit-ordered
+  * cursor or a txid fence, which is exactly why the reference uses the
+  * WAL.) Admission caps are granular to CURSOR VALUES — rows tied at a
+  * boundary value are admitted together (a cursor value is atomic,
+  * exactly as a WAL position is), so a cap may overshoot by the tie
+  * width but can never split or lose a cursor position.
   *
   * Options: `url`, `table`, `cursorColumn` (required); `numPartitions`
   * (per-batch read parallelism, default 4); `maxRowsPerBatch`
   * (admission cap per trigger — the backlog-drain knob; unset = all
-  * available); `startingCursor` = `earliest` (default: the initial
-  * batch IS the snapshot — Debezium's `snapshot.mode=initial`) |
-  * `latest` (capture only rows after stream start) | a Long literal;
-  * `user`/`password`/`driver` (connection plumbing). The schema is
+  * available); `lagWindow` (cursor units held back from the visible
+  * tip per the commit-visibility contract above; default 0 = trust the
+  * cursor to be commit-ordered); `startingCursor` = `earliest`
+  * (default: the initial batch IS the snapshot — Debezium's
+  * `snapshot.mode=initial`) | `latest` (capture only rows after stream
+  * start) | a Long literal; `user`/`password`/`driver` (connection
+  * plumbing). The schema is
   * inferred from JDBC metadata (`SELECT * WHERE 1=0`).
   */
 class JdbcCdcSource extends TableProvider with DataSourceRegister {
@@ -76,6 +91,7 @@ private[graft] case class JdbcCdcConf(url: String, table: String,
                                       cursorColumn: String,
                                       numPartitions: Int,
                                       maxRowsPerBatch: Option[Long],
+                                      lagWindow: Long,
                                       startingCursor: String,
                                       user: Option[String],
                                       password: Option[String],
@@ -95,6 +111,7 @@ object JdbcCdcSource {
       numPartitions = Option(o.get("numPartitions")).map(_.toInt)
         .getOrElse(4),
       maxRowsPerBatch = Option(o.get("maxRowsPerBatch")).map(_.toLong),
+      lagWindow = Option(o.get("lagWindow")).map(_.toLong).getOrElse(0L),
       startingCursor = Option(o.get("startingCursor"))
         .getOrElse("earliest"),
       user = Option(o.get("user")), password = Option(o.get("password")),
@@ -262,19 +279,32 @@ private[graft] class JdbcMicroBatchStream(conf: JdbcCdcConf,
     * CURSOR VALUE boundary: the end is `max(cursor)` over the first
     * `cap` rows in cursor order — ties at that value ride along in
     * planInputPartitions' `<=` bound (a cursor position is atomic; see
-    * the class doc). One metadata query, index-served on the cursor.
+    * the class doc). With `lagWindow` > 0, admission is additionally
+    * fenced at `max(cursor) - lagWindow` over the WHOLE table (the
+    * visible tip), so an assignment-ordered cursor whose transaction
+    * commits late — but within the window — still lands ahead of the
+    * high-water mark instead of below it (class-doc visibility
+    * contract). One or two metadata queries, each index-served on the
+    * cursor.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[JdbcCursorOffset].cursor
+    // Long.MinValue sentinel start (earliest) stays unfenced: batch 0 is
+    // the snapshot and there is no concurrent-writer race below it.
+    val fence =
+      if (conf.lagWindow <= 0L) None
+      else scalarLong(s"SELECT MAX($cursorSql) FROM ${conf.table}")
+        .map(_ - conf.lagWindow)
+    val fenceSql = fence.map(f => s" AND $cursorSql <= $f").getOrElse("")
     val end = AdmissionLimits.capOf(limit) match {
       case None      =>
         scalarLong(s"SELECT MAX($cursorSql) FROM ${conf.table} " +
-                     s"WHERE $cursorSql > $s")
+                     s"WHERE $cursorSql > $s$fenceSql")
       case Some(cap) =>
         scalarLong(
           s"SELECT MAX(c) FROM (SELECT $cursorSql AS c FROM " +
-            s"${conf.table} WHERE $cursorSql > $s ORDER BY $cursorSql " +
-            s"FETCH FIRST $cap ROWS ONLY) b")
+            s"${conf.table} WHERE $cursorSql > $s$fenceSql " +
+            s"ORDER BY $cursorSql FETCH FIRST $cap ROWS ONLY) b")
     }
     JdbcCursorOffset(end.getOrElse(s))
   }
@@ -349,14 +379,27 @@ private[graft] class JdbcRangeReaderFactory extends PartitionReaderFactory {
       ip.conf.password.foreach(props.setProperty("password", _))
       private val conn =
         DriverManager.getConnection(ip.conf.url, props)
-      private val st = conn.createStatement()
-      // explicit schema-ordered column list: the ResultSet maps
-      // positionally onto the Catalyst row, whatever the table's
-      // physical column order
-      private val rs = st.executeQuery(
-        s"SELECT ${ip.schema.fields.map(f => q(f.name)).mkString(", ")} " +
-          s"FROM ${ip.conf.table} WHERE ${q(ip.cursorName)} > ${ip.lo} " +
-          s"AND ${q(ip.cursorName)} <= ${ip.hi}")
+      // statement + query open AFTER the connection, under a guard that
+      // closes the connection if they throw: executeQuery failing in the
+      // constructor (exactly what JdbcFaultSpec injects) would otherwise
+      // leak the connection on every task retry, because Spark only
+      // close()es readers it finished constructing
+      private val (st, rs) =
+        try {
+          val s = conn.createStatement()
+          // explicit schema-ordered column list: the ResultSet maps
+          // positionally onto the Catalyst row, whatever the table's
+          // physical column order
+          val r = s.executeQuery(
+            s"SELECT ${ip.schema.fields.map(f => q(f.name)).mkString(", ")
+              } FROM ${ip.conf.table} WHERE ${q(ip.cursorName)} > ${ip.lo} " +
+              s"AND ${q(ip.cursorName)} <= ${ip.hi}")
+          (s, r)
+        } catch {
+          case t: Throwable =>
+            try conn.close() catch { case s: Throwable => t.addSuppressed(s) }
+            throw t
+        }
 
       override def next(): Boolean = rs.next()
 

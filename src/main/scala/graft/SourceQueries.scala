@@ -539,6 +539,13 @@ object SourceQueries extends QueryPack {
         try java.sql.DriverManager
           .getConnection(s"jdbc:derby:memory:$db;drop=true")
         catch { case _: java.sql.SQLException => () }
+        // sink + checkpoint are per-run scratch and the result rows are
+        // already collected — delete now, not at the start of a later
+        // identical run (which a one-shot Verify JVM never reaches)
+        try new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+        catch { case _: java.io.IOException => () }
       }
     }),
 
@@ -608,6 +615,11 @@ object SourceQueries extends QueryPack {
         try java.sql.DriverManager
           .getConnection(s"jdbc:derby:memory:$db;drop=true")
         catch { case _: java.sql.SQLException => () }
+        // per-run state + checkpoint scratch; results already collected
+        try new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(base), true)
+        catch { case _: java.io.IOException => () }
       }
     })
   )

@@ -219,6 +219,37 @@ class JdbcStreamSpec extends SparkSpec {
       s"rank-balanced split expected ~25 rows each: ${counts.mkString(",")}")
   }
 
+  test("lagWindow fences admission below the visible tip: a late-commit " +
+       "row surfacing under the polled HWM is still captured") {
+    // the commit-visibility race, simulated on single-writer Derby: a
+    // writer allocated cursor 95 but its commit lands only after the
+    // first poll. WITHOUT the fence the first poll would commit HWM=100
+    // and 95 would be below the high-water mark forever; with
+    // lagWindow=10 the first poll admits only (…, 90], and once the tip
+    // advances past 105 the late row is inside the next admitted range.
+    exec("CREATE TABLE lagged (seq BIGINT NOT NULL, v VARCHAR(10))")
+    ((1 to 94) ++ (96 to 100)).foreach(i =>
+      exec(s"INSERT INTO lagged VALUES ($i, 'r$i')"))
+    val out = tmp("lag-out"); val ckpt = tmp("lag-ckpt")
+    val opts = Map("lagWindow" -> "10")
+    drainTo(readFeed("lagged", "seq", opts), out, ckpt)
+    val first = spark.read.parquet(out).selectExpr("max(SEQ)").head().getLong(0)
+    assert(first === 90L,
+      s"fence must hold the HWM 10 under the tip (100): got $first")
+    // the straggler becomes visible, then the tip advances past 95 + lag
+    exec("INSERT INTO lagged VALUES (95, 'late')")
+    (101 to 110).foreach(i => exec(s"INSERT INTO lagged VALUES ($i, 'r$i')"))
+    drainTo(readFeed("lagged", "seq", opts), out, ckpt)
+    val got = spark.read.parquet(out).select("V").as[String].collect().toSet
+    assert(got.contains("late"),
+      "late-visible row under the prior tip must be captured")
+    assert(spark.read.parquet(out).selectExpr("max(SEQ)").head()
+      .getLong(0) === 100L, "second poll fenced at 110 - 10")
+    // every admitted row exactly once
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(out).select("SEQ").distinct().count())
+  }
+
   test("Trigger.AvailableNow drains the backlog through the admission " +
        "cap and terminates") {
     exec("CREATE TABLE avnow (seq BIGINT NOT NULL, v BIGINT)")
