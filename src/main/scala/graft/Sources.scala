@@ -50,6 +50,64 @@ object Sources {
     props.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
   }
 
+  /** S1 at scale: parallel JDBC snapshot with RANK-BALANCED partition
+    * bounds — the batch twin of [[JdbcCdcSource]]'s range planner (ONE
+    * planner for both: this method delegates to
+    * `JdbcMicroBatchStream.splitBoundaries`, so batch snapshot and
+    * streaming backlog drain split identically). [[jdbcSnapshot]]'s
+    * value-arithmetic `lowerBound`/`upperBound` splits skew badly on
+    * sparse keys (a timestamp column with a 90/10 hot-cold split puts
+    * ~everything in one partition); here each boundary is an
+    * `OFFSET rank FETCH 1` probe — index-served server-side, row data
+    * never touches the driver — so every partition carries ±1 rank step
+    * of n/numPartitions rows whatever the key distribution. That is the
+    * shape a 1000-executor initial snapshot needs: equal-work tasks, no
+    * straggler partition.
+    */
+  def jdbcSnapshotBalanced(spark: SparkSession, url: String, table: String,
+                           partitionColumn: String, numPartitions: Int,
+                           props: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val conf = JdbcCdcConf(
+      url = url, table = table, cursorColumn = partitionColumn,
+      numPartitions = numPartitions, maxRowsPerBatch = None, lagWindow = 0L,
+      startingCursor = "earliest", user = props.get("user"),
+      password = props.get("password"), driver = props.get("driver"))
+    val schema = JdbcCdcSource.withConnection(conf)(
+      JdbcCdcSource.inferSchema(_, conf))
+    val cursor = JdbcCdcSource.resolveCursor(schema, partitionColumn)
+    val cSql = JdbcCdcSource.q(cursor)
+    def scalar(sql: String): Option[Long] =
+      JdbcCdcSource.withConnection(conf) { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          rs.next()
+          val v = rs.getLong(1)
+          if (rs.wasNull()) None else Some(v)
+        } finally st.close()
+      }
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val withProps = props.foldLeft(base)((b, kv) => b.option(kv._1, kv._2))
+    (scalar(s"SELECT MIN($cSql) FROM $table"),
+     scalar(s"SELECT MAX($cSql) FROM $table")) match {
+      case (Some(lo), Some(hi)) if numPartitions > 1 =>
+        val stream = new JdbcMicroBatchStream(conf, schema)
+        // (lo-1, hi] so the minimum row is inside the first range
+        val bounds = stream.splitBoundaries(lo - 1, hi)
+        val los = (lo - 1) +: bounds
+        val his = bounds :+ hi
+        val predicates = los.zip(his).collect {
+          case (l, h) if l < h => s"$cSql > $l AND $cSql <= $h"
+        }
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        spark.read.jdbc(url, table, predicates.toArray, p)
+      case _ => withProps.load() // empty table or 1 partition: plain read
+    }
+  }
+
   /** S2 (batch side): incremental JDBC read — rows with cursor column
     * beyond the last seen value (the polling alternative to log-based CDC
     * when WAL access isn't available; Debezium's snapshot-then-stream

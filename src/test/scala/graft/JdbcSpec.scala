@@ -45,6 +45,42 @@ class JdbcSpec extends SparkSpec {
     assert(df.filter(col("account_type") === "Gold").count() === 2)
   }
 
+  test("S1 at scale: rank-balanced snapshot splits a SKEWED key evenly " +
+       "and reads every row exactly once") {
+    // 90% of keys clustered low, sparse tail ×1000 higher — the value-
+    // arithmetic splitter would put 90+ rows in partition 0
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE snap_skew (k BIGINT NOT NULL, v BIGINT)")
+    (1 to 90).foreach(i => st.execute(
+      s"INSERT INTO snap_skew VALUES ($i, $i)"))
+    (1 to 10).foreach(i => st.execute(
+      s"INSERT INTO snap_skew VALUES (${1000000 + i * 1000}, $i)"))
+    st.close(); conn.close()
+    val df = Sources.jdbcSnapshotBalanced(spark, url, "snap_skew",
+                                          partitionColumn = "k",
+                                          numPartitions = 4)
+    assert(df.select(sum("K")).head().getLong(0) ===
+      (1 to 90).map(_.toLong).sum +
+        (1 to 10).map(i => 1000000L + i * 1000).sum)
+    assert(df.count() === 100)
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.length === 4)
+    assert(perPart.forall(c => c >= 24 && c <= 26),
+      s"rank-balanced snapshot expected ~25 rows/partition: ${
+        perPart.mkString(",")}")
+    // the value-arithmetic splitter on the same data IS skewed (the
+    // contrast that motivates the balanced form)
+    val naive = Sources.jdbcSnapshot(spark, url, "snap_skew", "k",
+                                     lowerBound = 1L,
+                                     upperBound = 1010000L,
+                                     numPartitions = 4)
+    val naiveParts = naive.rdd.mapPartitions(it => Iterator(it.size))
+      .collect()
+    assert(naiveParts.max >= 90,
+      s"expected value-split skew: ${naiveParts.mkString(",")}")
+  }
+
   test("S2: incremental poll ships only rows past the cursor") {
     val delta = Sources.jdbcIncremental(spark, url, "users",
                                         "updated_at", 1000000L)
