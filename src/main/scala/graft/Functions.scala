@@ -39,6 +39,16 @@ object Functions {
                                    ColumnBridge.expression(b)))
   }
 
+  /** |A ∩ B| of two sorted long-array columns — the native codegen'd
+    * [[SortedIntersectCount]] two-pointer merge (see its scaladoc for
+    * why not `array_intersect` or a relational intersection).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a),
+                                             ColumnBridge.expression(b)))
+  }
+
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

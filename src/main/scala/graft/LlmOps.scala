@@ -255,28 +255,107 @@ object LlmOps {
     *  4. exact-Jaccard verify of candidates, also relationally (semi-join
     *     back onto the shingle relation).
     *
-    * Shuffle cost: one exchange by doc (signature agg), one by
-    * (band, bandHash) (candidates), one by candidate pair (verify) — each
-    * linear in data size; nothing quadratic, nothing driver-side.
+    * Shuffle cost: one exchange by doc (signature agg) and one by
+    * (band, bandHash) (the candidate join) — each linear in data size;
+    * nothing quadratic, nothing driver-side, and NOTHING per candidate
+    * pair: verification happens INSIDE the candidate join.
+    *
+    * Two r14 third-decade root-cause fixes (SURVEY §6.1):
+    *
+    *  - Cross-band dedup is BY CONSTRUCTION, not by aggregate: a pair
+    *    colliding in k of the `bands` bands used to surface k times
+    *    into a global `distinct()`. Each bucket row carries the doc's
+    *    full band-hash array, and the join emits a pair only from the
+    *    FIRST band where it collides ([[firstBandCollision]]) — same
+    *    pair set, zero duplicate emissions, no post-join aggregate.
+    *  - Verification is IN-JOIN: each bucket row also carries the
+    *    doc's sorted shingle-hash array, and exact Jaccard evaluates
+    *    on the join output in the same stage via the codegen'd
+    *    two-pointer [[SortedIntersectCount]]. The r13 relational
+    *    verify (candidates → exchange → ⋈ shingles ⋈ shingles →
+    *    count) shipped the FULL candidate set (~4×10⁸ pairs / 8.6 GB
+    *    at 100× under this banding — permissive by the recall bound's
+    *    design) through a shuffle and blew it up to Σ|A| rows per
+    *    candidate (26 GB of spill); in-join verification ships only
+    *    the n·bands bucket rows and emits nothing below the
+    *    threshold.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int, numHashes: Int, bands: Int,
                           minJaccard: Double): DataFrame = {
-    val (sh, counts, buckets) =
-      minhashSigRelation(docs, idCol, textCol, shingleK, numHashes, bands)
-    val cand = buckets.select(col("doc").as("a"), col("band"), col("bh"))
-      .join(buckets.select(col("doc").as("b"), col("band"), col("bh")),
-            Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    verifyJaccard(sh, counts, cand, minJaccard)
+    val rowsPerBand = numHashes / bands
+    // single-consumer shingle relation (the signature aggregate) — no
+    // materialization needed; shingles ride as 64-bit hashes
+    val sh = docs.select(
+      col(idCol).as("doc"),
+      explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
+    val sigAggs = (0 until numHashes).map { j =>
+      min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
+    }
+    // one aggregate pass: minhash signatures + the doc's sorted
+    // shingle-hash set (distinct per doc by construction upstream)
+    val sig = sh.groupBy("doc")
+      .agg(sort_array(collect_list(col("s"))).as("shs"), sigAggs: _*)
+    val bandHashes = (0 until bands).map { i =>
+      xxhash64((0 until rowsPerBand)
+        .map(r => col(s"sig_${i * rowsPerBand + r}")): _*)
+    }
+    val buckets = sig
+      .select(col("doc"), col("shs"), array(bandHashes: _*).as("bhs"))
+      .select(col("doc"), col("shs"),
+              posexplode(col("bhs")).as(Seq("band", "bh")), col("bhs"))
+    val a = buckets.select(col("doc").as("a"), col("band"), col("bh"),
+                           col("bhs").as("abhs"), col("shs").as("ashs"))
+    val b = buckets.select(col("doc").as("b"), col("band"), col("bh"),
+                           col("bhs").as("bbhs"), col("shs").as("bshs"))
+    // shuffled-hash hint: both sides are the same bounded bucket
+    // relation (exchange reused); hashing one side beats sorting both
+    a.hint("shuffle_hash").join(b, Seq("band", "bh"))
+      .filter(col("a") < col("b") &&
+              !firstBandCollision(bands, col("band"),
+                                  col("abhs"), col("bbhs")))
+      .withColumn("inter",
+        Functions.sortedIntersectCount(col("ashs"), col("bshs")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("ashs")) + size(col("bshs")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** TRUE iff the pair already collided in a band EARLIER than `band`
+    * (optionally restricted by `emittedAt`: bit j of the mask says band
+    * j's bucket actually emitted — used by the size-probed clustering
+    * path where only small buckets emit pairs). Plain element_at/compare
+    * OR-chain over the ≤`bands` earlier positions — stays inside
+    * whole-stage codegen, which a lambda-HOF formulation would not.
+    * `bhs` arrays always carry all `bands` hashes, so element_at is
+    * in-range by construction (ANSI-safe).
+    */
+  private def firstBandCollision(bands: Int, band: Column, abhs: Column,
+                                 bbhs: Column,
+                                 emittedAt: Option[Column] = None)
+      : Column =
+    (0 until bands - 1).map { j =>
+      val collided = band > j &&
+        element_at(abhs, j + 1) === element_at(bbhs, j + 1)
+      emittedAt match {
+        // same bucket at band j ⇒ same size ⇒ one side's bit suffices
+        case Some(mask) =>
+          collided && shiftright(mask, j).bitwiseAND(lit(1L)) === 1L
+        case None => collided
+      }
+    }.reduce(_ || _)
 
   /** The shared MinHash machinery behind [[minhashNearDupPairs]] (the
     * pair-output contract) and [[minhashComponents]] (the clustering
     * contract): hashed shingle relation, per-doc counts, and banded LSH
     * bucket assignment. Returns (sh = (doc, s), counts = (doc, n_sh),
-    * buckets = (doc, band, bh)).
+    * buckets = (doc, band, bh, bhs)) — `bhs` is the doc's FULL band-hash
+    * array (bhs[i+1] = band i's hash, 1-based for element_at), carried so
+    * candidate joins can dedup cross-band collisions by construction
+    * ([[firstBandCollision]]) instead of via a global distinct.
     */
   private def minhashSigRelation(docs: DataFrame, idCol: String,
                                  textCol: String, shingleK: Int,
@@ -289,12 +368,13 @@ object LlmOps {
     // shingles are carried as 64-bit hashes from the explode on: the
     // signature seeds, the candidate join, and the verify join all key on
     // 8-byte longs instead of 3-word strings (≈4× smaller shuffles);
-    // distinct-ness per doc is established on the strings BEFORE hashing
-    val sh = docs.select(
+    // distinct-ness per doc is established on the strings BEFORE hashing.
+    // Corpus-sized ⇒ [[Mat.bigRel]] storage (disk-backed serialized, not
+    // deserialized heap rows — the r14 §6.1 root-cause).
+    val sh = Mat.bigRel(docs.select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
-      .select(col("doc"), xxhash64(col("s0")).as("s"))
-      .localCheckpoint()
+      .select(col("doc"), xxhash64(col("s0")).as("s")))
     val sigAggs = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
     }
@@ -303,14 +383,14 @@ object LlmOps {
     val sig = sh.groupBy("doc")
       .agg(count(lit(1)).as("n_sh"), sigAggs: _*)
     val counts = sig.select(col("doc"), col("n_sh"))
-    val bandStructs = (0 until bands).map { i =>
-      struct(lit(i).as("band"),
-             xxhash64((0 until rowsPerBand)
-               .map(r => col(s"sig_${i * rowsPerBand + r}")): _*).as("bh"))
+    val bandHashes = (0 until bands).map { i =>
+      xxhash64((0 until rowsPerBand)
+        .map(r => col(s"sig_${i * rowsPerBand + r}")): _*)
     }
     val buckets = sig
-      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc"), array(bandHashes: _*).as("bhs"))
+      .select(col("doc"), posexplode(col("bhs")).as(Seq("band", "bh")),
+              col("bhs"))
     (sh, counts, buckets)
   }
 
@@ -352,18 +432,25 @@ object LlmOps {
     * blocked pair graph), so components over
     * {mined pairs on reps} ∪ memberEdges equal components over the
     * full pair graph EXACTLY — same partition, same per-component
-    * minimum (each rep is already its class minimum). Cost: one
-    * linear hash aggregate on (block, content hash) + one join back.
+    * minimum (each rep is already its class minimum).
+    *
+    * Cost: ONE exchange on (block, content hash) per consumer — the
+    * representative is `min(id)` over a whole-partition window, not a
+    * hash aggregate joined back (the r12 formulation): the agg+join
+    * form costs three exchanges and recomputes the doc-derivation
+    * subtree on both join sides per consumer, which the r13 bench
+    * measured as a ×1.56 `q_pipeline_shard` regression for corpora
+    * with no duplicate mass at all. A duplicate class of m rows lands
+    * in one window partition — linear min, the same skew cost the
+    * aggregate paid.
     */
   private[graft] def exactCollapse(docs: DataFrame, idCol: String,
                                    textCol: String,
                                    partCols: Seq[String])
       : (DataFrame, DataFrame) = {
-    val keyNames = partCols :+ "__h"
-    val hashed = docs.withColumn("__h", md5(col(textCol)))
-    val repOf = hashed.groupBy(keyNames.map(col): _*)
-      .agg(min(col(idCol)).as("__rep"))
-    val withRep = hashed.join(repOf, keyNames)
+    val w = Window.partitionBy((partCols :+ "__h").map(col): _*)
+    val withRep = docs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rep", min(col(idCol)).over(w))
     val reps = withRep.filter(col(idCol) === col("__rep"))
       .drop("__h", "__rep")
     val memberEdges = withRep.filter(col(idCol) =!= col("__rep"))
@@ -419,22 +506,41 @@ object LlmOps {
     val (sh, counts, buckets) =
       minhashSigRelation(reps, idCol, textCol, shingleK, numHashes, bands)
     // one linear aggregate sizes every band bucket and picks its min-id
-    // root; checkpointed because the small/star branches read it thrice
-    val sized = buckets.join(
+    // root; materialized because the small/star branches read it thrice
+    // (buckets-sized ⇒ bigRel storage)
+    val sized = Mat.bigRel(buckets.join(
       buckets.groupBy("band", "bh")
         .agg(count(lit(1)).as("m"), min(col("doc")).as("root")),
-      Seq("band", "bh"))
-      .localCheckpoint()
+      Seq("band", "bh")))
     val small = sized.filter(col("m") <= bucketCap)
-    val smallCand = small.select(col("doc").as("a"), col("band"), col("bh"))
-      .join(small.select(col("doc").as("b"), col("band"), col("bh")),
+    // per-doc bitmask of the bands whose bucket EMITS pairs (small), so
+    // the cross-band first-collision dedup counts only bands that
+    // actually emitted — a pair colliding earlier in an over-cap bucket
+    // was never emitted there (it got star edges), so that band must not
+    // suppress the pair's first SMALL emission. Same candidate set as
+    // the r13 emit-everywhere-then-distinct form, without the global
+    // distinct over the duplicate blob.
+    val emitMask = sized.groupBy("doc").agg(
+      sum(when(col("m") <= bucketCap,
+               expr("shiftleft(CAST(1 AS BIGINT), band)"))
+        .otherwise(lit(0L))).as("emask"))
+    val smallCand = small
+      .select(col("doc").as("a"), col("band"), col("bh"),
+              col("bhs").as("abhs"))
+      .join(emitMask.select(col("doc").as("a"), col("emask")), "a")
+      .join(small.select(col("doc").as("b"), col("band"), col("bh"),
+                         col("bhs").as("bbhs")),
             Seq("band", "bh"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") &&
+              !firstBandCollision(bands, col("band"), col("abhs"),
+                                  col("bbhs"), Some(col("emask"))))
       .select("a", "b")
     // root = bucket min, so (root, doc) is already a < b oriented
     val starCand = sized
       .filter(col("m") > bucketCap && col("doc") =!= col("root"))
       .select(col("root").as("a"), col("doc").as("b"))
+    // the distinct now sees only the deduped small pairs + O(m) star
+    // edges (branch overlap + cross-band star repeats), not the blob
     val cand = smallCand.union(starCand).distinct()
     memberEdges.union(
       verifyJaccard(sh, counts, cand, minJaccard).select("a", "b"))
@@ -560,21 +666,39 @@ object LlmOps {
     else prefixJaccard(sh, minJaccard)
   }
 
-  /** The PPJoin branch: prefix candidates + array-intersect verify. */
+  /** The PPJoin branch: prefix candidates verified IN-JOIN. The r13
+    * shape (prefix self-join → global distinct over the candidate
+    * multiset → two id→array joins → interpreted `array_intersect`)
+    * never completed a 100× single in two rounds: Σ prefix-df² is
+    * ~6×10⁸ occurrences there, and shipping that multiset through a
+    * distinct plus joining arrays back spills unboundedly — the same
+    * disease the r14 probes root-caused on the minhash path. Here each
+    * prefix row carries its doc's (n_sh, VALUE-sorted hash array), the
+    * exact Jaccard evaluates on the join output in-stage via the
+    * codegen'd [[SortedIntersectCount]], and only SURVIVORS reach the
+    * final distinct (a pair sharing k prefix shingles emits k
+    * bit-identical (a, b, jaccard) rows — integer intersect count and
+    * one rounded division, so the distinct collapses them exactly).
+    */
   private def prefixJaccard(sh: DataFrame,
                             minJaccard: Double): DataFrame = {
     val arrs = prefixArrays(sh, minJaccard)
-    prefixCandidates(arrs)
-      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na"),
-                        col("ss").as("sa")), "a")
-      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb"),
-                        col("ss").as("sb")), "b")
+    val pre = arrs.select(col("doc"), col("part"), col("n_sh"),
+                          col("ssv"), explode(col("prefix")).as("s"))
+    pre.select(col("doc").as("a"), col("part"), col("s"),
+               col("n_sh").as("na"), col("ssv").as("sa"))
+      .hint("shuffle_hash")
+      .join(pre.select(col("doc").as("b"), col("part"), col("s"),
+                       col("n_sh").as("nb"), col("ssv").as("sb")),
+            Seq("part", "s"))
+      .filter(col("a") < col("b"))
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        Functions.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
   }
 
   /** The hashed shingle relation (doc, part, s) both the all-pairs and
@@ -586,11 +710,12 @@ object LlmOps {
   private def shingleRelation(docs: DataFrame, idCol: String,
                               textCol: String, partCol: String,
                               shingleK: Int): DataFrame =
-    docs
+    Mat.bigRel(docs
       .select(col(idCol).as("doc"), col(partCol).as("part"),
               explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
-      .select(col("doc"), col("part"), xxhash64(col("s0")).as("s"))
-      .localCheckpoint() // reused: counts + df + prefix + verify joins
+      .select(col("doc"), col("part"), xxhash64(col("s0")).as("s")))
+      // reused: cost probe + counts + df + prefix/verify consumers;
+      // corpus-sized ⇒ bigRel storage
 
   /** Per-doc (n_sh, full hash array, df-ordered prefix array) — ONE
     * aggregate builds both the verify array and the PPJoin prefix: the
@@ -620,13 +745,19 @@ object LlmOps {
       .withColumn("n_sh", size(col("fs")).cast("long"))
       .withColumn("sorted", array_sort(col("fs")))
       .withColumn("ss", expr("transform(sorted, x -> x.s)"))
+      // VALUE-sorted twin of ss for the in-join two-pointer verify
+      // ([[SortedIntersectCount]] needs ascending values; ss keeps the
+      // df order the prefix bound is stated in)
+      .withColumn("ssv", sort_array(expr("transform(sorted, x -> x.s)")))
       .withColumn("prefix", expr(
         s"transform(filter(slice(sorted, 1, " +
         s"CAST(n_sh - ceil($minJaccard * n_sh) + 1 AS INT)), " +
         "x -> x.df >= 2), x -> x.s)"))
       .select(col("doc"), col("part"), col("n_sh"), col("ss"),
-              col("prefix"))
-      .localCheckpoint() // read 3x: candidate join + both verify sides
+              col("ssv"), col("prefix"))
+      .localCheckpoint() // read by the candidate join's two sides;
+      // per-DOC rows (arrays bound the per-row size) — stays in-memory
+      // deserialized: both join sides re-read it immediately
   }
 
   /** Candidate (a, b) pairs from the per-doc prefix self-join — the
@@ -716,34 +847,45 @@ object LlmOps {
 
   /** The asymmetric prefix branch: per-doc prefixes (from the SAME
     * [[prefixArrays]] machinery — the ⌈t·n⌉ bound is identical) joined
-    * against the full shingle relation, pairs normalized to a < b, and
-    * the exact array-intersect verify emitting both direction ratios.
+    * against the full shingle relation, VERIFIED IN-JOIN (the
+    * [[prefixJaccard]] r14 shape: both sides carry (n_sh, value-sorted
+    * hash array), exact intersect via [[SortedIntersectCount]] in the
+    * join stage, duplicates collapse on the bit-identical survivor
+    * rows) — no candidate-multiset distinct, no array join-backs.
     */
   private def prefixContainment(sh: DataFrame,
                                 minContainment: Double): DataFrame = {
     val arrs = prefixArrays(sh, minContainment)
-    val pre = arrs.select(col("doc"), col("part"),
-                          explode(col("prefix")).as("s"))
-    val cand = pre.select(col("doc").as("pa"), col("part"), col("s"))
-      .join(sh.select(col("doc").as("pb"), col("part"), col("s")),
+    val pre = arrs.select(col("doc"), col("part"), col("n_sh"),
+                          col("ssv"), explode(col("prefix")).as("s"))
+    val full = arrs.select(col("doc"), col("part"), col("n_sh"),
+                           col("ssv"), explode(col("ssv")).as("s"))
+    pre.select(col("doc").as("pa"), col("part"), col("s"),
+               col("n_sh").as("npa"), col("ssv").as("spa"))
+      .hint("shuffle_hash")
+      .join(full.select(col("doc").as("pb"), col("part"), col("s"),
+                        col("n_sh").as("npb"), col("ssv").as("spb")),
             Seq("part", "s"))
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("a"),
-              greatest(col("pa"), col("pb")).as("b"))
-      .distinct()
-    cand
-      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na"),
-                        col("ss").as("sa")), "a")
-      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb"),
-                        col("ss").as("sb")), "b")
+              greatest(col("pa"), col("pb")).as("b"),
+              when(col("pa") < col("pb"), col("npa"))
+                .otherwise(col("npb")).as("na"),
+              when(col("pa") < col("pb"), col("npb"))
+                .otherwise(col("npa")).as("nb"),
+              when(col("pa") < col("pb"), col("spa"))
+                .otherwise(col("spb")).as("sa"),
+              when(col("pa") < col("pb"), col("spb"))
+                .otherwise(col("spa")).as("sb"))
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        Functions.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("cab", col("inter").cast("double") / col("na"))
       .withColumn("cba", col("inter").cast("double") / col("nb"))
       .filter(col("cab") >= minContainment ||
               col("cba") >= minContainment)
       .select(col("a"), col("b"), round(col("cab"), 4).as("cont_ab"),
               round(col("cba"), 4).as("cont_ba"))
+      .distinct()
   }
 
   /** Both containment branches force-selected for the equivalence
@@ -1336,22 +1478,32 @@ object LlmOps {
     val keys = proj
       .select(col("vid"), explode(array(tableKeys: _*)).as("kk"))
       .select(col("vid"), col("kk.tbl").as("tbl"), col("kk.bk").as("bk"))
-    val cand = keys.select(col("vid").as("a"), col("tbl"), col("bk"))
-      .join(keys.select(col("vid").as("b"), col("tbl"), col("bk")),
-            Seq("tbl", "bk"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Verify INSIDE the bucket join: each side carries its vector + norm,
+    // the exact cosine evaluates on the join output in the same stage,
+    // and only SURVIVORS reach the distinct. The r13 shape
+    // (candidates → global distinct → two id→vector joins → verify)
+    // shuffled the whole candidate multiset three times — the r14
+    // third-decade probe measured exactly that aggregate+join tail as
+    // the super-linear stages at 100×. Duplicate emissions across tables
+    // produce bit-identical (a, b, sim) rows (same deterministic
+    // [[DotProduct]] fold), so the post-filter distinct returns the
+    // identical pair set. n·tables bucket rows × (vec 256 B) is the only
+    // shuffle that grows with the corpus — linear by the self-tuning
+    // bucket-width contract.
     val v = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"),
                               Functions.l2Norm(col(vecCol)).as("nrm"))
-    cand
-      .join(v.select(col("vid").as("a"), col("v").as("ea"),
-                     col("nrm").as("na")), "a")
-      .join(v.select(col("vid").as("b"), col("v").as("eb"),
-                     col("nrm").as("nb")), "b")
+    val kv = keys.join(v, "vid")
+    kv.select(col("vid").as("a"), col("tbl"), col("bk"),
+              col("v").as("ea"), col("nrm").as("na"))
+      .join(kv.select(col("vid").as("b"), col("tbl"), col("bk"),
+                      col("v").as("eb"), col("nrm").as("nb")),
+            Seq("tbl", "bk"))
+      .filter(col("a") < col("b"))
       .withColumn("sim_raw",
         Functions.dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim_raw") >= minSim)
       .select(col("a"), col("b"), round(col("sim_raw"), 4).as("sim"))
+      .distinct()
   }
 
   /** [[embedNearDupPairsBucketed]] with the bucket width chosen from the
@@ -1469,15 +1621,22 @@ object LlmOps {
     * min id), nodes appearing in `pairs` only.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // materialize the PAIR LIST first: edges and nodes below are two
+    // separate actions, and without this cut each would re-execute the
+    // full upstream mining lineage (r14 finding: the 100× components
+    // run paid the candidate join twice and carried both executions'
+    // shuffle files simultaneously — 2× compute AND 2× scratch). The
+    // pair list itself is small (the mining's verified OUTPUT).
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
     // canonical orientation u > v, no self-loops
-    var edges = pairs
+    var edges = p0
       .select(greatest(col("a"), col("b")).as("u"),
               least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val nodes = pairs.select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
+    val nodes = p0.select(col("a").as("node"))
+      .union(p0.select(col("b").as("node")))
       .distinct()
       .localCheckpoint()
     def fingerprint(e: DataFrame): (Long, Long, Long) = {
@@ -1839,7 +1998,7 @@ object LlmOps {
       .withColumn("__h", seedHash)
       .orderBy("__h", "vec_id").limit(k)
       .select(col("vec_id"),
-              (row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+              (Relational.boundedRank(col("__h"), col("vec_id")) - 1)
                 .cast("long").as("cid"))
       .drop("__h")
     var cents = withCc(
@@ -2524,7 +2683,7 @@ object LlmOps {
           .cast("long"))
       .orderBy("__h", "vec_id").limit(k)
       .select(col("vec_id"),
-              (row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+              (Relational.boundedRank(col("__h"), col("vec_id")) - 1)
                 .cast("long").as("cid"))
 
   def kmeansFit(embeddings: DataFrame, k: Int,
