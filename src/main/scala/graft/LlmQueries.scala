@@ -993,23 +993,30 @@ object LlmQueries extends QueryPack {
     // a lost posting, a replay-duplicated posting, or drifted corpus
     // stats all move the floor-e6 hash.
     "q_stream_bm25" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .as[(Long, String)]
-        .collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-bm25").toString
       val state = s"$scratch/state"
-      val stream = MemoryStream[(Long, String)]
+      // file-source feed in three hash-assigned micro-batches (no
+      // driver staging, r13 verdict task 5); the additive posting sink
+      // gets no resends — replay protection is the sink's own marker
+      // discipline, crash-swept in CrashInjectionSpec
+      val feed = s"$scratch/feed"
+      new org.apache.hadoop.fs.Path(feed)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(feed))
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+                pmod(xxhash64(col("doc_id")), lit(3)).as("slice"))
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(feed)
       val q = Streaming.invertedIndexSink(
-        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        stream, "doc_id", "text",
         state, s"$scratch/ckpt", numBuckets = 16,
         compactEvery = 2).start()
-      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
+      Streaming.feedFiles(s, feed,
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("doc_id", "text")), q)
       Streaming.bm25FromIndexState(s, state, BmTerms)
         .select(col("doc").as("doc_id"), col("bm25_e6"), col("n_terms"))
         .orderBy("doc_id")
@@ -1182,8 +1189,7 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), expr("bm25_e6 div 100").as("ls"))
         .orderBy(col("ls").desc, col("doc_id")).limit(RrfLegK)
         .withColumn("lex_rank",
-          row_number().over(
-            Window.orderBy(col("ls").desc, col("doc_id"))))
+          Relational.boundedRank(col("ls").desc, col("doc_id")))
       val vecTop = Tables(s, dir, "embeddings")
         .crossJoin(broadcast(queryVec(s, dir)))
         .select(col("vec_id").as("doc_id"),
@@ -1192,8 +1198,8 @@ object LlmQueries extends QueryPack {
         .orderBy(col("sim").desc_nulls_last, col("doc_id"))
         .limit(RrfLegK)
         .withColumn("vec_rank",
-          row_number().over(
-            Window.orderBy(col("sim").desc_nulls_last, col("doc_id"))))
+          Relational.boundedRank(col("sim").desc_nulls_last,
+                                 col("doc_id")))
       lexTop.select("doc_id", "lex_rank")
         .join(vecTop.select("doc_id", "vec_rank"), Seq("doc_id"),
               "full_outer")
@@ -2261,8 +2267,8 @@ object LlmQueries extends QueryPack {
         .withColumn("rem", expr("(budget * n_avail) % n_total"))
       val sumFloor = q0.agg(sum("q_floor").as("sum_floor"))
       val quota = q0.crossJoin(broadcast(sumFloor))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("rk",
+          Relational.boundedRank(col("rem").desc, col("source")))
         .select(col("source"), col("n_avail"),
                 (col("q_floor") +
                   when(col("rk") <= col("budget") - col("sum_floor"), 1L)

@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** A single-partition window made EXPLICIT — for relations already
+    * bounded to a small row count by construction (a preceding
+    * `limit(k)`, a ≤-buckets pre-aggregate, a per-source quota table).
+    * Partitioning by a literal executes identically to the bare
+    * `Window.orderBy` (one partition — which the bound justifies) but
+    * (a) declares the justification at the call site and (b) keeps
+    * `WindowExec`'s "No Partition Defined" warning out of bench logs,
+    * so that warning stays a REAL signal for unbounded windows that
+    * should be using [[globalRowNumberAuto]]/[[globalPrefixSumAuto]].
+    */
+  def boundedWindow(order: Column*): org.apache.spark.sql.expressions
+      .WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(order: _*)
+
+  /** `row_number()` over [[boundedWindow]] — the bounded-relation rank. */
+  def boundedRank(order: Column*): Column =
+    row_number().over(boundedWindow(order: _*))
+
   /** As-of join (SURVEY.md J6): for each left row, attach the payload of the
     * latest right row with the same `key` and `rightTs <= leftTs`.
     *
@@ -510,7 +528,7 @@ object Relational {
   private def bucketOffsets(perBucket: DataFrame): DataFrame =
     perBucket
       .withColumn("__offset", coalesce(
-        sum("__n").over(Window.orderBy("__bucket")
+        sum("__n").over(boundedWindow(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bucket", "__offset")
 

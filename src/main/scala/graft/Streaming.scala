@@ -65,6 +65,50 @@ object Streaming {
     q.stop()
   }
 
+  /** One feed slice → ONE parquet file in `feedDir` (executor write,
+    * executor read; the driver never touches row data): write to a
+    * staging dir, rename the single part file to a deterministic slice
+    * name, drop the staging dir. Shared by every executed streaming key
+    * that feeds the file source ([[feedFiles]]).
+    */
+  private[graft] def writeSliceFile(s: org.apache.spark.sql.SparkSession,
+                                    feedDir: String, i: Int,
+                                    df: DataFrame): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+    val stage = s"$feedDir/_stage_$i"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file staged in $stage"))
+    val target =
+      new org.apache.hadoop.fs.Path(feedDir, f"slice-$i%02d.parquet")
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Drive `q` through one micro-batch per slice: write slice i's file,
+    * drain, repeat — then stop. The feed dir must start empty; each
+    * slice is exactly one micro-batch in exactly the given order BY
+    * CONSTRUCTION (no reliance on the file source's listing order).
+    * This is the broker stand-in WITHOUT driver-side data staging —
+    * the file-source replacement for [[feedMemoryBatches]] (r13 verdict
+    * task 5: zero `collect()` of fixture rows in executed keys).
+    */
+  private[graft] def feedFiles(s: org.apache.spark.sql.SparkSession,
+                               feedDir: String, slices: Seq[DataFrame],
+                               q: org.apache.spark.sql.streaming
+                                 .StreamingQuery): Unit = {
+    slices.zipWithIndex.foreach { case (df, i) =>
+      writeSliceFile(s, feedDir, i, df)
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
   /** T1: the reference MV's transform, generalized — project + rename +
     * epoch-micros conversion (`README.md:222-230`): takes a CDC after-image
     * frame with epoch-micro columns and produces the final-table shape.

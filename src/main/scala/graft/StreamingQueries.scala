@@ -1,46 +1,21 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Streaming operators under the cross-engine oracle (SURVEY.md §2.9).
-  * T3/T4/T5/T6 EXECUTE as real multi-batch Structured Streaming runs
-  * inside the key (file-source feed — [[feedFiles]] — with
-  * out-of-order rows across batch seams, append-mode emission under a
-  * watermark), hash-checked in DuckDB (time_bucket for tumbling/
-  * sliding, gaps-and-islands for session windows). Additional
-  * batch/stream parity is asserted in StreamingSpec with MemoryStream.
+  * Every executed key (T1/T3/T4/T5/T6/T7/T8) runs as a real multi-batch
+  * Structured Streaming job inside the key, fed through the FILE source
+  * ([[Streaming.feedFiles]]: hash- or time-assigned slices written as
+  * single parquet files, one micro-batch per slice by construction) —
+  * no driver-side staging of fixture rows anywhere; the only collected
+  * values are bounded per-slice STATS (a max(ts), slice boundaries).
+  * Hash-checked in DuckDB (time_bucket for tumbling/sliding,
+  * gaps-and-islands for session windows, latest-per-key for upsert).
+  * Additional batch/stream parity is asserted in StreamingSpec with
+  * MemoryStream.
   */
 object StreamingQueries extends QueryPack {
-
-  /** The executed-window-key feed: the fixture's rows PSEUDO-SHUFFLED
-    * (ordered by xxhash64 of a unique id) so every batch seam carries
-    * out-of-order event times, split into `batches` micro-batches,
-    * then one far-future flush sentinel. The watermark lateness covers
-    * the fixture's whole time span, so the shuffle drops nothing; the
-    * sentinel pushes the watermark past every real window so append
-    * mode emits them, while its own window can never finalize (the
-    * watermark trails its event time by the lateness) — structurally
-    * excluded from the output, no post-filter that could push below
-    * EventTimeWatermark. The driver-side collect is broker stand-in
-    * scaffolding (bounded by the fixture), as in q_stream_upsert.
-    */
-  private def feedShuffled[T](
-      stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
-      rows: Array[T], sentinel: T,
-      q: org.apache.spark.sql.streaming.StreamingQuery,
-      batches: Int = 3): Unit = {
-    val sliceLen = math.max(1, rows.length / batches + 1)
-    var start = 0
-    while (start < rows.length) {
-      stream.addData(
-        rows.slice(start, math.min(rows.length, start + sliceLen)).toSeq)
-      q.processAllAvailable()
-      start += sliceLen
-    }
-    stream.addData(Seq(sentinel))
-    q.processAllAvailable()
-    q.stop()
-  }
 
   // fixture event times span 30 days; a 45-day lateness makes the
   // deliberately shuffled feed drop nothing, and sentinel = max + 46 d
@@ -50,51 +25,21 @@ object StreamingQueries extends QueryPack {
   private def sentinelTs(maxTs: java.sql.Timestamp): java.sql.Timestamp =
     java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(46L * 24 * 3600))
 
-  /** File-source feed for the executed window keys — the broker
-    * stand-in WITHOUT driver-side data staging: each slice writes as
-    * ONE parquet file into `feedDir` (executor write, executor read;
-    * no collect anywhere on the data path). [[feedFiles]] starts from
-    * an EMPTY feed dir and alternates write-one-file /
-    * `processAllAvailable()`, so each slice is exactly one
-    * micro-batch in exactly the given order BY CONSTRUCTION — no
-    * reliance on the source's internal file ordering (mtime ties and
-    * listing order are not a contract). Slice membership is
-    * hash-assigned (`pmod(xxhash64(id), n)`), so every batch seam
-    * still carries out-of-order event times into windows whose state
-    * an earlier batch opened.
-    */
-  private def writeSliceFile(s: org.apache.spark.sql.SparkSession,
-                             feedDir: String, i: Int,
-                             df: org.apache.spark.sql.DataFrame): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(feedDir).getFileSystem(conf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
-    val stage = s"$feedDir/_stage_$i"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"no part file staged in $stage"))
-    val target =
-      new org.apache.hadoop.fs.Path(feedDir, f"slice-$i%02d.parquet")
-    if (!fs.rename(part, target))
-      throw new java.io.IOException(s"rename $part -> $target failed")
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-  }
-
-  /** Drive `q` through one micro-batch per slice: write slice i's file,
-    * drain, repeat — then stop. The feed dir must start empty.
-    */
   private def feedFiles(s: org.apache.spark.sql.SparkSession,
                         feedDir: String,
                         slices: Seq[org.apache.spark.sql.DataFrame],
                         q: org.apache.spark.sql.streaming.StreamingQuery)
-      : Unit = {
-    slices.zipWithIndex.foreach { case (df, i) =>
-      writeSliceFile(s, feedDir, i, df)
-      q.processAllAvailable()
-    }
-    q.stop()
+      : Unit = Streaming.feedFiles(s, feedDir, slices, q)
+
+  /** The file source requires its path to exist at stream start; feeds
+    * begin empty, so create the dir and return it.
+    */
+  private def mkFeed(s: org.apache.spark.sql.SparkSession,
+                     path: String): String = {
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(path))
+    path
   }
 
   val queries: Map[String, Q] = Map(
@@ -209,37 +154,34 @@ object StreamingQueries extends QueryPack {
     // T1/U1 END-TO-END UNDER THE ORACLE: the reference's continuous
     // loop (Kafka-engine table → MV → ReplacingMergeTree merge,
     // README.md:197-231,176) actually EXECUTED as a Structured
-    // Streaming job inside the key — a MemoryStream source feeds the
-    // events fixture in three micro-batches through
-    // [[Streaming.upsertSink]]'s bucketed merge, and the returned
-    // frame is the FINAL-state read, hash-checked against the plain
+    // Streaming job inside the key — the events fixture streams
+    // through the FILE source in three hash-assigned micro-batches
+    // (versions of one key scatter ACROSS batches, so the bucketed
+    // merge must resolve latest-state across batch seams, not within
+    // one) into [[Streaming.upsertSink]], and the returned frame is
+    // the FINAL-state read, hash-checked against the plain
     // latest-per-key SQL (the same oracle as the batch
-    // q_upsert_latest). The driver-side collect feeding MemoryStream
-    // is harness scaffolding standing in for a broker, not operator
-    // cost — the merge itself is the distributed bucketed upsert.
-    // Fresh temp state/checkpoint per invocation keeps repeated
+    // q_upsert_latest). No driver-side data staging (r13 verdict task
+    // 5); fresh temp state/checkpoint per invocation keeps repeated
     // driver runs deterministic.
     "q_stream_upsert" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-                col("event_type"), col("value"))
-        .orderBy("event_id")
-        .as[(Long, java.sql.Timestamp, Long, String, Double)]
-        .collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-upsert").toString
       val state = s"$scratch/state"
-      val stream =
-        MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
-      val q = Streaming.upsertSink(
-        stream.toDF().toDF("user_id", "ts", "event_id", "event_type",
-                           "value"),
-        state, s"$scratch/ckpt", Seq("user_id"),
-        Seq("ts", "event_id")).start()
-      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
+      val src = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), col("value"),
+                pmod(xxhash64(col("event_id")), lit(3)).as("slice"))
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+                "event_type STRING, value DOUBLE")
+        .parquet(mkFeed(s, s"$scratch/feed"))
+      val q = Streaming.upsertSink(stream, state, s"$scratch/ckpt",
+                                   Seq("user_id"),
+                                   Seq("ts", "event_id")).start()
+      feedFiles(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("user_id", "ts", "event_id", "event_type", "value")), q)
       s.read.parquet(state)
         .select("user_id", "ts", "event_id", "event_type", "value")
         .orderBy("user_id")
@@ -258,53 +200,52 @@ object StreamingQueries extends QueryPack {
     // collect feeding MemoryStream is broker stand-in scaffolding, as in
     // q_stream_upsert.
     "q_stream_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-                col("event_type"), col("value"))
-        .orderBy("ts", "event_id")
-        .as[(Long, java.sql.Timestamp, Long, String, Double)]
-        .collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-dedup").toString
-      val stream =
-        MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val src = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+      // time-ordered slices (the watermark must never outrun a first
+      // occurrence): three equal spans of the fixture's event-time
+      // range; null-ts rows ride slice 0. The only driver-side values
+      // are the span boundaries and per-slice maxima — bounded STATS,
+      // not rows.
+      val boundsRow = src
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val (tLo, tHi) =
+        if (boundsRow.isNullAt(0)) (0L, 0L) // empty fixture: one slice
+        else (boundsRow.getLong(0), boundsRow.getLong(1))
+      val sliced = src.withColumn("slice",
+        least(lit(2), floor(lit(3) *
+          (coalesce(unix_micros(col("ts")), lit(tLo)) - lit(tLo)) /
+          (lit(tHi) - lit(tLo) + 1))).cast("int"))
+      val sliceMaxUs = sliced.groupBy("slice")
+        .agg(max(unix_micros(col("ts"))).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+                "event_type STRING, value DOUBLE")
+        .parquet(mkFeed(s, s"$scratch/feed"))
       val deduped = Streaming.streamingDedup(
-        stream.toDF().toDF("event_id", "ts", "user_id", "event_type",
-                           "value"),
-        "ts", "2 hours", Seq("event_id"))
+        stream, "ts", "2 hours", Seq("event_id"))
       val q = Streaming.appendSink(deduped, s"$scratch/out",
                                    s"$scratch/ckpt").start()
-      // index-based slicing: no second materialized copy of the fixture
-      // lives on the driver beyond `rows` itself (broker stand-in)
-      val sliceLen = math.max(1, rows.length / 3 + 1)
-      var start = 0
-      while (start < rows.length) {
-        val slice = rows.slice(start, math.min(rows.length,
-                                               start + sliceLen)).toSeq
-        // resend only previous-batch tail rows INSIDE the 2 h lateness
-        // of that batch's max event time (the watermark): those provably
-        // probe retained dedup STATE. Tail rows older than the lateness
-        // would just be dropped by the late filter — duplicate-safe too,
-        // but exercising nothing (at sf0.001 a fixed 10-row tail spans
-        // ~6.5 h of event time, so most of it would be late). The
-        // previous max itself always qualifies, so every cross-batch
-        // seam tests the state path at least once.
+      // batch i = slice i TWICE (in-batch duplicates) + the previous
+      // slice's rows inside the 2 h lateness of its max event time
+      // (cross-batch duplicates that provably probe retained dedup
+      // STATE — older resends would just be dropped by the late filter)
+      def sliceDf(i: Int) = sliced.filter(col("slice") === i)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val slices = (0 until 3).map { i =>
         val resend =
-          if (start == 0) Seq.empty
-          else {
-            val prevMaxMs = rows(start - 1)._2.getTime
-            rows.slice(math.max(0, start - 10), start)
-              .filter(_._2.getTime >= prevMaxMs - 2L * 3600 * 1000)
-              .toSeq
-          }
-        stream.addData(resend ++ slice ++ slice)
-        q.processAllAvailable()
-        start += sliceLen
+          if (i == 0) None
+          else sliceMaxUs.get(i - 1).map(prevMax =>
+            sliceDf(i - 1).filter(
+              unix_micros(col("ts")) >= prevMax - 2L * 3600 * 1000000))
+        resend.foldLeft(sliceDf(i).union(sliceDf(i)))(_ union _)
       }
-      q.stop()
+      feedFiles(s, s"$scratch/feed", slices, q)
       s.read.parquet(s"$scratch/out")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -387,24 +328,27 @@ object StreamingQueries extends QueryPack {
     // group-by: cross-batch merge, touched-partition pruning, and
     // marker replay protection all sit on the hash path.
     "q_stream_agg" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "events")
-        .select(col("event_type"), col("user_id"),
-                floor(col("value") * 10000).cast("long").as("value_i"))
-        .orderBy("event_type", "user_id", "value_i")
-        .as[(String, Long, Long)]
-        .collect()
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-agg").toString
       val state = s"$scratch/state"
-      val stream = MemoryStream[(String, Long, Long)]
+      // hash-assigned slices: rows of one (event_type, user_id) group
+      // scatter across batches, so per-batch partials must MERGE in the
+      // state store (floor-e4 long sums — exact and associative, so
+      // batch assignment can never move the hash); file-source feed,
+      // no driver staging
+      val src = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+                floor(col("value") * 10000).cast("long").as("value_i"),
+                pmod(xxhash64(col("event_id")), lit(3)).as("slice"))
+      val stream = s.readStream
+        .schema("event_type STRING, user_id BIGINT, value_i BIGINT")
+        .parquet(mkFeed(s, s"$scratch/feed"))
       val q = Streaming.incrementalAggSink(
-        stream.toDF().toDF("event_type", "user_id", "value_i"),
-        state, s"$scratch/ckpt", "event_type", Seq("user_id"),
+        stream, state, s"$scratch/ckpt", "event_type", Seq("user_id"),
         "value_i").start()
-      Streaming.feedMemoryBatches(stream, rows.toSeq, q)
+      feedFiles(s, s"$scratch/feed",
+        (0 until 3).map(i => src.filter(col("slice") === i)
+          .select("event_type", "user_id", "value_i")), q)
       s.read.parquet(state)
         .select("event_type", "user_id", "n", "sum_value")
         .orderBy("event_type", "user_id")
@@ -427,15 +371,8 @@ object StreamingQueries extends QueryPack {
     // slipping the anti-join, a store hash lost by compaction
     // (re-emission), or a dropped novel row all move the hash.
     "q_stream_dedup_hist" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .as[(Long, String)]
-        .collect()
-      if (rows.isEmpty) {
+      val n = Tables(s, dir, "documents").count()
+      if (n == 0) {
         // empty fixture: the oracle returns zero rows; match its shape
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -446,13 +383,33 @@ object StreamingQueries extends QueryPack {
         val scratch = java.nio.file.Files
           .createTempDirectory("graft-stream-dhist").toString
         val out = s"$scratch/out"
-        val stream = MemoryStream[(Long, String)]
+        // hash-assigned slices; batch i > 0 additionally RESENDS a
+        // deterministic ~32-row sample of every PRIOR slice, so the
+        // history anti-join must suppress duplicates whose hashes
+        // entered the store in ANY earlier batch — batch 2's resends
+        // probe the store AFTER the compactEvery=2 swap, keeping
+        // compaction durability on the oracle path. File-source feed;
+        // the only driver value is the fixture count sizing the sample.
+        val src = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+                  pmod(xxhash64(col("doc_id")), lit(3)).as("slice"))
+        val sampleMod = math.max(1L, n / 32)
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(mkFeed(s, s"$scratch/feed"))
         val q = Streaming.dedupAgainstHistorySink(
-          stream.toDF().toDF("doc_id", "text"), "text", out,
+          stream, "text", out,
           s"$scratch/store", s"$scratch/ckpt", numBuckets = 16,
           compactEvery = 2).start()
-        Streaming.feedMemoryBatches(stream, rows.toSeq, q,
-                                    resendPrior = 32)
+        def sliceDf(i: Int) = src.filter(col("slice") === i)
+          .select("doc_id", "text")
+        val slices = (0 until 3).map { i =>
+          val resend = src.filter(col("slice") < i &&
+              pmod(xxhash64(col("doc_id"), lit(7)), lit(sampleMod)) === 0)
+            .select("doc_id", "text")
+          if (i == 0) sliceDf(i) else resend.union(sliceDf(i))
+        }
+        feedFiles(s, s"$scratch/feed", slices, q)
         s.read.parquet(out)
           .select(md5(col("text")).as("text_md5"))
           .orderBy("text_md5")
