@@ -30,8 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly-once — no hand-rolled cursor store in the loop.
   *
   * Scale shape: the driver touches only METADATA queries at planning
-  * time (`max(cursor)`, per-rank boundary probes — each one
-  * index-served in a real database); the row data flows executor-side,
+  * time (`max(cursor)`, count-bounded bisection probes for the range
+  * boundaries — each one index-served in a real database); the row
+  * data flows executor-side,
   * one bounded `(lo, hi]` cursor range per input partition, so a
   * 1000-executor cluster fans the poll out exactly like the partitioned
   * snapshot source. Ranges are deterministic given (start, end], so
@@ -52,7 +53,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * capture latency for correctness under bounded commit lag; it cannot
   * defend an unbounded straggler — that needs a true commit-ordered
   * cursor or a txid fence, which is exactly why the reference uses the
-  * WAL.) Admission caps are granular to CURSOR VALUES — rows tied at a
+  * WAL.) The fence applies to every batch INCLUDING the earliest-start
+  * snapshot batch 0 (snapshotting a live table races late commits the
+  * same way), so with `lagWindow` = w a `Trigger.AvailableNow` drain of
+  * a quiescent table intentionally stops w cursor units short of the
+  * tip; those rows arrive on the next poll after the tip advances.
+  * Admission caps are granular to CURSOR VALUES — rows tied at a
   * boundary value are admitted together (a cursor value is atomic,
   * exactly as a WAL position is), so a cap may overshoot by the tie
   * width but can never split or lose a cursor position.
@@ -289,8 +295,19 @@ private[graft] class JdbcMicroBatchStream(conf: JdbcCdcConf,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[JdbcCursorOffset].cursor
-    // Long.MinValue sentinel start (earliest) stays unfenced: batch 0 is
-    // the snapshot and there is no concurrent-writer race below it.
+    // The fence applies to EVERY batch, including the earliest-sentinel
+    // snapshot batch 0: a snapshot of a LIVE table races late-committing
+    // writers exactly like any later poll (a writer holding cursor k
+    // under the snapshot tip whose commit lands after the snapshot read
+    // would sit below the HWM forever) — JdbcStreamSpec's lagWindow test
+    // pins this by planting the straggler UNDER the first poll's tip.
+    // Corollary, by design: with lagWindow = w > 0, a
+    // Trigger.AvailableNow drain of a quiescent table stops w cursor
+    // units short of the tip — those rows are inside the visibility
+    // window and are delivered by the next poll once the tip advances
+    // (or immediately with lagWindow = 0, the right setting when the
+    // cursor is commit-ordered and no fence is needed). See the class
+    // doc's visibility contract.
     val fence =
       if (conf.lagWindow <= 0L) None
       else scalarLong(s"SELECT MAX($cursorSql) FROM ${conf.table}")

@@ -331,7 +331,10 @@ object LlmOps {
     * OR-chain over the ≤`bands` earlier positions — stays inside
     * whole-stage codegen, which a lambda-HOF formulation would not.
     * `bhs` arrays always carry all `bands` hashes, so element_at is
-    * in-range by construction (ANSI-safe).
+    * in-range by construction (ANSI-safe). With bands = 1 (one band =
+    * the whole signature, rowsPerBand = numHashes — a legal banding)
+    * there ARE no earlier bands, so the chain is empty and the result
+    * is constant false (Catalyst folds the literal out of the filter).
     */
   private def firstBandCollision(bands: Int, band: Column, abhs: Column,
                                  bbhs: Column,
@@ -346,7 +349,7 @@ object LlmOps {
           collided && shiftright(mask, j).bitwiseAND(lit(1L)) === 1L
         case None => collided
       }
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 
   /** The shared MinHash machinery behind [[minhashNearDupPairs]] (the
     * pair-output contract) and [[minhashComponents]] (the clustering
@@ -501,6 +504,15 @@ object LlmOps {
       docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
       numHashes: Int, bands: Int, minJaccard: Double,
       bucketCap: Int): DataFrame = {
+    // the emitted-band mask below is one 64-bit word (bit j = band j
+    // emitted); Java's shiftleft/shiftright wrap the shift mod 64, so
+    // band j and band j-64 would silently SHARE a bit past 64 bands —
+    // a pair could be suppressed at a band that never emitted. 64 bands
+    // of a ≤64-hash signature is already the practical ceiling; fail
+    // loudly rather than lose candidate pairs.
+    require(bands <= 64,
+      s"minhashComponents supports at most 64 bands (got $bands): the " +
+        "emitted-band dedup mask is a single 64-bit word")
     val (reps, memberEdges) =
       exactCollapse(docs, idCol, textCol, Seq.empty)
     val (sh, counts, buckets) =

@@ -44,6 +44,7 @@ object StageProbe {
                   shWrite: Long, input: Long, tasks: Int)
     val stages = mutable.ArrayBuffer.empty[St]
     val current = new java.util.concurrent.atomic.AtomicReference("?")
+    val currentRun = new java.util.concurrent.atomic.AtomicInteger(-1)
     def line(k: String, r: Int, s: St): String =
       f"""{"key":"$k","run":$r,"stage":"${s.name}","wall_ms":${
         s.wallMs},"run_ms":${s.runMs},"gc_ms":${s.gcMs},"mem_spill_mb":${
@@ -66,14 +67,19 @@ object StageProbe {
         // INCREMENTAL print: a key that dies mid-run (OOM, disk-full)
         // still leaves every completed stage's metrics on stdout — the
         // fatal stage is then the one stage MISSING from the log while
-        // the run's last scheduler lines name it
-        println(line(current.get, -1, st))
+        // the run's last scheduler lines name it. The run index rides
+        // along so SPARK_GRAFT_RUNS > 1 output attributes each stage
+        // line to its run (a stage completing in the drain gap between
+        // runs is attributed to the just-finished run by construction:
+        // currentRun advances only after the post-run listener sleep).
+        println(line(current.get, currentRun.get, st))
       }
     })
 
     for (k <- keys; r <- 1 to runs) {
       stages.synchronized(stages.clear())
       current.set(k)
+      currentRun.set(r)
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(k)(spark, sfDir).count()

@@ -197,8 +197,10 @@ object StreamingQueries extends QueryPack {
     // state). The appended output must be exactly one row per event_id —
     // the plain events table — hash-checked by the oracle. Fresh temp
     // dirs per invocation keep repeated driver runs deterministic; the
-    // collect feeding MemoryStream is broker stand-in scaffolding, as in
-    // q_stream_upsert.
+    // slices land as parquet FILES via [[Streaming.feedFiles]] (the
+    // since-r14 broker stand-in: a real file source, no driver-side row
+    // staging — only the bounded per-slice STATS above are collected),
+    // as in q_stream_upsert.
     "q_stream_dedup" -> ((s, dir) => {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-dedup").toString
@@ -220,9 +222,14 @@ object StreamingQueries extends QueryPack {
         least(lit(2), floor(lit(3) *
           (coalesce(unix_micros(col("ts")), lit(tLo)) - lit(tLo)) /
           (lit(tHi) - lit(tLo) + 1))).cast("int"))
+      // all-null-ts slices (possible when bounds fall back to (0, 0)
+      // and every row rides slice 0) have a null max — drop them from
+      // the map; the resend below already treats a missing key as
+      // "nothing to resend" via sliceMaxUs.get
       val sliceMaxUs = sliced.groupBy("slice")
         .agg(max(unix_micros(col("ts"))).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect().filterNot(_.isNullAt(1))
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val stream = s.readStream
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
                 "event_type STRING, value DOUBLE")

@@ -31,6 +31,29 @@ class LlmSpec extends SparkSpec {
            s"missed pairs: ${exact.diff(lsh)}")
   }
 
+  test("bands = 1 is a legal banding (rowsPerBand = numHashes): the " +
+       "pair path plans and finds identical docs; components rejects " +
+       "only bands > 64 (the emitted-band mask word width)") {
+    // an identical pair has an identical signature, so the single
+    // whole-signature band finds it with certainty; the cross-band
+    // dedup OR-chain is EMPTY at bands = 1 (r14 regression: reduce on
+    // an empty range threw at plan construction)
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = LlmOps.minhashNearDupPairs(d, "doc_id", "text", 3, 16, 1, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    val comp = LlmOps.minhashComponents(d, "doc_id", "text", 3, 16, 1, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L))
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.minhashComponents(d, "doc_id", "text", 3, 130, 65, 0.5)
+    }
+    assert(e.getMessage.contains("64 bands"))
+  }
+
   test("banded hyperplane LSH embed dedup: recall >= 0.9 vs the exact " +
        "all-pairs baseline, precision exact") {
     // exact all-pairs pairs at two thresholds below the sf0.001 max pair
