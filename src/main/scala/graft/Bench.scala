@@ -104,7 +104,8 @@ object Bench {
     // q_stream_agg, q_stream_bm25, q_stream_dedup_hist, and now the
     // executed q_stream_tumbling / q_stream_sliding / q_stream_session
     // — spins up a real multi-micro-batch Structured Streaming run
-    // over a MemoryStream harness feed — checkpoint + sink state
+    // over a parquet file-source harness feed (Streaming.feedFiles,
+    // since r14) — checkpoint + sink state + per-slice file-write
     // lifecycle cost, not query serving. The batch shapes carry the
     // bench signal: q_upsert_latest / q_dedup_key / q_dedup_exact /
     // q_agg_basic / q_text_bm25 for the sinks, q_agg_by_day (the
@@ -184,6 +185,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(Relational.KeepBoundedWindowConf._1,
+              Relational.KeepBoundedWindowConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those

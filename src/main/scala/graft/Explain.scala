@@ -467,6 +467,11 @@ object Explain {
       // audit-aqe mode instead EXECUTES each key with AQE on and audits
       // the runtime-final adaptive plan — what bench/production run.
       .config("spark.sql.adaptive.enabled", aqe.toString)
+      // match the Bench/Verify sessions' excluded-rule conf so the audit
+      // inspects the same plans those sessions execute (boundedWindow's
+      // literal partition spec survives -- see Relational.boundedWindow)
+      .config(Relational.KeepBoundedWindowConf._1,
+              Relational.KeepBoundedWindowConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     mode match {

@@ -41,6 +41,8 @@ object MemPressure {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(Relational.KeepBoundedWindowConf._1,
+              Relational.KeepBoundedWindowConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -19,10 +19,33 @@ object Relational {
     * `WindowExec`'s "No Partition Defined" warning out of bench logs,
     * so that warning stays a REAL signal for unbounded windows that
     * should be using [[globalRowNumberAuto]]/[[globalPrefixSumAuto]].
+    *
+    * Property (b) needs help on Spark 4.1+: the optimizer rule
+    * `EliminateWindowPartitions` (SPARK-46941) strips FOLDABLE
+    * partition expressions, turning this right back into the bare
+    * warning-emitting form — and every non-foldable constant dressing
+    * (`when(c.isNotNull, 0).otherwise(0)` et al.) is one
+    * NullPropagation/SimplifyConditionals pass away from folding too.
+    * So the literal stays, and the harness sessions that read their
+    * own logs (Bench/Verify/StageProbe/MemPressure/Smoke/Explain)
+    * exclude that rule via [[KeepBoundedWindowConf]] — plans and
+    * results are identical either way (one partition regardless; the
+    * rule is a plan-cosmetic), but the partition spec survives to
+    * `WindowExec` and the warning stays a real signal. A library user
+    * who wants the same log hygiene sets the same conf.
     */
   def boundedWindow(order: Column*): org.apache.spark.sql.expressions
       .WindowSpec =
     Window.partitionBy(lit(0)).orderBy(order: _*)
+
+  /** (conf key, value) every graft harness session sets so
+    * [[boundedWindow]]'s literal partition spec survives optimization —
+    * see the doc there. Appended, not assigned, if the session already
+    * excludes other rules.
+    */
+  val KeepBoundedWindowConf: (String, String) =
+    ("spark.sql.optimizer.excludedRules",
+     "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
 
   /** `row_number()` over [[boundedWindow]] — the bounded-relation rank. */
   def boundedRank(order: Column*): Column =

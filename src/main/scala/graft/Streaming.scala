@@ -22,12 +22,12 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
-  /** Broker stand-in loop shared by the oracled streaming keys
-    * (q_stream_upsert/_agg/_bm25/_dedup_hist): feed `rows` into a
-    * MemoryStream in `batches` roughly equal, order-preserving slices,
-    * draining the running query after each, then stop it. Harness
-    * scaffolding for the driver contract, not operator cost — the
-    * sinks under test do the distributed work.
+  /** MemoryStream feed loop for SPEC-level parity tests
+    * (StreamingSpec; the executed oracle keys all feed the FILE source
+    * via [[feedFiles]] since r14): feed `rows` into a MemoryStream in
+    * `batches` roughly equal, order-preserving slices, draining the
+    * running query after each, then stop it. Harness scaffolding, not
+    * operator cost — the sinks under test do the distributed work.
     *
     * `resendPrior` > 0 (DEDUP-shaped sinks only — an additive sink
     * would double-count): each batch after the first is prefixed with
