@@ -311,10 +311,20 @@ object LlmOps {
                            col("bhs").as("bbhs"), col("shs").as("bshs"))
     // shuffled-hash hint: both sides are the same bounded bucket
     // relation (exchange reused); hashing one side beats sorting both
+    // size-ratio prune before the O(|A|+|B|) intersect: inter ≤
+    // min(|A|,|B|), so a pair can only reach threshold t when
+    // min/(|A|+|B|−min) ≥ t — the same arithmetic shape as the final
+    // Jaccard filter, hence lossless by double-division monotonicity
+    // (see [[prefixJaccard]]'s positional filter for the argument).
+    // Two size() calls against an O(n) intersect: effectively free.
+    val mn = least(size(col("ashs")), size(col("bshs")))
     a.hint("shuffle_hash").join(b, Seq("band", "bh"))
       .filter(col("a") < col("b") &&
               !firstBandCollision(bands, col("band"),
-                                  col("abhs"), col("bbhs")))
+                                  col("abhs"), col("bbhs")) &&
+              mn.cast("double") /
+                (size(col("ashs")) + size(col("bshs")) - mn)
+                >= minJaccard)
       .withColumn("inter",
         Functions.sortedIntersectCount(col("ashs"), col("bshs")))
       .withColumn("jaccard",
@@ -691,19 +701,29 @@ object LlmOps {
     * final distinct (a pair sharing k prefix shingles emits k
     * bit-identical (a, b, jaccard) rows — integer intersect count and
     * one rounded division, so the distinct collapses them exactly).
+    *
+    * POSITIONAL filter (PPJoin's second pruning lever; Xiao et al.
+    * 2008 §3.2): the shared shingle sits at 1-based positions
+    * (pa, pb) of the two docs' df-ordered arrays. For the occurrence
+    * row joined at the pair's FIRST shared shingle (in the global
+    * order), every shared shingle lies at-or-after it in BOTH arrays,
+    * so |A∩B| ≤ ub = min(n_a − pa, n_b − pb) + 1. Rows are kept only
+    * when ub could still reach the threshold — evaluated as
+    * `ub / (n_a + n_b − ub) >= t`, the EXACT arithmetic shape of the
+    * final Jaccard filter, which double-division monotonicity makes
+    * lossless: a qualifying pair's first-shared-shingle row always
+    * satisfies it (inter ≤ ub there ⇒ jaccard(ub) ≥ jaccard(inter) ≥
+    * t), and one surviving row per pair is all the distinct needs.
+    * LATER occurrence rows of the same pair may carry common shingles
+    * BEFORE them and get pruned — that is the point: the O(|A|+|B|)
+    * intersect runs once per SURVIVING occurrence, not once per
+    * shared prefix shingle (the ~87 % compute stage of the r14 100×
+    * single). The r14 shape's output is bit-identical.
     */
   private def prefixJaccard(sh: DataFrame,
-                            minJaccard: Double): DataFrame = {
-    val arrs = prefixArrays(sh, minJaccard)
-    val pre = arrs.select(col("doc"), col("part"), col("n_sh"),
-                          col("ssv"), explode(col("prefix")).as("s"))
-    pre.select(col("doc").as("a"), col("part"), col("s"),
-               col("n_sh").as("na"), col("ssv").as("sa"))
-      .hint("shuffle_hash")
-      .join(pre.select(col("doc").as("b"), col("part"), col("s"),
-                       col("n_sh").as("nb"), col("ssv").as("sb")),
-            Seq("part", "s"))
-      .filter(col("a") < col("b"))
+                            minJaccard: Double): DataFrame =
+    prefixOccurrences(sh, minJaccard)
+      .filter(col("__survives"))
       .withColumn("inter",
         Functions.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
@@ -711,6 +731,33 @@ object LlmOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
       .distinct()
+
+  /** The prefix-candidate join at OCCURRENCE granularity (one row per
+    * shared prefix shingle of an a < b pair), with the positional
+    * filter's verdict as a `__survives` column instead of applied —
+    * [[prefixJaccard]] filters on it; package-visible so the spec and
+    * the §6.1 scale probes can pin the prune ratio (occurrences whose
+    * intersect is skipped) directly on a real corpus.
+    */
+  private[graft] def prefixOccurrences(sh: DataFrame,
+                                       minJaccard: Double): DataFrame = {
+    val arrs = prefixArrays(sh, minJaccard)
+    val pre = arrs.select(col("doc"), col("part"), col("n_sh"),
+                          col("ssv"), explode(col("prefix")).as("p"))
+      .select(col("doc"), col("part"), col("n_sh"), col("ssv"),
+              col("p.s").as("s"), col("p.pos").as("pos"))
+    val ub = least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1L)
+    pre.select(col("doc").as("a"), col("part"), col("s"),
+               col("n_sh").as("na"), col("pos").as("pa"),
+               col("ssv").as("sa"))
+      .hint("shuffle_hash")
+      .join(pre.select(col("doc").as("b"), col("part"), col("s"),
+                       col("n_sh").as("nb"), col("pos").as("pb"),
+                       col("ssv").as("sb")),
+            Seq("part", "s"))
+      .filter(col("a") < col("b"))
+      .withColumn("__survives",
+        ub.cast("double") / (col("na") + col("nb") - ub) >= minJaccard)
   }
 
   /** The hashed shingle relation (doc, part, s) both the all-pairs and
@@ -761,10 +808,19 @@ object LlmOps {
       // ([[SortedIntersectCount]] needs ascending values; ss keeps the
       // df order the prefix bound is stated in)
       .withColumn("ssv", sort_array(expr("transform(sorted, x -> x.s)")))
+      // prefix entries carry their 1-based POSITION in the full
+      // df-ordered array (position BEFORE the df>=2 filter — the
+      // positional bound counts remaining slots in the whole doc), so
+      // the candidate join can apply the PPJoin positional filter:
+      // at a shared prefix shingle sitting at positions (pa, pb), the
+      // overlap from the pair's FIRST shared shingle onward is at most
+      // min(n_a - pa, n_b - pb) + 1 (everything common is at-or-after
+      // it in BOTH df-ordered arrays)
       .withColumn("prefix", expr(
-        s"transform(filter(slice(sorted, 1, " +
+        s"filter(transform(slice(sorted, 1, " +
         s"CAST(n_sh - ceil($minJaccard * n_sh) + 1 AS INT)), " +
-        "x -> x.df >= 2), x -> x.s)"))
+        "(x, i) -> struct(x.s AS s, x.df AS df, " +
+        "CAST(i + 1 AS BIGINT) AS pos)), x -> x.df >= 2)"))
       .select(col("doc"), col("part"), col("n_sh"), col("ss"),
               col("ssv"), col("prefix"))
       .localCheckpoint() // read by the candidate join's two sides;
@@ -779,7 +835,8 @@ object LlmOps {
     */
   private[graft] def prefixCandidates(arrs: DataFrame): DataFrame = {
     val pre = arrs.select(col("doc"), col("part"),
-                          explode(col("prefix")).as("s"))
+                          explode(col("prefix")).as("p"))
+      .select(col("doc"), col("part"), col("p.s").as("s"))
     pre.select(col("doc").as("a"), col("part"), col("s"))
       .join(pre.select(col("doc").as("b"), col("part"), col("s")),
             Seq("part", "s"))
@@ -868,8 +925,13 @@ object LlmOps {
   private def prefixContainment(sh: DataFrame,
                                 minContainment: Double): DataFrame = {
     val arrs = prefixArrays(sh, minContainment)
+    // no positional prune here (unlike [[prefixJaccard]]): the full
+    // side explodes the VALUE-sorted array, whose positions are not
+    // comparable with the prefix side's df-order positions
     val pre = arrs.select(col("doc"), col("part"), col("n_sh"),
-                          col("ssv"), explode(col("prefix")).as("s"))
+                          col("ssv"), explode(col("prefix")).as("p"))
+      .select(col("doc"), col("part"), col("n_sh"), col("ssv"),
+              col("p.s").as("s"))
     val full = arrs.select(col("doc"), col("part"), col("n_sh"),
                            col("ssv"), explode(col("ssv")).as("s"))
     pre.select(col("doc").as("pa"), col("part"), col("s"),

@@ -1088,6 +1088,34 @@ class LlmSpec extends SparkSpec {
            s"hot shingle leaked into prefixes: $nCand candidates")
   }
 
+  test("positional PPJoin filter: prunes occurrence rows on the real " +
+       "fixture but keeps >= 1 surviving occurrence per qualifying pair") {
+    val rel = docs
+      .select(col("doc_id").as("doc"), col("lang").as("part"),
+              explode(LlmOps.shingles(LlmOps.tokens(col("text")), 3))
+                .as("s0"))
+      .select(col("doc"), col("part"), xxhash64(col("s0")).as("s"))
+    for (t <- Seq(0.5, 0.2)) {
+      val occ = LlmOps.prefixOccurrences(rel, t).cache()
+      try {
+        val total = occ.count()
+        val surviving = occ.filter(col("__survives")).count()
+        assert(total > 0L)
+        assert(surviving < total,
+          s"t=$t: positional filter pruned nothing ($total occurrences)")
+        // losslessness on real data: every qualifying pair keeps at
+        // least one surviving occurrence (its first shared shingle)
+        val qualifying = LlmOps.ngramJaccardPairsAllPairs(
+          docs, "doc_id", "text", "lang", 3, t)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        val survivorPairs = occ.filter(col("__survives"))
+          .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+        assert(qualifying.subsetOf(survivorPairs),
+          s"t=$t: prune lost pairs ${qualifying.diff(survivorPairs)}")
+      } finally occ.unpersist()
+    }
+  }
+
   test("annKmeansTopK: the query vector survives its own cell's top-k " +
        "at sim 1.0, every hit comes from ONE cell, and the index memo " +
        "serves repeat queries") {
