@@ -57,12 +57,17 @@ object Sources {
     * streaming backlog drain split identically). [[jdbcSnapshot]]'s
     * value-arithmetic `lowerBound`/`upperBound` splits skew badly on
     * sparse keys (a timestamp column with a 90/10 hot-cold split puts
-    * ~everything in one partition); here each boundary is an
-    * `OFFSET rank FETCH 1` probe — index-served server-side, row data
-    * never touches the driver — so every partition carries ±1 rank step
-    * of n/numPartitions rows whatever the key distribution. That is the
-    * shape a 1000-executor initial snapshot needs: equal-work tasks, no
-    * straggler partition.
+    * ~everything in one partition); here each boundary is found by
+    * value-bisection with COUNT-BOUNDED probes — index-served
+    * server-side, each walking at most ~n/numPartitions entries, row
+    * data never touching the driver — so every partition carries ±1
+    * rank step of n/numPartitions rows whatever the key distribution,
+    * and the PLANNING phase itself costs O(n·log(range)) index entries
+    * (not the O(n·p/2) an OFFSET-rank probe per boundary would — see
+    * `splitBoundaries`). That is the shape a 1000-executor initial
+    * snapshot needs: equal-work tasks, no straggler partition, and a
+    * planner that doesn't walk the table p/2 times before the first
+    * task launches.
     */
   def jdbcSnapshotBalanced(spark: SparkSession, url: String, table: String,
                            partitionColumn: String, numPartitions: Int,

@@ -219,6 +219,94 @@ class JdbcStreamSpec extends SparkSpec {
       s"rank-balanced split expected ~25 rows each: ${counts.mkString(",")}")
   }
 
+  test("boundary planning issues O(p log range) count-bounded probes — " +
+       "not the O(rank)-entry OFFSET walks — on a skewed key") {
+    // same 90/10 skew shape as above; the pin is on the PLANNER's own
+    // cost: probes <= p * (log2(range) + 2) + 1, each probe a COUNT over
+    // a FETCH-FIRST-bounded derived table (<= n/p + 1 entries walked)
+    exec("CREATE TABLE probes_t (seq BIGINT NOT NULL, v BIGINT)")
+    (1 to 90).foreach(i => exec(s"INSERT INTO probes_t VALUES ($i, $i)"))
+    (1 to 10).foreach(i =>
+      exec(s"INSERT INTO probes_t VALUES (${1000000 + i * 1000}, $i)"))
+    def plan(p: Int): (Seq[Long], Long) = {
+      val opts = new CaseInsensitiveStringMap(Map(
+        "url" -> url, "table" -> "probes_t", "cursorColumn" -> "seq",
+        "numPartitions" -> p.toString).asJava)
+      val conf = JdbcCdcSource.confOf(opts)
+      val schema = JdbcCdcSource.withConnection(conf)(
+        JdbcCdcSource.inferSchema(_, conf))
+      val stream = new JdbcMicroBatchStream(conf, schema)
+      val bounds = stream.splitBoundaries(0L, 1010001L)
+      (bounds, stream.lastPlanProbes.get())
+    }
+    val range = 1010001L
+    val log2 = 64 - java.lang.Long.numberOfLeadingZeros(range) // ceil-ish
+    for (p <- Seq(4, 8)) {
+      val (bounds, probes) = plan(p)
+      assert(bounds.size === p - 1)
+      assert(probes <= p.toLong * (log2 + 2) + 1,
+        s"p=$p: $probes probes exceeds the p*log(range) planning bound")
+    }
+    // growth is ~linear in p (each boundary is one bisection), nothing
+    // like the OFFSET planner's n*p/2 entry walks
+    val (_, p4) = plan(4); val (_, p8) = plan(8)
+    assert(p8 <= 3 * p4,
+      s"probe growth p=4 -> p=8 should be ~2x, got $p4 -> $p8")
+  }
+
+  test("S1 composite: the balanced batch snapshot and the streaming leg " +
+       "share ONE range planner end-to-end — snapshot partitions land on " +
+       "splitBoundaries' bounds, the handoff cursor is the snapshot max, " +
+       "and snapshot ∪ stream covers the table exactly once") {
+    // skewed cursor so value-arithmetic partitioning would visibly fail
+    exec("CREATE TABLE composite (seq BIGINT NOT NULL, v VARCHAR(10))")
+    (1 to 45).foreach(i => exec(s"INSERT INTO composite VALUES ($i, 'a$i')"))
+    (1 to 5).foreach(i =>
+      exec(s"INSERT INTO composite VALUES (${500000 + i * 100}, 'b$i')"))
+    // batch-snapshot leg: rank-balanced parallel read
+    val snap = Sources.jdbcSnapshotBalanced(spark, url, "composite",
+                                            partitionColumn = "seq",
+                                            numPartitions = 4)
+    // provenance: the snapshot's physical partitions carry EXACTLY the
+    // (lo, hi] key ranges the streaming planner computes for the same
+    // (table, cursor, p) — same conf, same splitBoundaries call
+    val opts = new CaseInsensitiveStringMap(Map(
+      "url" -> url, "table" -> "composite", "cursorColumn" -> "seq",
+      "numPartitions" -> "4").asJava)
+    val conf = JdbcCdcSource.confOf(opts)
+    val schema = JdbcCdcSource.withConnection(conf)(
+      JdbcCdcSource.inferSchema(_, conf))
+    val stream = new JdbcMicroBatchStream(conf, schema)
+    val bounds = stream.splitBoundaries(0L, 500500L) // (min-1, max]
+    val los = 0L +: bounds
+    val his = bounds :+ 500500L
+    val perPart = snap.select(col("SEQ")).rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSet))
+      .collect()
+    assert(perPart.length === 4)
+    perPart.zip(los.zip(his)).foreach { case (keys, (lo, hi)) =>
+      assert(keys.forall(k => k > lo && k <= hi),
+        s"snapshot partition strayed outside planner range ($lo, $hi]")
+      assert(keys.size >= 12 && keys.size <= 13,
+        s"rank balance ±1 expected, got ${keys.size} rows")
+    }
+    // handoff: the streaming leg starts at the snapshot's max cursor
+    val handoff = snap.agg(max(col("SEQ"))).head().getLong(0)
+    assert(handoff === 500500L)
+    // rows committed after the snapshot
+    (1 to 6).foreach(i =>
+      exec(s"INSERT INTO composite VALUES (${600000 + i}, 'c$i')"))
+    val out = tmp("composite-out"); val ckpt = tmp("composite-ckpt")
+    drainTo(readFeed("composite", "seq",
+                     Map("startingCursor" -> handoff.toString)), out, ckpt)
+    val streamed = spark.read.parquet(out).select("SEQ").as[Long]
+      .collect().toSet
+    assert(streamed === (1 to 6).map(i => 600000L + i).toSet)
+    val snapKeys = perPart.flatten.toSet
+    assert(snapKeys.intersect(streamed).isEmpty)
+    assert(snapKeys.size + streamed.size === 56)
+  }
+
   test("lagWindow fences admission below the visible tip: a late-commit " +
        "row surfacing under the polled HWM is still captured") {
     // the commit-visibility race, simulated on single-writer Derby: a
