@@ -187,6 +187,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config(Relational.KeepBoundedWindowConf._1,
               Relational.KeepBoundedWindowConf._2)
+      .config(Relational.AdaptiveHashJoinConf._1,
+              Relational.AdaptiveHashJoinConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those

@@ -472,6 +472,8 @@ object Explain {
       // literal partition spec survives -- see Relational.boundedWindow)
       .config(Relational.KeepBoundedWindowConf._1,
               Relational.KeepBoundedWindowConf._2)
+      .config(Relational.AdaptiveHashJoinConf._1,
+              Relational.AdaptiveHashJoinConf._2)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     mode match {

@@ -49,6 +49,19 @@ object Functions {
                                              ColumnBridge.expression(b)))
   }
 
+  /** [[sortedIntersectCount]] with a Jaccard-threshold early exit
+    * ([[SortedIntersectCountBounded]]) — use ONLY when the count feeds
+    * a `count / (size(a) + size(b) - count) >= minJaccard` filter;
+    * emitted rows and values are then bit-identical to the unbounded
+    * form (contract in the expression's scaladoc).
+    */
+  def sortedIntersectCountBounded(a: Column, b: Column,
+                                  minJaccard: Double): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SortedIntersectCountBounded(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), minJaccard))
+  }
+
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

@@ -309,8 +309,16 @@ object LlmOps {
                            col("bhs").as("abhs"), col("shs").as("ashs"))
     val b = buckets.select(col("doc").as("b"), col("band"), col("bh"),
                            col("bhs").as("bbhs"), col("shs").as("bshs"))
-    // shuffled-hash hint: both sides are the same bounded bucket
-    // relation (exchange reused); hashing one side beats sorting both
+    // No forced shuffle_hash (r15): the bucket relation carries full
+    // shingle-hash arrays, so a forced per-partition hash build is an
+    // OOM cliff once build bytes outgrow partitioncount × executor
+    // memory (the r15 ngram 100x single died exactly there). Plan the
+    // spill-safe sort-merge and let AQE's measured
+    // maxShuffledHashJoinLocalMapThreshold conversion
+    // ([[Relational.AdaptiveHashJoinConf]], set in every harness
+    // session) re-instate the hash build per-join ONLY when the actual
+    // build partitions fit — the same plan where it was safe, a
+    // graceful sort where it is not.
     // size-ratio prune before the O(|A|+|B|) intersect: inter ≤
     // min(|A|,|B|), so a pair can only reach threshold t when
     // min/(|A|+|B|−min) ≥ t — the same arithmetic shape as the final
@@ -318,7 +326,7 @@ object LlmOps {
     // (see [[prefixJaccard]]'s positional filter for the argument).
     // Two size() calls against an O(n) intersect: effectively free.
     val mn = least(size(col("ashs")), size(col("bshs")))
-    a.hint("shuffle_hash").join(b, Seq("band", "bh"))
+    a.hint("merge").join(b, Seq("band", "bh"))
       .filter(col("a") < col("b") &&
               !firstBandCollision(bands, col("band"),
                                   col("abhs"), col("bbhs")) &&
@@ -326,7 +334,8 @@ object LlmOps {
                 (size(col("ashs")) + size(col("bshs")) - mn)
                 >= minJaccard)
       .withColumn("inter",
-        Functions.sortedIntersectCount(col("ashs"), col("bshs")))
+        Functions.sortedIntersectCountBounded(col("ashs"), col("bshs"),
+                                              minJaccard))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("ashs")) + size(col("bshs")) - col("inter")))
@@ -724,8 +733,12 @@ object LlmOps {
                             minJaccard: Double): DataFrame =
     prefixOccurrences(sh, minJaccard)
       .filter(col("__survives"))
+      // threshold-bounded intersect: identical emitted rows/values (see
+      // SortedIntersectCountBounded), ~1/3 fewer merge steps on the
+      // dominant non-qualifying candidates
       .withColumn("inter",
-        Functions.sortedIntersectCount(col("sa"), col("sb")))
+        Functions.sortedIntersectCountBounded(col("sa"), col("sb"),
+                                              minJaccard))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -747,10 +760,18 @@ object LlmOps {
       .select(col("doc"), col("part"), col("n_sh"), col("ssv"),
               col("p.s").as("s"), col("p.pos").as("pos"))
     val ub = least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1L)
+    // sort-merge, NOT shuffle_hash: both sides are the corpus-sized
+    // prefix relation carrying full ssv arrays (~5.4 GB serialized at
+    // the 100x corpus), and a shuffled-hash build of that is a hard
+    // per-partition OOM cliff — the r15 100x single died in
+    // ShuffledHashJoinExec.buildHashedRelation ("not enough memory to
+    // build hash map") exactly where r14's run had squeaked through.
+    // SMJ's sorts spill and AQE can still split a skewed merge
+    // partition; there is no cliff, whatever shuffle.partitions is.
     pre.select(col("doc").as("a"), col("part"), col("s"),
                col("n_sh").as("na"), col("pos").as("pa"),
                col("ssv").as("sa"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(pre.select(col("doc").as("b"), col("part"), col("s"),
                        col("n_sh").as("nb"), col("pos").as("pb"),
                        col("ssv").as("sb")),
@@ -936,7 +957,10 @@ object LlmOps {
                            col("ssv"), explode(col("ssv")).as("s"))
     pre.select(col("doc").as("pa"), col("part"), col("s"),
                col("n_sh").as("npa"), col("ssv").as("spa"))
-      .hint("shuffle_hash")
+      // sort-merge for the same reason as [[prefixJaccard]]'s candidate
+      // join: the full-side explode is even bigger than the prefix side,
+      // and a shuffled-hash build over it is an OOM cliff at scale
+      .hint("merge")
       .join(full.select(col("doc").as("pb"), col("part"), col("s"),
                         col("n_sh").as("npb"), col("ssv").as("spb")),
             Seq("part", "s"))

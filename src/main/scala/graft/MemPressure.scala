@@ -43,6 +43,8 @@ object MemPressure {
       .config("spark.ui.enabled", "false")
       .config(Relational.KeepBoundedWindowConf._1,
               Relational.KeepBoundedWindowConf._2)
+      .config(Relational.AdaptiveHashJoinConf._1,
+              Relational.AdaptiveHashJoinConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

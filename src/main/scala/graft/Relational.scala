@@ -47,6 +47,24 @@ object Relational {
     ("spark.sql.optimizer.excludedRules",
      "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
 
+  /** (conf key, value) every graft harness session sets so AQE converts
+    * planned sort-merge joins into shuffled-hash joins per-join when the
+    * MEASURED build-side partitions fit under 64 MB (the advisory
+    * partition size, the pairing Spark's docs recommend). This replaces
+    * the r14 static `shuffle_hash` hints on the corpus-sized array-
+    * carrying candidate joins (minhash buckets, ngram prefixes): a
+    * forced hash build is an OOM cliff once build bytes outgrow
+    * partitions × memory — the r15 ngram 100× single died in
+    * `ShuffledHashJoinExec.buildHashedRelation` — while the AQE form
+    * keeps the hash build exactly where it is measured safe and sorts
+    * (spillable, skew-splittable) where it is not. At scale the knob
+    * composes with sizing `spark.sql.shuffle.partitions` to the data,
+    * per the 100 TB partitioning discipline in SURVEY §6.
+    */
+  val AdaptiveHashJoinConf: (String, String) =
+    ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+     (64L * 1024 * 1024).toString)
+
   /** `row_number()` over [[boundedWindow]] — the bounded-relation rank. */
   def boundedRank(order: Column*): Column =
     row_number().over(boundedWindow(order: _*))

@@ -14,6 +14,8 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .config(Relational.KeepBoundedWindowConf._1,
               Relational.KeepBoundedWindowConf._2)
+      .config(Relational.AdaptiveHashJoinConf._1,
+              Relational.AdaptiveHashJoinConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

@@ -29,15 +29,20 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scale-protocol partition sizing (SURVEY §6.1): shuffle partitions
+    // sized to the corpus independently of the thread count
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
     val keys = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q_dedup_minhash")
       .split(",").toSeq.filter(SparkEntry.queries.contains)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config(Relational.KeepBoundedWindowConf._1,
               Relational.KeepBoundedWindowConf._2)
+      .config(Relational.AdaptiveHashJoinConf._1,
+              Relational.AdaptiveHashJoinConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,6 +13,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Array(0L, 1L, 1L, 2L))
   }
 
+  test("sortedIntersectCountBounded: exact when the pair can qualify, " +
+       "filter-equivalent always (random sorted sets, several thresholds)") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 400).map { _ =>
+      val universe = 200
+      def set() = (0 until (1 + rnd.nextInt(80)))
+        .map(_ => rnd.nextInt(universe).toLong).distinct.sorted.toArray
+      (set(), set())
+    }
+    for (t <- Seq(0.1, 0.2, 0.5, 0.9)) {
+      val out = cases.toDF("a", "b")
+        .select(
+          Functions.sortedIntersectCount(col("a"), col("b")).as("exact"),
+          Functions.sortedIntersectCountBounded(col("a"), col("b"), t)
+            .as("bounded"),
+          size(col("a")).as("na"), size(col("b")).as("nb"))
+        .as[(Long, Long, Int, Int)].collect()
+      out.foreach { case (exact, bounded, na, nb) =>
+        def jac(c: Long) = c.toDouble / (na + nb - c)
+        // the contract: identical filter verdict at every threshold...
+        assert((jac(exact) >= t) === (jac(bounded) >= t),
+          s"t=$t: verdicts diverge (exact=$exact bounded=$bounded)")
+        // ...and an exact count whenever the pair qualifies
+        if (jac(exact) >= t)
+          assert(bounded === exact,
+            s"t=$t: qualifying pair got a bailed count")
+        assert(bounded <= exact)
+      }
+    }
+  }
+
   test("cosine is 1 for identical vectors, -1 for opposite, 0 for orthogonal") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
