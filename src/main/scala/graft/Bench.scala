@@ -178,17 +178,66 @@ object Bench {
     (System.nanoTime() - t0) / 1000000
   }
 
+  /** Memory-BANDWIDTH calibration: `threads` threads each stream-sum the
+    * same shared 256 MB long array (32 M longs — far past any LLC), so
+    * aggregate traffic is threads × 256 MB and the wall time tracks the
+    * host's effective memory bandwidth under full fan-out. Needed
+    * because the LCG probe above is ALU-bound while every heavy query is
+    * memory-bound: the r15 boot drifted the two OPPOSITE ways (the LCG
+    * gate read `quiet` while memory-bound walls ran ~1.8× hot), so the
+    * artifact records BOTH probes and cross-round comparisons can
+    * normalize by whichever tracks the movers
+    * (`tools/bench_compare.py --norm=membw`). The array is allocated
+    * once (lazily) and reused across probe runs; each thread's first
+    * 1 M-element pass is untimed JIT warm-up.
+    */
+  private lazy val membwArray: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 2654435761L; i += 1 }
+    a
+  }
+
+  private def calibrateMembw(threads: Int): Long = {
+    val a = membwArray
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    // untimed warm-up: compile the sum loop before the clock starts
+    locally {
+      var s = 0L; var i = 0
+      while (i < 1000000) { s += a(i); i += 1 }
+      sink.addAndGet(s)
+    }
+    // constant AGGREGATE traffic (32 × 256 MB = 8 GB) whatever the
+    // thread count: fewer threads each make more passes, so the probe
+    // stays long enough (hundreds of ms) to average out scheduler
+    // jitter at local[4] as well as local[32]
+    val passes = math.max(1, 32 / math.max(threads, 1))
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(s) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Relational.harnessSession(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those
@@ -256,6 +305,21 @@ object Bench {
         "noisy_probe_outlier" // two of three agree; min is trustworthy
       else "noisy"
     val calibMt = calibMtRuns.head
+    // memory-bandwidth probe (r16, see [[calibrateMembw]]): same
+    // two-runs-plus-escalation protocol and verdict vocabulary as the
+    // LCG probe; normalization denominator stays calib_mt (unchanged
+    // artifact methodology), the membw figures ride along for
+    // adjudication and bench_compare.py --norm=membw.
+    var calibMembwRuns = Seq(calibrateMembw(cpus.toInt),
+                             calibrateMembw(cpus.toInt))
+    if (spreadOf(calibMembwRuns) > 0.15)
+      calibMembwRuns :+= calibrateMembw(cpus.toInt)
+    val calibMembwVerdict =
+      if (spreadOf(calibMembwRuns) <= 0.15) "quiet"
+      else if (spreadOf(calibMembwRuns.sorted.take(2)) <= 0.15)
+        "noisy_probe_outlier"
+      else "noisy"
+    val calibMembw = calibMembwRuns.head
     def norm(v: Double): String = f"${v / calibMt}%.6f"
     def jsonLine(rs: Seq[(String, Double)], extra: String,
                  withNormMap: Boolean): String = {
@@ -277,9 +341,13 @@ object Bench {
     // queries, preserving print order for the kept keys. The complete
     // per-query map (raw + normalized) still goes to bench_last.json.
     val calib = s""","calib_st_ms":$calibSt,"calib_mt_ms":$calibMt""" +
-      s""","calib_verdict":"$calibVerdict""""
+      s""","calib_verdict":"$calibVerdict"""" +
+      s""","calib_membw_ms":$calibMembw""" +
+      s""","calib_membw_verdict":"$calibMembwVerdict""""
     val calibRuns =
-      s""","calib_mt_ms_runs":${calibMtRuns.mkString("[", ",", "]")}"""
+      s""","calib_mt_ms_runs":${calibMtRuns.mkString("[", ",", "]")}""" +
+      s""","calib_membw_ms_runs":${
+        calibMembwRuns.mkString("[", ",", "]")}"""
     val runsMap = runsPerKey
       .map { case (k, rs) =>
         s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}""" }

@@ -458,7 +458,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val aqe = mode == "audit-aqe"
-    val spark = SparkSession.builder().master("local[4]")
+    // Relational.harnessSession matches the Bench/Verify sessions' conf
+    // pairs so the audit inspects the same plans those sessions execute
+    // (boundedWindow's literal partition spec survives — see
+    // Relational.boundedWindow).
+    val spark = Relational.harnessSession(SparkSession.builder()
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       // static plan inspection wants the POST-EnsureRequirements tree:
@@ -467,14 +472,8 @@ object Explain {
       // audit-aqe mode instead EXECUTES each key with AQE on and audits
       // the runtime-final adaptive plan — what bench/production run.
       .config("spark.sql.adaptive.enabled", aqe.toString)
-      // match the Bench/Verify sessions' excluded-rule conf so the audit
-      // inspects the same plans those sessions execute (boundedWindow's
-      // literal partition spec survives -- see Relational.boundedWindow)
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     mode match {
       case "audit" | "audit-aqe" =>

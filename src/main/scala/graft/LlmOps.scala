@@ -309,16 +309,20 @@ object LlmOps {
                            col("bhs").as("abhs"), col("shs").as("ashs"))
     val b = buckets.select(col("doc").as("b"), col("band"), col("bh"),
                            col("bhs").as("bbhs"), col("shs").as("bshs"))
-    // No forced shuffle_hash (r15): the bucket relation carries full
-    // shingle-hash arrays, so a forced per-partition hash build is an
-    // OOM cliff once build bytes outgrow partitioncount × executor
-    // memory (the r15 ngram 100x single died exactly there). Plan the
-    // spill-safe sort-merge and let AQE's measured
+    // No join hint AT ALL (r16; r15 had .hint("merge")): the bucket
+    // relation carries full shingle-hash arrays, so a forced
+    // per-partition hash build is an OOM cliff once build bytes outgrow
+    // partitioncount × executor memory (the r15 ngram 100x single died
+    // exactly there). With preferSortMergeJoin (default true) the
+    // initial plan is already the spill-safe sort-merge; an explicit
+    // SHUFFLE_MERGE hint would additionally VETO AQE's measured
     // maxShuffledHashJoinLocalMapThreshold conversion
     // ([[Relational.AdaptiveHashJoinConf]], set in every harness
-    // session) re-instate the hash build per-join ONLY when the actual
-    // build partitions fit — the same plan where it was safe, a
-    // graceful sort where it is not.
+    // session) — Spark 4.1's JoinSelection consults the merge hint
+    // before the PREFER_SHUFFLE_HASH hint DynamicJoinSelection adds —
+    // so hint-free is the one form where AQE re-instates the hash
+    // build ONLY when the actual build partitions fit: the fast plan
+    // where measured safe, a graceful sort where not.
     // size-ratio prune before the O(|A|+|B|) intersect: inter ≤
     // min(|A|,|B|), so a pair can only reach threshold t when
     // min/(|A|+|B|−min) ≥ t — the same arithmetic shape as the final
@@ -326,7 +330,7 @@ object LlmOps {
     // (see [[prefixJaccard]]'s positional filter for the argument).
     // Two size() calls against an O(n) intersect: effectively free.
     val mn = least(size(col("ashs")), size(col("bshs")))
-    a.hint("merge").join(b, Seq("band", "bh"))
+    a.join(b, Seq("band", "bh"))
       .filter(col("a") < col("b") &&
               !firstBandCollision(bands, col("band"),
                                   col("abhs"), col("bbhs")) &&
@@ -370,41 +374,45 @@ object LlmOps {
       }
     }.reduceOption(_ || _).getOrElse(lit(false))
 
-  /** The shared MinHash machinery behind [[minhashNearDupPairs]] (the
-    * pair-output contract) and [[minhashComponents]] (the clustering
-    * contract): hashed shingle relation, per-doc counts, and banded LSH
-    * bucket assignment. Returns (sh = (doc, s), counts = (doc, n_sh),
-    * buckets = (doc, band, bh, bhs)) — `bhs` is the doc's FULL band-hash
-    * array (bhs[i+1] = band i's hash, 1-based for element_at), carried so
-    * candidate joins can dedup cross-band collisions by construction
-    * ([[firstBandCollision]]) instead of via a global distinct.
+  /** The MinHash machinery behind [[minhashComponents]]: per-doc
+    * signature arrays and banded LSH bucket assignment. Returns
+    * (arrs = (doc, n_sh, shs), buckets = (doc, band, bh, bhs)) —
+    * `shs` is the doc's VALUE-sorted shingle-hash array (feeds the
+    * in-join exact verify, [[verifyJaccard]]), `bhs` the doc's FULL
+    * band-hash array (bhs[i+1] = band i's hash, 1-based for
+    * element_at), carried so candidate joins can dedup cross-band
+    * collisions by construction ([[firstBandCollision]]) instead of
+    * via a global distinct.
     */
   private def minhashSigRelation(docs: DataFrame, idCol: String,
                                  textCol: String, shingleK: Int,
                                  numHashes: Int, bands: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
-    // materialized once: the shingle relation feeds the signature agg, the
-    // per-doc counts, and both sides of the verification join — without the
-    // checkpoint each consumer would re-tokenize and re-explode the corpus
     // shingles are carried as 64-bit hashes from the explode on: the
-    // signature seeds, the candidate join, and the verify join all key on
-    // 8-byte longs instead of 3-word strings (≈4× smaller shuffles);
-    // distinct-ness per doc is established on the strings BEFORE hashing.
-    // Corpus-sized ⇒ [[Mat.bigRel]] storage (disk-backed serialized, not
-    // deserialized heap rows — the r14 §6.1 root-cause).
-    val sh = Mat.bigRel(docs.select(
+    // signature seeds, the candidate join, and the verify arrays all key
+    // on 8-byte longs instead of 3-word strings (≈4× smaller shuffles);
+    // distinct-ness per doc is established on the strings BEFORE
+    // hashing. One consumer (the signature aggregate) ⇒ no
+    // materialization needed here: r16 moved the exact verify in-join
+    // (sorted arrays on the candidate rows), so the shingle relation is
+    // no longer re-read by two verify joins per mining pass — the
+    // double corpus re-shuffle the r15 StageProbe condemned on the
+    // pairs path.
+    val sh = docs.select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
-      .select(col("doc"), xxhash64(col("s0")).as("s")))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
     val sigAggs = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"sig_$j")
     }
-    // per-doc shingle count rides along in the signature aggregation —
-    // one hash-aggregate pass over the shingle relation, not two
+    // per-doc count AND value-sorted shingle-hash array ride along in
+    // the signature aggregation — one hash-aggregate pass over the
+    // shingle relation feeds the bands, the union term, and the verify
     val sig = sh.groupBy("doc")
-      .agg(count(lit(1)).as("n_sh"), sigAggs: _*)
-    val counts = sig.select(col("doc"), col("n_sh"))
+      .agg(count(lit(1)).as("n_sh"),
+           sort_array(collect_list(col("s"))).as("shs") +: sigAggs: _*)
+    val arrs = sig.select(col("doc"), col("n_sh"), col("shs"))
     val bandHashes = (0 until bands).map { i =>
       xxhash64((0 until rowsPerBand)
         .map(r => col(s"sig_${i * rowsPerBand + r}")): _*)
@@ -413,24 +421,40 @@ object LlmOps {
       .select(col("doc"), array(bandHashes: _*).as("bhs"))
       .select(col("doc"), posexplode(col("bhs")).as(Seq("band", "bh")),
               col("bhs"))
-    (sh, counts, buckets)
+    (arrs, buckets)
   }
 
-  /** Exact-Jaccard verification of candidate (a, b) pairs against the
-    * hashed shingle relation — relational intersection count + the
-    * per-doc counts for the union term. Emits only pairs at
-    * `jaccard >= minJaccard`, rounded to 4 places.
+  /** Exact-Jaccard verification of candidate (a, b) pairs — the IN-JOIN
+    * shape (r16; same as [[minhashNearDupPairs]]' verify): each side
+    * joins its (n_sh, value-sorted shingle-hash array) once and the
+    * intersect is the native two-pointer
+    * [[Functions.sortedIntersectCountBounded]] on the candidate row.
+    * Replaces the r15 relational intersection
+    * (cand ⋈ shingles ⋈ shingles + groupBy + two count joins), whose
+    * first join materializes Σ|A| rows per candidate — the ~20-billion-
+    * row / 26 GB-spill intermediate the r14 StageProbe measured on the
+    * pairs path — and which re-shuffles the full shingle relation twice
+    * per mining pass at 100 TB. Size-ratio prune before the intersect:
+    * inter ≤ min(na, nb), so a pair can only reach threshold t when
+    * min/(na+nb−min) ≥ t — lossless by the same double-division
+    * monotonicity as the final Jaccard filter. Emits only pairs at
+    * `jaccard >= minJaccard`, rounded to 4 places; values bit-identical
+    * to the relational form (the intersect is exact, the bound only
+    * early-exits rows the filter would drop).
     */
-  private def verifyJaccard(sh: DataFrame, counts: DataFrame,
-                            cand: DataFrame,
+  private def verifyJaccard(arrs: DataFrame, cand: DataFrame,
                             minJaccard: Double): DataFrame = {
-    val inter = cand
-      .join(sh.select(col("doc").as("a"), col("s")), "a")
-      .join(sh.select(col("doc").as("b"), col("s")), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc").as("a"), col("n_sh").as("na")), "a")
-      .join(counts.select(col("doc").as("b"), col("n_sh").as("nb")), "b")
+    val mn = least(col("na"), col("nb"))
+    cand
+      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na"),
+                        col("shs").as("ashs")), "a")
+      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb"),
+                        col("shs").as("bshs")), "b")
+      .filter(mn.cast("double") / (col("na") + col("nb") - mn)
+                >= minJaccard)
+      .withColumn("inter",
+        Functions.sortedIntersectCountBounded(col("ashs"), col("bshs"),
+                                              minJaccard))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -534,7 +558,7 @@ object LlmOps {
         "emitted-band dedup mask is a single 64-bit word")
     val (reps, memberEdges) =
       exactCollapse(docs, idCol, textCol, Seq.empty)
-    val (sh, counts, buckets) =
+    val (arrs, buckets) =
       minhashSigRelation(reps, idCol, textCol, shingleK, numHashes, bands)
     // one linear aggregate sizes every band bucket and picks its min-id
     // root; materialized because the small/star branches read it thrice
@@ -574,7 +598,7 @@ object LlmOps {
     // edges (branch overlap + cross-band star repeats), not the blob
     val cand = smallCand.union(starCand).distinct()
     memberEdges.union(
-      verifyJaccard(sh, counts, cand, minJaccard).select("a", "b"))
+      verifyJaccard(arrs, cand, minJaccard).select("a", "b"))
   }
 
   /** Exact n-gram Jaccard pairs, COST-BASED between two formulations
@@ -760,18 +784,22 @@ object LlmOps {
       .select(col("doc"), col("part"), col("n_sh"), col("ssv"),
               col("p.s").as("s"), col("p.pos").as("pos"))
     val ub = least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1L)
-    // sort-merge, NOT shuffle_hash: both sides are the corpus-sized
-    // prefix relation carrying full ssv arrays (~5.4 GB serialized at
-    // the 100x corpus), and a shuffled-hash build of that is a hard
-    // per-partition OOM cliff — the r15 100x single died in
+    // no forced shuffle_hash AND no merge hint (r16): both sides are
+    // the corpus-sized prefix relation carrying full ssv arrays
+    // (~5.4 GB serialized at the 100x corpus), and a FORCED
+    // shuffled-hash build of that is a hard per-partition OOM cliff —
+    // the r15 100x single died in
     // ShuffledHashJoinExec.buildHashedRelation ("not enough memory to
     // build hash map") exactly where r14's run had squeaked through.
-    // SMJ's sorts spill and AQE can still split a skewed merge
-    // partition; there is no cliff, whatever shuffle.partitions is.
+    // Hint-free, the initial plan is SMJ (preferSortMergeJoin default):
+    // sorts spill, AQE can split a skewed merge partition, and AQE's
+    // measured 64 MB threshold (Relational.AdaptiveHashJoinConf) may
+    // re-instate the hash build per-join where the actual build fits —
+    // a merge hint would veto that conversion (JoinSelection consults
+    // it before DynamicJoinSelection's PREFER_SHUFFLE_HASH).
     pre.select(col("doc").as("a"), col("part"), col("s"),
                col("n_sh").as("na"), col("pos").as("pa"),
                col("ssv").as("sa"))
-      .hint("merge")
       .join(pre.select(col("doc").as("b"), col("part"), col("s"),
                        col("n_sh").as("nb"), col("pos").as("pb"),
                        col("ssv").as("sb")),
@@ -957,10 +985,11 @@ object LlmOps {
                            col("ssv"), explode(col("ssv")).as("s"))
     pre.select(col("doc").as("pa"), col("part"), col("s"),
                col("n_sh").as("npa"), col("ssv").as("spa"))
-      // sort-merge for the same reason as [[prefixJaccard]]'s candidate
+      // hint-free for the same reason as [[prefixJaccard]]'s candidate
       // join: the full-side explode is even bigger than the prefix side,
-      // and a shuffled-hash build over it is an OOM cliff at scale
-      .hint("merge")
+      // so a FORCED hash build over it is an OOM cliff at scale; plan
+      // SMJ (the default) and let AQE's measured threshold convert
+      // per-join — a merge hint here would veto that conversion
       .join(full.select(col("doc").as("pb"), col("part"), col("s"),
                         col("n_sh").as("npb"), col("ssv").as("spb")),
             Seq("part", "s"))

@@ -37,14 +37,11 @@ object MemPressure {
     val keys = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultKeys)
       .filter(SparkEntry.queries.contains)
-    val spark = SparkSession.builder()
+    val spark = Relational.harnessSession(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

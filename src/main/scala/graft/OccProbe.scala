@@ -17,14 +17,11 @@ object OccProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft-sf1-rg")
     val t = sys.env.getOrElse("SPARK_GRAFT_T", "0.2").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Relational.harnessSession(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables(spark, sfDir, "documents")

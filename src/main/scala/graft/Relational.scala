@@ -40,8 +40,10 @@ object Relational {
 
   /** (conf key, value) every graft harness session sets so
     * [[boundedWindow]]'s literal partition spec survives optimization —
-    * see the doc there. Appended, not assigned, if the session already
-    * excludes other rules.
+    * see the doc there. Harness sessions ASSIGN this conf outright
+    * (they own their session and exclude no other rules); a library
+    * user who already excludes rules should comma-append this one to
+    * their existing `spark.sql.optimizer.excludedRules` value instead.
     */
   val KeepBoundedWindowConf: (String, String) =
     ("spark.sql.optimizer.excludedRules",
@@ -64,6 +66,20 @@ object Relational {
   val AdaptiveHashJoinConf: (String, String) =
     ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
      (64L * 1024 * 1024).toString)
+
+  /** The conf pairs above, in one place: every graft harness main
+    * (Bench, Verify, Smoke, Explain, MemPressure, StageProbe, OccProbe)
+    * applies exactly this list via [[harnessSession]], so the next
+    * harness-wide conf lands in one definition site. Values are
+    * ASSIGNED (see [[KeepBoundedWindowConf]]'s doc on append-vs-assign).
+    */
+  val SessionDefaults: Seq[(String, String)] =
+    Seq(KeepBoundedWindowConf, AdaptiveHashJoinConf)
+
+  /** Apply [[SessionDefaults]] to a session builder. */
+  def harnessSession(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder =
+    SessionDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** `row_number()` over [[boundedWindow]] — the bounded-relation rank. */
   def boundedRank(order: Column*): Column =

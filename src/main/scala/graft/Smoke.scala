@@ -7,15 +7,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = Relational.harnessSession(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

@@ -35,14 +35,11 @@ object StageProbe {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
     val keys = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q_dedup_minhash")
       .split(",").toSeq.filter(SparkEntry.queries.contains)
-    val spark = SparkSession.builder()
+    val spark = Relational.harnessSession(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
-      .config(Relational.KeepBoundedWindowConf._1,
-              Relational.KeepBoundedWindowConf._2)
-      .config(Relational.AdaptiveHashJoinConf._1,
-              Relational.AdaptiveHashJoinConf._2)
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
