@@ -68,7 +68,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (admission cap per trigger — the backlog-drain knob; unset = all
   * available); `lagWindow` (cursor units held back from the visible
   * tip per the commit-visibility contract above; default 0 = trust the
-  * cursor to be commit-ordered); `startingCursor` = `earliest`
+  * cursor to be commit-ordered. USER-VISIBLE COROLLARY: the fence
+  * applies to batch 0 too, so a one-shot `Trigger.AvailableNow` drain
+  * of a QUIESCENT table with `lagWindow` = w terminates w cursor units
+  * short of the tip and only delivers those rows if the tip later
+  * advances — set `lagWindow` = 0 for one-shot snapshots of quiescent
+  * tables, and reserve `lagWindow` > 0 for continuously-polled live
+  * tables, which is the race it exists for); `startingCursor` = `earliest`
   * (default: the initial batch IS the snapshot — Debezium's
   * `snapshot.mode=initial`) | `latest` (capture only rows after stream
   * start) | a Long literal; `user`/`password`/`driver` (connection

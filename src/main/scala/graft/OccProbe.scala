@@ -39,9 +39,12 @@ object OccProbe {
       approx_count_distinct(
         when(col("__survives"), concat_ws(":", col("a"), col("b"))), 0.01)
         .as("pairs_surviving")).head()
+    // pairs_* are approx_count_distinct at rsd 0.01 (±1 %) — the JSON
+    // keys say so, and any prose quoting them must carry the ±1 % label
+    // (the occ_* counts are exact)
     println(s"""[occ] {"dir":"$sfDir","t":$t,"occ_total":${row.getLong(0)
-      },"occ_surviving":${row.getLong(1)},"pairs_total":${row.getLong(2)
-      },"pairs_surviving":${row.getLong(3)}}""")
+      },"occ_surviving":${row.getLong(1)},"pairs_total_approx1pct":${
+        row.getLong(2)},"pairs_surviving_approx1pct":${row.getLong(3)}}""")
     spark.stop()
   }
 }
