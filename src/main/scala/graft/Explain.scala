@@ -501,6 +501,31 @@ object Explain {
         }
         println(s"[audit] done, $flagged flagged of " +
           s"${SparkEntry.queries.size}")
+      case "formatted" =>
+        // `runMain graft.Explain formatted <sfDir> <outDir> <k1,k2,...>` —
+        // dump each key's FULL `.explain("formatted")` text (the
+        // optimization-round evidence files under plans/r*/): static
+        // post-EnsureRequirements tree, AQE off, so every Exchange and
+        // join strategy is visible (the adaptive wrapper's pre-execution
+        // tree hides exchanges).
+        val dir = args(1)
+        val outDir = java.nio.file.Paths.get(args(2))
+        java.nio.file.Files.createDirectories(outDir)
+        // INTERNAL stage plans for keys whose distributed work runs during
+        // DataFrame CONSTRUCTION (eager localCheckpoint / bounded collect):
+        // the registered key's final plan is a LocalTableScan, so the
+        // optimization evidence is the internal stage's plan.
+        val internal: Map[String,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+          "x_pca_scatter_partials" ->
+            ((s, d) => LlmOps.scatterPartials(Tables(s, d, "embeddings"))))
+        args(3).split(",").foreach { q =>
+          val txt = internal.getOrElse(q, SparkEntry.queries(q))(spark, dir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(outDir.resolve(s"$q.txt"), txt)
+          println(s"[formatted] $q -> ${outDir.resolve(s"$q.txt")}")
+        }
       case q =>
         val plan = SparkEntry.queries(q)(spark, args(1))
           .queryExecution.executedPlan.toString

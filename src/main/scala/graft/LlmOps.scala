@@ -285,8 +285,11 @@ object LlmOps {
                           minJaccard: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     // single-consumer shingle relation (the signature aggregate) — no
-    // materialization needed; shingles ride as 64-bit hashes
-    val sh = docs.select(
+    // materialization needed; shingles ride as 64-bit hashes. Spread
+    // before the fan-out: |shingles|×numHashes hash-min updates per doc
+    // would otherwise serialize on an under-partitioned narrow input
+    // (no-op on real corpora — [[Relational.spread]])
+    val sh = Relational.spread(docs).select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
@@ -398,8 +401,9 @@ object LlmOps {
     // (sorted arrays on the candidate rows), so the shingle relation is
     // no longer re-read by two verify joins per mining pass — the
     // double corpus re-shuffle the r15 StageProbe condemned on the
-    // pairs path.
-    val sh = docs.select(
+    // pairs path. Spread before the fan-out (same rationale as
+    // [[minhashNearDupPairs]]; no-op on real corpora).
+    val sh = Relational.spread(docs).select(
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
@@ -818,7 +822,10 @@ object LlmOps {
   private def shingleRelation(docs: DataFrame, idCol: String,
                               textCol: String, partCol: String,
                               shingleK: Int): DataFrame =
-    Mat.bigRel(docs
+    // spread BEFORE the tokenize+shingle fan-out: a single-row-group
+    // (or otherwise under-partitioned narrow) input would run the whole
+    // O(total tokens) derivation single-task — no-op on real corpora
+    Mat.bigRel(Relational.spread(docs)
       .select(col(idCol).as("doc"), col(partCol).as("part"),
               explode(shingles(tokens(col(textCol)), shingleK)).as("s0"))
       .select(col("doc"), col("part"), xxhash64(col("s0")).as("s")))
@@ -2781,7 +2788,7 @@ object LlmOps {
     * embedding op (k-means, PCA, projections).
     */
   private[graft] def intCoords(embeddings: DataFrame): DataFrame =
-    embeddings
+    Relational.spread(embeddings)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
               expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
@@ -2815,16 +2822,59 @@ object LlmOps {
 
   def kmeansFit(embeddings: DataFrame, k: Int,
                 iters: Int): (DataFrame, DataFrame) = {
-    val x = intCoords(embeddings)
+    // r16 map-only assignment. The r15 shape kept the corpus EXPLODED
+    // ((vec_id, i, x) rows) and each round paid: a ×k fan-out join on i,
+    // two hash aggregates (per-(vec,cid) distance, per-vec argmin), and
+    // a re-join of the assignment back onto the exploded coords by
+    // vec_id — two corpus-sized exchanges per round. The corpus now
+    // stays ONE ROW PER VECTOR (e4-grid coordinate array); the k
+    // centroids collapse to a single broadcast row of (cid, cs) structs,
+    // and the per-vector argmin runs IN-ROW (zip_with + aggregate +
+    // array_min over (d, cid) structs — same exact BIGINT distances,
+    // same lower-cid tie-break). The winning row still carries its
+    // coordinate array, so re-centering explodes the winners directly:
+    // the ONLY exchange left per round moves k·dims pre-aggregated
+    // partial rows per partition. Distances are bit-identical (null
+    // coordinate elements contribute 0 to the in-row sum exactly as
+    // sum() skips them in the aggregate form; coordinate COUNTS per
+    // (cid, i) include null-x rows in both forms via count(1)).
+    val base = Relational
+      .spread(embeddings.filter(col("embedding").isNotNull))
+      .select(col("vec_id"),
+              expr("transform(embedding, xv -> " +
+                   "CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT))")
+                .as("xs"))
       .localCheckpoint() // re-read every assignment round
-    var cents = x.join(broadcast(forgySeeds(embeddings, k)), "vec_id")
-      .select(col("cid"), col("i"), col("x").as("c"))
+    var cents = base.join(broadcast(forgySeeds(embeddings, k)), "vec_id")
+      .select(col("cid"), posexplode(col("xs")).as(Seq("p", "c")))
+      .select(col("cid"), (col("p") + 1).cast("long").as("i"), col("c"))
       .localCheckpoint()
-    def assign(c: DataFrame): DataFrame = assignToCentroids(x, c)
+    // Assignment = the native [[SqDistArgmin]] loop over the
+    // driver-collected k·dims centroid grid (bounded by construction,
+    // corpus-independent — the [[pcaFromPartials]] bounded-collect
+    // discipline). One map-only pass, no per-round join/aggregate
+    // stages, no interpreted HOFs, stable codegen across rounds; see
+    // the expression's scaladoc for the exactness contract.
+    def assign(c: DataFrame): DataFrame = {
+      val byCid = c.collect() // bounded: k·dims rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, rows) => (cid, rows.sortBy(_._2)) }
+      val argmin = SqDistArgmin(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("xs")),
+        byCid.map(_._1).toArray,
+        byCid.map(_._2.map(t => (t._2 - 1).toInt).toArray).toArray,
+        byCid.map(_._2.map(_._3).toArray).toArray)
+      base.withColumn("best",
+          org.apache.spark.sql.graft.ColumnBridge.column(argmin))
+        .select(col("vec_id"), col("best.cid").as("cluster"),
+                col("best.d").as("d"), col("xs"))
+    }
     for (_ <- 1 to iters) {
       val sums = assign(cents)
-        .join(x, "vec_id")
-        .groupBy(col("cluster").as("cid"), col("i"))
+        .select(col("cluster").as("cid"),
+                posexplode(col("xs")).as(Seq("p", "x")))
+        .groupBy(col("cid"), (col("p") + 1).cast("long").as("i"))
         .agg(sum("x").as("s"), count(lit(1)).as("n"))
       cents = cents.select(col("cid"), col("i"), col("c").as("c_old"))
         .join(sums, Seq("cid", "i"), "left")
@@ -2833,7 +2883,7 @@ object LlmOps {
           "WHEN s < 0 THEN -((-s) div n) ELSE s div n END").as("c"))
         .localCheckpoint()
     }
-    (cents, assign(cents))
+    (cents, assign(cents).select(col("vec_id"), col("cluster"), col("d")))
   }
 
   private val kmCache =
@@ -2932,23 +2982,42 @@ object LlmOps {
     * streaming sink maintain the state incrementally.
     */
   private[graft] def scatterPartials(embeddings: DataFrame): DataFrame = {
-    val x = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xv")))
-      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
-              expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT)")
-                .as("x"))
-      .localCheckpoint() // read by the sums AND both scatter sides
+    // r16 join-free form. The r15 shape exploded to (vec_id, i, x) rows,
+    // localCheckpointed them, and SELF-JOINED on vec_id to enumerate
+    // (i, j) products — two shuffles of n·dims rows plus an n·dims²-row
+    // join, all keyed on vec_id only to pair coordinates that were
+    // adjacent in the source row to begin with. The pairs are instead
+    // generated IN-ROW (posexplode × posexplode over a slice), so the
+    // only exchange left in the p branch moves ≤ dims²/2 pre-aggregated
+    // partial rows per partition: 2 Exchange + SortMergeJoin + eager
+    // checkpoint → 0 joins, partial-agg-only exchanges. Only the UPPER
+    // triangle (j ≥ i) is generated — x·y is symmetric — and the strict
+    // lower mirror is re-emitted from the 2080-row aggregate, halving
+    // the generated rows. Values are bit-identical: integer products
+    // summed in DECIMAL(38,0) are order-independent.
+    val xs = Relational.spread(embeddings).select(
+      expr("transform(embedding, xv -> " +
+           "CAST(floor(CAST(xv AS DOUBLE) * 10000.0) AS BIGINT))").as("xs"))
     val n = embeddings.agg(count(lit(1)).cast("long").as("v"))
       .select(lit("n").as("kind"), lit(0L).as("i"), lit(0L).as("j"),
               col("v"))
-    val s = x.groupBy("i").agg(sum("x").as("v"))
+    val s = xs.select(posexplode(col("xs")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("long").as("i"))
+      .agg(sum("x").as("v"))
       .select(lit("s").as("kind"), col("i"), lit(0L).as("j"), col("v"))
-    val p = x
-      .join(x.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
-            "vec_id")
-      .groupBy("i", "j")
-      .agg(expr("CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS BIGINT)")
+    // slice(xs, pi+1, size-pi) = [x_i .. x_dims] (pi is 0-based, slice
+    // start 1-based), so j = i + pj enumerates exactly j ≥ i
+    val upper = xs
+      .select(col("xs"), posexplode(col("xs")).as(Seq("pi", "xi")))
+      .select(col("xi"), (col("pi") + 1).cast("long").as("i"),
+              posexplode(expr("slice(xs, pi + 1, size(xs) - pi)"))
+                .as(Seq("pj", "xj")))
+      .groupBy(col("i"), (col("i") + col("pj")).cast("long").as("j"))
+      .agg(expr("CAST(sum(CAST(xi * xj AS DECIMAL(38,0))) AS BIGINT)")
              .as("v"))
+    val p = upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("v")))
       .select(lit("p").as("kind"), col("i"), col("j"), col("v"))
     n.unionByName(s).unionByName(p)
   }

@@ -67,6 +67,30 @@ object Relational {
     ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
      (64L * 1024 * 1024).toString)
 
+  /** (conf key, value) lowering AQE's post-shuffle coalescing floor from
+    * the 1 MB default to 64 KB. AQE's partition coalescing is BYTE-based
+    * (`parallelismFirst` keeps partitions down to
+    * `coalescePartitions.minPartitionSize`), which misjudges
+    * COMPUTE-DENSE relations at any scale: a shuffle of candidate pairs
+    * or signature rows carrying shingle-hash arrays is ~1-2 MB per
+    * million intersect operations, so the 1 MB floor coalesces the
+    * verify/aggregate stage to 1-2 tasks and serializes minutes of CPU
+    * behind a kilobyte-sized exchange (r16 StageProbe: the two 1.75 s
+    * single-task stages in q_dedup_minhash_dupclass, wall −8× once
+    * spread). 64 KB keeps such stages at the session's parallelism while
+    * still collapsing genuinely trivial (< 64 KB/task) shuffles; for
+    * byte-bound relations nothing changes (they blow past both floors
+    * and `advisoryPartitionSizeInBytes` governs). Scale note: the floor
+    * is per-PARTITION, so it adds at most (shuffle bytes / 64 KB) tasks
+    * — bounded by `spark.sql.shuffle.partitions`, which production sizes
+    * to the data (SURVEY §6); a cluster wanting byte-efficient packing
+    * on a busy host overrides this (and `parallelismFirst`) per the
+    * Spark tuning guide.
+    */
+  val ComputeDenseCoalesceConf: (String, String) =
+    ("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+     (64L * 1024).toString)
+
   /** The conf pairs above, in one place: every graft harness main
     * (Bench, Verify, Smoke, Explain, MemPressure, StageProbe, OccProbe)
     * applies exactly this list via [[harnessSession]], so the next
@@ -74,7 +98,8 @@ object Relational {
     * ASSIGNED (see [[KeepBoundedWindowConf]]'s doc on append-vs-assign).
     */
   val SessionDefaults: Seq[(String, String)] =
-    Seq(KeepBoundedWindowConf, AdaptiveHashJoinConf)
+    Seq(KeepBoundedWindowConf, AdaptiveHashJoinConf,
+        ComputeDenseCoalesceConf)
 
   /** Apply [[SessionDefaults]] to a session builder. */
   def harnessSession(b: org.apache.spark.sql.SparkSession.Builder)
@@ -84,6 +109,37 @@ object Relational {
   /** `row_number()` over [[boundedWindow]] — the bounded-relation rank. */
   def boundedRank(order: Column*): Column =
     row_number().over(boundedWindow(order: _*))
+
+  /** Scale-adaptive read-spread for SCAN-STAGE fan-out producers (the
+    * shingle/signature/coordinate exploders, whose per-input-row work is
+    * 10²-10³× the input bytes): when a narrow (scan/filter/project-only)
+    * input arrives in fewer partitions than the session's default
+    * parallelism, repartition it once before the fan-out — the tuning
+    * guide's fix for unsplittable inputs ("one huge unsplittable file →
+    * repartition immediately after the read"). The harness fixtures are
+    * single-row-group parquet (one task per scan regardless of splits),
+    * which otherwise serializes the whole derivation chain: r16
+    * StageProbe measured the minhash signature aggregate and the PCA
+    * coordinate explode each running 1-2 s single-task at sf0.1.
+    *
+    * No-op (returns `df` unchanged, no added Exchange) when the input
+    * already carries ≥ defaultParallelism partitions — i.e. on any real
+    * multi-file/multi-row-group corpus — so at 100 TB this never
+    * shuffles the corpus. Also a deliberate no-op when the lineage
+    * already contains an exchange: post-shuffle parallelism is AQE's
+    * job ([[ComputeDenseCoalesceConf]]), and inspecting partition
+    * counts through an adaptive plan would execute its query stages.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val plan = df.queryExecution.sparkPlan
+    val wide = plan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.nonEmpty || plan.subqueries.nonEmpty
+    if (wide) df
+    else if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** As-of join (SURVEY.md J6): for each left row, attach the payload of the
     * latest right row with the same `key` and `rightTs <= leftTs`.
