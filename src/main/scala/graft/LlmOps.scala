@@ -111,6 +111,10 @@ object LlmOps {
     */
   def ngramLmScore(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // NO spread here (measured +0.4 s at sf0.1): the dominant cost is
+    // the bigram-instance ⋈ stats join chain below, whose exchanges
+    // only grow with more map-side partial-agg partitions — the
+    // fan-out itself is light relative to them
     val toks = docs.select(col(idCol),
                            tokens(col(textCol), normalize = true).as("tk"))
     val bg = toks
@@ -412,10 +416,16 @@ object LlmOps {
     }
     // per-doc count AND value-sorted shingle-hash array ride along in
     // the signature aggregation — one hash-aggregate pass over the
-    // shingle relation feeds the bands, the union term, and the verify
-    val sig = sh.groupBy("doc")
+    // shingle relation feeds the bands, the union term, and the verify.
+    // Materialized (r16): the aggregate has TWO consumers (the verify
+    // arrs and the band buckets) — unmaterialized, ReusedExchange
+    // dedupes the shuffle but the final aggregate (list merge +
+    // sort_array + numHashes min-merges per doc) still executes once
+    // per consumer, and at 100 TB that is a second full pass over the
+    // per-doc signature state; corpus-sized ⇒ bigRel storage.
+    val sig = Mat.bigRel(sh.groupBy("doc")
       .agg(count(lit(1)).as("n_sh"),
-           sort_array(collect_list(col("s"))).as("shs") +: sigAggs: _*)
+           sort_array(collect_list(col("s"))).as("shs") +: sigAggs: _*))
     val arrs = sig.select(col("doc"), col("n_sh"), col("shs"))
     val bandHashes = (0 until bands).map { i =>
       xxhash64((0 until rowsPerBand)
@@ -706,7 +716,9 @@ object LlmOps {
       col(idCol).as("doc"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("sh"))
-    sh(docs)
+    // spread only the CORPUS side's fan-out; the eval side is the small
+    // broadcast build, where an extra exchange is pure overhead
+    sh(Relational.spread(docs))
       .join(broadcast(sh(evalDocs).select("sh").distinct()), "sh")
       .groupBy("doc")
       // count(1) IS the distinct-hit count: [[shingles]] dedups per doc
@@ -1402,8 +1414,11 @@ object LlmOps {
   val simhashBits = 60
 
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = docs.select(col(idCol).as("doc"),
-                         explode(tokens(col(textCol))).as("t"))
+    // spread before the token fan-out + 60 per-token bit aggregates
+    // (no-op on real corpora — [[Relational.spread]])
+    val th = Relational.spread(docs)
+      .select(col(idCol).as("doc"),
+              explode(tokens(col(textCol))).as("t"))
       .withColumn("h",
         conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
     val bitAggs = (0 until simhashBits).map { k =>
@@ -2650,8 +2665,11 @@ object LlmOps {
     // explode-then-shuffle: each window's argmin (ties → rightmost, via
     // <= in a left fold) is a bounded HOF over the gram-hash array, so
     // the operator is embarrassingly parallel per document and its only
-    // shuffle is whatever the caller aggregates next.
-    docs
+    // shuffle is whatever the caller aggregates next. "Embarrassingly
+    // parallel" needs partitions to be embarrassed across: spread
+    // (no-op on real corpora) so the per-doc window argmins don't
+    // serialize on a single-row-group input.
+    Relational.spread(docs)
       .select(col(idCol),
               tokens(col(textCol), normalize = true).as("tk"))
       .select(col(idCol),

@@ -1824,7 +1824,9 @@ object LlmQueries extends QueryPack {
     // are repeats. Fully relational (explode + two hash-aggregates), no
     // per-row HOF folds: both signals cost one exchange by (doc, gram).
     "q_text_repetition" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      // spread before the two n-gram fan-outs (both branches reuse the
+      // same repartition exchange; no-op on real corpora)
+      val docs = Relational.spread(Tables(s, dir, "documents"))
       val bi = docs
         .select(col("doc_id"),
                 explode(LlmOps.ngramsAll(LlmOps.tokens(col("text")), 2))
@@ -2470,11 +2472,13 @@ object LlmQueries extends QueryPack {
     "q_pipeline_shard" -> ((s, dir) => {
       val toks = LlmOps.tokens(col("text"))
       val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
+      // stopword EVIDENCE (n_stop >= 1) is arrays_overlap — codegen'd,
+      // where the size(filter(...)) HOF count is interpreted per row
+      // (r16 StageProbe: ~50 s executor CPU across the two passes that
+      // re-evaluate this lineage); the conjunction is unchanged
       val docs = Tables(s, dir, "documents")
         .withColumn("n_tok", size(toks).cast("long"))
-        .withColumn("n_stop", size(filter(toks,
-          t => array_contains(stop, t))))
-        .filter(col("n_tok") >= 20 && col("n_stop") >= 1)
+        .filter(col("n_tok") >= 20 && arrays_overlap(toks, stop))
       val (reps, memberEdges) =
         LlmOps.exactCollapse(docs, "doc_id", "text", Seq("lang"))
       val pairs = LlmOps.ngramJaccardPairs(reps, "doc_id", "text", "lang",
@@ -2497,11 +2501,11 @@ object LlmQueries extends QueryPack {
     "q_curation" -> ((s, dir) => {
       val toks = LlmOps.tokens(col("text"))
       val stop = array(Seq("the", "a", "data", "row", "query").map(lit): _*)
+      // n_stop >= 1 ⟺ arrays_overlap (codegen'd; the size(filter())
+      // HOF count is interpreted — see q_pipeline_shard)
       Tables(s, dir, "documents")
         .withColumn("n_tok", size(toks).cast("long"))
-        .withColumn("n_stop", size(filter(toks,
-          t => array_contains(stop, t))))
-        .filter(col("n_tok") >= 30 && col("n_stop") >= 1)
+        .filter(col("n_tok") >= 30 && arrays_overlap(toks, stop))
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"), min("n_tok").as("n_tok"))
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
