@@ -518,7 +518,26 @@ object Explain {
         val internal: Map[String,
           (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
           "x_pca_scatter_partials" ->
-            ((s, d) => LlmOps.scatterPartials(Tables(s, d, "embeddings"))))
+            ((s, d) => LlmOps.scatterPartials(Tables(s, d, "embeddings"))),
+          // plan-evidence reconstruction of the r15 scatter shape (the
+          // pre-r16 self-join form, minus its eager localCheckpoint so
+          // the full lineage stays visible in one plan) — exists ONLY so
+          // plans/r16 carries a checkable before/after pair for the
+          // scatter rewrite; never a query path
+          "x_pca_scatter_partials_r15" -> ((s, d) => {
+            import org.apache.spark.sql.functions._
+            val x = Tables(s, d, "embeddings")
+              .select(col("vec_id"),
+                      posexplode(col("embedding")).as(Seq("p", "xv")))
+              .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+                      expr("CAST(floor(CAST(xv AS DOUBLE) * 10000.0) " +
+                           "AS BIGINT)").as("x"))
+            x.join(x.select(col("vec_id"), col("i").as("j"),
+                            col("x").as("y")), "vec_id")
+              .groupBy("i", "j")
+              .agg(expr("CAST(sum(CAST(x * y AS DECIMAL(38,0))) " +
+                        "AS BIGINT)").as("v"))
+          }))
         args(3).split(",").foreach { q =>
           val txt = internal.getOrElse(q, SparkEntry.queries(q))(spark, dir)
             .queryExecution.explainString(

@@ -3033,10 +3033,19 @@ object LlmOps {
       .groupBy(col("i"), (col("i") + col("pj")).cast("long").as("j"))
       .agg(expr("CAST(sum(CAST(xi * xj AS DECIMAL(38,0))) AS BIGINT)")
              .as("v"))
-    val p = upper.unionByName(
-        upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("v")))
-      .select(lit("p").as("kind"), col("i"), col("j"), col("v"))
+    // both orientations emitted from ONE aggregate via an in-plan
+    // explode — a union-of-two-consumers form lets the i≠j mirror
+    // filter push below the aggregate's exchange, defeating reuse and
+    // running the whole fan-out twice (caught in the r16 plan dump)
+    val p = upper
+      .select(explode(when(col("i") === col("j"),
+                array(struct(col("i"), col("j"))))
+              .otherwise(array(struct(col("i"), col("j")),
+                               struct(col("j").as("i"),
+                                      col("i").as("j"))))).as("ij"),
+              col("v"))
+      .select(lit("p").as("kind"), col("ij.i").as("i"),
+              col("ij.j").as("j"), col("v"))
     n.unionByName(s).unionByName(p)
   }
 
