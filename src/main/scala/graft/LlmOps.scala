@@ -111,12 +111,19 @@ object LlmOps {
     */
   def ngramLmScore(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    // NO spread here (measured +0.4 s at sf0.1): the dominant cost is
-    // the bigram-instance ⋈ stats join chain below, whose exchanges
-    // only grow with more map-side partial-agg partitions — the
-    // fan-out itself is light relative to them
-    val toks = docs.select(col(idCol),
-                           tokens(col(textCol), normalize = true).as("tk"))
+    // ONE tokenize pass (r16): the prior shape re-scanned and
+    // re-regex-tokenized the corpus FOUR times — bigram instances,
+    // bigram counts, unigram counts, vocabulary all re-derived `tk`
+    // from the raw text (plan: 4× Scan parquet + 4× regexp_replace/
+    // split/filter). The tokenized relation is corpus-sized, so it
+    // follows the [[Mat.bigRel]] discipline (DISK_ONLY localCheckpoint,
+    // write once / scan three more times at page-cache speed); `uni`
+    // is vocabulary-sized and localCheckpoint-ed so the one-row vocab
+    // count doesn't replay the unigram aggregate. `spread` before the
+    // tokenize so the single regex pass parallelizes on a single-row-
+    // group input (no-op on real multi-row-group corpora).
+    val toks = Mat.bigRel(Relational.spread(docs)
+      .select(col(idCol), tokens(col(textCol), normalize = true).as("tk")))
     val bg = toks
       .select(col(idCol), explode(
         when(size(col("tk")) >= 2,
@@ -128,6 +135,7 @@ object LlmOps {
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = toks.select(explode(col("tk")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).cast("double").as("cu"))
+      .localCheckpoint() // vocabulary-sized; feeds the vocab count + join
     val vocab = uni.agg(count(lit(1)).cast("double").as("vocab"))
     val bgc = bg.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("double").as("cb"))
@@ -2662,13 +2670,16 @@ object LlmOps {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame =
     // Selection runs ENTIRELY inside per-doc array expressions — no
-    // explode-then-shuffle: each window's argmin (ties → rightmost, via
-    // <= in a left fold) is a bounded HOF over the gram-hash array, so
-    // the operator is embarrassingly parallel per document and its only
-    // shuffle is whatever the caller aggregates next. "Embarrassingly
-    // parallel" needs partitions to be embarrassed across: spread
-    // (no-op on real corpora) so the per-doc window argmins don't
-    // serialize on a single-row-group input.
+    // explode-then-shuffle: each window's argmin (ties → rightmost) is
+    // the native [[WinnowMinima]] loop over the gram-hash array (r16;
+    // previously an interpreted aggregate-HOF fold allocating a struct
+    // per comparison — see the expression's scaladoc for the exactness
+    // contract and WinnowMinimaSpec for the term-for-term equivalence
+    // proof against the HOF form). The operator stays embarrassingly
+    // parallel per document and its only shuffle is whatever the caller
+    // aggregates next. "Embarrassingly parallel" needs partitions to be
+    // embarrassed across: spread (no-op on real corpora) so the per-doc
+    // window argmins don't serialize on a single-row-group input.
     Relational.spread(docs)
       .select(col(idCol),
               tokens(col(textCol), normalize = true).as("tk"))
@@ -2679,17 +2690,9 @@ object LlmOps {
                 s"array_join(slice(tk, i + 1, $k), ' ')), 1, 8), 16, 10)" +
                 " AS BIGINT))").as("hs"))
       .select(col(idCol),
-              explode(expr(
-                s"""CASE WHEN size(hs) >= $w THEN
-                   |  array_distinct(transform(sequence(0, size(hs) - $w),
-                   |    j -> aggregate(sequence(j, j + ${w - 1}),
-                   |      named_struct('pos', -1, 'h',
-                   |                   CAST(9223372036854775807 AS BIGINT)),
-                   |      (acc, i) -> IF(element_at(hs, i + 1) <= acc.h,
-                   |        named_struct('pos', i,
-                   |                     'h', element_at(hs, i + 1)),
-                   |        acc))))
-                   |ELSE array() END""".stripMargin)).as("sel"))
+              explode(org.apache.spark.sql.graft.ColumnBridge.column(
+                WinnowMinima(org.apache.spark.sql.graft.ColumnBridge
+                               .expression(col("hs")), w))).as("sel"))
       .select(col(idCol), col("sel.pos").as("pos"), col("sel.h").as("h"))
 
   /** Deterministic synthetic link graph: each id in `ids` (single column

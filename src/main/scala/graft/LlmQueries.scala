@@ -1033,11 +1033,17 @@ object LlmQueries extends QueryPack {
     // stays bounded at 50 rows per aggregation buffer and its cap sort is
     // spread across the salt slices.
     "q_inverted_index" -> ((s, dir) => {
+      // localCheckpoint (r16): `pairs` feeds BOTH the df aggregate and
+      // the capped posting collection — unmaterialized, each consumer
+      // re-ran the scan + token explode + distinct exchange. The
+      // post-filter probe relation is 3 tokens wide, so the checkpoint
+      // is tiny while the saved pass is corpus-sized.
       val pairs = Tables(s, dir, "documents")
         .select(col("doc_id"),
                 explode(LlmOps.tokens(col("text"))).as("token"))
         .filter(col("token").isin("data", "query", "row"))
         .distinct()
+        .localCheckpoint()
       val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       val top = Relational.topKPerGroupSalted(pairs, Seq("token"),
           Seq(col("doc_id")), 50, xxhash64(col("doc_id")), 16)
@@ -1056,10 +1062,16 @@ object LlmQueries extends QueryPack {
     // collect_list, so a stop-word token (df ≈ corpus size) still costs
     // one 50-row buffer and its cap sort is spread over 16 salt slices.
     "q_inverted_index_full" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "documents")
+      // Mat.bigRel (r16): the distinct (doc, token) pair relation is
+      // corpus-sized and feeds BOTH the df aggregate and the capped
+      // posting collection — unmaterialized, each consumer re-ran the
+      // scan + explode + the distinct EXCHANGE (two full dedup shuffles
+      // of the pair stream). Disk-materialized once, per the big-
+      // intermediate policy in [[Mat]].
+      val pairs = Mat.bigRel(Tables(s, dir, "documents")
         .select(col("doc_id"),
                 explode(LlmOps.tokens(col("text"))).as("token"))
-        .distinct()
+        .distinct())
       val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       val topTok = dfreq.orderBy(col("df").desc, col("token")).limit(1000)
       val postings = Relational.topKPerGroupSalted(
@@ -1988,10 +2000,13 @@ object LlmQueries extends QueryPack {
         .withColumn("text",
           concat(when(pmod(col("doc_id"), lit(3)) === 0, lit(heavy))
                    .otherwise(lit("")), col("text")))
-      val ch = skewed
+      // Mat.bigRel (r16): the chunk relation is corpus-sized and feeds
+      // BOTH the dup aggregate and the join probe — unmaterialized,
+      // each consumer re-ran the scan + tokenize + chunk explode.
+      val ch = Mat.bigRel(skewed
         .select(col("doc_id"),
                 explode(LlmOps.chunksOf(LlmOps.tokens(col("text")), 8))
-                  .as("chunk"))
+                  .as("chunk")))
       val dup = ch.groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
