@@ -34,22 +34,24 @@ object LlmOps {
     else filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
                 t => t =!= "")
 
-  /** Distinct k-token shingles of a token array (empty when < k tokens). */
+  /** Distinct k-token shingles of a token array (empty when < k tokens).
+    * Native [[KGrams]] loop (r16) — previously an interpreted
+    * transform+slice+concat_ws HOF plus array_distinct; byte-identical
+    * output (KGramsSpec pins the equivalence).
+    */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-         array_distinct(transform(
-           sequence(lit(0), size(toks) - k),
-           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      KGrams(org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+             k, distinct = true))
 
   /** All k-token n-grams in order, duplicates kept — repetition analysis
-    * needs the multiset ([[shingles]] dedups for Jaccard).
+    * needs the multiset ([[shingles]] dedups for Jaccard). Same native
+    * [[KGrams]] loop.
     */
   def ngramsAll(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-         transform(sequence(lit(0), size(toks) - k),
-                   i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      KGrams(org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+             k, distinct = false))
 
   /** Non-overlapping k-token chunks (trailing partial chunk dropped) —
     * the "line"/paragraph unit for corpus-wide exact chunk dedup on a
@@ -111,19 +113,18 @@ object LlmOps {
     */
   def ngramLmScore(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    // ONE tokenize pass (r16): the prior shape re-scanned and
-    // re-regex-tokenized the corpus FOUR times — bigram instances,
-    // bigram counts, unigram counts, vocabulary all re-derived `tk`
-    // from the raw text (plan: 4× Scan parquet + 4× regexp_replace/
-    // split/filter). The tokenized relation is corpus-sized, so it
-    // follows the [[Mat.bigRel]] discipline (DISK_ONLY localCheckpoint,
-    // write once / scan three more times at page-cache speed); `uni`
-    // is vocabulary-sized and localCheckpoint-ed so the one-row vocab
-    // count doesn't replay the unigram aggregate. `spread` before the
-    // tokenize so the single regex pass parallelizes on a single-row-
-    // group input (no-op on real multi-row-group corpora).
-    val toks = Mat.bigRel(Relational.spread(docs)
-      .select(col(idCol), tokens(col(textCol), normalize = true).as("tk")))
+    // NO spread here (measured +0.4 s at sf0.1): the dominant cost is
+    // the bigram-instance ⋈ stats join chain below, whose exchanges
+    // only grow with more map-side partial-agg partitions — the
+    // fan-out itself is light relative to them.
+    // NO Mat.bigRel of `toks` either (r16, measured and REJECTED): the
+    // four derivations below each re-tokenize, but the whole 4-pass
+    // form costs only ~3.5 s executor CPU at sf0.1 — a DISK_ONLY
+    // checkpoint of (id, array<string>) rows costs ~32 s CPU in
+    // round-trip serialization alone (StageProbe A/B), ~10× the work
+    // it saves. Recompute-over-round-trip, the [[Mat]] `none` rationale.
+    val toks = docs.select(col(idCol),
+                           tokens(col(textCol), normalize = true).as("tk"))
     val bg = toks
       .select(col(idCol), explode(
         when(size(col("tk")) >= 2,
@@ -135,7 +136,6 @@ object LlmOps {
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = toks.select(explode(col("tk")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).cast("double").as("cu"))
-      .localCheckpoint() // vocabulary-sized; feeds the vocab count + join
     val vocab = uni.agg(count(lit(1)).cast("double").as("vocab"))
     val bgc = bg.groupBy("w1", "w2")
       .agg(count(lit(1)).cast("double").as("cb"))

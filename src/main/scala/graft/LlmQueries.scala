@@ -1033,17 +1033,16 @@ object LlmQueries extends QueryPack {
     // stays bounded at 50 rows per aggregation buffer and its cap sort is
     // spread across the salt slices.
     "q_inverted_index" -> ((s, dir) => {
-      // localCheckpoint (r16): `pairs` feeds BOTH the df aggregate and
-      // the capped posting collection — unmaterialized, each consumer
-      // re-ran the scan + token explode + distinct exchange. The
-      // post-filter probe relation is 3 tokens wide, so the checkpoint
-      // is tiny while the saved pass is corpus-sized.
+      // NOT materialized (r16, measured and rejected): `pairs` feeds
+      // two consumers, but the re-run is a cheap columnar scan +
+      // codegen'd explode while a row-serialized checkpoint costs more
+      // CPU than it saves (StageProbe A/B on the _full twin: +2.5 s
+      // executor CPU, wall neutral).
       val pairs = Tables(s, dir, "documents")
         .select(col("doc_id"),
                 explode(LlmOps.tokens(col("text"))).as("token"))
         .filter(col("token").isin("data", "query", "row"))
         .distinct()
-        .localCheckpoint()
       val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       val top = Relational.topKPerGroupSalted(pairs, Seq("token"),
           Seq(col("doc_id")), 50, xxhash64(col("doc_id")), 16)
@@ -1062,16 +1061,17 @@ object LlmQueries extends QueryPack {
     // collect_list, so a stop-word token (df ≈ corpus size) still costs
     // one 50-row buffer and its cap sort is spread over 16 salt slices.
     "q_inverted_index_full" -> ((s, dir) => {
-      // Mat.bigRel (r16): the distinct (doc, token) pair relation is
-      // corpus-sized and feeds BOTH the df aggregate and the capped
-      // posting collection — unmaterialized, each consumer re-ran the
-      // scan + explode + the distinct EXCHANGE (two full dedup shuffles
-      // of the pair stream). Disk-materialized once, per the big-
-      // intermediate policy in [[Mat]].
-      val pairs = Mat.bigRel(Tables(s, dir, "documents")
+      // NOT materialized (r16, measured and REJECTED): the distinct
+      // (doc, token) pair relation feeds two consumers and re-runs the
+      // scan + explode + distinct exchange per consumer — but the
+      // StageProbe A/B showed a DISK_ONLY checkpoint costs +2.5 s
+      // executor CPU (row round-trip serialization) against a ~7 s
+      // total, wall neutral. Recompute-over-round-trip ([[Mat]] `none`
+      // rationale): the scan is columnar and the explode codegen'd.
+      val pairs = Tables(s, dir, "documents")
         .select(col("doc_id"),
                 explode(LlmOps.tokens(col("text"))).as("token"))
-        .distinct())
+        .distinct()
       val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       val topTok = dfreq.orderBy(col("df").desc, col("token")).limit(1000)
       val postings = Relational.topKPerGroupSalted(
