@@ -39,12 +39,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (the CASE's ELSE branch — this expression is never-null, matching
   *    the `when(...).otherwise(array())` wrapper it replaces);
   *  - `distinct = true` keeps the FIRST occurrence of each gram in
-  *    array order (array_distinct semantics).
+  *    array order (array_distinct semantics);
+  *  - `stride` spaces the gram start positions: stride = 1 is the
+  *    sliding-window form above; stride = k is the non-overlapping
+  *    chunk form ([[LlmOps.chunksOf]] — `transform(sequence(0,
+  *    (size(toks) div k) - 1), i -> concat_ws(' ', slice(toks,
+  *    i*k + 1, k)))`, whose floor(n/k) full chunks equal the stride
+  *    loop's floor((n-k)/k)+1 and the trailing partial chunk is
+  *    dropped by both).
   */
-case class KGrams(child: Expression, k: Int, distinct: Boolean)
+case class KGrams(child: Expression, k: Int, distinct: Boolean,
+                  stride: Int = 1)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, "k-gram width must be >= 1")
+  require(stride >= 1, "k-gram stride must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -82,7 +91,7 @@ case class KGrams(child: Expression, k: Int, distinct: Boolean)
       // never aliases the scan's reused row buffer
       val g = UTF8String.concatWs(sep, parts: _*)
       if (seen == null || seen.add(g)) out += g
-      i += 1
+      i += stride
     }
     new GenericArrayData(out.toArray)
   }

@@ -55,13 +55,13 @@ object LlmOps {
 
   /** Non-overlapping k-token chunks (trailing partial chunk dropped) —
     * the "line"/paragraph unit for corpus-wide exact chunk dedup on a
-    * corpus without newlines.
+    * corpus without newlines. Native [[KGrams]] loop at stride k (r16;
+    * previously an interpreted transform+slice+concat_ws HOF).
     */
   def chunksOf(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-         transform(sequence(lit(0), (size(toks) / k).cast("int") - 1),
-                   i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      KGrams(org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+             k, distinct = false, stride = k))
 
   /** Content-defined chunking: a token STARTS a new chunk when its
     * portable hash ≡ 0 (mod `modulus`), so chunk boundaries are decided by
@@ -79,7 +79,9 @@ object LlmOps {
     */
   def contentChunks(docs: DataFrame, idCol: String, textCol: String,
                     modulus: Int): DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graft.ColumnBridge.column(
+      Md5PrefixLong(org.apache.spark.sql.graft.ColumnBridge
+                      .expression(col("tok")), 8))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("pos")
     docs
@@ -230,7 +232,9 @@ object LlmOps {
                           explode(tokens(col(textCol), normalize = true))
                             .as("w"))
     val b = tok.select(col(idCol), col("__t"),
-      pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+      pmod(org.apache.spark.sql.graft.ColumnBridge.column(
+             Md5PrefixLong(org.apache.spark.sql.graft.ColumnBridge
+                             .expression(col("w")), 8)),
            lit(buckets.toLong)).as("bk"))
       // feeds both the bucket-count aggregate and the per-doc scoring
       // join — materialize so the corpus-wide tokenize + md5 runs once
@@ -1427,8 +1431,12 @@ object LlmOps {
     val th = Relational.spread(docs)
       .select(col(idCol).as("doc"),
               explode(tokens(col(textCol))).as("t"))
+      // native md5-prefix (r16): same digest, no hex round-trip — see
+      // [[Md5PrefixLong]]
       .withColumn("h",
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          Md5PrefixLong(org.apache.spark.sql.graft.ColumnBridge
+                          .expression(col("t")), 15)))
     val bitAggs = (0 until simhashBits).map { k =>
       sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"c_$k")
     }
@@ -2684,11 +2692,13 @@ object LlmOps {
       .select(col(idCol),
               tokens(col(textCol), normalize = true).as("tk"))
       .select(col(idCol),
-              expr(
-                s"transform(slice(tk, 1, greatest(size(tk) - ${k - 1}, 0)), " +
-                "(x, i) -> CAST(conv(substring(md5(" +
-                s"array_join(slice(tk, i + 1, $k), ' ')), 1, 8), 16, 10)" +
-                " AS BIGINT))").as("hs"))
+              // native gram-hash loop (r16) — one compiled pass over
+              // the sliding k-windows, same md5-prefix values as the
+              // transform+array_join+conv HOF chain it replaced (see
+              // [[Md5KGramHashes]]; Md5NativeSpec pins equality)
+              org.apache.spark.sql.graft.ColumnBridge.column(
+                Md5KGramHashes(org.apache.spark.sql.graft.ColumnBridge
+                                 .expression(col("tk")), k, 8)).as("hs"))
       .select(col(idCol),
               explode(org.apache.spark.sql.graft.ColumnBridge.column(
                 WinnowMinima(org.apache.spark.sql.graft.ColumnBridge
