@@ -31,8 +31,13 @@ object LlmOps {
     */
   def tokens(text: Column, normalize: Boolean): Column =
     if (!normalize) tokens(text)
-    else filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
-                t => t =!= "")
+    // native [[TokensNorm]] pass (r16) — previously
+    // filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+    //        t -> t != ""): a regex pass + a regex split + an
+    // interpreted filter HOF per document. Byte-identical token streams
+    // (TokensNormSpec pins the equivalence on adversarial Unicode).
+    else org.apache.spark.sql.graft.ColumnBridge.column(
+      TokensNorm(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Distinct k-token shingles of a token array (empty when < k tokens).
     * Native [[KGrams]] loop (r16) — previously an interpreted
